@@ -1,0 +1,52 @@
+"""Dimension-enrichment joins (SURVEY §2.5, J1-J6).
+
+The reference enriches each record with Redis-cached MySQL lookups per record
+(util/InfoLoader.java:45-114) — a cache-aside hash join executed one probe at
+a time.  Spark-first, every lookup is a broadcast left equi-join: the dim
+DataFrame ships once per stage to every executor, the probe side streams
+through without a shuffle, and Catalyst prunes dim columns to what the query
+uses.  At 100 TB fact scale the dims here (probes/tasks/geo ~ 1e5-1e7 rows)
+stay broadcastable; if a dim outgrows the broadcast threshold, AQE falls back
+to shuffled hash join automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[tuple[str, str]],
+    select: dict[str, str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """J1-J3/J5 — broadcast left equi-join of a fact stream to a dimension.
+
+    ``on`` is [(fact_col, dim_col)]; ``select`` renames dim columns into the
+    fact namespace ({dim_col: out_name}).  Reference lookups: probe
+    (InfoLoader.java:45-58), task src/dest (:87-99), task param (:101-114),
+    access-type default port (:61-85).
+    """
+    d = dim
+    if select is not None:
+        d = d.select(*[c for _, c in on], *select.keys())
+        for src, dst in select.items():
+            d = d.withColumnRenamed(src, dst)
+    cond = None
+    for f_col, d_col in on:
+        this = fact[f_col] == d[d_col]
+        cond = this if cond is None else (cond & this)
+    joined = fact.join(F.broadcast(d), cond, how)
+    return joined.drop(*[d[c] for _, c in on])
+
+
+def geo_chain(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """J4 analogue — the province/city/district reverse-lookup chain
+    (common/util/IPHelper.java:113-221) mapped onto the fixture hierarchy
+    customer -> nation -> region.  Both dims broadcast; zero shuffles."""
+    return customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left"
+    ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")

@@ -1,0 +1,64 @@
+"""Windowed aggregation operators (SURVEY §2.4, W1) and snapshot/dedup
+ranking (§2.6 A4/A5).
+
+The reference batches records in 10 s tumbling *processing-time* windows
+purely to amortize sink inserts (startup/ConsoleTaskDataMain.java:83); the
+rebuild treats windows as first-class *event-time* analytics — ``window()``
+buckets with watermark support in streaming — which is a strict upgrade
+(SURVEY §2.4 W11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import WINDOW_SECONDS
+
+
+def dsum_col(col: str) -> Column:
+    """Exact decimal sum of a double column, rendered back to double (see
+    plans/registry.py float discipline)."""
+    return F.sum(F.col(col).cast("decimal(25,6)")).cast("double")
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    aggs: list[Column],
+    seconds: int = WINDOW_SECONDS,
+) -> DataFrame:
+    """W1 — tumbling event-time window aggregation keyed like the reference's
+    ``keyBy(taskTypeName)`` + 10 s window (R3+W1).  Emits ``w_start``/``w_end``
+    timestamp columns.  Works identically on batch and streaming inputs
+    (unified Structured Streaming API)."""
+    w = F.window(F.col(ts_col), f"{seconds} seconds")
+    return (
+        df.groupBy(w.alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .withColumn("w_start", F.col("w.start"))
+        .withColumn("w_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """A4 — latest-value snapshot per key (`c_p_pinfo_real` semantics:
+    ReplacingMergeTree ORDER BY probe_id, version create_time; DDL
+    ClickHouse建表定稿修改版.txt:57-74).  ``order`` must be a deterministic
+    total order (include a unique tiebreaker)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_last_write_wins(
+    df: DataFrame, keys: list[str], version_desc: list[Column]
+) -> DataFrame:
+    """A5 — ReplacingMergeTree(create_time) last-write-wins dedup on the fact
+    ORDER BY key (DDL :202-205): keep the newest version per composite key."""
+    return latest_per_key(df, keys, version_desc)

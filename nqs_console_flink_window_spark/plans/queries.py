@@ -1,0 +1,379 @@
+"""Registered queries — reference-surface operators (SURVEY §2) as
+query/oracle pairs over the fixture tables.
+
+Each ``@register`` block names the SURVEY §2 operators it covers.  The Spark
+side is the idiomatic DataFrame plan built from ``operators``/``functions``;
+the ``sql`` string is the ANSI equivalent DuckDB runs as the oracle.  Column
+names/aliases are kept identical on both sides (driver hashes columns sorted
+by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import FIXED_NOW_EPOCH
+from ..functions.score import dispatch_score_sql, record_score_sql
+from ..functions.timebuckets import add_time_buckets
+from ..operators import parse as P
+from ..operators.enrich import geo_chain
+from ..operators.windows import dsum_col, latest_per_key, tumbling_agg
+from ..sources.batch import load_table
+from .registry import dsum, register
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (A6 grouped aggregation surface;
+# the OLAP that the reference delegates to ClickHouse after landing).
+# --------------------------------------------------------------------------
+
+_CUTOFF = "2000-12-01 00:00:00"
+
+
+@register(
+    "pricing_summary",
+    sql=f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum("l_quantity", "sum_qty")},
+  {dsum("l_extendedprice", "sum_base_price")},
+  {dsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
+  {dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")},
+  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A6/§2.10 — grouped numeric aggregation with exact decimal sums",
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum_col("l_quantity").alias("sum_qty"),
+        dsum_col("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(25,6)")).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast("decimal(25,6)")).cast("double").alias("sum_charge"),
+        (dsum_col("l_quantity") / cnt).alias("avg_qty"),
+        (dsum_col("l_extendedprice") / cnt).alias("avg_price"),
+        (dsum_col("l_discount") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceived-quality scoring (Q1-Q4) — compiled expression on both engines.
+# --------------------------------------------------------------------------
+
+_PING_MAP = {"rtt": "l_quantity * 10.0", "lost_rate": "l_discount"}
+_PING_SQL = record_score_sql("PING", _PING_MAP)
+
+
+@register(
+    "score_ping",
+    sql=f"""
+SELECT l_orderkey, l_linenumber, {_PING_SQL} AS score
+FROM lineitem
+""",
+    doc="Q1-Q4 — PING criteria piecewise-linear weighted score",
+    headline=True,
+)
+def score_ping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", F.expr(_PING_SQL).alias("score"))
+
+
+_HTTP_MAP = {
+    "dns_cost": "l_quantity",
+    "conn_cost": "l_extendedprice / 500.0",
+    "text_cost": "l_extendedprice / 50.0",
+    "avg_speed": "l_extendedprice / 100.0",
+}
+_HTTP_SQL = record_score_sql("HTTP", _HTTP_MAP)
+
+
+@register(
+    "score_http",
+    sql=f"""
+SELECT l_orderkey, l_linenumber, {_HTTP_SQL} AS score
+FROM lineitem
+""",
+    doc="Q1-Q4 — HTTP criteria (4 metrics incl. direction=down)",
+)
+def score_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", F.expr(_HTTP_SQL).alias("score"))
+
+
+# Protocol dispatch over a stream-shaped table, with outlier coverage
+# (value-100 goes negative -> '<=:0' outlier -> record scores 0).
+_DISPATCH_MAPS = {
+    "PING": {"rtt": "value * 12.0", "lost_rate": "value / 500.0"},
+    "HTTP": {
+        "dns_cost": "value / 5.0",
+        "conn_cost": "value",
+        "text_cost": "value * 10.0",
+        "avg_speed": "value * 2.0",
+    },
+    "GAME": {"tcp_delay": "value", "rtt": "value - 100.0", "conn_cost": "value"},
+    "SPEED": {},
+}
+_PROTO_EXPR = (
+    "CASE WHEN user_id % 5 = 0 THEN 'PING' WHEN user_id % 5 = 1 THEN 'HTTP' "
+    "WHEN user_id % 5 = 2 THEN 'GAME' WHEN user_id % 5 = 3 THEN 'SPEED' "
+    "ELSE 'UNKNOWN' END"
+)
+_DISPATCH_SQL = dispatch_score_sql(_PROTO_EXPR, _DISPATCH_MAPS)
+
+
+@register(
+    "score_dispatch",
+    sql=f"""
+SELECT event_id, {_PROTO_EXPR} AS protocol, {_DISPATCH_SQL} AS score
+FROM events
+""",
+    doc="Q1-Q4 + R3 — per-record protocol dispatch incl. outlier zeroing, "
+    "SPEED hard-zero, unknown-protocol zero",
+)
+def score_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(_PROTO_EXPR).alias("protocol"),
+        F.expr(_DISPATCH_SQL).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Parse / validate / repair (P1-P5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "parse_validate",
+    sql="""
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+FROM events
+WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  AND CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+""",
+    doc="P1/P2/P4 — JSON parse against explicit schema + required-field filter",
+)
+def parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = P.parse_props(P.validate(ev, ["event_type", "user_id"]))
+    return parsed.filter(F.col("props_s.k").isNotNull()).select(
+        "event_id", F.col("props_s.k").alias("k")
+    )
+
+
+@register(
+    "clock_repair",
+    sql=f"""
+SELECT event_id,
+  {P.clock_repair_sql("CAST(floor(epoch(ts)) AS BIGINT)")} AS test_time
+FROM events
+""",
+    doc="P5 — clock-skew repair (|now-t| > 108000 s -> now), deterministic now",
+)
+def clock_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        P.clock_repair_expr(F.unix_timestamp(F.col("ts"))).alias("test_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time buckets (T1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "time_buckets",
+    sql="""
+SELECT event_id,
+  date_trunc('hour', ts)  AS ts_h,
+  date_trunc('day', ts)   AS ts_d,
+  date_trunc('week', ts)  AS ts_w,
+  date_trunc('month', ts) AS ts_m,
+  CAST(ts AS DATE)        AS ts_d_date
+FROM events
+""",
+    doc="T1 — hour/day/Monday-week/month bucket columns + date partition stamp",
+)
+def time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return add_time_buckets(ev, "ts", "ts").select(
+        "event_id", "ts_h", "ts_d", "ts_w", "ts_m", "ts_d_date"
+    )
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregation (W1/R3) — 10 s tumbling by event_type
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_10s",
+    sql="""
+SELECT
+  make_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) * 1000000) AS w_start,
+  event_type,
+  COUNT(*) AS cnt,
+  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="W1+R3 — 10 s tumbling event-time window keyed by type "
+    "(keyBy(taskTypeName) + TumblingProcessingTimeWindows upgraded to event time)",
+    headline=True,
+)
+def tumbling_window_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1))
+    out = tumbling_agg(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            cnt.alias("cnt"),
+            dsum_col("value").alias("sum_value"),
+            (dsum_col("value") / cnt).alias("avg_value"),
+        ],
+    )
+    return out.select("w_start", "event_type", "cnt", "sum_value", "avg_value")
+
+
+# --------------------------------------------------------------------------
+# Snapshot / dedup (A4/A5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    sql="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="A4 — latest-value snapshot per key (c_p_pinfo_real semantics)",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@register(
+    "dedup_last_write_wins",
+    sql="""
+SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="A5 — ReplacingMergeTree(create_time) last-write-wins dedup on the "
+    "composite key",
+)
+def dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# --------------------------------------------------------------------------
+# Dimension enrichment (J1-J4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "enrich_events",
+    sql="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, n.n_name, r.r_name
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+    doc="J1-J4 — broadcast left equi-joins to the dim hierarchy "
+    "(probe/task dims + geo reverse-lookup chain analogue)",
+    headline=True,
+)
+def enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dim = geo_chain(cust, nat, reg)
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left")
+    return joined.select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "n_name", "r_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: the ConsoleTaskDataMain lifecycle (SURVEY §3.1) end-to-end —
+# parse -> validate (P2) -> broadcast dim enrich (J1) -> protocol dispatch
+# (R3) -> compiled PQ score (Q1-Q4) -> 10 s tumbling window agg (W1).
+# --------------------------------------------------------------------------
+
+_FACT_ORACLE = f"""
+WITH enriched AS (
+  SELECT e.ts, e.user_id, e.value, c.c_mktsegment,
+         {_PROTO_EXPR} AS protocol,
+         {_DISPATCH_SQL} AS score
+  FROM events e
+  LEFT JOIN customer c ON e.user_id = c.c_custkey
+  WHERE e.event_type IS NOT NULL AND e.user_id IS NOT NULL
+)
+SELECT
+  make_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) * 1000000) AS w_start,
+  protocol,
+  c_mktsegment,
+  COUNT(*) AS cnt,
+  CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE) AS sum_score,
+  CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_score
+FROM enriched
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "nqs_fact_pipeline",
+    sql=_FACT_ORACLE,
+    doc="Flagship §3.1 lifecycle: validate -> broadcast enrich -> dispatch "
+    "score -> 10 s tumbling window aggregation",
+    headline=True,
+)
+def nqs_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = P.validate(ev, ["event_type", "user_id"])
+    e = v.join(F.broadcast(cust), v["user_id"] == cust["c_custkey"], "left")
+    e = e.withColumn("protocol", F.expr(_PROTO_EXPR)).withColumn(
+        "score", F.expr(_DISPATCH_SQL)
+    )
+    cnt = F.count(F.lit(1))
+    out = tumbling_agg(
+        e,
+        "ts",
+        ["protocol", "c_mktsegment"],
+        [
+            cnt.alias("cnt"),
+            dsum_col("score").alias("sum_score"),
+            (dsum_col("score") / cnt).alias("avg_score"),
+        ],
+    )
+    return out.select(
+        "w_start", "protocol", "c_mktsegment", "cnt", "sum_score", "avg_score"
+    )

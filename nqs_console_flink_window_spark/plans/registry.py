@@ -1,0 +1,56 @@
+"""Named-query registry — the engine's public query surface.
+
+Every operator claimed in SURVEY.md §2 registers here as a named query with
+
+- ``spark``: ``(SparkSession, sf_dir) -> DataFrame`` — the engine plan,
+- ``sql``: equivalent ANSI SQL the DuckDB oracle runs on the same parquet
+  (None for genuinely non-SQL-expressible ops — the driver then records a
+  rows-only check),
+
+and ``__spark_entry__.py`` simply re-exports the registry.  Keeping both
+sides in one place forces every query/oracle pair to stay column-name and
+semantics aligned.
+
+Float discipline: aggregate sums over many double rows are computed as
+``SUM(CAST(x AS DECIMAL(25,6)))`` then cast back to double in BOTH engines,
+so results are exact and hash-identical regardless of partial-aggregation
+order (Spark sums per-partition in parallel; DuckDB in storage order — raw
+double sums would drift in the last bits).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str = ""
+    headline: bool = False  # benchmarked by bench.py at sf0.1
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    sql: str | None,
+    doc: str = "",
+    headline: bool = False,
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        REGISTRY[name] = Query(name=name, spark=fn, sql=sql, doc=doc, headline=headline)
+        return fn
+
+    return deco
+
+
+def dsum(expr: str, alias: str) -> str:
+    """Exact decimal-sum of a double expression, rendered back as double."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"

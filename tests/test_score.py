@@ -1,0 +1,129 @@
+"""Golden tests for the perceived-quality score compiler (SURVEY §2.8).
+
+A pure-Python re-implementation of the reference semantics
+(util/ScoreHelper.java:29-95, score/PQMath.java) serves as the golden model;
+the compiled SQL expression is evaluated through DuckDB on a value grid and
+must agree band-by-band, outlier-by-outlier.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from nqs_console_flink_window_spark.functions.pq_criteria import (
+    CRITERIA,
+    Band,
+    Metric,
+)
+from nqs_console_flink_window_spark.functions.score import record_score_sql
+
+
+def _match(b: Band, x: float) -> bool:
+    if b.lo is not None and not (x >= b.lo if b.lo_incl else x > b.lo):
+        return False
+    if b.hi is not None and not (x <= b.hi if b.hi_incl else x < b.hi):
+        return False
+    return True
+
+
+def _outlier(m: Metric, x: float) -> bool:
+    if not m.outlier:
+        return False
+    for clause in m.outlier.split(","):
+        op, val = clause.split(":")
+        v = float(val)
+        if (
+            (op == ">" and x > v)
+            or (op == "<" and x < v)
+            or (op == ">=" and x >= v)
+            or (op == "<=" and x <= v)
+            or (op not in (">", "<", ">=", "<=") and x == v)
+        ):
+            return True
+    return False
+
+
+def golden_score(protocol: str, values: dict[str, float | None]) -> float:
+    """Reference semantics in plain Python (ScoreHelper.fillScore)."""
+    if protocol == "SPEED":
+        return 0.0
+    crit = CRITERIA.get(protocol)
+    if crit is None:
+        return 0.0
+    total = 0.0
+    for m in crit.metrics:
+        x = values.get(m.name)
+        if x is None:
+            continue
+        if _outlier(m, x):
+            return 0.0
+        chosen = next((b for b in m.bands if _match(b, x)), None)
+        if chosen is None:
+            total += m.bands[-1].lower * m.weight
+            continue
+        lo, hi = chosen.lower, chosen.upper
+        bmin, bmax = chosen.interp_lo, chosen.interp_hi
+        if m.direction == "down":
+            term = (lo + (hi - lo) * (x - bmin) / (bmax - bmin)) * m.weight
+        else:
+            term = (lo + (hi - lo) * (bmax - x) / (bmax - bmin)) * m.weight
+        total += term
+    total = min(max(total, 0.0), 100.0)
+    return round(total + 1e-12, 2)  # HALF_UP nudge for exact .xx5 ties
+
+
+def _grid(m: Metric) -> list[float]:
+    pts: list[float] = []
+    for b in m.bands:
+        for edge in (b.lo, b.hi):
+            if edge is None:
+                continue
+            pts.extend([edge - 0.5, edge, edge + 0.5])
+    pts.extend([-5.0, 0.0, 1e7])
+    return pts
+
+
+@pytest.mark.parametrize("protocol", sorted(CRITERIA))
+def test_score_sql_matches_golden(protocol: str) -> None:
+    crit = CRITERIA[protocol]
+    con = duckdb.connect()
+    names = [m.name for m in crit.metrics]
+    rows = []
+    base = {m.name: (m.bands[1].lo or 1.0) + 0.25 for m in crit.metrics}
+    for m in crit.metrics:
+        for x in _grid(m):
+            rows.append({**base, m.name: x})
+    sql_expr = record_score_sql(protocol)
+    for values in rows:
+        select = ", ".join(f"{values[n]!r} AS {n}" for n in names)
+        got = con.execute(f"SELECT {sql_expr} FROM (SELECT {select})").fetchone()[0]
+        want = golden_score(protocol, values)
+        assert got == pytest.approx(want, abs=5e-3), (protocol, values, got, want)
+
+
+def test_speed_hard_zero() -> None:
+    assert record_score_sql("SPEED") == "0.0"
+
+
+def test_unknown_protocol_zero() -> None:
+    assert record_score_sql("NOPE") == "0.0"
+
+
+def test_null_metric_skipped() -> None:
+    con = duckdb.connect()
+    expr = record_score_sql("PING")
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT CAST(NULL AS DOUBLE) AS rtt, 0.005 AS lost_rate)"
+    ).fetchone()[0]
+    # rtt NULL contributes 0; lost_rate in [0,0.01] band scores ~95 * 0.5
+    assert 45.0 <= got <= 50.0
+
+
+def test_outlier_zeroes_record() -> None:
+    con = duckdb.connect()
+    expr = record_score_sql("PING")
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT 6000.0 AS rtt, 0.005 AS lost_rate)"
+    ).fetchone()[0]
+    assert got == 0.0
