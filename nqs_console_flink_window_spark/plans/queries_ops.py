@@ -1,0 +1,442 @@
+"""Registered queries — scalar derivations (T2-T8), array/detail aggregations
+(A1/A2), explode (N1), and the §2.10 relational surface (rollup, top-k, set
+ops, analytic window functions, range join).
+
+Same contract as ``queries.py``: the Spark side is the idiomatic DataFrame
+plan; ``sql`` is the DuckDB oracle; aliases match by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import derive as D
+from ..operators.windows import dsum_col
+from ..sources.batch import load_table
+from .registry import dsum, register
+
+# --------------------------------------------------------------------------
+# T2/T3 — HTTP page metric chain on lineitem stand-in columns
+# --------------------------------------------------------------------------
+
+_HTTP_T2_MAP = {
+    "page_size": "l_extendedprice",
+    "trans_body_cost": "CAST(l_partkey % 7 AS DOUBLE) * 50.0",
+    "dns_cost": "l_discount * 1000.0",
+    "tcp_cost": "l_tax * 1000.0",
+    "ssl_cost": "CAST(l_linenumber AS DOUBLE) * 10.0",
+    "element_load_cost": "CAST(l_partkey % 1000 AS DOUBLE)",
+    "element_total_size": "l_quantity * 100.0",
+}
+_HTTP_T2 = D.http_page_metrics_sql(_HTTP_T2_MAP)
+_HTTP_T2_SELECT = ",\n  ".join(f"{e} AS {n}" for n, e in _HTTP_T2.items())
+
+
+@register(
+    "derive_http_metrics",
+    sql=f"""
+SELECT l_orderkey, l_linenumber,
+  {_HTTP_T2_SELECT}
+FROM lineitem
+""",
+    doc="T2/T3 — HTTP page metric chain (conn/text/first-screen/page costs, "
+    "KB/s speeds, round-4, div-by-0 guards)",
+)
+def derive_http_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [F.expr(e).alias(n) for n, e in _HTTP_T2.items()]
+    return li.select("l_orderkey", "l_linenumber", *cols)
+
+
+# --------------------------------------------------------------------------
+# T4 — GAME metrics with reported-value fallbacks, on events stand-ins
+# --------------------------------------------------------------------------
+
+_GAME_MAP = {
+    "dns_cost": "CASE WHEN user_id % 4 = 0 THEN 0.0 ELSE value / 10.0 END",
+    "tcp_cost": "CASE WHEN user_id % 4 = 0 THEN 0.0 ELSE value / 20.0 END",
+    "ssl_cost": "CASE WHEN user_id % 4 = 0 THEN 0.0 ELSE value / 30.0 END",
+    "conn_cost": "value",
+    "avg_speed": "CASE WHEN user_id % 2 = 0 THEN 0.0 ELSE value * 2.0 END",
+    "download_cost": "CASE WHEN user_id % 10 = 0 THEN 0.0 ELSE value * 3.0 END",
+    "size": "value * 100.0",
+}
+_GAME = D.game_metrics_sql(_GAME_MAP)
+
+
+@register(
+    "derive_game_metrics",
+    sql=f"""
+SELECT event_id,
+  {_GAME['conn_cost']} AS conn_cost,
+  {_GAME['avg_speed']} AS avg_speed
+FROM events
+""",
+    doc="T4 — GAME conn_cost keep-reported-when-components-zero + avg_speed "
+    "fallback compute",
+)
+def derive_game_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(_GAME["conn_cost"]).alias("conn_cost"),
+        F.expr(_GAME["avg_speed"]).alias("avg_speed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T5/T6 — conditional rescale + status derivation on part stand-ins
+# --------------------------------------------------------------------------
+
+_PON_MODEL = "CASE WHEN p_size % 5 = 0 THEN 'DT741-csf' ELSE p_brand END"
+_PON_SQL = D.pon_rescale_sql("p_retailprice", _PON_MODEL)
+_STATUS_SQL = D.probe_status_sql("CASE WHEN p_size % 2 = 0 THEN 'connected' ELSE 'down' END")
+
+
+@register(
+    "derive_pon_status",
+    sql=f"""
+SELECT p_partkey,
+  {_PON_SQL} AS rx_power,
+  {_STATUS_SQL} AS status
+FROM part
+""",
+    doc="T5 — vendor-conditional rx_power/10000 rescale; T6 — probe status "
+    "derivation (connected->10 quirk preserved)",
+)
+def derive_pon_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(_PON_SQL).alias("rx_power"),
+        F.expr(_STATUS_SQL).alias("status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T7/T8 — region-path/alias strings + IPv4 regex validity
+# --------------------------------------------------------------------------
+
+_IP_EXPR = (
+    "CASE WHEN c_custkey % 3 = 0 THEN '999.300.1.2' "
+    "ELSE '10.0.' || CAST(c_custkey % 256 AS STRING) || '.' || CAST(c_nationkey AS STRING) END"
+)
+_REGION_PATH = D.region_path_sql("n_name", "c_mktsegment", "c_name")
+_ALIAS = D.register_alias_sql("n_name", "c_mktsegment", "c_name", "substr(md5(c_name), 1, 8)")
+
+
+@register(
+    "string_geo_ops",
+    sql=f"""
+SELECT c.c_custkey,
+  {_REGION_PATH} AS region_path,
+  {_ALIAS} AS probe_alias,
+  regexp_matches({_IP_EXPR}, '{D.IPV4_REGEX}') AS ip_valid
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+    doc="T7 — region path + register alias concat (ProbeHelper.java:28); "
+    "T8 — IPv4 dotted-quad regex validity",
+)
+def string_geo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+    ip = F.expr(_IP_EXPR)
+    return j.select(
+        "c_custkey",
+        F.expr(_REGION_PATH).alias("region_path"),
+        F.expr(_ALIAS).alias("probe_alias"),
+        ip.rlike(D.IPV4_REGEX).alias("ip_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — element count/sum/rate (events rows as detail elements per user)
+# --------------------------------------------------------------------------
+
+_RATE_SQL = D.element_rate_sql("elements_success_sum", "elements_sum")
+
+
+@register(
+    "http_element_agg",
+    sql=f"""
+SELECT parent_id, elements_sum, elements_success_sum, elements_fail_sum,
+  element_total_size, {_RATE_SQL} AS elements_success_rate
+FROM (
+  SELECT user_id AS parent_id,
+    COUNT(*) AS elements_sum,
+    COUNT(CASE WHEN value < 250.0 THEN 1 END) AS elements_success_sum,
+    COUNT(CASE WHEN value >= 250.0 THEN 1 END) AS elements_fail_sum,
+    {dsum("value", "element_total_size")}
+  FROM events GROUP BY user_id
+)
+""",
+    doc="A1 — per-parent element count/sum/success-rate "
+    "(HttpDataParser.java:68-127 as explode->groupBy)",
+)
+def http_element_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("user_id").alias("parent_id")).agg(
+        F.count(F.lit(1)).alias("elements_sum"),
+        F.count(F.when(F.col("value") < 250.0, 1)).alias("elements_success_sum"),
+        F.count(F.when(F.col("value") >= 250.0, 1)).alias("elements_fail_sum"),
+        dsum_col("value").alias("element_total_size"),
+    )
+    return g.withColumn("elements_success_rate", F.expr(_RATE_SQL))
+
+
+# --------------------------------------------------------------------------
+# A2 — grouped-max thread cost (critical-path load time)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "thread_load_cost",
+    sql="""
+SELECT parent_id, MAX(thread_cost) AS element_load_cost
+FROM (
+  SELECT user_id AS parent_id, event_id % 3 AS thread_num,
+    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS thread_cost
+  FROM events GROUP BY 1, 2
+)
+GROUP BY parent_id
+""",
+    doc="A2 — sum per (parent, thread) then max over threads "
+    "(HttpDataParser.java:97-119)",
+)
+def thread_load_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_thread = ev.groupBy(
+        F.col("user_id").alias("parent_id"),
+        (F.col("event_id") % 3).alias("thread_num"),
+    ).agg(dsum_col("value").alias("thread_cost"))
+    return per_thread.groupBy("parent_id").agg(
+        F.max("thread_cost").alias("element_load_cost")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 via array higher-order functions (collect -> sort -> filter/transform/
+# aggregate) — the reference's within-record array loop, Spark-native
+# --------------------------------------------------------------------------
+
+
+@register(
+    "array_hof_agg",
+    sql="""
+SELECT user_id,
+  COUNT(*) AS n_elems,
+  COUNT(CASE WHEN value < 50.0 THEN 1 END) AS n_small,
+  MIN(value) AS v_min,
+  MAX(value) AS v_max,
+  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor
+FROM events GROUP BY user_id
+""",
+    doc="A1/§2.9 — array HOFs (size/filter/element_at/transform+aggregate) "
+    "over collected per-key arrays; oracle via flat GROUP BY",
+)
+def array_hof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("value")).alias("arr")
+    )
+    return g.select(
+        "user_id",
+        F.size("arr").alias("n_elems"),
+        F.size(F.filter("arr", lambda x: x < F.lit(50.0))).alias("n_small"),
+        F.element_at("arr", 1).alias("v_min"),
+        F.element_at("arr", -1).alias("v_max"),
+        F.aggregate(
+            F.transform("arr", lambda x: F.floor(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_floor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N1 — explode with parent-column inheritance
+# --------------------------------------------------------------------------
+
+
+@register(
+    "explode_tokens",
+    sql="""
+SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+    doc="N1 — detail-array explode inheriting parent columns "
+    "(DetailAbstractDataParser.java:35-75 pattern)",
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.10 relational surface: rollup, top-k, set ops, analytic windows,
+# distinct counts, range join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_agg",
+    sql=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {dsum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="A6 — rollup aggregation (subtotals + grand total)",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum_col("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    sql=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+  {dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="A6 — cube aggregation over two dims",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum_col("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "topk_orders",
+    sql="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="§2.10 — global sort + limit with deterministic tiebreak (Spark "
+    "TakeOrderedAndProject; no full sort materialized)",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "set_ops",
+    sql="""
+SELECT 'intersect' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'union' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+""",
+    doc="§2.10 — INTERSECT / EXCEPT / UNION DISTINCT",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    parts = [
+        c.intersect(s).select(F.lit("intersect").alias("op"), "nk"),
+        c.subtract(s).select(F.lit("except").alias("op"), "nk"),
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nk"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "window_functions",
+    sql="""
+SELECT event_id, user_id, value,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+  CAST(SUM(CAST(value AS DECIMAL(25,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_sum
+FROM events
+""",
+    doc="§2.10 — analytic window functions (row_number/lag/lead/running sum)",
+)
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(wsum).cast("double").alias("running_sum"),
+    )
+
+
+@register(
+    "distinct_counts",
+    sql="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS cnt
+FROM events GROUP BY event_type
+""",
+    doc="A6 — exact distinct aggregation",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "approx_distinct",
+    sql=None,  # HLL sketch result is engine-specific; rows-only check
+    doc="A6 — approx_count_distinct (HLL); no SQL oracle by design",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "geo_range_join",
+    sql="""
+SELECT e.event_id, e.value, n.n_name
+FROM events e
+LEFT JOIN nation n
+  ON e.value >= n.n_nationkey * 20.0 AND e.value < (n.n_nationkey + 1) * 20.0
+""",
+    doc="J4 — ip->region range lookup as a broadcast range join "
+    "(IPHelper.java:35-66 ipdb semantics on materialized ranges)",
+)
+def geo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    cond = (ev["value"] >= n["n_nationkey"] * 20.0) & (
+        ev["value"] < (n["n_nationkey"] + 1) * 20.0
+    )
+    return ev.join(F.broadcast(n), cond, "left").select("event_id", "value", "n_name")

@@ -22,6 +22,7 @@ sys.path.insert(0, str(_REPO))
 
 from nqs_console_flink_window_spark.config import ORACLE_SF_DIR, TABLE_NAMES  # noqa: E402
 from nqs_console_flink_window_spark.plans import queries as _q  # noqa: E402,F401
+from nqs_console_flink_window_spark.plans import queries_ops as _q2  # noqa: E402,F401
 from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
 from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
 
