@@ -22,8 +22,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from nqs_console_flink_window_spark.config import SMOKE_SF_DIR  # noqa: E402
-from nqs_console_flink_window_spark.plans import queries as _queries_module  # noqa: E402,F401
-from nqs_console_flink_window_spark.plans import queries_ops as _queries_ops_module  # noqa: E402,F401
+from nqs_console_flink_window_spark.plans import all as _all_queries  # noqa: E402,F401
 from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
 from nqs_console_flink_window_spark.session import tune  # noqa: E402
 

@@ -1,0 +1,93 @@
+"""Two-dialect SQL rendering helpers.
+
+The correctness contract of this repo is "the engine's Spark plan and the
+DuckDB oracle compute identical values".  Most expressions are plain ANSI and
+run verbatim on both; the few spots where the engines name primitives
+differently (array functions, hex->int conversion, bit shifts) are
+centralized here so every extension operator renders from one template.
+
+Verified equivalences (see tests/test_dialect.py):
+- ``md5_int``: 60-bit integer from the first 15 hex chars of md5 — Spark
+  ``conv(...,16,10)`` == DuckDB ``CAST('0x'||... AS BIGINT)``.
+- ``bit_count``, ``octet_length``, ``sha256`` hex: identical.
+- float->decimal must go through DOUBLE first (DuckDB's float->decimal cast
+  is lossy).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def split_tokens(d: str, text: str, sep: str = " ") -> str:
+    fn = "split" if d == SPARK else "string_split"
+    return f"{fn}({text}, '{sep}')"
+
+
+def arr_size(d: str, arr: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def arr_filter(d: str, arr: str, lam: str) -> str:
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def arr_transform(d: str, arr: str, lam: str) -> str:
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def arr_distinct(d: str, arr: str) -> str:
+    fn = "array_distinct" if d == SPARK else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def arr_sum_bigint(d: str, arr: str) -> str:
+    """Exact integer sum of a bigint array."""
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    return f"CAST(list_sum({arr}) AS BIGINT)"
+
+
+def md5_int(d: str, expr: str) -> str:
+    """Deterministic 60-bit non-negative integer hash of a string expr."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def shiftleft(d: str, one: str, bits: str) -> str:
+    if d == SPARK:
+        return f"shiftleft(CAST({one} AS BIGINT), CAST({bits} AS INT))"
+    return f"(CAST({one} AS BIGINT) << ({bits}))"
+
+
+def sha256_hex(d: str, expr: str) -> str:
+    if d == SPARK:
+        return f"sha2(CAST({expr} AS BINARY), 256)"
+    return f"sha256({expr})"
+
+
+def xor(d: str, a: str, b: str) -> str:
+    """Bitwise XOR — Spark spells it ``^``; in DuckDB ``^`` is POWER."""
+    if d == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"
+
+
+def positions_from(d: str, table_expr: str, cols: str, n: str, step: int = 1) -> str:
+    """Subquery yielding ``cols`` plus a per-row position column ``i`` =
+    1, 1+step, ... <= n.  Spark: LATERAL VIEW explode(sequence);
+    DuckDB 1.0: unnest(range(...)) in the SELECT list (its generate_series
+    cannot take lateral column bounds)."""
+    if d == SPARK:
+        return (
+            f"(SELECT {cols}, i FROM {table_expr} "
+            f"LATERAL VIEW explode(sequence(1, greatest({n}, 1), {step})) g AS i)"
+        )
+    return (
+        f"(SELECT {cols}, unnest(range(1, greatest({n}, 1) + 1, {step})) AS i "
+        f"FROM {table_expr})"
+    )

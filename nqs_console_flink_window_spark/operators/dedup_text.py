@@ -1,0 +1,156 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, and n-gram
+Jaccard — the training-data-pipeline dedup family (BASELINE.json north star).
+
+All variants are expressed as SQL templates rendered for both engines
+(functions/dialect.py), so each has a value-exact DuckDB oracle — including
+the MinHash signatures, because the underlying 60-bit md5 hash is
+cross-engine identical.
+
+Scale design (100 TB):
+- exact: one hash-groupBy shuffle on the digest — minimal.
+- MinHash: shingling is a per-row lateral explode (no shuffle); signatures
+  are one groupBy(doc) with map-side partial MIN combine; LSH banding turns
+  the quadratic all-pairs problem into equi-joins on band keys (shuffle is
+  proportional to candidates, not pairs).  Band count / rows-per-band are
+  the precision/recall knobs.
+- SimHash: same shape, integer bit aggregation; near-dup = bit_count(xor)
+  on 64-bit ints — a cheap candidate filter.
+- n-gram Jaccard: exact pairwise on shingle equi-join; the quadratic
+  verifier — at scale it runs only on LSH candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from ..functions import dialect as X
+
+SHINGLE_LEN = 8
+SHINGLE_STEP = 4
+NUM_PERM = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+
+
+def shingles_cte(d: str, table: str = "documents") -> str:
+    """doc_id + distinct positional character shingles."""
+    src = X.positions_from(
+        d, table, "doc_id, text", f"length(text) - {SHINGLE_LEN - 1}", SHINGLE_STEP
+    )
+    return (
+        f"SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {SHINGLE_LEN}) AS sh "
+        f"FROM {src} p"
+    )
+
+
+def minhash_min_exprs(d: str) -> list[str]:
+    """NUM_PERM independent min-hash aggregates over the shingle rows."""
+    out = []
+    for k in range(NUM_PERM):
+        h = X.md5_int(d, f"sh || '#{k}'")
+        out.append(f"MIN({h}) AS m{k}")
+    return out
+
+
+def minhash_signatures_sql(d: str, table: str = "documents") -> str:
+    mins = ",\n  ".join(minhash_min_exprs(d))
+    return f"""
+WITH sh AS ({shingles_cte(d, table)})
+SELECT doc_id,
+  {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def minhash_band_selects(d: str) -> list[str]:
+    """One SELECT per LSH band: (doc_id, band_id, band_key)."""
+    out = []
+    n_bands = NUM_PERM // BAND_ROWS
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(m{b * BAND_ROWS + r} AS STRING)" for r in range(BAND_ROWS)
+        )
+        out.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    return out
+
+
+def minhash_lsh_pairs_sql(d: str, table: str = "documents") -> str:
+    """Candidate near-dup pairs: docs sharing at least one LSH band."""
+    bands = "\nUNION ALL\n".join(minhash_band_selects(d))
+    return f"""
+WITH sig AS ({minhash_signatures_sql(d, table)}),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_sql(d: str, table: str = "documents") -> str:
+    """Per-doc SimHash over distinct lowercase tokens (SIMHASH_BITS wide)."""
+    tok_hash = X.md5_int(d, "tok")
+    shift = X.shiftleft(d, "1", "j")
+    if d == X.SPARK:
+        toks = (
+            f"SELECT DISTINCT doc_id, tok FROM {table} "
+            f"LATERAL VIEW explode(split(lower(text), ' ')) t AS tok"
+        )
+        bits_src = (
+            "SELECT doc_id, tok, j FROM toks "
+            f"LATERAL VIEW explode(sequence(0, {SIMHASH_BITS - 1})) b AS j"
+        )
+    else:
+        toks = (
+            f"SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok "
+            f"FROM {table}"
+        )
+        bits_src = (
+            f"SELECT doc_id, tok, g.j FROM toks, "
+            f"generate_series(0, {SIMHASH_BITS - 1}) g(j)"
+        )
+    return f"""
+WITH toks AS ({toks}),
+bits AS (
+  SELECT doc_id, j,
+    CAST(SUM(CASE WHEN (({tok_hash}) >> j) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM ({bits_src}) GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN {shift} ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_hamming_hist_sql(d: str, max_dist: int, table: str = "documents") -> str:
+    """Histogram of pairwise Hamming distances <= max_dist (candidate-pair
+    volume metric; keeps output tiny while checking all pairs)."""
+    ham = X.xor(d, "CAST(a.simhash AS BIGINT)", "CAST(b.simhash AS BIGINT)")
+    return f"""
+WITH sig AS ({simhash_sql(d, table)})
+SELECT bit_count({ham}) AS hamming,
+       COUNT(*) AS n_pairs
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count({ham}) <= {max_dist}
+GROUP BY 1
+"""
+
+
+def ngram_jaccard_pairs_sql(d: str, threshold: float, table: str = "documents") -> str:
+    """Exact n-gram (character shingle) Jaccard similarity pairs >= threshold."""
+    return f"""
+WITH sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  ROUND(CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n), 6) AS jaccard
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n) >= {threshold!r}
+"""

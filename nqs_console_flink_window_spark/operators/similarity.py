@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the north star:
+
+- **Brute-force cosine top-k** — the exact baseline.  Dot products via
+  ``zip_with``/``aggregate`` higher-order functions with an exact DECIMAL
+  accumulator so Spark and the DuckDB oracle agree bit-for-bit (raw double
+  accumulation would drift with summation order).  At scale this is one
+  broadcast of the query vector + a map-side projection + a top-k
+  (TakeOrdered) — no shuffle of the corpus.
+
+- **LSH-bucketed ANN** (random-hyperplane signatures, multi-table) — the
+  100 TB path: signatures computed vectorized in a pandas UDF (Arrow
+  batches, numpy matmul), candidates found by equi-join on (table, bucket)
+  keys, exact cosine re-ranking only on candidates.  Corpus shuffle is
+  proportional to bucket collisions, not corpus size; table count L and
+  hyperplanes-per-table P are the recall/cost knobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Exact decimal dot product of two float arrays, both engines.  Floats are
+# widened to DOUBLE before multiplying (DuckDB's float->decimal cast is
+# lossy — see functions/dialect.py), products rounded into DECIMAL(30,15)
+# and summed exactly.
+
+_DOT_ACC = "CAST(0 AS DECIMAL(30,15))"
+
+
+def dot_spark(a: str, b: str) -> str:
+    prod = f"zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15)))"
+    return (
+        f"CAST(aggregate({prod}, {_DOT_ACC}, "
+        f"(acc, v) -> CAST(acc + v AS DECIMAL(30,15))) AS DOUBLE)"
+    )
+
+
+def cosine_spark(a: str, b: str) -> str:
+    dot = dot_spark(a, b)
+    na = dot_spark(a, a)
+    nb = dot_spark(b, b)
+    return (
+        f"(CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 "
+        f"ELSE ROUND({dot} / (SQRT({na}) * SQRT({nb})), 8) END)"
+    )
+
+
+def cosine_duck_cte(vec_table: str, query_pred: str) -> str:
+    """DuckDB oracle: per-element lateral expansion + exact decimal sums,
+    computing cosine(corpus row, the single query row)."""
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM {vec_table} WHERE {query_pred}),
+ex AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qe,
+         unnest(range(1, len(e.embedding) + 1)) AS i
+  FROM {vec_table} e, q
+),
+prods AS (
+  SELECT vec_id, label,
+    CAST(CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(30,15)) AS pab,
+    CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)) AS paa,
+    CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(30,15)) AS pqq
+  FROM ex
+),
+sums AS (
+  SELECT vec_id, label,
+    CAST(SUM(pab) AS DOUBLE) AS dot,
+    CAST(SUM(paa) AS DOUBLE) AS na,
+    CAST(SUM(pqq) AS DOUBLE) AS nq
+  FROM prods GROUP BY vec_id, label
+)
+SELECT vec_id, label,
+  CASE WHEN na = 0.0 OR nq = 0.0 THEN 0.0
+       ELSE ROUND(dot / (SQRT(na) * SQRT(nq)), 8) END AS cosine
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN (Spark-only; verified against brute force in tests)
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 8
+LSH_PLANES = 4
+LSH_SEED = 42
+
+
+def _planes(dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (tables, planes, dim)."""
+    rs = np.random.RandomState(LSH_SEED)
+    return rs.normal(size=(LSH_TABLES, LSH_PLANES, dim)).astype(np.float64)
+
+
+def with_lsh_buckets(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Adds an array<int> of LSH_TABLES bucket ids (sign-bit signatures).
+
+    Vectorized: each Arrow batch becomes one numpy (n, dim) @ (dim, T*P)
+    matmul — the idiomatic Pandas-UDF fast path.
+    """
+    planes = _planes(dim).reshape(LSH_TABLES * LSH_PLANES, dim).T  # (dim, T*P)
+    weights = np.power(2, np.arange(LSH_PLANES))
+
+    @F.pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
+        signs = (mat @ planes) > 0  # (n, T*P)
+        bits = signs.reshape(len(v), LSH_TABLES, LSH_PLANES)
+        ids = (bits * weights).sum(axis=2).astype(np.int32)  # (n, T)
+        return pd.Series(list(ids))
+
+    return df.withColumn("lsh_buckets", buckets(F.col(vec_col)))
+
+
+def ann_candidates(df: DataFrame, query_df: DataFrame) -> DataFrame:
+    """Candidate pairs: corpus rows sharing >=1 (table, bucket) with a query
+    row.  Both sides explode their signature array to (table, bucket) keys;
+    the join is a plain equi-join (broadcast when the query side is small)."""
+    def explode_buckets(d: DataFrame, prefix: str) -> DataFrame:
+        return d.select(
+            F.col("vec_id").alias(f"{prefix}_vec_id"),
+            F.col("embedding").alias(f"{prefix}_embedding"),
+            F.posexplode("lsh_buckets").alias("tbl", f"{prefix}_bucket"),
+        )
+
+    corpus = explode_buckets(df, "c")
+    query = explode_buckets(query_df, "q")
+    return (
+        corpus.join(
+            F.broadcast(query),
+            (corpus["tbl"] == query["tbl"])
+            & (corpus["c_bucket"] == query["q_bucket"]),
+        )
+        .filter(F.col("c_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "c_vec_id", "q_embedding", "c_embedding")
+        .distinct()
+    )
+
+
+def ann_topk(df: DataFrame, query_df: DataFrame, k: int = 10) -> DataFrame:
+    """LSH ANN: candidates -> exact cosine re-rank -> top-k per query."""
+    from pyspark.sql import Window
+
+    cand = ann_candidates(df, query_df)
+    scored = cand.withColumn(
+        "cosine", F.expr(cosine_spark("c_embedding", "q_embedding"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("c_vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_vec_id", F.col("c_vec_id").alias("vec_id"), "cosine", "rn")
+    )

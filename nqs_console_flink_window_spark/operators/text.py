@@ -1,0 +1,79 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID
+(stopword-hit heuristic), quality scoring (length/stopword ratios), token
+counting, and document fingerprinting — all as pure SQL expressions rendered
+for both engines (functions/dialect.py), so every operator has a DuckDB
+oracle and runs JVM-side in Spark (no Python on the hot path).
+
+Scale notes (100 TB): every operator here is a per-row projection or a
+groupBy with map-side partial aggregation — no shuffles beyond the final
+aggregate, no driver-side collection, no UDFs.
+"""
+
+from __future__ import annotations
+
+from ..functions import dialect as X
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+}
+
+
+def tokens_expr(d: str, text: str = "text") -> str:
+    return X.split_tokens(d, f"lower({text})")
+
+
+def token_count_expr(d: str, text: str = "text") -> str:
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is a
+    separate column in text_stats)."""
+    return X.arr_size(d, tokens_expr(d, text))
+
+
+def stopword_hits_expr(d: str, lang: str, text: str = "text") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    arr = tokens_expr(d, text)
+    return X.arr_size(d, X.arr_filter(d, arr, f"x -> x IN ({words})"))
+
+
+def lang_guess_expr(d: str, text: str = "text") -> str:
+    """argmax of stopword hits, ties broken en > de > es, zero hits -> 'und'."""
+    en = stopword_hits_expr(d, "en", text)
+    de = stopword_hits_expr(d, "de", text)
+    es = stopword_hits_expr(d, "es", text)
+    return (
+        f"(CASE WHEN {en} = 0 AND {de} = 0 AND {es} = 0 THEN 'und' "
+        f"WHEN {en} >= {de} AND {en} >= {es} THEN 'en' "
+        f"WHEN {de} >= {es} THEN 'de' ELSE 'es' END)"
+    )
+
+
+def avg_token_len_expr(d: str, text: str = "text") -> str:
+    arr = tokens_expr(d, text)
+    total = X.arr_sum_bigint(d, X.arr_transform(d, arr, "x -> CAST(length(x) AS BIGINT)"))
+    n = X.arr_size(d, arr)
+    return f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({total} AS DOUBLE) / {n} END)"
+
+
+def quality_score_expr(d: str, text: str = "text", n_chars: str = "n_chars") -> str:
+    """0-100 quality heuristic: stopword density + length saturation.
+
+    Mirrors the shape of the reference's weighted metric scoring (Q3/Q4) —
+    weighted ratio terms, clamped and rounded.
+    """
+    n = token_count_expr(d, text)
+    stop_ratio = (
+        f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({stopword_hits_expr(d, 'en', text)} "
+        f"AS DOUBLE) / {n} END)"
+    )
+    len_score = f"LEAST(CAST({n_chars} AS DOUBLE) / 500.0, 1.0)"
+    return f"ROUND(100.0 * (0.5 * {stop_ratio} + 0.5 * {len_score}), 4)"
+
+
+def fingerprint_expr(d: str, text: str = "text") -> str:
+    """Deterministic document fingerprint (content-defined identity for
+    dedup): md5 of the whitespace-normalized lowercased text."""
+    return f"md5(trim(lower({text})))"

@@ -1,0 +1,241 @@
+"""Registered queries — LLM-data-pipeline extension operators over the
+``documents`` and ``embeddings`` fixtures: text analysis, the dedup family
+(exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity search, and
+multimodal binary plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dialect as X
+from ..operators import dedup_text as DD
+from ..operators import similarity as SIM
+from ..operators import text as TX
+from ..sources.batch import load_table, register_temp_views
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def _text_stats_sql(d: str) -> str:
+    return f"""
+SELECT doc_id, lang, n_chars,
+  {TX.token_count_expr(d)} AS n_tokens,
+  CAST(CAST(n_chars AS DOUBLE) / 4.0 AS DOUBLE) AS bpe_token_estimate,
+  {X.arr_size(d, X.arr_distinct(d, TX.tokens_expr(d)))} AS n_distinct_tokens,
+  {TX.avg_token_len_expr(d)} AS avg_token_len,
+  {TX.stopword_hits_expr(d, 'en')} AS hits_en,
+  {TX.lang_guess_expr(d)} AS lang_guess,
+  {TX.quality_score_expr(d)} AS quality_score,
+  {TX.fingerprint_expr(d)} AS fingerprint
+FROM documents
+"""
+
+
+@register(
+    "text_stats",
+    sql=_text_stats_sql(X.DUCK),
+    doc="Extension — token counts, type diversity, language-ID heuristic, "
+    "quality score, content fingerprint (all JVM-side expressions)",
+    headline=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_text_stats_sql(X.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    sql="""
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    doc="Extension — exact dedup via content-hash groupBy (keep lowest id)",
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+@register(
+    "minhash_signatures",
+    sql=DD.minhash_signatures_sql(X.DUCK),
+    doc="Extension — MinHash signatures (8 perms over 8-char shingles); "
+    "cross-engine-identical md5-derived hashes",
+    headline=True,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(DD.minhash_signatures_sql(X.SPARK))
+
+
+@register(
+    "minhash_lsh_pairs",
+    sql=DD.minhash_lsh_pairs_sql(X.DUCK),
+    doc="Extension — LSH banding (4 bands x 2 rows) candidate near-dup pairs",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(DD.minhash_lsh_pairs_sql(X.SPARK))
+
+
+@register(
+    "simhash_fingerprints",
+    sql=DD.simhash_sql(X.DUCK),
+    doc="Extension — 16-bit SimHash over distinct tokens",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(DD.simhash_sql(X.SPARK))
+
+
+@register(
+    "simhash_hamming_hist",
+    sql=DD.simhash_hamming_hist_sql(X.DUCK, max_dist=3),
+    doc="Extension — SimHash near-dup candidate volume by Hamming distance",
+)
+def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(DD.simhash_hamming_hist_sql(X.SPARK, max_dist=3))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql=DD.ngram_jaccard_pairs_sql(X.DUCK, threshold=0.8),
+    doc="Extension — exact n-gram Jaccard similarity pairs >= 0.8 "
+    "(the verifier stage run on LSH candidates at scale)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir)
+    return spark.sql(DD.ngram_jaccard_pairs_sql(X.SPARK, threshold=0.8))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COSINE_TOPK_DUCK = f"""
+WITH scored AS ({SIM.cosine_duck_cte("embeddings", "vec_id = 0")})
+SELECT vec_id, cosine FROM scored
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "cosine_topk",
+    sql=_COSINE_TOPK_DUCK,
+    doc="Extension — brute-force cosine top-k (exact decimal dot products; "
+    "broadcast query vector, no corpus shuffle)",
+    headline=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    return (
+        joined.select(
+            "vec_id", F.expr(SIM.cosine_spark("embedding", "qe")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_NEAR_DUP_DUCK = """
+WITH ex AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         a.embedding AS ea, b.embedding AS eb,
+         unnest(range(1, len(a.embedding) + 1)) AS i
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a, vec_b, label,
+    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na,
+    CAST(SUM(CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb
+  FROM ex
+  GROUP BY 1, 2, 3
+)
+SELECT vec_a, vec_b, label,
+  ROUND(dot / (SQRT(na) * SQRT(nb)), 8) AS cosine
+FROM pairs
+WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.35
+"""
+
+
+@register(
+    "embedding_near_dup",
+    sql=_NEAR_DUP_DUCK,
+    doc="Extension — embedding-cosine near-dup pairs >= 0.35 with label "
+    "blocking (the blocked-pairs pattern that replaces all-pairs at scale)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, (a["label"] == b["label_b"]) & (a["vec_a"] < b["vec_b"]))
+    cos = F.expr(SIM.cosine_spark("ea", "eb"))
+    return (
+        pairs.select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    sql=None,  # approximate by design; verified against brute force in tests
+    doc="Extension — multi-table random-hyperplane LSH ANN top-k "
+    "(pandas-UDF signatures, bucket equi-join, exact re-rank)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_b = SIM.with_lsh_buckets(emb)
+    query = with_b.filter(F.col("vec_id") == 0)
+    return SIM.ann_topk(with_b, query, k=10)
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "binary_metadata",
+    sql=f"""
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  {X.sha256_hex(X.DUCK, "text")} AS content_sha256
+FROM documents
+""",
+    doc="Extension — opaque binary payload + typed metadata columns "
+    "(byte length, content digest); decode kernels are mapInPandas stages",
+)
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.expr(X.sha256_hex(X.SPARK, "text")).alias("content_sha256"),
+    )

@@ -48,5 +48,6 @@ def get_spark(app_name: str = "nqs-spark", master: str | None = None) -> SparkSe
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("NQS_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return tune(builder.getOrCreate())

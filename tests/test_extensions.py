@@ -1,0 +1,86 @@
+"""Extension-operator tests that go beyond the query/oracle gate: ANN recall
+vs brute force, multimodal plumbing, cross-engine dialect parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+from nqs_console_flink_window_spark.functions import dialect as X
+from nqs_console_flink_window_spark.operators import multimodal as MM
+from nqs_console_flink_window_spark.operators import similarity as SIM
+from nqs_console_flink_window_spark.sources.batch import load_table
+
+
+def test_dialect_md5_int_parity(spark) -> None:
+    con = duckdb.connect()
+    for probe in ("abc", "the quick brown fox", "你好"):
+        s = spark.sql(f"SELECT {X.md5_int(X.SPARK, repr(probe))} AS v").collect()[0].v
+        d = con.execute(f"SELECT {X.md5_int(X.DUCK, repr(probe))} AS v").fetchone()[0]
+        assert s == d
+
+
+def test_ann_recall_vs_brute_force(spark) -> None:
+    """Multi-table hyperplane LSH must recover most of the exact top-10."""
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(SIM.cosine_spark("embedding", "qe")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r.vec_id for r in brute.collect()}
+
+    with_b = SIM.with_lsh_buckets(emb)
+    query = with_b.filter(F.col("vec_id") == 0)
+    ann_ids = {r.vec_id for r in SIM.ann_topk(with_b, query, k=10).collect()}
+    recall = len(exact_ids & ann_ids) / 10
+    assert recall >= 0.5, f"LSH recall@10 too low: {recall} ({ann_ids} vs {exact_ids})"
+
+
+def test_multimodal_feature_extraction(spark) -> None:
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(50)
+    media = MM.documents_as_media(docs)
+    # simpleString ignores nullability flags, which differ for derived cols
+    assert media.schema.simpleString() == MM.MEDIA_SCHEMA.simpleString()
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.feature) == MM.FEATURE_DIM
+        assert r.decode_ok
+        assert abs(sum(r.feature) - 1.0) < 1e-6  # normalized histogram
+
+    # determinism: same payload -> same feature
+    again = {r.media_id: r.feature for r in MM.extract_features(media).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+
+
+def test_multimodal_metadata_prunes_before_python(spark) -> None:
+    """Metadata predicates must not force payload decode: the filtered plan
+    should read only matching rows into the Arrow stage."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    media = MM.documents_as_media(docs).filter(F.col("meta.n_bytes") > 300)
+    n_media = media.count()
+    feats = MM.extract_features(media)
+    assert feats.count() == n_media
+
+
+def test_frame_sample_shapes(spark) -> None:
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(5)
+    media = MM.documents_as_media(docs)
+    out = MM.frame_sample(media, every_n_bytes=64).collect()
+    for r in out:
+        assert len(r.frames) >= 1
+        for f in r.frames[:-1]:
+            assert len(f) == 8
+
+
+def test_decode_stub_raises_on_missing_payload() -> None:
+    with pytest.raises(NotImplementedError):
+        MM._decode_stub(None)

@@ -6,8 +6,7 @@ from __future__ import annotations
 import pytest
 
 from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
-from nqs_console_flink_window_spark.plans import queries as _q  # noqa: F401
-from nqs_console_flink_window_spark.plans import queries_ops as _q2  # noqa: F401
+from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
 from nqs_console_flink_window_spark.plans.registry import REGISTRY
 
 from .conftest import assert_frames_match

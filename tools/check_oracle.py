@@ -21,8 +21,7 @@ _REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
 from nqs_console_flink_window_spark.config import ORACLE_SF_DIR, TABLE_NAMES  # noqa: E402
-from nqs_console_flink_window_spark.plans import queries as _q  # noqa: E402,F401
-from nqs_console_flink_window_spark.plans import queries_ops as _q2  # noqa: E402,F401
+from nqs_console_flink_window_spark.plans import all as _all  # noqa: E402,F401
 from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
 from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
 
