@@ -1,0 +1,64 @@
+"""BENCH harness — runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver-side collect).  A warmup run of the smallest query absorbs JVM/
+codegen startup so timings reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+_REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+from nqs_console_flink_window_spark.plans import all as _all  # noqa: E402,F401
+from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
+from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("nqs-bench")
+    headline = {n: q for n, q in REGISTRY.items() if q.headline}
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    force(headline["tumbling_window_10s"].spark(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        t0 = time.perf_counter()
+        force(q.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -356,24 +356,8 @@ GROUP BY 1, 2, 3
     headline=True,
 )
 def nqs_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import fact_transform
+
     ev = load_table(spark, sf_dir, "events")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    v = P.validate(ev, ["event_type", "user_id"])
-    e = v.join(F.broadcast(cust), v["user_id"] == cust["c_custkey"], "left")
-    e = e.withColumn("protocol", F.expr(_PROTO_EXPR)).withColumn(
-        "score", F.expr(_DISPATCH_SQL)
-    )
-    cnt = F.count(F.lit(1))
-    out = tumbling_agg(
-        e,
-        "ts",
-        ["protocol", "c_mktsegment"],
-        [
-            cnt.alias("cnt"),
-            dsum_col("score").alias("sum_score"),
-            (dsum_col("score") / cnt).alias("avg_score"),
-        ],
-    )
-    return out.select(
-        "w_start", "protocol", "c_mktsegment", "cnt", "sum_score", "avg_score"
-    )
+    cust = load_table(spark, sf_dir, "customer")
+    return fact_transform(ev, cust, _DISPATCH_SQL)

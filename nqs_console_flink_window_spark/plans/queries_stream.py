@@ -1,0 +1,130 @@
+"""Registered queries — routing topologies (R1/R2, W4/W5) and the streaming
+fact pipeline run end-to-end through Structured Streaming.
+
+``stream_fact_pipeline`` actually executes the availableNow streaming job
+(foreachBatch -> partitioned parquet) and returns the landed table, checked
+against the same SQL oracle as the batch flagship — the unified-API parity
+guarantee, driver-verified.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from ..streaming import jobs as J
+from .queries import _DISPATCH_SQL, _FACT_ORACLE
+from .registry import register
+
+# --------------------------------------------------------------------------
+# R1 — exists-based register/heartbeat routing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "route_heartbeat",
+    sql="""
+SELECT e.event_id, e.user_id * 12 AS probe_id,
+  CAST(e.ts AS TIMESTAMP) AS heartbeat_time,
+  CASE WHEN e.event_type = 'error' THEN 20 ELSE 10 END AS status,
+  date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS heartbeat_time_h,
+  date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS heartbeat_time_d
+FROM events e
+JOIN customer c ON e.user_id * 12 = c.c_custkey
+""",
+    doc="R1+W4 — known-probe branch of the exists-router with status "
+    "derivation and time buckets (ProbeExistProcess + "
+    "WindowHeartbeatProcessFunction)",
+)
+def route_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    _, heartbeat = J.split_register_heartbeat(ev, cust)
+    return J.heartbeat_rows(heartbeat)
+
+
+@register(
+    "register_new_probes",
+    sql="""
+SELECT r.probe_id, MIN(CAST(r.ts AS TIMESTAMP)) AS first_seen,
+  MIN(r.user_id) AS user_id,
+  ANY_VALUE(n.n_name) || '-' || '临时' || '-' ||
+    substr(md5(CAST(r.probe_id AS STRING)), 1, 8) AS probe_alias
+FROM (
+  SELECT e.*, e.user_id * 12 AS probe_id FROM events e
+  LEFT JOIN customer c ON e.user_id * 12 = c.c_custkey
+  WHERE c.c_custkey IS NULL
+) r
+LEFT JOIN nation n ON r.probe_id % 25 = n.n_nationkey
+GROUP BY r.probe_id
+""",
+    doc="R1+W5 — unknown-probe registration: anti-join, first sighting, geo "
+    "enrich, synthesized alias (WindowRegisterProcessFunction.java:76-184)",
+)
+def register_new_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg, _ = J.split_register_heartbeat(ev, cust)
+    return J.register_rows(reg, nat)
+
+
+# --------------------------------------------------------------------------
+# R2 — content-based fan-out
+# --------------------------------------------------------------------------
+
+_FANOUT_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS branch, COUNT(*) AS cnt FROM events WHERE {pred}"
+    for name, pred in J.FANOUT_BRANCHES.items()
+) + "\nUNION ALL\nSELECT 'main' AS branch, COUNT(*) AS cnt FROM events"
+
+
+@register(
+    "fanout_counts",
+    sql=_FANOUT_SELECTS,
+    doc="R2 — 4-way content router + always-emitting main branch "
+    "(ProbeInfoProcess.java:53-81): one parent scan, N filtered children",
+)
+def fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    branches = J.fanout(ev)
+    parts = [
+        df.groupBy().agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(name).alias("branch"), "cnt"
+        )
+        for name, df in branches.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Streaming fact pipeline — the real availableNow run, oracle-checked
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_fact_pipeline",
+    sql=_FACT_ORACLE,
+    doc="W1-W3/S2 — the §3.1 topology executed through Structured Streaming "
+    "(availableNow, foreachBatch, day-partitioned parquet sink), landed "
+    "output checked against the batch oracle (unified-API parity)",
+)
+def stream_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="nqs_stream_")
+    out_dir, cp_dir = f"{work}/out", f"{work}/cp"
+    J.run_fact_stream(spark, sf_dir, out_dir, cp_dir, _DISPATCH_SQL)
+    landed = spark.read.parquet(out_dir).select(
+        "w_start", "protocol", "c_mktsegment", "cnt", "sum_score", "avg_score"
+    )
+    # Materialize before the temp dir is reclaimed by later runs.
+    rows = landed.cache()
+    rows.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return rows

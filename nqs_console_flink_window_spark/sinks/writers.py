@@ -1,0 +1,71 @@
+"""Sinks (SURVEY §2.1 S2-S7): partitioned columnar writes with the reference
+storage semantics mapped onto parquet.
+
+ClickHouse semantics -> Spark:
+- ``PARTITION BY test_time_d`` day partitions  -> ``partitionBy(date_col)``
+- ``sipHash64(key)`` shard routing             -> ``repartition(n, key)``
+  before write (co-locates a key's rows in one file; at cluster scale this
+  is the shuffle that replaces CH's distributed-table fan-out)
+- ReplacingMergeTree(create_time) dedup        -> ``dedup_last_write_wins``
+  applied on read or on compaction (A5)
+- 3-month TTL                                  -> ``drop_expired_partitions``
+- per-record JDBC insert (S3)                  -> deliberately NOT mapped:
+  batch-append only (per-row writes are an anti-pattern in Spark)
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_facts(
+    df: DataFrame,
+    out_dir: str,
+    date_col: str,
+    shard_key: str | None = None,
+    shards: int = 0,
+    mode: str = "append",
+) -> None:
+    """S2 — day-partitioned bulk append (ProbeWindowSink et al.).
+
+    ``shards`` > 0 re-shuffles on ``shard_key`` first — the sipHash64 shard
+    analogue; leave 0 to keep the upstream partitioning (no extra shuffle).
+    """
+    if shards > 0 and shard_key:
+        df = df.repartition(shards, F.col(shard_key))
+    df.write.mode(mode).partitionBy(date_col).parquet(out_dir)
+
+
+def drop_expired_partitions(out_dir: str, date_col: str, keep_months: int = 3,
+                            today: date | None = None) -> list[str]:
+    """TTL enforcement as a partition-drop job (DDL `TTL ... + INTERVAL 3
+    MONTH`) — metadata-only deletes, no data rewrite."""
+    today = today or date.today()
+    cutoff = today - timedelta(days=math.ceil(keep_months * 30.44))
+    dropped = []
+    root = Path(out_dir)
+    if not root.exists():
+        return dropped
+    for part in root.glob(f"{date_col}=*"):
+        val = part.name.split("=", 1)[1]
+        try:
+            part_date = date.fromisoformat(val)
+        except ValueError:
+            continue
+        if part_date < cutoff:
+            shutil.rmtree(part)
+            dropped.append(part.name)
+    return dropped
+
+
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """S6 — the outbound "data saved" message: whole row as JSON `value`
+    (AbstractDataParser.java:146-159).  Attach to
+    ``.writeStream.format('kafka')`` in a real deployment."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))

@@ -1,0 +1,240 @@
+"""The three reference job topologies (SURVEY §3) as unified
+batch/streaming pipelines.
+
+Each topology is a pure ``DataFrame -> DataFrame`` transform (shared by the
+batch query registry and the streaming jobs) plus a thin streaming runner
+that applies it per micro-batch via ``foreachBatch`` — the Spark-idiomatic
+replacement for the reference's hand-built window/sink graph:
+
+- 10 s batching   -> ``trigger(processingTime='10 seconds')`` (tests use
+  ``availableNow`` to drain deterministically)
+- 1000-count fire -> ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` cap
+- RocksDB state   -> ``checkpointLocation``
+- Redis dim cache -> dimension DataFrame broadcast per micro-batch
+
+Topologies (reference entry points):
+1. task-data  (startup/ConsoleTaskDataMain.java:50-86)  — validate, enrich,
+   score, window-aggregate, land facts.
+2. heartbeat  (startup/ConsoleProbeHeartDataMain.java:49-90) — route by
+   probe existence into register/heartbeat branches (R1), derive status,
+   land heartbeat rows + new-probe registrations.
+3. probe-info (startup/ConsoleProbeInfoDataMain.java:52-119) — 4-way
+   content-based fan-out (R2) to per-branch sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import parse as P
+from ..operators.windows import dsum_col, tumbling_agg
+from ..sources.batch import load_table
+from ..sources.streams import read_events_stream
+
+# ---------------------------------------------------------------------------
+# Topology 1 — task data (the flagship §3.1 lifecycle)
+# ---------------------------------------------------------------------------
+
+PROTO_EXPR = (
+    "CASE WHEN user_id % 5 = 0 THEN 'PING' WHEN user_id % 5 = 1 THEN 'HTTP' "
+    "WHEN user_id % 5 = 2 THEN 'GAME' WHEN user_id % 5 = 3 THEN 'SPEED' "
+    "ELSE 'UNKNOWN' END"
+)
+
+
+def fact_transform(events: DataFrame, customer: DataFrame, dispatch_sql: str) -> DataFrame:
+    """validate (P2) -> broadcast enrich (J1) -> protocol dispatch (R3) ->
+    compiled PQ score (Q1-Q4) -> 10 s tumbling window agg (W1)."""
+    cust = customer.select("c_custkey", "c_mktsegment")
+    v = P.validate(events, ["event_type", "user_id"])
+    e = v.join(F.broadcast(cust), v["user_id"] == cust["c_custkey"], "left")
+    e = e.withColumn("protocol", F.expr(PROTO_EXPR)).withColumn(
+        "score", F.expr(dispatch_sql)
+    )
+    cnt = F.count(F.lit(1))
+    out = tumbling_agg(
+        e,
+        "ts",
+        ["protocol", "c_mktsegment"],
+        [
+            cnt.alias("cnt"),
+            dsum_col("score").alias("sum_score"),
+            (dsum_col("score") / cnt).alias("avg_score"),
+        ],
+    )
+    return out.select(
+        "w_start", "protocol", "c_mktsegment", "cnt", "sum_score", "avg_score"
+    )
+
+
+def run_fact_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dispatch_sql: str,
+    available_now: bool = True,
+) -> None:
+    """Streaming runner: same transform per micro-batch, partitioned append.
+
+    The window aggregation runs inside ``foreachBatch`` — per-batch windows,
+    exactly the reference's semantics (its windows also only ever saw one
+    batch of records; SURVEY §2.4 W1-W3)."""
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = fact_transform(batch_df, customer, dispatch_sql)
+        (
+            out.withColumn("w_date", F.to_date("w_start"))
+            .write.mode("append")
+            .partitionBy("w_date")  # day partitions, DDL PARTITION BY test_time_d
+            .parquet(out_dir)
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    )
+    q = trigger.start()
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Topology 2 — heartbeat / register routing (R1 + W4/W5)
+# ---------------------------------------------------------------------------
+
+PROBE_ID_EXPR = "user_id * 12"  # stand-in probe id; some ids unknown to the dim
+
+
+def split_register_heartbeat(
+    events: DataFrame, probe_dim: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """R1 — exists-router: one broadcast left join, two filtered children
+    (ProbeExistProcess.java:57-68 without the per-record Redis hit)."""
+    probe = probe_dim.select(F.col("c_custkey").alias("probe_key"))
+    e = events.withColumn("probe_id", F.expr(PROBE_ID_EXPR))
+    joined = e.join(F.broadcast(probe), e["probe_id"] == probe["probe_key"], "left")
+    heartbeat = joined.filter(F.col("probe_key").isNotNull()).drop("probe_key")
+    register = joined.filter(F.col("probe_key").isNull()).drop("probe_key")
+    return register, heartbeat
+
+
+def heartbeat_rows(heartbeat: DataFrame) -> DataFrame:
+    """W4 — per-element heartbeat row: status derivation (T6 stand-in) +
+    time buckets (WindowHeartbeatProcessFunction.java:75-170)."""
+    return heartbeat.select(
+        "event_id",
+        "probe_id",
+        F.col("ts").alias("heartbeat_time"),
+        F.when(F.col("event_type") == "error", F.lit(20))
+        .otherwise(F.lit(10))
+        .alias("status"),
+        F.date_trunc("hour", F.col("ts")).alias("heartbeat_time_h"),
+        F.date_trunc("day", F.col("ts")).alias("heartbeat_time_d"),
+    )
+
+
+def register_rows(register: DataFrame, nation: DataFrame) -> DataFrame:
+    """W5 — registration: first sighting per unknown probe, geo-enriched,
+    synthesized alias (WindowRegisterProcessFunction.java:76-184)."""
+    first = register.groupBy("probe_id").agg(
+        F.min("ts").alias("first_seen"), F.min("user_id").alias("user_id")
+    )
+    n = nation.select("n_nationkey", "n_name")
+    g = first.join(
+        F.broadcast(n), (first["probe_id"] % 25) == n["n_nationkey"], "left"
+    )
+    alias = F.concat_ws(
+        "-", F.col("n_name"), F.lit("临时"), F.substring(F.md5(F.col("probe_id").cast("string")), 1, 8)
+    )
+    return g.select("probe_id", "first_seen", "user_id", alias.alias("probe_alias"))
+
+
+def run_heartbeat_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    events = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            register, heartbeat = split_register_heartbeat(batch_df, customer)
+            heartbeat_rows(heartbeat).write.mode("append").parquet(f"{out_dir}/heartbeat")
+            register_rows(register, nation).write.mode("append").parquet(f"{out_dir}/register")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Topology 3 — probe-info 4-way fan-out (R2 + W6-W9)
+# ---------------------------------------------------------------------------
+
+FANOUT_BRANCHES = {
+    # content-based routing stand-in for access/traffic/status/pon presence
+    "access": "event_type IN ('signup')",
+    "traffic": "event_type IN ('click', 'view')",
+    "status": "event_type IN ('error')",
+    "pon": "event_type IN ('purchase')",
+}
+
+
+def fanout(events: DataFrame) -> dict[str, DataFrame]:
+    """R2 — parse once, N filtered projections of one parent DataFrame
+    (ProbeInfoProcess.java:53-81); `main` always emits."""
+    out = {name: events.filter(F.expr(pred)) for name, pred in FANOUT_BRANCHES.items()}
+    out["main"] = events
+    return out
+
+
+def run_probe_info_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    events = read_events_stream(spark, sf_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()  # one scan, five sinks
+        try:
+            for name, df in fanout(batch_df).items():
+                df.write.mode("append").parquet(f"{out_dir}/{name}")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowed aggregation with watermark (the W11 upgrade the
+# reference lacks) — native streaming aggregation, no foreachBatch.
+# ---------------------------------------------------------------------------
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "30 seconds") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
