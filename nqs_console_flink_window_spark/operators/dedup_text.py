@@ -40,22 +40,35 @@ def shingles_cte(d: str, table: str = "documents") -> str:
     )
 
 
-def minhash_min_exprs(d: str) -> list[str]:
-    """NUM_PERM independent min-hash aggregates over the shingle rows."""
-    out = []
-    for k in range(NUM_PERM):
-        h = X.md5_int(d, f"sh || '#{k}'")
-        out.append(f"MIN({h}) AS m{k}")
-    return out
+# Universal-hash permutation family over one base md5 hash: h_k = (a_k *
+# (h mod P) + b_k) mod P.  One md5 per shingle instead of NUM_PERM — the
+# standard MinHash construction (a_k,b_k fixed odd constants, P Mersenne
+# prime 2^31-1).  Intermediate products stay < 2^63 (no overflow: DuckDB
+# errors on bigint overflow rather than wrapping).
+_P = 2_147_483_647
+
+
+def _perm(k: int, hv: str) -> str:
+    a = 2 * k + 3
+    b = 1_000_003 * k + 12_345
+    return f"(({a} * ({hv} % {_P}) + {b}) % {_P})"
+
+
+def minhash_min_exprs() -> list[str]:
+    """NUM_PERM permuted min-hash aggregates over the per-shingle base hash
+    column ``hv`` (dialect-independent integer arithmetic)."""
+    return [f"MIN({_perm(k, 'hv')}) AS m{k}" for k in range(NUM_PERM)]
 
 
 def minhash_signatures_sql(d: str, table: str = "documents") -> str:
-    mins = ",\n  ".join(minhash_min_exprs(d))
+    mins = ",\n  ".join(minhash_min_exprs())
+    base = X.md5_int(d, "sh")
     return f"""
-WITH sh AS ({shingles_cte(d, table)})
+WITH sh AS ({shingles_cte(d, table)}),
+hashed AS (SELECT doc_id, {base} AS hv FROM sh)
 SELECT doc_id,
   {mins}
-FROM sh GROUP BY doc_id
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -89,7 +102,10 @@ SIMHASH_BITS = 16
 
 
 def simhash_sql(d: str, table: str = "documents") -> str:
-    """Per-doc SimHash over distinct lowercase tokens (SIMHASH_BITS wide)."""
+    """Per-doc SimHash over distinct lowercase tokens (SIMHASH_BITS wide).
+
+    The token hash is computed once per token (``hashed`` CTE), then fanned
+    out across bit positions — not re-hashed per (token, bit)."""
     tok_hash = X.md5_int(d, "tok")
     shift = X.shiftleft(d, "1", "j")
     if d == X.SPARK:
@@ -98,7 +114,7 @@ def simhash_sql(d: str, table: str = "documents") -> str:
             f"LATERAL VIEW explode(split(lower(text), ' ')) t AS tok"
         )
         bits_src = (
-            "SELECT doc_id, tok, j FROM toks "
+            "SELECT doc_id, hv, j FROM hashed "
             f"LATERAL VIEW explode(sequence(0, {SIMHASH_BITS - 1})) b AS j"
         )
     else:
@@ -107,14 +123,15 @@ def simhash_sql(d: str, table: str = "documents") -> str:
             f"FROM {table}"
         )
         bits_src = (
-            f"SELECT doc_id, tok, g.j FROM toks, "
+            f"SELECT doc_id, hv, g.j FROM hashed, "
             f"generate_series(0, {SIMHASH_BITS - 1}) g(j)"
         )
     return f"""
 WITH toks AS ({toks}),
+hashed AS (SELECT doc_id, {tok_hash} AS hv FROM toks),
 bits AS (
   SELECT doc_id, j,
-    CAST(SUM(CASE WHEN (({tok_hash}) >> j) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+    CAST(SUM(CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
   FROM ({bits_src}) GROUP BY doc_id, j
 )
 SELECT doc_id,

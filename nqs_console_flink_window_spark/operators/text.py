@@ -33,17 +33,19 @@ def token_count_expr(d: str, text: str = "text") -> str:
     return X.arr_size(d, tokens_expr(d, text))
 
 
-def stopword_hits_expr(d: str, lang: str, text: str = "text") -> str:
+def stopword_hits_from(d: str, lang: str, arr: str) -> str:
+    """Stopword hit count against a precomputed token-array column (compute
+    the split once per row, not once per language)."""
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    arr = tokens_expr(d, text)
     return X.arr_size(d, X.arr_filter(d, arr, f"x -> x IN ({words})"))
 
 
-def lang_guess_expr(d: str, text: str = "text") -> str:
+def stopword_hits_expr(d: str, lang: str, text: str = "text") -> str:
+    return stopword_hits_from(d, lang, tokens_expr(d, text))
+
+
+def lang_guess_from(en: str, de: str, es: str) -> str:
     """argmax of stopword hits, ties broken en > de > es, zero hits -> 'und'."""
-    en = stopword_hits_expr(d, "en", text)
-    de = stopword_hits_expr(d, "de", text)
-    es = stopword_hits_expr(d, "es", text)
     return (
         f"(CASE WHEN {en} = 0 AND {de} = 0 AND {es} = 0 THEN 'und' "
         f"WHEN {en} >= {de} AND {en} >= {es} THEN 'en' "
@@ -51,26 +53,41 @@ def lang_guess_expr(d: str, text: str = "text") -> str:
     )
 
 
-def avg_token_len_expr(d: str, text: str = "text") -> str:
-    arr = tokens_expr(d, text)
+def lang_guess_expr(d: str, text: str = "text") -> str:
+    return lang_guess_from(
+        stopword_hits_expr(d, "en", text),
+        stopword_hits_expr(d, "de", text),
+        stopword_hits_expr(d, "es", text),
+    )
+
+
+def avg_token_len_from(d: str, arr: str) -> str:
     total = X.arr_sum_bigint(d, X.arr_transform(d, arr, "x -> CAST(length(x) AS BIGINT)"))
     n = X.arr_size(d, arr)
     return f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({total} AS DOUBLE) / {n} END)"
 
 
-def quality_score_expr(d: str, text: str = "text", n_chars: str = "n_chars") -> str:
+def avg_token_len_expr(d: str, text: str = "text") -> str:
+    return avg_token_len_from(d, tokens_expr(d, text))
+
+
+def quality_score_from(hits_en: str, n_tokens: str, n_chars: str = "n_chars") -> str:
     """0-100 quality heuristic: stopword density + length saturation.
 
     Mirrors the shape of the reference's weighted metric scoring (Q3/Q4) —
     weighted ratio terms, clamped and rounded.
     """
-    n = token_count_expr(d, text)
     stop_ratio = (
-        f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({stopword_hits_expr(d, 'en', text)} "
-        f"AS DOUBLE) / {n} END)"
+        f"(CASE WHEN {n_tokens} = 0 THEN 0.0 ELSE CAST({hits_en} AS DOUBLE) / {n_tokens} END)"
     )
     len_score = f"LEAST(CAST({n_chars} AS DOUBLE) / 500.0, 1.0)"
     return f"ROUND(100.0 * (0.5 * {stop_ratio} + 0.5 * {len_score}), 4)"
+
+
+def quality_score_expr(d: str, text: str = "text", n_chars: str = "n_chars") -> str:
+    return quality_score_from(
+        stopword_hits_expr(d, "en", text), token_count_expr(d, text), n_chars
+    )
 
 
 def fingerprint_expr(d: str, text: str = "text") -> str:

@@ -22,17 +22,31 @@ from .registry import register
 
 
 def _text_stats_sql(d: str) -> str:
+    # Tokenize once per row (L1), count once per language (L2), derive (L3) —
+    # no repeated split() work; Catalyst/DuckDB both keep this a single scan.
     return f"""
-SELECT doc_id, lang, n_chars,
-  {TX.token_count_expr(d)} AS n_tokens,
+SELECT doc_id, lang, n_chars, n_tokens,
   CAST(CAST(n_chars AS DOUBLE) / 4.0 AS DOUBLE) AS bpe_token_estimate,
-  {X.arr_size(d, X.arr_distinct(d, TX.tokens_expr(d)))} AS n_distinct_tokens,
-  {TX.avg_token_len_expr(d)} AS avg_token_len,
-  {TX.stopword_hits_expr(d, 'en')} AS hits_en,
-  {TX.lang_guess_expr(d)} AS lang_guess,
-  {TX.quality_score_expr(d)} AS quality_score,
-  {TX.fingerprint_expr(d)} AS fingerprint
-FROM documents
+  n_distinct_tokens, avg_token_len, hits_en,
+  {TX.lang_guess_from('hits_en', 'hits_de', 'hits_es')} AS lang_guess,
+  {TX.quality_score_from('hits_en', 'n_tokens')} AS quality_score,
+  fingerprint
+FROM (
+  SELECT doc_id, lang, n_chars,
+    {X.arr_size(d, 'toks')} AS n_tokens,
+    {X.arr_size(d, X.arr_distinct(d, 'toks'))} AS n_distinct_tokens,
+    {TX.avg_token_len_from(d, 'toks')} AS avg_token_len,
+    {TX.stopword_hits_from(d, 'en', 'toks')} AS hits_en,
+    {TX.stopword_hits_from(d, 'de', 'toks')} AS hits_de,
+    {TX.stopword_hits_from(d, 'es', 'toks')} AS hits_es,
+    fingerprint
+  FROM (
+    SELECT doc_id, lang, n_chars,
+      {TX.tokens_expr(d)} AS toks,
+      {TX.fingerprint_expr(d)} AS fingerprint
+    FROM documents
+  ) t1
+) t2
 """
 
 
@@ -44,7 +58,7 @@ FROM documents
     headline=True,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_text_stats_sql(X.SPARK))
 
 
@@ -76,7 +90,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DD.minhash_signatures_sql(X.SPARK))
 
 
@@ -86,7 +100,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Extension — LSH banding (4 bands x 2 rows) candidate near-dup pairs",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DD.minhash_lsh_pairs_sql(X.SPARK))
 
 
@@ -96,7 +110,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Extension — 16-bit SimHash over distinct tokens",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DD.simhash_sql(X.SPARK))
 
 
@@ -106,7 +120,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Extension — SimHash near-dup candidate volume by Hamming distance",
 )
 def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DD.simhash_hamming_hist_sql(X.SPARK, max_dist=3))
 
 
@@ -117,7 +131,7 @@ def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the verifier stage run on LSH candidates at scale)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir)
+    register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DD.ngram_jaccard_pairs_sql(X.SPARK, threshold=0.8))
 
 

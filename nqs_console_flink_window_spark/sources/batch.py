@@ -29,8 +29,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
-    """Expose all fixture tables as temp views so ``spark.sql`` sees the same
-    names the DuckDB oracle does."""
-    for name in TABLE_NAMES:
+def register_temp_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Expose fixture tables as temp views so ``spark.sql`` sees the same
+    names the DuckDB oracle does.  Pass ``tables`` to register only what the
+    query reads (avoids touching every parquet footer per call)."""
+    for name in tables or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
