@@ -1,0 +1,208 @@
+"""Registered queries — remaining SURVEY §2 surface: composite-delimiter
+parse (P3), deterministic ids (P7), null-default coercion (P9), session
+windows (W11 upgrade), dimension upsert / MERGE semantics (S5), and
+grouping sets (A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import parse as P
+from ..operators.windows import latest_per_key
+from ..sources.batch import load_table, register_temp_views
+from .registry import register
+
+# --------------------------------------------------------------------------
+# P3 — composite '\x02'-delimited heartbeat payload: build the reference's
+# wire format from fixture columns, then parse it back (round-trip proof).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "composite_parse",
+    sql="""
+WITH wire AS (
+  SELECT event_id,
+    props || chr(2) || ('10.0.' || CAST(user_id % 256 AS STRING)) || chr(2)
+          || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS STRING) AS payload
+  FROM events
+)
+SELECT event_id,
+  CAST(string_split(payload, chr(2))[1]->>'$.k' AS BIGINT) AS k,
+  string_split(payload, chr(2))[2] AS internet_ip,
+  CAST(string_split(payload, chr(2))[3] AS BIGINT) AS recv_time
+FROM wire
+""",
+    doc="P3 — heartbeat composite payload `json \\x02 internet_ip \\x02 "
+    "recv_time` split + JSON parse (HeartBeatMessage.java:14-33)",
+)
+def composite_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.col("props"),
+        F.lit("\x02"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string")),
+        F.lit("\x02"),
+        F.unix_timestamp("ts").cast("string"),
+    )
+    parts = F.split(payload, "\x02")
+    return ev.select(
+        "event_id",
+        F.get_json_object(parts.getItem(0), "$.k").cast("long").alias("k"),
+        parts.getItem(1).alias("internet_ip"),
+        parts.getItem(2).cast("long").alias("recv_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — deterministic record ids
+# --------------------------------------------------------------------------
+
+
+@register(
+    "deterministic_ids",
+    sql="""
+SELECT event_id,
+  sha256(CAST(event_id AS STRING) || chr(31) || CAST(user_id AS STRING)) AS id
+FROM events
+""",
+    doc="P7 — deterministic sha256 record id over identity columns (replaces "
+    "UUIDKit.java random short-uuids; SURVEY §7.4 risk 2)",
+)
+def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return P.with_deterministic_id(ev, ["event_id", "user_id"]).select("event_id", "id")
+
+
+# --------------------------------------------------------------------------
+# P9 — null-default coercion
+# --------------------------------------------------------------------------
+
+
+@register(
+    "null_defaults",
+    sql="""
+SELECT event_id,
+  COALESCE(NULLIF(event_type, 'error'), '') AS event_type_nn,
+  COALESCE(CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END, 0.0) AS value_nn
+FROM events
+""",
+    doc="P9 — null->''/0 coercion for sink compatibility (util/ValKit.java:16-63)",
+)
+def null_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("")).alias(
+            "event_type_nn"
+        ),
+        F.coalesce(
+            F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("value")),
+            F.lit(0.0),
+        ).alias("value_nn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W11 — session windows (the event-time upgrade the reference lacks)
+# --------------------------------------------------------------------------
+
+_GAP_SECONDS = 300
+
+
+@register(
+    "session_windows",
+    sql=f"""
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) >= {_GAP_SECONDS} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS session_start, COUNT(*) AS cnt
+FROM s GROUP BY user_id, sid
+""",
+    doc="W11 — session windows (5 min inactivity gap) via native "
+    "session_window(); oracle via gaps-and-islands SQL",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{_GAP_SECONDS} seconds").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# S5 — dimension upsert (MERGE INTO semantics without Delta: full-outer join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dim_upsert",
+    sql="""
+WITH updates AS (
+  SELECT user_id * 12 AS key, value AS new_bal
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT COALESCE(c.c_custkey, u.key) AS c_custkey,
+  COALESCE(u.new_bal, c.c_acctbal) AS acctbal,
+  CASE WHEN u.key IS NULL THEN 'kept'
+       WHEN c.c_custkey IS NULL THEN 'inserted'
+       ELSE 'updated' END AS merge_action
+FROM customer c
+FULL OUTER JOIN updates u ON c.c_custkey = u.key
+""",
+    doc="S5 — probe-dim diff-sync upsert (ProbeAccessTypeSink.java:48-110) as "
+    "MERGE semantics: update matched, insert unmatched, keep the rest",
+)
+def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    updates = (
+        latest_per_key(ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+        .select((F.col("user_id") * 12).alias("key"), F.col("value").alias("new_bal"))
+    )
+    j = cust.join(updates, cust["c_custkey"] == updates["key"], "full_outer")
+    return j.select(
+        F.coalesce(cust["c_custkey"], updates["key"]).alias("c_custkey"),
+        F.coalesce(updates["new_bal"], cust["c_acctbal"]).alias("acctbal"),
+        F.when(updates["key"].isNull(), "kept")
+        .when(cust["c_custkey"].isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — grouping sets
+# --------------------------------------------------------------------------
+
+_GS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register(
+    "grouping_sets",
+    sql=_GS_SQL,
+    doc="A6 — explicit grouping sets (the general form behind rollup/cube)",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GS_SQL)
