@@ -440,3 +440,65 @@ def geo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev["value"] < (n["n_nationkey"] + 1) * 20.0
     )
     return ev.join(F.broadcast(n), cond, "left").select("event_id", "value", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Multi-join dim chain + skew-safe aggregation (J1-J4 at TPC-H shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_region",
+    sql=f"""
+SELECT r.r_name, n.n_name,
+  {dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")},
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="J1-J4/A6 — 5-table dim-chain join with grouped revenue (the full "
+    "enrichment lifecycle at TPC-H shape; dims broadcast, facts never shuffle "
+    "before the final aggregate)",
+    headline=True,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("o_orderkey", "n_name", "r_name")
+    )
+    j = li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "salted_agg",
+    sql="""
+SELECT event_type,
+  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+  COUNT(*) AS cnt
+FROM events GROUP BY event_type
+""",
+    doc="Skew playbook — two-phase salted aggregation over a hot key "
+    "(keyBy(taskTypeName) shape, ConsoleTaskDataMain.java:81); result "
+    "identical to the direct groupBy",
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(ev, ["event_type"], "value")

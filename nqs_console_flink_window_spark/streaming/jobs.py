@@ -85,13 +85,22 @@ def run_fact_stream(
     customer = load_table(spark, sf_dir, "customer")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = fact_transform(batch_df, customer, dispatch_sql)
-        (
-            out.withColumn("w_date", F.to_date("w_start"))
-            .write.mode("append")
-            .partitionBy("w_date")  # day partitions, DDL PARTITION BY test_time_d
-            .parquet(out_dir)
-        )
+        batch_df = batch_df.persist()  # one scan feeds facts + dead letter
+        try:
+            out = fact_transform(batch_df, customer, dispatch_sql)
+            (
+                out.withColumn("w_date", F.to_date("w_start"))
+                .write.mode("append")
+                .partitionBy("w_date")  # day partitions, DDL PARTITION BY test_time_d
+                .parquet(out_dir)
+            )
+            # Dead-letter branch: the badMsg records the reference only logs
+            # and drops (DataMessage.java:21-41) land in a rejects table.
+            rejects = P.invalid(batch_df, ["event_type", "user_id"])
+            if rejects.limit(1).count() > 0:
+                rejects.write.mode("append").parquet(f"{out_dir}_rejects")
+        finally:
+            batch_df.unpersist()
 
     writer = (
         events.writeStream.foreachBatch(process)
