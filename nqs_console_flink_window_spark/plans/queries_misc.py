@@ -206,3 +206,69 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_GS_SQL)
+
+
+# --------------------------------------------------------------------------
+# W1 sliding variant — 30 s windows sliding by 10 s
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_30s_10s",
+    sql="""
+SELECT
+  make_timestamp(CAST((floor(epoch(ts) / 10) - k) * 10 AS BIGINT) * 1000000) AS w_start,
+  event_type,
+  COUNT(*) AS cnt,
+  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM (SELECT ts, event_type, value, unnest(range(0, 3)) AS k FROM events)
+GROUP BY 1, 2
+""",
+    doc="W1 sliding variant — 30 s window, 10 s slide (each row in 3 "
+    "overlapping windows); oracle via per-row offset expansion",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.windows import dsum_col
+
+    return (
+        ev.groupBy(
+            F.window("ts", "30 seconds", "10 seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum_col("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 complement — dotted-quad IP -> int (the ipdb range-key derivation)
+# --------------------------------------------------------------------------
+
+_IP_STR = "'10.' || CAST(user_id % 200 AS STRING) || '.' || CAST(event_id % 256 AS STRING) || '.7'"
+
+
+@register(
+    "ip_to_int",
+    sql=f"""
+SELECT event_id,
+  {_IP_STR} AS ip,
+  ((10 * 256 + user_id % 200) * 256 + event_id % 256) * 256 + 7 AS ip_int
+FROM events
+""",
+    doc="J4 — dotted-quad -> uint32 key derivation feeding the ip-range "
+    "lookup (IPIPUtil.java:85-112); pure integer arithmetic both engines",
+)
+def ip_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(_IP_STR).alias("ip"),
+        (
+            ((F.lit(10) * 256 + F.col("user_id") % 200) * 256 + F.col("event_id") % 256)
+            * 256
+            + 7
+        ).alias("ip_int"),
+    )
