@@ -1,0 +1,94 @@
+"""Scale-pattern proofs: bucketed co-located joins (no shuffle at join time)
+and cross-batch keyed state (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+from nqs_console_flink_window_spark.sources.batch import load_table
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path) -> None:
+    """Both sides bucketed on the join key -> SortMergeJoin without an
+    Exchange: the co-located-join strategy that replaces the reference's
+    sipHash64 sharding at query time."""
+    # spark.sql.warehouse.dir is static; tables land in ./spark-warehouse
+    # and are removed by the DROP DATABASE ... CASCADE below.
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets_db")
+    try:
+        ev = load_table(spark, SMOKE_SF_DIR, "events")
+        cust = load_table(spark, SMOKE_SF_DIR, "customer")
+        (
+            ev.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .saveAsTable("buckets_db.events_b")
+        )
+        (
+            cust.withColumnRenamed("c_custkey", "user_id")
+            .write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .saveAsTable("buckets_db.customer_b")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        try:
+            j = spark.table("buckets_db.events_b").join(
+                spark.table("buckets_db.customer_b"), "user_id"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan  # co-located: no shuffle
+            assert j.count() > 0
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckets_db CASCADE")
+
+
+def test_running_counts_state_across_batches(spark, tmp_path) -> None:
+    """W10 — per-key state survives micro-batch boundaries: chunked source,
+    one file per trigger, running totals accumulate to the true counts."""
+    from nqs_console_flink_window_spark.operators.stateful import running_counts
+
+    # chunk the fixture into 3 files so availableNow yields 3 micro-batches
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_counts(stream, "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.key: r.total
+        for r in spark.sql(
+            "SELECT key, MAX(running_total) AS total FROM running_counts GROUP BY key"
+        ).collect()
+    }
+    want = {
+        r.event_type: r.cnt
+        for r in raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
+    # multiple emissions per key prove cross-batch accumulation happened
+    n_rows = spark.sql("SELECT COUNT(*) AS n FROM running_counts").collect()[0].n
+    assert n_rows > len(want)
