@@ -120,11 +120,33 @@ def stream_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="nqs_stream_")
     out_dir, cp_dir = f"{work}/out", f"{work}/cp"
     J.run_fact_stream(spark, sf_dir, out_dir, cp_dir, _DISPATCH_SQL)
-    landed = spark.read.parquet(out_dir).select(
+    # The work dir is left in place for the session's lifetime: the returned
+    # DataFrame lazily re-reads it (deleting it after a cache() would break
+    # recompute on eviction).  Checkpoint+output are a few MB under /tmp.
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
         "w_start", "protocol", "c_mktsegment", "cnt", "sum_score", "avg_score"
     )
-    # Materialize before the temp dir is reclaimed by later runs.
-    rows = landed.cache()
-    rows.count()
-    shutil.rmtree(work, ignore_errors=True)
-    return rows
+
+
+# --------------------------------------------------------------------------
+# J5 — default-port lookup: broadcast join against a *filtered* dimension
+# --------------------------------------------------------------------------
+
+
+@register(
+    "default_port_lookup",
+    sql="""
+SELECT e.event_id, c.c_mktsegment AS default_port_status
+FROM events e
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+  ON e.user_id = c.c_custkey
+""",
+    doc="J5 — access-type default-port lookup: broadcast left join against "
+    "the dim filtered to is_default rows (InfoLoader.java:61-85)",
+)
+def default_port_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    j = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left")
+    return j.select("event_id", F.col("c_mktsegment").alias("default_port_status"))
