@@ -157,3 +157,49 @@ def ann_topk(df: DataFrame, query_df: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("q_vec_id", F.col("c_vec_id").alias("vec_id"), "cosine", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse k-means quantizer; Spark MLlib, deterministic seed)
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_SEED = 42
+
+
+def ivf_assignments(df: DataFrame, vec_col: str = "embedding"):
+    """Train the coarse quantizer and assign every vector to a cell.
+
+    Returns (assigned_df with `cell` column, centers ndarray).  At 100 TB the
+    quantizer trains on a sample (KMeans over ~1e5 vectors) and assignment is
+    one numpy matmul per Arrow batch — the corpus is then *stored* partitioned
+    by cell, so a query touches only nprobe/k of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    withvec = df.withColumn("__v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=IVF_CLUSTERS, seed=IVF_SEED, featuresCol="__v", predictionCol="cell")
+    model = km.fit(withvec)
+    assigned = model.transform(withvec).drop("__v")
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centers
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """IVF search: rank cells by centroid distance to the query, scan only
+    the IVF_NPROBE nearest cells, exact cosine re-rank inside them."""
+    assigned, centers = ivf_assignments(df)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centers - q) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+
+    q_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in query_vec) + ")"
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    scored = cand.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .select("vec_id", "cell", "cosine")
+        .limit(k)
+    )

@@ -253,3 +253,17 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").alias("n_bytes"),
         F.expr(X.sha256_hex(X.SPARK, "text")).alias("content_sha256"),
     )
+
+
+@register(
+    "ann_ivf_topk",
+    sql=None,  # approximate by design; recall vs brute force in tests
+    doc="Extension — IVF ANN: coarse k-means quantizer (seeded), nprobe "
+    "nearest cells scanned, exact cosine re-rank (the partition-pruning "
+    "scale path: a query touches nprobe/k of the corpus)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return SIM.ivf_topk(corpus, [float(x) for x in qvec], k=10)

@@ -502,3 +502,35 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_sum_count(ev, ["event_type"], "value")
+
+
+@register(
+    "top_customers",
+    sql=f"""
+SELECT c.c_custkey, c.c_name,
+  {dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")}
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    doc="§2.10/A6/J1 — join + grouped revenue + deterministic top-k "
+    "(TPC-H Q3 shape)",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )

@@ -84,3 +84,23 @@ def test_frame_sample_shapes(spark) -> None:
 def test_decode_stub_raises_on_missing_payload() -> None:
     with pytest.raises(NotImplementedError):
         MM._decode_stub(None)
+
+
+def test_ivf_recall_vs_brute_force(spark) -> None:
+    """IVF with nprobe=4/16 cells must recover a solid share of exact top-10."""
+    from nqs_console_flink_window_spark.operators import similarity as S
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    q_lit = "array(" + ", ".join(f"CAST({x!r} AS FLOAT)" for x in qvec) + ")"
+    brute = (
+        corpus.withColumn("cosine", F.expr(S.cosine_spark("embedding", q_lit)))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r.vec_id for r in brute.collect()}
+    ivf_ids = {r.vec_id for r in S.ivf_topk(corpus, qvec, k=10).collect()}
+    recall = len(exact_ids & ivf_ids) / 10
+    assert recall >= 0.4, f"IVF recall@10 too low: {recall}"
