@@ -70,6 +70,21 @@ def sha256_hex(d: str, expr: str) -> str:
     return f"sha256({expr})"
 
 
+def fround(expr: str, digits: int) -> str:
+    """Cross-engine-identical half-up rounding for non-negative-ish doubles.
+
+    Engine ``ROUND(double, n)`` is a tie hazard: Spark rounds the double's
+    shortest decimal repr (Java BigDecimal HALF_UP), DuckDB rounds the
+    binary value — a double whose shortest repr ends exactly in 5 at digit
+    n+1 diverges by 10^-n.  ``floor(x * 10^n + 0.5) / 10^n`` is pure IEEE
+    arithmetic, bit-identical on both engines (dialect-free).  Delta vs the
+    reference's Java rounding only at those same pathological ties — within
+    the documented round tolerance (SURVEY §7.4 risk 1).
+    """
+    scale = 10 ** digits
+    return f"(floor(({expr}) * {float(scale)!r} + 0.5) / {float(scale)!r})"
+
+
 def xor(d: str, a: str, b: str) -> str:
     """Bitwise XOR — Spark spells it ``^``; in DuckDB ``^`` is POWER."""
     if d == SPARK:

@@ -115,8 +115,10 @@ def record_score_sql(protocol: str, colmap: dict[str, str] | None = None) -> str
     ]
     any_outlier = " OR ".join(outliers) if outliers else "FALSE"
     total = " + ".join(metric_term_sql(m, xs[m.name]) for m in crit.metrics)
+    from .dialect import fround
+
     clamped = f"LEAST(GREATEST({total}, 0.0), 100.0)"
-    return f"(CASE WHEN {any_outlier} THEN 0.0 ELSE ROUND({clamped}, 2) END)"
+    return f"(CASE WHEN {any_outlier} THEN 0.0 ELSE {fround(clamped, 2)} END)"
 
 
 def record_score_col(protocol: str, colmap: dict[str, str] | None = None) -> Column:

@@ -165,7 +165,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-  ROUND(CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n), 6) AS jaccard
+  {X.fround("CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n)", 6)} AS jaccard
 FROM inter
 JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id

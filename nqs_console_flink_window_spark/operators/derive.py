@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.dialect import fround
+
 # ---------------------------------------------------------------------------
 # T2 — HTTP page metrics (handler/parser/HttpDataParser.java:21-66)
 # ---------------------------------------------------------------------------
@@ -34,15 +36,19 @@ def http_page_metrics_sql(m: dict[str, str], first_screen_k: float = 0.6) -> dic
     """
     conn = f"(({m['dns_cost']}) + ({m['tcp_cost']}) + ({m['ssl_cost']}))"
     text = f"({conn} + ({m['trans_body_cost']}))"
+    speed_raw = f"({m['page_size']}) / (({m['trans_body_cost']}) / 1000.0)"
     avg_speed = (
         f"(CASE WHEN ({m['trans_body_cost']}) = 0.0 THEN 0.0 "
-        f"ELSE ROUND(({m['page_size']}) / (({m['trans_body_cost']}) / 1000.0), 4) END)"
+        f"ELSE {fround(speed_raw, 4)} END)"
     )
     first_screen = f"({text} + ({m['element_load_cost']}) * {first_screen_k!r})"
     page_total = f"({text} + ({m['element_load_cost']}))"
+    page_speed_raw = (
+        f"(({m['page_size']}) + ({m['element_total_size']})) / ({page_total} / 1000.0)"
+    )
     page_avg_speed = (
         f"(CASE WHEN {page_total} = 0.0 THEN 0.0 "
-        f"ELSE ROUND((({m['page_size']}) + ({m['element_total_size']})) / ({page_total} / 1000.0), 4) END)"
+        f"ELSE {fround(page_speed_raw, 4)} END)"
     )
     return {
         "conn_cost": conn,
@@ -68,10 +74,11 @@ def game_metrics_sql(m: dict[str, str]) -> dict[str, str]:
         f"(CASE WHEN ({m['dns_cost']}) = 0.0 AND ({m['tcp_cost']}) = 0.0 "
         f"AND ({m['ssl_cost']}) = 0.0 THEN ({m['conn_cost']}) ELSE {summed} END)"
     )
+    fallback_raw = f"({m['size']}) / (({m['download_cost']}) / 1000.0)"
     avg_speed = (
         f"(CASE WHEN ({m['avg_speed']}) > 0.0 THEN ({m['avg_speed']}) "
         f"WHEN ({m['download_cost']}) = 0.0 THEN 0.0 "
-        f"ELSE ROUND(({m['size']}) / (({m['download_cost']}) / 1000.0), 4) END)"
+        f"ELSE {fround(fallback_raw, 4)} END)"
     )
     return {"conn_cost": conn, "avg_speed": avg_speed}
 
@@ -134,7 +141,8 @@ def is_ipv4_col(col: str) -> Column:
 
 def element_rate_sql(success_cnt: str, total_cnt: str) -> str:
     """elements_success_rate = round(succ/total*100, 4), 0 when total=0."""
+    rate_raw = f"CAST({success_cnt} AS DOUBLE) * 100.0 / ({total_cnt})"
     return (
         f"(CASE WHEN ({total_cnt}) = 0 THEN 0.0 "
-        f"ELSE ROUND(CAST({success_cnt} AS DOUBLE) * 100.0 / ({total_cnt}), 4) END)"
+        f"ELSE {fround(rate_raw, 4)} END)"
     )

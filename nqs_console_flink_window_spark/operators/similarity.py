@@ -41,12 +41,14 @@ def dot_spark(a: str, b: str) -> str:
 
 
 def cosine_spark(a: str, b: str) -> str:
+    from ..functions.dialect import fround
+
     dot = dot_spark(a, b)
     na = dot_spark(a, a)
     nb = dot_spark(b, b)
     return (
         f"(CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 "
-        f"ELSE ROUND({dot} / (SQRT({na}) * SQRT({nb})), 8) END)"
+        f"ELSE {fround(f'{dot} / (SQRT({na}) * SQRT({nb}))', 8)} END)"
     )
 
 
@@ -76,7 +78,8 @@ sums AS (
 )
 SELECT vec_id, label,
   CASE WHEN na = 0.0 OR nq = 0.0 THEN 0.0
-       ELSE ROUND(dot / (SQRT(na) * SQRT(nq)), 8) END AS cosine
+       ELSE (floor((dot / (SQRT(na) * SQRT(nq))) * 100000000.0 + 0.5) / 100000000.0)
+       END AS cosine
 FROM sums
 """
 

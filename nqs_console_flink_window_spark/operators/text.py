@@ -80,8 +80,10 @@ def quality_score_from(hits_en: str, n_tokens: str, n_chars: str = "n_chars") ->
     stop_ratio = (
         f"(CASE WHEN {n_tokens} = 0 THEN 0.0 ELSE CAST({hits_en} AS DOUBLE) / {n_tokens} END)"
     )
+    from ..functions.dialect import fround
+
     len_score = f"LEAST(CAST({n_chars} AS DOUBLE) / 500.0, 1.0)"
-    return f"ROUND(100.0 * (0.5 * {stop_ratio} + 0.5 * {len_score}), 4)"
+    return fround(f"100.0 * (0.5 * {stop_ratio} + 0.5 * {len_score})", 4)
 
 
 def quality_score_expr(d: str, text: str = "text", n_chars: str = "n_chars") -> str:

@@ -185,7 +185,7 @@ pairs AS (
   GROUP BY 1, 2, 3
 )
 SELECT vec_a, vec_b, label,
-  ROUND(dot / (SQRT(na) * SQRT(nb)), 8) AS cosine
+  (floor((dot / (SQRT(na) * SQRT(nb))) * 100000000.0 + 0.5) / 100000000.0) AS cosine
 FROM pairs
 WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.35
 """
@@ -267,3 +267,77 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     corpus = emb.filter(F.col("vec_id") != 0)
     return SIM.ivf_topk(corpus, [float(x) for x in qvec], k=10)
+
+
+# --------------------------------------------------------------------------
+# All 13 protocol criteria through one dispatch (driver-gated)
+# --------------------------------------------------------------------------
+
+_ALL_PROTO_MAPS = {
+    "PING": {"rtt": "value * 12.0", "lost_rate": "value / 500.0"},
+    "HTTP": {"dns_cost": "value / 5.0", "conn_cost": "value",
+             "text_cost": "value * 10.0", "avg_speed": "value * 2.0"},
+    "TCPPING": {"rtt": "value * 4.0", "lost_rate": "value / 490.0"},
+    "GAME": {"tcp_delay": "value", "rtt": "value - 100.0", "conn_cost": "value"},
+    "FLASH": {"conn_cost": "value", "first_byte_cost": "value * 2.0",
+              "pause_count": "value / 50.0", "carlton_rate": "value / 980.0",
+              "avg_speed": "value * 3.0"},
+    "DNS": {"time_cost": "value / 2.0", "success_rate": "value / 4.9"},
+    "POP3": {"conn_cost": "value", "avg_speed": "value * 2.5"},
+    "SMTP": {"conn_cost": "value * 1.5", "send_speed": "value * 2.5"},
+    "WECHAT": {"conn_cost": "value", "response_cost": "value * 3.0"},
+    "SPEED": {},
+    "FTP": {"download_speed": "value / 50.0", "upload_speed": "value / 70.0"},
+    "HTTP_DETAIL": {"dns_cost": "value / 5.0", "conn_cost": "value",
+                    "text_cost": "value * 10.0", "avg_speed": "value * 2.0"},
+    "DNS_DETAIL": {"dns_cost": "value / 2.0", "success_rate": "value / 4.9"},
+    "DNS_RESOLUTION_DETAIL": {"time_cost": "value / 2.0",
+                              "success_rate": "value / 4.9"},
+}
+_ALL_PROTO_EXPR = (
+    "CASE "
+    + " ".join(
+        f"WHEN user_id % 14 = {i} THEN '{p}'" for i, p in enumerate(_ALL_PROTO_MAPS)
+    )
+    + " ELSE 'UNKNOWN' END"
+)
+
+from ..functions.score import dispatch_score_sql as _dss  # noqa: E402
+
+_ALL_PROTO_SCORE = _dss(_ALL_PROTO_EXPR, _ALL_PROTO_MAPS)
+
+
+@register(
+    "score_all_protocols",
+    sql=f"""
+SELECT event_id, {_ALL_PROTO_EXPR} AS protocol, {_ALL_PROTO_SCORE} AS score
+FROM events
+""",
+    doc="Q1-Q4 — every criteria config (all 13 protocols + detail variants) "
+    "compiled into one dispatch expression, driver-gated",
+)
+def score_all_protocols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(_ALL_PROTO_EXPR).alias("protocol"),
+        F.expr(_ALL_PROTO_SCORE).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal feature extraction through mapInPandas (rows-only check)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    sql=None,  # Python decode kernel has no SQL twin by design
+    doc="Extension — Arrow-batched mapInPandas feature extraction over "
+    "binary payloads (decode kernel stubbed; plumbing real)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.documents_as_media(docs))

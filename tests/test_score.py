@@ -69,8 +69,11 @@ def golden_score(protocol: str, values: dict[str, float | None]) -> float:
         else:
             term = (lo + (hi - lo) * (bmax - x) / (bmax - bmin)) * m.weight
         total += term
+    import math
+
     total = min(max(total, 0.0), 100.0)
-    return round(total + 1e-12, 2)  # HALF_UP nudge for exact .xx5 ties
+    # identical formulation to dialect.fround(_, 2): floor(x*100 + 0.5)/100
+    return math.floor(total * 100.0 + 0.5) / 100.0
 
 
 def _grid(m: Metric) -> list[float]:
@@ -127,3 +130,21 @@ def test_outlier_zeroes_record() -> None:
         f"SELECT {expr} FROM (SELECT 6000.0 AS rtt, 0.005 AS lost_rate)"
     ).fetchone()[0]
     assert got == 0.0
+
+
+def test_criteria_transcription_complete() -> None:
+    """Config guard: all 13 protocols present, 5 bands per metric, weights
+    sum to ~1 per criteria (matches perceived_quality.xml structure)."""
+    expected = {
+        "PING", "HTTP", "TCPPING", "GAME", "FLASH", "DNS", "POP3", "SMTP",
+        "WECHAT", "SPEED", "FTP", "HTTP_DETAIL", "DNS_DETAIL",
+        "DNS_RESOLUTION_DETAIL",
+    }
+    assert set(CRITERIA) == expected
+    for crit in CRITERIA.values():
+        assert crit.metrics, crit.protocol
+        total_w = sum(m.weight for m in crit.metrics)
+        assert abs(total_w - 1.0) < 1e-9, (crit.protocol, total_w)
+        for m in crit.metrics:
+            assert len(m.bands) == 5, (crit.protocol, m.name)
+            assert m.direction in ("up", "down")
