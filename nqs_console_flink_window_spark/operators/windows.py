@@ -62,3 +62,22 @@ def dedup_last_write_wins(
     """A5 — ReplacingMergeTree(create_time) last-write-wins dedup on the fact
     ORDER BY key (DDL :202-205): keep the newest version per composite key."""
     return latest_per_key(df, keys, version_desc)
+
+
+def latest_per_key_agg(
+    df: DataFrame, keys: list[str], version_cols: list[str]
+) -> DataFrame:
+    """A4/A5, aggregation form — ``max_by(struct(*row), struct(version))``.
+
+    Same result as :func:`latest_per_key` but *aggregation-based*: partial
+    max combines map-side before the shuffle, so shuffle volume is one row
+    per (key x input-partition) instead of every duplicate row — the right
+    shape at 100 TB when keys repeat heavily (snapshot tables, dedup).
+    ``version_cols`` must be a deterministic total order (include a unique
+    tiebreaker).  The sort-based window variant remains for cases needing
+    rank > 1 or per-row numbering.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    version = F.struct(*[F.col(c) for c in version_cols])
+    picked = df.groupBy(*keys).agg(F.max_by(payload, version).alias("__row"))
+    return picked.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
