@@ -150,3 +150,47 @@ def default_port_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
     j = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left")
     return j.select("event_id", F.col("c_mktsegment").alias("default_port_status"))
+
+
+# --------------------------------------------------------------------------
+# W10 — keyed state across micro-batches, driver-visible (rows-only check)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_running_counts",
+    sql=None,  # cross-batch stateful op; verified in tests vs batch counts
+    doc="W10 — applyInPandasWithState running per-key counter across "
+    "micro-batches (the reference trigger's ReducingState), driven by a "
+    "chunked availableNow source",
+)
+def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..operators.stateful import running_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="nqs_state_")
+    src = f"{work}/src"
+    raw.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"rc_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_counts(stream, "event_type")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/cp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT key, MAX(running_total) AS total FROM {sink} GROUP BY key"
+    )
