@@ -534,3 +534,45 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
     )
+
+
+@register(
+    "percentiles",
+    sql="""
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.95) AS p95
+FROM events GROUP BY event_type
+""",
+    doc="A6/§2.10 — exact interpolated percentiles per key (the latency-"
+    "quantile OLAP the reference delegates to ClickHouse)",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+_EXISTS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_returnflag = 'R')
+"""
+
+
+@register(
+    "exists_subquery",
+    sql=_EXISTS_SQL,
+    doc="§2.10 — correlated scalar subquery + EXISTS semi-join "
+    "(decorrelated by Catalyst into aggregate + joins)",
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.batch import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_EXISTS_SQL)
