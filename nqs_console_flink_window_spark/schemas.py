@@ -99,6 +99,42 @@ PROTOCOL_FIELDS: dict[str, list[T.StructField]] = {
         _f("first_pause_cost", D), _f("bitrate", D), _f("play_duration", D),
         _f("pause_cost", D), _f("pause_count", D), _f("carlton_rate", D),
     ],
+    # gw_trace DDL :733-790
+    "TRACE": [_f("delay", D), _f("hops", I), _f("detail", S), _f("domain_detail", S)],
+    # gw_dns_resolution DDL :274-330
+    "DNS_RESOLUTION": [_f("time_cost", D), _f("success_rate", D), _f("ip_list", S)],
+}
+
+# Child (detail) table extensions: every detail row inherits the full fact
+# base (reflection copy in DetailAbstractDataParser.java:35-75 ->
+# parent-column select here) plus `parent_id` and these per-protocol columns.
+DETAIL_FIELDS: dict[str, list[T.StructField]] = {
+    # gw_http_detail DDL :661-732 (per-element columns mirror
+    # HTTP_DETAIL_ELEMENT_SCHEMA below)
+    "HTTP_DETAIL": [
+        _f("parent_id", S), _f("element_url", S), _f("element_status", I),
+        _f("element_size", D), _f("element_download_cost", D),
+        _f("element_total_cost", D), _f("thread_num", I), _f("dns_cost", D),
+        _f("tcp_cost", D), _f("ssl_cost", D), _f("conn_cost", D),
+        _f("avg_speed", D),
+    ],
+    # gw_dns_detail DDL :210-272
+    "DNS_DETAIL": [
+        _f("parent_id", S), _f("dns_cost", D), _f("dns_domain", S), _f("dns_ip", S),
+        _f("ip_list", S), _f("record_count", L), _f("success_rate", D), _f("detail", S),
+    ],
+    # gw_dns_resolution_detail DDL :331-390
+    "DNS_RESOLUTION_DETAIL": [
+        _f("parent_id", S), _f("dns_server_ip", S), _f("query_count", L),
+        _f("time_cost", D), _f("success_rate", D), _f("ip_list", S),
+    ],
+    # gw_trace_detail DDL :791-856
+    "TRACE_DETAIL": [
+        _f("parent_id", S), _f("delay", D), _f("hops", I), _f("host_name", S),
+        _f("jitter", D), _f("lost_rate", D), _f("memo", S), _f("num", I),
+        _f("pkt_count", I), _f("ret_code", S), _f("ret_type", S), _f("rtt", D),
+        _f("detail", S),
+    ],
 }
 
 

@@ -204,3 +204,13 @@ def test_fact_schema_projection() -> None:
     assert "rtt" in ping and "rtt" not in base
     assert "page_size" in http and "page_size" not in ping
     assert {"probe_id", "task_id", "test_time", "score", "create_time"} <= base
+
+
+def test_detail_schema_extensions() -> None:
+    """N2 — the declared detail-table capability (gw_dns_detail /
+    gw_trace_detail / gw_dns_resolution_detail DDL) exists as schemas."""
+    for proto, fields in SC.DETAIL_FIELDS.items():
+        names = {f.name for f in fields}
+        assert "parent_id" in names, proto
+    assert "hops" in {f.name for f in SC.PROTOCOL_FIELDS["TRACE"]}
+    assert "rtt" in {f.name for f in SC.DETAIL_FIELDS["TRACE_DETAIL"]}
