@@ -576,3 +576,88 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir, ("orders", "lineitem"))
     return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "pivot_counts",
+    sql="""
+SELECT user_id % 10 AS user_bucket,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events GROUP BY 1
+""",
+    doc="§2.10 — pivot (long->wide conditional aggregation)",
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # pivot yields nullable longs where a bucket lacks a type; count semantics = 0
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)))
+    return out
+
+
+@register(
+    "semi_anti_joins",
+    sql="""
+SELECT 'with_orders' AS cohort, COUNT(*) AS cnt FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS cohort, COUNT(*) AS cnt FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="§2.10 — left-semi / left-anti joins (the R1 router primitives, "
+    "standalone)",
+)
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        semi.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("with_orders").alias("cohort"), "cnt")
+        .unionByName(
+            anti.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("without_orders").alias("cohort"), "cnt")
+        )
+    )
+
+
+@register(
+    "geo_coalesce_precedence",
+    sql="""
+SELECT e.event_id,
+  COALESCE(n.n_name, c.c_mktsegment, 'unknown') AS province_name
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n
+  ON c.c_nationkey = n.n_nationkey AND e.user_id % 3 = 0
+""",
+    doc="J4 — geo overwrite-if-present precedence: ip-geo result wins over "
+    "task-host default (coalesce(geo.province, task.host_province); "
+    "IPHelper applied at AbstractDataParser.java:90-95)",
+)
+def geo_coalesce_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"], "left").join(
+        F.broadcast(n),
+        (c["c_nationkey"] == n["n_nationkey"]) & (ev["user_id"] % 3 == 0),
+        "left",
+    )
+    return j.select(
+        "event_id",
+        F.coalesce(n["n_name"], c["c_mktsegment"], F.lit("unknown")).alias(
+            "province_name"
+        ),
+    )

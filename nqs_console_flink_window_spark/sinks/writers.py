@@ -69,3 +69,28 @@ def kafka_payload(df: DataFrame) -> DataFrame:
     (AbstractDataParser.java:146-159).  Attach to
     ``.writeStream.format('kafka')`` in a real deployment."""
     return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def compact_partition(
+    spark, out_dir: str, date_col: str, part_value: str, target_files: int = 1
+) -> int:
+    """Small-file compaction for one day partition: streaming appends leave
+    one file per micro-batch; periodic compaction rewrites the partition to
+    ``target_files`` files.  Partition-scoped (reads/writes only that
+    directory), so it can run online next to the streaming writer — the
+    ClickHouse background-merge analogue, scheduled instead of implicit.
+
+    Returns the number of files after compaction.
+    """
+    import glob as _glob
+
+    part_path = f"{out_dir}/{date_col}={part_value}"
+    df = spark.read.parquet(part_path)
+    tmp_path = f"{part_path}__compact"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_path)
+    shutil.rmtree(part_path)
+    Path(tmp_path).rename(part_path)
+    # drop _SUCCESS markers so the partition dir holds only data files
+    for marker in _glob.glob(f"{part_path}/_SUCCESS*"):
+        Path(marker).unlink()
+    return len(_glob.glob(f"{part_path}/*.parquet"))

@@ -186,3 +186,26 @@ def test_fact_stream_dead_letter(spark, tmp_path) -> None:
     )
     n_bad = invalid(dirty, ["event_type", "user_id"]).count()
     assert n_bad == dirty.filter(SF.col("event_id") % 10 == 0).count()
+
+
+def test_compaction_preserves_rows(spark, tmp_path) -> None:
+    """S2 at scale — micro-batch appends fragment partitions; compaction
+    rewrites a day partition to few files without changing its rows."""
+    import glob
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").withColumn("d", F.to_date("ts"))
+    out = str(tmp_path / "facts")
+    # simulate 5 micro-batch appends -> >=5 files per partition
+    for i in range(5):
+        part = ev.filter(F.col("event_id") % 5 == i)
+        W.write_facts(part, out, "d")
+    day = "2024-01-03"
+    before_files = len(glob.glob(f"{out}/d={day}/*.parquet"))
+    before_rows = spark.read.parquet(f"{out}/d={day}").count()
+    assert before_files >= 5
+
+    after_files = W.compact_partition(spark, out, "d", day, target_files=1)
+    assert after_files == 1
+    assert spark.read.parquet(f"{out}/d={day}").count() == before_rows
+    # untouched partitions still readable
+    assert spark.read.parquet(out).count() == ev.count()
