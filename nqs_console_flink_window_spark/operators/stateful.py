@@ -46,3 +46,24 @@ def running_counts(stream_df: DataFrame, key_col: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def per_key_trend(df: DataFrame, key_col: str, x_col: str, y_col: str) -> DataFrame:
+    """Grouped-map pandas operator (applyInPandas): least-squares slope of
+    y over x per key — the custom-analytics escape hatch for logic the SQL
+    surface can't express.  Arrow-batched; one numpy solve per key."""
+    import numpy as np
+
+    out_schema = f"{key_col} bigint, slope double, n bigint"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        if n < 2 or np.ptp(x) == 0.0:
+            slope = 0.0
+        else:
+            slope = float(np.polyfit(x, y, 1)[0])
+        return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "slope": [slope], "n": [n]})
+
+    return df.groupBy(key_col).applyInPandas(fit, out_schema)

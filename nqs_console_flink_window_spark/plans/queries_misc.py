@@ -297,3 +297,59 @@ def latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key_agg(ev, ["user_id"], ["ts", "event_id"]).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# N1 proper — JSON detail-array build + from_json explode round-trip
+# --------------------------------------------------------------------------
+
+_DETAIL_JSON = (
+    "('[{\"s\":' || CAST(l_linenumber % 2 AS STRING) || ',\"sz\":' || "
+    "CAST(l_quantity AS STRING) || '},{\"s\":1,\"sz\":' || "
+    "CAST(l_partkey % 100 AS STRING) || '}]')"
+)
+
+
+@register(
+    "detail_array_explode",
+    sql=f"""
+SELECT l_orderkey, l_linenumber,
+  CAST(({_DETAIL_JSON})->>('$[' || CAST(i AS STRING) || '].s') AS INTEGER) AS element_status,
+  CAST(({_DETAIL_JSON})->>('$[' || CAST(i AS STRING) || '].sz') AS DOUBLE) AS element_size
+FROM (SELECT *, unnest(range(0, 2)) AS i FROM lineitem)
+""",
+    doc="N1 — HTTP detail JSON array: build the wire string, from_json into "
+    "array<struct>, explode with parent-column inheritance "
+    "(DetailAbstractDataParser.java:35-75 end-to-end)",
+)
+def detail_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wire = li.withColumn("detail", F.expr(_DETAIL_JSON))
+    parsed = wire.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(
+            F.from_json("detail", "array<struct<s:int,sz:double>>")
+        ).alias("e"),
+    )
+    return parsed.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("e.s").alias("element_status"),
+        F.col("e.sz").alias("element_size"),
+    )
+
+
+@register(
+    "per_user_trend",
+    sql=None,  # numpy lstsq has no bit-exact SQL twin; checked in tests
+    doc="UDF surface — applyInPandas grouped-map: per-user least-squares "
+    "value-over-time slope (custom analytics beyond the SQL surface)",
+)
+def per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stateful import per_key_trend
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x", F.unix_timestamp("ts").cast("double")
+    )
+    return per_key_trend(ev, "user_id", "x", "value")

@@ -104,3 +104,24 @@ def test_ivf_recall_vs_brute_force(spark) -> None:
     ivf_ids = {r.vec_id for r in S.ivf_topk(corpus, qvec, k=10).collect()}
     recall = len(exact_ids & ivf_ids) / 10
     assert recall >= 0.4, f"IVF recall@10 too low: {recall}"
+
+
+def test_per_user_trend_matches_closed_form(spark) -> None:
+    """applyInPandas slope ~= the closed-form least-squares from exact SQL."""
+    from nqs_console_flink_window_spark.operators.stateful import per_key_trend
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").withColumn(
+        "x", F.unix_timestamp("ts").cast("double")
+    )
+    got = {r.user_id: r.slope for r in per_key_trend(ev, "user_id", "x", "value").collect()}
+    ref = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("value").alias("sy"),
+        F.sum(F.col("x") * F.col("value")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    for r in ref.collect():
+        denom = r.n * r.sxx - r.sx * r.sx
+        want = (r.n * r.sxy - r.sx * r.sy) / denom if denom else 0.0
+        assert abs(got[r.user_id] - want) < 1e-6 * max(1.0, abs(want)), r.user_id
