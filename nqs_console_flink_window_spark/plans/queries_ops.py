@@ -661,3 +661,23 @@ def geo_coalesce_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "province_name"
         ),
     )
+
+
+@register(
+    "set_ops_all",
+    sql="""
+SELECT 'intersect_all' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except_all' AS op, nk FROM
+  (SELECT s_nationkey AS nk FROM supplier EXCEPT ALL SELECT c_nationkey FROM customer)
+""",
+    doc="§2.10 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL)",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return (
+        c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nk")
+        .unionByName(s.exceptAll(c).select(F.lit("except_all").alias("op"), "nk"))
+    )

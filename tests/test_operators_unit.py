@@ -81,3 +81,28 @@ def test_salted_sum_matches_direct(spark) -> None:
         for r in salted_sum_count(ev, ["event_type"], "value").collect()
     }
     assert direct == salted
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path) -> None:
+    """S1 breadth — the same pipeline schema reads parquet, CSV, and JSON."""
+    from nqs_console_flink_window_spark.sources.formats import (
+        EVENTS_SCHEMA,
+        read_csv,
+        read_json_lines,
+    )
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").limit(200)
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    (
+        ev.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .write.option("header", "true").mode("overwrite").csv(csv_dir)
+    )
+    ev.write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).mode("overwrite").json(json_dir)
+
+    from_csv = read_csv(spark, csv_dir, EVENTS_SCHEMA)
+    from_json = read_json_lines(spark, json_dir, EVENTS_SCHEMA)
+    base = {(r.event_id, r.ts, r.event_type) for r in ev.collect()}
+    assert {(r.event_id, r.ts, r.event_type) for r in from_csv.collect()} == base
+    assert {(r.event_id, r.ts, r.event_type) for r in from_json.collect()} == base

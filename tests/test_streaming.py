@@ -209,3 +209,24 @@ def test_compaction_preserves_rows(spark, tmp_path) -> None:
     assert spark.read.parquet(f"{out}/d={day}").count() == before_rows
     # untouched partitions still readable
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_progress_collector_counts_rows(spark, tmp_path) -> None:
+    """Observability — the StreamingQueryListener sees every micro-batch."""
+    from nqs_console_flink_window_spark.streaming.metrics import ProgressCollector
+
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        work = str(tmp_path / "w")
+        J.run_fact_stream(spark, SMOKE_SF_DIR, f"{work}/out", f"{work}/cp", _DISPATCH)
+        import time
+
+        for _ in range(20):  # listener delivery is async
+            if collector.total_rows >= 1000:
+                break
+            time.sleep(0.5)
+        total = load_table(spark, SMOKE_SF_DIR, "events").count()
+        assert collector.total_rows == total
+    finally:
+        spark.streams.removeListener(collector)
