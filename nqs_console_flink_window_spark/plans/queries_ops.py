@@ -681,3 +681,47 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nk")
         .unionByName(s.exceptAll(c).select(F.lit("except_all").alias("op"), "nk"))
     )
+
+
+@register(
+    "nation_volume",
+    sql=f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+  {dsum("l.l_extendedprice * (1.0 - l.l_discount)", "volume")}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name < sn.n_name
+GROUP BY 1, 2, 3
+""",
+    doc="J1-J4/A6 — TPC-H-Q7-shaped two-sided nation volume: fact joined to "
+    "two independent dim chains (customer-side and supplier-side), yearly "
+    "grouped revenue",
+)
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cust_side = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(cn), c["c_nationkey"] == cn["cn_key"]
+    ).select("o_orderkey", "cust_nation")
+    supp_side = s.join(F.broadcast(sn), s["s_nationkey"] == sn["sn_key"]).select(
+        "s_suppkey", "supp_nation"
+    )
+    j = (
+        li.join(F.broadcast(cust_side), li["l_orderkey"] == cust_side["o_orderkey"])
+        .join(F.broadcast(supp_side), li["l_suppkey"] == supp_side["s_suppkey"])
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("volume"))
