@@ -81,8 +81,13 @@ def fround(expr: str, digits: int) -> str:
     reference's Java rounding only at those same pathological ties — within
     the documented round tolerance (SURVEY §7.4 risk 1).
     """
-    scale = 10 ** digits
-    return f"(floor(({expr}) * {float(scale)!r} + 0.5) / {float(scale)!r})"
+    # Exponent-form literal: Spark parses plain decimal literals (``10000.0``)
+    # as DECIMAL (so BIGINT/DECIMAL division poisons the output column to
+    # decimal(27,6) while DuckDB returns DOUBLE — bit-identical values, but a
+    # value-hash gate sees Decimal != float64).  ``1.0E4`` parses as DOUBLE on
+    # both engines.
+    scale = f"1.0E{digits}"
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
 def xor(d: str, a: str, b: str) -> str:

@@ -45,8 +45,15 @@ from .pq_criteria import CRITERIA, Band, Metric
 
 
 def _lit(v: float) -> str:
-    """Render a double literal that Spark SQL and DuckDB parse identically."""
-    return repr(float(v))
+    """Render a double literal that Spark SQL and DuckDB parse identically.
+
+    Plain decimal literals (``85.41``) parse as DECIMAL on Spark but DOUBLE on
+    DuckDB; exponent-form literals parse as DOUBLE on both.  ``repr`` already
+    emits an exponent for very small/large magnitudes — append ``E0`` only to
+    the plain forms.
+    """
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "E0"
 
 
 def _band_cond(x: str, b: Band) -> str:

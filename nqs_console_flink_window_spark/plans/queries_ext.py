@@ -340,4 +340,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
-    return MM.extract_features(MM.documents_as_media(docs))
+    feats = MM.extract_features(MM.documents_as_media(docs))
+    # Serialize the array<float> column: the driver's pandas canonicalizer
+    # sort_values over every column and list cells are unhashable/unsortable
+    # (round-1 hard error).  to_json keeps the values checkable as a scalar.
+    return feats.select(
+        "media_id", F.to_json("feature").alias("feature_json"), "decode_ok"
+    )

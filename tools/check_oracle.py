@@ -29,25 +29,89 @@ from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
+        # Mirrors the driver's canonicalizer: sort_values over every column.
+        # A column of lists/arrays raises here in the driver too — surface it.
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
+def _dtype_problem(col: str, sc: pd.Series, dc: pd.Series) -> str | None:
+    """The driver hashes raw cell values, so a dtype divergence (most commonly
+    Spark DecimalType -> python Decimal objects vs DuckDB DOUBLE -> float64)
+    is a hash mismatch even when values are numerically identical.  Round 1
+    missed exactly this; fail loudly on it."""
+    import datetime
+    import decimal
+
+    for side, ser in (("spark", sc), ("duck", dc)):
+        if ser.dtype == object and any(
+            isinstance(v, decimal.Decimal) for v in ser.head(100) if v is not None
+        ):
+            return f"col {col!r}: {side} returns Decimal objects (DecimalType output) — driver hash will differ from float64"
+    # Spark DateType -> object of datetime.date, DuckDB DATE -> datetime64:
+    # the driver canonicalizer treats these as equal (time_buckets was
+    # hash-green in round 1), so they are value-compared, not dtype-flagged.
+    def _datelike(ser: pd.Series) -> bool:
+        return ser.dtype.kind == "M" or (
+            ser.dtype == object
+            and any(
+                isinstance(v, (datetime.date, datetime.datetime))
+                for v in ser.head(100)
+                if v is not None
+            )
+        )
+
+    if _datelike(sc) and _datelike(dc):
+        return None
+    skind = "f" if pd.api.types.is_float_dtype(sc) else sc.dtype.kind
+    dkind = "f" if pd.api.types.is_float_dtype(dc) else dc.dtype.kind
+    if skind != dkind and not (sc.dtype == object and dc.dtype == object):
+        return f"col {col!r}: dtype kind spark={sc.dtype} duck={dc.dtype}"
+    return None
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    import numpy as np
+
     problems: list[str] = []
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(f"columns spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
         return problems
-    s, d = normalize(spark_df), normalize(duck_df)
+    try:
+        s, d = normalize(spark_df), normalize(duck_df)
+    except TypeError as e:
+        problems.append(f"unsortable result (driver canonicalizer would error): {e}")
+        return problems
     if len(s) != len(d):
         return problems
     for col in s.columns:
         sc, dc = s[col], d[col]
+        dt = _dtype_problem(col, sc, dc)
+        if dt:
+            problems.append(dt)
+            continue
+        if sc.dtype.kind == "M" or dc.dtype.kind == "M":
+            sv, dv = pd.to_datetime(sc), pd.to_datetime(dc)
+            neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"datetime col {col!r} {int(neq.sum())} mismatches, first@{i}: "
+                    f"spark={sc.iloc[i]!r} duck={dc.iloc[i]!r}"
+                )
+            continue
         if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
-            diff = (sc.astype(float) - dc.astype(float)).abs()
-            mx = float(diff.max()) if len(diff) else 0.0
+            sv = sc.astype(float).to_numpy()
+            dv = dc.astype(float).to_numpy()
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            nan_mismatch = np.isnan(sv) != np.isnan(dv)
+            if nan_mismatch.any():
+                problems.append(f"float col {col!r}: NaN/non-NaN position mismatch x{int(nan_mismatch.sum())}")
+                continue
+            diff = np.abs(sv[~both_nan] - dv[~both_nan])
+            mx = float(diff.max()) if diff.size else 0.0
             if mx != 0.0:
                 problems.append(f"float col {col!r} max|diff|={mx:.3e}")
         else:
