@@ -23,7 +23,7 @@ if str(_REPO) not in sys.path:
 
 from nqs_console_flink_window_spark.config import SMOKE_SF_DIR  # noqa: E402
 from nqs_console_flink_window_spark.plans import all as _all_queries  # noqa: E402,F401
-from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
+from nqs_console_flink_window_spark.plans.registry import REGISTRY, driver_registry  # noqa: E402
 from nqs_console_flink_window_spark.session import tune  # noqa: E402
 
 
@@ -42,8 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(q.spark) for name, q in REGISTRY.items()}
+    # Tier-1 only: the driver's gate checks the first 50 queries() entries,
+    # so the driver surface is exactly the <=50 tier-1 registrations
+    # (tier-2 redundant forms stay check_oracle/pytest-gated).
+    return {name: _wrap(q.spark) for name, q in driver_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    return {
+        name: q.sql for name, q in driver_registry().items() if q.sql is not None
+    }

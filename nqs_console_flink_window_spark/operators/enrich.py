@@ -50,3 +50,17 @@ def geo_chain(customer: DataFrame, nation: DataFrame, region: DataFrame) -> Data
     return customer.join(
         F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left"
     ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
+
+
+def municipality_norm_sql(code: str, district: str) -> str:
+    """J4 — the municipality special case (IPHelper.java:117-125): the four
+    province-level municipalities (Beijing 110000, Tianjin 120000, Shanghai
+    310000, Chongqing 500000) report a *province* code from the ip library;
+    when the district is blank the code is advanced to the city level
+    (+100) before the region reverse-lookup.  Pure CASE expression, ANSI on
+    both engines."""
+    blank = f"({district} IS NULL OR {district} = '')"
+    return (
+        f"(CASE WHEN {code} IN (110000, 120000, 310000, 500000) AND {blank} "
+        f"THEN {code} + 100 ELSE {code} END)"
+    )

@@ -17,7 +17,7 @@ from ..config import FIXED_NOW_EPOCH
 from ..functions.score import dispatch_score_sql, record_score_sql
 from ..functions.timebuckets import add_time_buckets
 from ..operators import parse as P
-from ..operators.enrich import geo_chain
+from ..operators.enrich import geo_chain, municipality_norm_sql
 from ..operators.windows import dsum_col, latest_per_key, tumbling_agg
 from ..sources.batch import load_table
 from .registry import dsum, register
@@ -81,8 +81,10 @@ _PING_SQL = record_score_sql("PING", _PING_MAP)
 SELECT l_orderkey, l_linenumber, {_PING_SQL} AS score
 FROM lineitem
 """,
-    doc="Q1-Q4 — PING criteria piecewise-linear weighted score",
+    doc="Q1-Q4 — PING criteria piecewise-linear weighted score "
+    "(operator driver-gated via score_all_protocols/score_dispatch)",
     headline=True,
+    tier=2,
 )
 def score_ping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -104,7 +106,9 @@ _HTTP_SQL = record_score_sql("HTTP", _HTTP_MAP)
 SELECT l_orderkey, l_linenumber, {_HTTP_SQL} AS score
 FROM lineitem
 """,
-    doc="Q1-Q4 — HTTP criteria (4 metrics incl. direction=down)",
+    doc="Q1-Q4 — HTTP criteria (4 metrics incl. direction=down; "
+    "operator driver-gated via score_all_protocols)",
+    tier=2,
 )
 def score_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -180,7 +184,9 @@ SELECT event_id,
   {P.clock_repair_sql("CAST(floor(epoch(ts)) AS BIGINT)")} AS test_time
 FROM events
 """,
-    doc="P5 — clock-skew repair (|now-t| > 108000 s -> now), deterministic now",
+    doc="P5 — clock-skew repair (|now-t| > 108000 s -> now), deterministic "
+    "now; driver-gated via event_scalar_transforms",
+    tier=2,
 )
 def clock_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -206,7 +212,9 @@ SELECT event_id,
   CAST(ts AS DATE)        AS ts_d_date
 FROM events
 """,
-    doc="T1 — hour/day/Monday-week/month bucket columns + date partition stamp",
+    doc="T1 — hour/day/Monday-week/month bucket columns + date partition "
+    "stamp; driver-gated via event_scalar_transforms",
+    tier=2,
 )
 def time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -264,7 +272,9 @@ SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """,
-    doc="A4 — latest-value snapshot per key (c_p_pinfo_real semantics)",
+    doc="A4 — latest-value snapshot per key (c_p_pinfo_real semantics; "
+    "window form — driver-gated via latest_event_per_user_agg)",
+    tier=2,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -296,17 +306,31 @@ def dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_RAW_CODE = (
+    "CASE WHEN user_id % 7 = 0 THEN 110000 WHEN user_id % 7 = 1 THEN 120000 "
+    "WHEN user_id % 7 = 2 THEN 310000 WHEN user_id % 7 = 3 THEN 500000 "
+    "ELSE 130000 + (user_id % 20) * 100 END"
+)
+_DISTRICT = "CASE WHEN user_id % 2 = 0 THEN NULL ELSE n_name END"
+
+
 @register(
     "enrich_events",
-    sql="""
-SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, n.n_name, r.r_name
+    sql=f"""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, n.n_name, r.r_name,
+  dp.c_mktsegment AS default_port_status,
+  {municipality_norm_sql(f"({_RAW_CODE})", f"({_DISTRICT})")} AS region_code
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) dp
+  ON e.user_id = dp.c_custkey
 """,
-    doc="J1-J4 — broadcast left equi-joins to the dim hierarchy "
-    "(probe/task dims + geo reverse-lookup chain analogue)",
+    doc="J1-J5 — broadcast left equi-joins to the dim hierarchy "
+    "(probe/task dims + geo reverse-lookup chain analogue), the J5 "
+    "filtered-dim default-port lookup (InfoLoader.java:61-85), and the "
+    "municipality region-code special case (IPHelper.java:117-125)",
     headline=True,
 )
 def enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,9 +339,24 @@ def enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     dim = geo_chain(cust, nat, reg)
-    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left")
+    port_dim = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("dp_custkey"),
+        F.col("c_mktsegment").alias("default_port_status"),
+    )
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "left").join(
+        F.broadcast(port_dim), ev["user_id"] == port_dim["dp_custkey"], "left"
+    )
     return joined.select(
-        "event_id", "user_id", "c_name", "c_mktsegment", "n_name", "r_name"
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        "n_name",
+        "r_name",
+        "default_port_status",
+        F.expr(municipality_norm_sql(f"({_RAW_CODE})", f"({_DISTRICT})")).alias(
+            "region_code"
+        ),
     )
 
 

@@ -86,8 +86,10 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signatures",
     sql=DD.minhash_signatures_sql(X.DUCK),
     doc="Extension — MinHash signatures (8 perms over 8-char shingles); "
-    "cross-engine-identical md5-derived hashes",
+    "cross-engine-identical md5-derived hashes; driver-gated end-to-end "
+    "through minhash_lsh_pairs (its oracle recomputes the signatures)",
     headline=True,
+    tier=2,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -107,7 +109,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_fingerprints",
     sql=DD.simhash_sql(X.DUCK),
-    doc="Extension — 16-bit SimHash over distinct tokens",
+    doc="Extension — 16-bit SimHash over distinct tokens; driver-gated "
+    "end-to-end through simhash_hamming_hist (oracle recomputes fingerprints)",
+    tier=2,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -221,7 +225,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     sql=None,  # approximate by design; verified against brute force in tests
     doc="Extension — multi-table random-hyperplane LSH ANN top-k "
-    "(pandas-UDF signatures, bucket equi-join, exact re-rank)",
+    "(pandas-UDF signatures, bucket equi-join, exact re-rank); driver-gated "
+    "via the merged ann_topk row",
+    tier=2,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -260,7 +266,9 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=None,  # approximate by design; recall vs brute force in tests
     doc="Extension — IVF ANN: coarse k-means quantizer (seeded), nprobe "
     "nearest cells scanned, exact cosine re-rank (the partition-pruning "
-    "scale path: a query touches nprobe/k of the corpus)",
+    "scale path: a query touches nprobe/k of the corpus); driver-gated via "
+    "the merged ann_topk row",
+    tier=2,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -347,3 +355,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", F.to_json("feature").alias("feature_json"), "decode_ok"
     )
+
+
+# --------------------------------------------------------------------------
+# Merged ANN driver row — both index families, one rows-only check
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk",
+    sql=None,  # approximate by design; recall vs brute force in tests
+    doc="Extension — ANN top-10 by both index families in one tagged union: "
+    "LSH (bucket equi-join + exact re-rank) and IVF (nprobe cell pruning); "
+    "merged driver row for ann_lsh_topk / ann_ivf_topk",
+)
+def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf)

@@ -36,7 +36,9 @@ SELECT event_id,
 FROM wire
 """,
     doc="P3 — heartbeat composite payload `json \\x02 internet_ip \\x02 "
-    "recv_time` split + JSON parse (HeartBeatMessage.java:14-33)",
+    "recv_time` split + JSON parse (HeartBeatMessage.java:14-33); "
+    "driver-gated via parse_stage",
+    tier=2,
 )
 def composite_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -69,7 +71,9 @@ SELECT event_id,
 FROM events
 """,
     doc="P7 — deterministic sha256 record id over identity columns (replaces "
-    "UUIDKit.java random short-uuids; SURVEY §7.4 risk 2)",
+    "UUIDKit.java random short-uuids; SURVEY §7.4 risk 2); driver-gated via "
+    "parse_stage",
+    tier=2,
 )
 def deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -89,7 +93,9 @@ SELECT event_id,
   COALESCE(CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END, 0.0) AS value_nn
 FROM events
 """,
-    doc="P9 — null->''/0 coercion for sink compatibility (util/ValKit.java:16-63)",
+    doc="P9 — null->''/0 coercion for sink compatibility (util/ValKit.java:16-63); "
+    "driver-gated via parse_stage",
+    tier=2,
 )
 def null_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -201,7 +207,9 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 @register(
     "grouping_sets",
     sql=_GS_SQL,
-    doc="A6 — explicit grouping sets (the general form behind rollup/cube)",
+    doc="A6 — explicit grouping sets (the general form behind rollup/cube); "
+    "driver-gated via grouping_analytics",
+    tier=2,
 )
 def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("lineitem",))
@@ -225,7 +233,9 @@ FROM (SELECT ts, event_type, value, unnest(range(0, 3)) AS k FROM events)
 GROUP BY 1, 2
 """,
     doc="W1 sliding variant — 30 s window, 10 s slide (each row in 3 "
-    "overlapping windows); oracle via per-row offset expansion",
+    "overlapping windows); oracle via per-row offset expansion; sliding "
+    "form driver-gated via tumbling_window_10s + session_windows",
+    tier=2,
 )
 def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -259,7 +269,9 @@ SELECT event_id,
 FROM events
 """,
     doc="J4 — dotted-quad -> uint32 key derivation feeding the ip-range "
-    "lookup (IPIPUtil.java:85-112); pure integer arithmetic both engines",
+    "lookup (IPIPUtil.java:85-112); pure integer arithmetic both engines; "
+    "driver-gated via event_scalar_transforms",
+    tier=2,
 )
 def ip_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -313,17 +325,26 @@ _DETAIL_JSON = (
 @register(
     "detail_array_explode",
     sql=f"""
-SELECT l_orderkey, l_linenumber,
-  CAST(({_DETAIL_JSON})->>('$[' || CAST(i AS STRING) || '].s') AS INTEGER) AS element_status,
-  CAST(({_DETAIL_JSON})->>('$[' || CAST(i AS STRING) || '].sz') AS DOUBLE) AS element_size
-FROM (SELECT *, unnest(range(0, 2)) AS i FROM lineitem)
+SELECT d.l_orderkey, d.l_linenumber, d.element_status, d.element_size,
+  n.n_name AS element_geo
+FROM (
+  SELECT l_orderkey, l_linenumber,
+    CAST(({_DETAIL_JSON})->>('$[' || CAST(i AS STRING) || '].s') AS INTEGER) AS element_status,
+    CAST(({_DETAIL_JSON})->>('$[' || CAST(i AS STRING) || '].sz') AS DOUBLE) AS element_size
+  FROM (SELECT *, unnest(range(0, 2)) AS i FROM lineitem)
+) d
+LEFT JOIN nation n ON CAST(floor(d.element_size) AS BIGINT) % 25 = n.n_nationkey
 """,
     doc="N1 — HTTP detail JSON array: build the wire string, from_json into "
     "array<struct>, explode with parent-column inheritance "
-    "(DetailAbstractDataParser.java:35-75 end-to-end)",
+    "(DetailAbstractDataParser.java:35-75 end-to-end), then re-run the "
+    "geo lookup per exploded element on the element's own host key "
+    "(DetailAbstractDataParser.java:60-65: each element's host_ip is "
+    "geo-resolved independently of the parent)",
 )
 def detail_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
     wire = li.withColumn("detail", F.expr(_DETAIL_JSON))
     parsed = wire.select(
         "l_orderkey",
@@ -332,11 +353,23 @@ def detail_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json("detail", "array<struct<s:int,sz:double>>")
         ).alias("e"),
     )
-    return parsed.select(
+    elems = parsed.select(
         "l_orderkey",
         "l_linenumber",
         F.col("e.s").alias("element_status"),
         F.col("e.sz").alias("element_size"),
+    )
+    # per-element geo re-enrichment: broadcast dim join keyed on the
+    # element's own host key, not the parent's
+    host_key = F.floor(F.col("element_size")).cast("long") % 25
+    return elems.join(
+        F.broadcast(nat), host_key == nat["n_nationkey"], "left"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "element_status",
+        "element_size",
+        F.col("n_name").alias("element_geo"),
     )
 
 
@@ -353,3 +386,103 @@ def per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", F.unix_timestamp("ts").cast("double")
     )
     return per_key_trend(ev, "user_id", "x", "value")
+
+
+# --------------------------------------------------------------------------
+# Merged driver-surface queries: the driver's correctness gate checks only
+# the first 50 queries() entries, so same-grain per-event transforms are
+# verified through one multi-column query each (every column still
+# value-hashed); the single-operator forms above stay tier-2 and run through
+# tools/check_oracle.py + the pytest oracle gate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_scalar_transforms",
+    sql=f"""
+SELECT event_id,
+  {P.clock_repair_sql("CAST(floor(epoch(ts)) AS BIGINT)")} AS test_time,
+  date_trunc('hour', ts)  AS ts_h,
+  date_trunc('day', ts)   AS ts_d,
+  date_trunc('week', ts)  AS ts_w,
+  date_trunc('month', ts) AS ts_m,
+  CAST(ts AS DATE)        AS ts_d_date,
+  {_IP_STR} AS ip,
+  ((10 * 256 + user_id % 200) * 256 + event_id % 256) * 256 + 7 AS ip_int
+FROM events
+""",
+    doc="P5 + T1 + J4-key — per-event scalar transforms in one pass: "
+    "clock-skew repair, hour/day/week/month/date buckets, dotted-quad -> "
+    "uint32 ip key (merged driver row for clock_repair / time_buckets / "
+    "ip_to_int)",
+)
+def event_scalar_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timebuckets import add_time_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    out = add_time_buckets(ev, "ts", "ts")
+    return out.select(
+        "event_id",
+        P.clock_repair_expr(F.unix_timestamp(F.col("ts"))).alias("test_time"),
+        "ts_h",
+        "ts_d",
+        "ts_w",
+        "ts_m",
+        "ts_d_date",
+        F.expr(_IP_STR).alias("ip"),
+        (
+            ((F.lit(10) * 256 + F.col("user_id") % 200) * 256 + F.col("event_id") % 256)
+            * 256
+            + 7
+        ).alias("ip_int"),
+    )
+
+
+@register(
+    "parse_stage",
+    sql="""
+WITH wire AS (
+  SELECT event_id, event_type, user_id, value,
+    props || chr(2) || ('10.0.' || CAST(user_id % 256 AS STRING)) || chr(2)
+          || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS STRING) AS payload
+  FROM events
+)
+SELECT event_id,
+  CAST(string_split(payload, chr(2))[1]->>'$.k' AS BIGINT) AS k,
+  string_split(payload, chr(2))[2] AS internet_ip,
+  CAST(string_split(payload, chr(2))[3] AS BIGINT) AS recv_time,
+  sha256(CAST(event_id AS STRING) || chr(31) || CAST(user_id AS STRING)) AS id,
+  COALESCE(NULLIF(event_type, 'error'), '') AS event_type_nn,
+  COALESCE(CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END, 0.0E0) AS value_nn
+FROM wire
+""",
+    doc="P3 + P7 + P9 — full parse stage in one pass: composite \\x02 "
+    "payload split + JSON field, deterministic sha256 id, null-default "
+    "coercion (merged driver row for composite_parse / deterministic_ids / "
+    "null_defaults)",
+)
+def parse_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.col("props"),
+        F.lit("\x02"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string")),
+        F.lit("\x02"),
+        F.unix_timestamp("ts").cast("string"),
+    )
+    parts = F.split(payload, "\x02")
+    with_id = P.with_deterministic_id(ev, ["event_id", "user_id"])
+    return with_id.select(
+        "event_id",
+        F.get_json_object(parts.getItem(0), "$.k").cast("long").alias("k"),
+        parts.getItem(1).alias("internet_ip"),
+        parts.getItem(2).cast("long").alias("recv_time"),
+        "id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("")).alias(
+            "event_type_nn"
+        ),
+        F.coalesce(
+            F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("value")),
+            F.lit(0.0),
+        ).alias("value_nn"),
+    )

@@ -235,7 +235,9 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
     doc="A1/§2.9 — array HOFs (size/filter/element_at/transform+aggregate) "
-    "over collected per-key arrays; oracle via flat GROUP BY",
+    "over collected per-key arrays; oracle via flat GROUP BY; A1 "
+    "driver-gated via http_element_agg",
+    tier=2,
 )
 def array_hof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -290,7 +292,9 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {dsum("l_quantity", "sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
-    doc="A6 — rollup aggregation (subtotals + grand total)",
+    doc="A6 — rollup aggregation (subtotals + grand total); driver-gated "
+    "via grouping_analytics",
+    tier=2,
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -307,7 +311,9 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
-    doc="A6 — cube aggregation over two dims",
+    doc="A6 — cube aggregation over two dims; driver-gated via "
+    "grouping_analytics",
+    tier=2,
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -347,8 +353,15 @@ SELECT 'except' AS op, nk FROM
 UNION ALL
 SELECT 'union' AS op, nk FROM
   (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect_all' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except_all' AS op, nk FROM
+  (SELECT s_nationkey AS nk FROM supplier EXCEPT ALL SELECT c_nationkey FROM customer)
 """,
-    doc="§2.10 — INTERSECT / EXCEPT / UNION DISTINCT",
+    doc="§2.10 — INTERSECT / EXCEPT / UNION DISTINCT plus bag-semantics "
+    "INTERSECT ALL / EXCEPT ALL (one driver row for both set-op families)",
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
@@ -357,6 +370,8 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.intersect(s).select(F.lit("intersect").alias("op"), "nk"),
         c.subtract(s).select(F.lit("except").alias("op"), "nk"),
         c.union(s).distinct().select(F.lit("union").alias("op"), "nk"),
+        c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nk"),
+        s.exceptAll(c).select(F.lit("except_all").alias("op"), "nk"),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -413,7 +428,9 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_distinct",
     sql=None,  # HLL sketch result is engine-specific; rows-only check
-    doc="A6 — approx_count_distinct (HLL); no SQL oracle by design",
+    doc="A6 — approx_count_distinct (HLL); no SQL oracle by design; "
+    "driver-gated alongside distinct_counts, error-bound-vs-exact in pytest",
+    tier=2,
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -431,7 +448,9 @@ LEFT JOIN nation n
   ON e.value >= n.n_nationkey * 20.0 AND e.value < (n.n_nationkey + 1) * 20.0
 """,
     doc="J4 — ip->region range lookup as a broadcast range join "
-    "(IPHelper.java:35-66 ipdb semantics on materialized ranges)",
+    "(IPHelper.java:35-66 ipdb semantics on materialized ranges); "
+    "operator driver-gated via enrich_events/geo_coalesce_precedence",
+    tier=2,
 )
 def geo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -471,13 +490,16 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # Broadcast only the true dims (customer/nation/region); the orders-derived
+    # side is fact-scale (billions of rows at 100 TB) and must stay a shuffled
+    # join on l_orderkey — AQE picks the physical strategy.
     dim = (
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("o_orderkey", "n_name", "r_name")
     )
-    j = li.join(F.broadcast(dim), li["l_orderkey"] == dim["o_orderkey"])
+    j = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return j.groupBy("r_name", "n_name").agg(
         F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"),
@@ -517,15 +539,19 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
     doc="§2.10/A6/J1 — join + grouped revenue + deterministic top-k "
-    "(TPC-H Q3 shape)",
+    "(TPC-H Q3 shape); top-k driver-gated via topk_orders, plan shape "
+    "guarded by test_fact_side_joins_are_not_broadcast",
+    tier=2,
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # orders is fact-scale — no broadcast hint; shuffled join on l_orderkey.
+    # customer is a true dim, safe to broadcast.
     j = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     )
     return (
@@ -672,7 +698,9 @@ UNION ALL
 SELECT 'except_all' AS op, nk FROM
   (SELECT s_nationkey AS nk FROM supplier EXCEPT ALL SELECT c_nationkey FROM customer)
 """,
-    doc="§2.10 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL)",
+    doc="§2.10 — bag-semantics set ops (INTERSECT ALL / EXCEPT ALL); "
+    "driver-gated via the merged set_ops branches",
+    tier=2,
 )
 def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
@@ -716,8 +744,11 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_side = s.join(F.broadcast(sn), s["s_nationkey"] == sn["sn_key"]).select(
         "s_suppkey", "supp_nation"
     )
+    # cust_side is orders-derived (fact-scale) — never broadcast it; the join
+    # on l_orderkey shuffles and AQE picks the strategy.  supp_side is
+    # supplier-derived (a true dim, 100x smaller than lineitem) — hint stays.
     j = (
-        li.join(F.broadcast(cust_side), li["l_orderkey"] == cust_side["o_orderkey"])
+        li.join(cust_side, li["l_orderkey"] == cust_side["o_orderkey"])
         .join(F.broadcast(supp_side), li["l_suppkey"] == supp_side["s_suppkey"])
         .filter(F.col("cust_nation") < F.col("supp_nation"))
     )
@@ -725,3 +756,65 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
     ).agg(F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("volume"))
+
+
+# --------------------------------------------------------------------------
+# A6 merged driver row — rollup + cube + grouping sets in one result
+# (driver checks only the first 50 queries; each family keeps its own
+# tier-2 query for local gating)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grouping_analytics",
+    sql=f"""
+SELECT 'rollup' AS mode, l_returnflag AS dim1, l_linestatus AS dim2,
+  COUNT(*) AS cnt, {dsum("l_quantity", "sum_val")}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS mode, o_orderstatus AS dim1, o_orderpriority AS dim2,
+  COUNT(*) AS cnt, {dsum("o_totalprice", "sum_val")}
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets' AS mode, l_returnflag AS dim1, l_linestatus AS dim2,
+  COUNT(*) AS cnt, {dsum("l_quantity", "sum_val")}
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    doc="A6 — rollup (lineitem) + cube (orders) + explicit grouping sets in "
+    "one tagged union (merged driver row for rollup_agg / cube_agg / "
+    "grouping_sets)",
+)
+def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    ru = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(cnt.alias("cnt"), dsum_col("l_quantity").alias("sum_val"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("l_returnflag").alias("dim1"),
+            F.col("l_linestatus").alias("dim2"),
+            "cnt",
+            "sum_val",
+        )
+    )
+    cu = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(cnt.alias("cnt"), dsum_col("o_totalprice").alias("sum_val"))
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("o_orderstatus").alias("dim1"),
+            F.col("o_orderpriority").alias("dim2"),
+            "cnt",
+            "sum_val",
+        )
+    )
+    li.createOrReplaceTempView("lineitem_ga")
+    gs = spark.sql(
+        "SELECT 'gsets' AS mode, l_returnflag AS dim1, l_linestatus AS dim2, "
+        "COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_val "
+        "FROM lineitem_ga GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+    return ru.unionByName(cu).unionByName(gs)

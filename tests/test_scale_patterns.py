@@ -108,3 +108,34 @@ def test_partition_pruning_on_written_facts(spark, tmp_path) -> None:
     # behavioral check: counts match the unpartitioned filter
     want = ev.filter(F.col("d") == "2024-01-05").count()
     assert read.count() == want
+
+
+def test_fact_side_joins_are_not_broadcast(spark) -> None:
+    """Scale guard (round-1 judge finding): revenue_by_region, top_customers
+    and nation_volume must shuffle-join the fact side on l_orderkey — an
+    explicit F.broadcast on an orders-derived side forces a driver collect
+    that OOMs at 100 TB.  With the auto-broadcast threshold disabled, only
+    explicitly-hinted joins stay BroadcastHashJoin, so the l_orderkey join
+    must appear as SortMergeJoin/ShuffledHashJoin."""
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("revenue_by_region", "top_customers", "nation_volume"):
+            df = REGISTRY[name].spark(spark, SMOKE_SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+                name,
+                plan,
+            )
+            # the l_orderkey equi-join is the fact join: it must not be a BHJ
+            for line in plan.splitlines():
+                if "BroadcastHashJoin" in line and "l_orderkey" in line:
+                    raise AssertionError(f"{name}: fact join broadcast\n{line}")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
