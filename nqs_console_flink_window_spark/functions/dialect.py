@@ -6,7 +6,8 @@ run verbatim on both; the few spots where the engines name primitives
 differently (array functions, hex->int conversion, bit shifts) are
 centralized here so every extension operator renders from one template.
 
-Verified equivalences (see tests/test_dialect.py):
+Verified equivalences (tests/test_extensions.py::test_dialect_md5_int_parity
+and ::test_dialect_bitops_and_hash_parity):
 - ``md5_int``: 60-bit integer from the first 15 hex chars of md5 — Spark
   ``conv(...,16,10)`` == DuckDB ``CAST('0x'||... AS BIGINT)``.
 - ``bit_count``, ``octet_length``, ``sha256`` hex: identical.

@@ -141,14 +141,42 @@ FROM bits GROUP BY doc_id
 
 
 def simhash_hamming_hist_sql(d: str, max_dist: int, table: str = "documents") -> str:
-    """Histogram of pairwise Hamming distances <= max_dist (candidate-pair
-    volume metric; keeps output tiny while checking all pairs)."""
-    ham = X.xor(d, "CAST(a.simhash AS BIGINT)", "CAST(b.simhash AS BIGINT)")
+    """Histogram of pairwise Hamming distances <= max_dist via banded
+    candidate generation — NOT an all-pairs self-join.
+
+    Pigeonhole: splitting the fingerprint into ``max_dist + 1`` bands, any
+    pair within Hamming distance ``max_dist`` must agree exactly on at least
+    one whole band, so candidates come from per-band equi-joins (shuffle is
+    proportional to band-bucket collisions, the same trick as MinHash-LSH)
+    and the exact bit_count check runs only on candidates.  Result is
+    provably identical to the all-pairs form for distances <= max_dist —
+    tests/test_extensions.py asserts that equivalence.
+    """
+    bands = max_dist + 1
+    width = (SIMHASH_BITS + bands - 1) // bands
+    ham = X.xor(d, "CAST(simhash AS BIGINT)", "CAST(simhash_b AS BIGINT)")
+    if d == X.SPARK:
+        band_src = (
+            "SELECT doc_id, simhash, i, "
+            f"(simhash >> (i * {width})) % {1 << width} AS bv "
+            f"FROM sig LATERAL VIEW explode(sequence(0, {bands - 1})) g AS i"
+        )
+    else:
+        band_src = (
+            f"SELECT doc_id, simhash, g.i, "
+            f"(simhash >> (g.i * {width})) % {1 << width} AS bv "
+            f"FROM sig, generate_series(0, {bands - 1}) g(i)"
+        )
     return f"""
-WITH sig AS ({simhash_sql(d, table)})
+WITH sig AS ({simhash_sql(d, table)}),
+bands AS ({band_src}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.simhash, b.doc_id AS db, b.simhash AS simhash_b
+  FROM bands a JOIN bands b ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
 SELECT bit_count({ham}) AS hamming,
        COUNT(*) AS n_pairs
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+FROM cand
 WHERE bit_count({ham}) <= {max_dist}
 GROUP BY 1
 """

@@ -169,24 +169,55 @@ def ann_topk(df: DataFrame, query_df: DataFrame, k: int = 10) -> DataFrame:
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 IVF_SEED = 42
+IVF_TRAIN_SAMPLE = 100_000  # quantizer never trains on more vectors than this
+
+# Quantizer cache: (semantic key) -> (model, centers).  Training is a
+# build-the-index step, not a per-query step — repeated queries against the
+# same corpus reuse the persisted centroids, exactly like a stored IVF index.
+_IVF_MODELS: dict = {}
+
+
+def _ivf_model(df: DataFrame, vec_col: str):
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = (
+        tuple(sorted(df.inputFiles())) or (id(df),),
+        vec_col,
+        IVF_CLUSTERS,
+        IVF_SEED,
+    )
+    hit = _IVF_MODELS.get(key)
+    if hit is not None:
+        return hit
+    n = df.count()
+    train = df
+    if n > IVF_TRAIN_SAMPLE:
+        # deterministic bounded sample: the quantizer sees <= IVF_TRAIN_SAMPLE
+        # vectors no matter the corpus size
+        train = df.sample(fraction=IVF_TRAIN_SAMPLE / n, seed=IVF_SEED)
+    withvec = train.withColumn("__v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=IVF_CLUSTERS, seed=IVF_SEED, featuresCol="__v", predictionCol="cell")
+    model = km.fit(withvec)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    _IVF_MODELS[key] = (model, centers)
+    return model, centers
 
 
 def ivf_assignments(df: DataFrame, vec_col: str = "embedding"):
-    """Train the coarse quantizer and assign every vector to a cell.
+    """Assign every vector to a cell using the (cached) coarse quantizer.
 
-    Returns (assigned_df with `cell` column, centers ndarray).  At 100 TB the
-    quantizer trains on a sample (KMeans over ~1e5 vectors) and assignment is
-    one numpy matmul per Arrow batch — the corpus is then *stored* partitioned
-    by cell, so a query touches only nprobe/k of the data.
+    Returns (assigned_df with `cell` column, centers ndarray).  The quantizer
+    trains once on a bounded deterministic sample (<= IVF_TRAIN_SAMPLE
+    vectors) and is cached per corpus — repeat queries never re-fit.  At
+    100 TB the corpus is then *stored* partitioned by cell, so a query scans
+    only nprobe/k of the data.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
+    model, centers = _ivf_model(df, vec_col)
     withvec = df.withColumn("__v", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=IVF_CLUSTERS, seed=IVF_SEED, featuresCol="__v", predictionCol="cell")
-    model = km.fit(withvec)
     assigned = model.transform(withvec).drop("__v")
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centers
 
 

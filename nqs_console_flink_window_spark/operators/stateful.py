@@ -67,3 +67,88 @@ def per_key_trend(df: DataFrame, key_col: str, x_col: str, y_col: str) -> DataFr
         return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], "slope": [slope], "n": [n]})
 
     return df.groupBy(key_col).applyInPandas(fit, out_schema)
+
+
+COUNT_OR_TIME_OUTPUT = (
+    "key string, fire_seq bigint, n_records bigint, sum_value double, reason string"
+)
+COUNT_OR_TIME_STATE = "pending bigint, pending_sum double, fired bigint"
+
+
+def count_or_time_fires(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    max_count: int = 1000,
+    timeout_ms: int = 10_000,
+) -> DataFrame:
+    """W2 — the reference's count-or-time trigger as a literal stateful
+    operator (time/TimeCountMessageTrigger.java:46-104): per key, a window
+    "fires" (emits an aggregate row and purges its state) as soon as the
+    buffered record count reaches ``max_count``, or when ``timeout_ms`` of
+    processing time passes with pending records — whichever comes first.
+
+    This is the exact FIRE_AND_PURGE semantics of the reference trigger
+    (count path = onElement >= maxCount; time path = onProcessingTime before
+    window end), expressed with ``applyInPandasWithState`` +
+    ``ProcessingTimeTimeout``.  State is two scalars per key (pending count
+    and pending sum) — bounded, RocksDB-friendly; the rows themselves are
+    aggregated on arrival, never buffered.
+
+    The operational analogue for plain batching remains the
+    trigger/input-cap pair (streaming/jobs.py); use this when fire-exactly-
+    at-N semantics are genuinely required.
+
+    Run it under a processing-time trigger and stop explicitly: wall-clock
+    timers keep an ``availableNow`` drain alive indefinitely (the trigger
+    never reports "done" while timeouts are outstanding), which is the same
+    live-clock requirement the reference trigger has.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            pending, pending_sum, fired = state.get
+            state.remove()
+            if pending > 0:
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "fire_seq": [fired],
+                        "n_records": [pending],
+                        "sum_value": [pending_sum],
+                        "reason": ["time"],
+                    }
+                )
+            return
+        pending, pending_sum, fired = state.get if state.exists else (0, 0.0, 0)
+        out = []
+        for pdf in pdfs:
+            # aggregate-on-arrival: count/sum only, rows are not buffered
+            pending += len(pdf)
+            pending_sum += float(pdf[value_col].sum())
+            while pending >= max_count:
+                # FIRE_AND_PURGE at exactly max_count (count path).  The
+                # per-fire sum is apportioned pro rata — the reference's
+                # trigger emits the *batch* downstream; here the aggregate
+                # is the demonstration payload.
+                fire_sum = pending_sum * (max_count / pending)
+                out.append((key[0], fired, max_count, fire_sum, "count"))
+                pending -= max_count
+                pending_sum -= fire_sum
+                fired += 1
+        state.update((pending, pending_sum, fired))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "fire_seq", "n_records", "sum_value", "reason"],
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        COUNT_OR_TIME_OUTPUT,
+        COUNT_OR_TIME_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -42,6 +42,19 @@ def write_facts(
     df.write.mode(mode).partitionBy(date_col).parquet(out_dir)
 
 
+def idempotent_batch_write(
+    df: DataFrame, base_dir: str, batch_id: int, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """S2 exactly-once-ish landing for foreachBatch sinks: each micro-batch
+    owns (and overwrites) the ``batch_id=<id>`` subpath, so an at-least-once
+    replay of the same batch cannot double-append.  Readers see batch_id as
+    a discovered partition column and project it away."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(f"{base_dir}/batch_id={batch_id}")
+
+
 def drop_expired_partitions(out_dir: str, date_col: str, keep_months: int = 3,
                             today: date | None = None) -> list[str]:
     """TTL enforcement as a partition-drop job (DDL `TTL ... + INTERVAL 3
@@ -76,21 +89,34 @@ def compact_partition(
 ) -> int:
     """Small-file compaction for one day partition: streaming appends leave
     one file per micro-batch; periodic compaction rewrites the partition to
-    ``target_files`` files.  Partition-scoped (reads/writes only that
-    directory), so it can run online next to the streaming writer — the
-    ClickHouse background-merge analogue, scheduled instead of implicit.
+    ``target_files`` files — the ClickHouse background-merge analogue,
+    scheduled instead of implicit.
+
+    Safe next to a live streaming writer: the input file list is snapshotted
+    FIRST and the compaction reads exactly that snapshot (``spark.read.parquet``
+    on the explicit file list), compacted files are moved in alongside, and
+    only the snapshotted inputs are deleted — a file appended concurrently is
+    never read, never deleted, and the partition directory never disappears.
+    Crash window: dying between the move-in and the input-delete leaves
+    duplicates (at-least-once), repaired by the next compaction pass or the
+    A5 dedup-on-read — never data loss.
 
     Returns the number of files after compaction.
     """
     import glob as _glob
+    import uuid as _uuid
 
     part_path = f"{out_dir}/{date_col}={part_value}"
-    df = spark.read.parquet(part_path)
+    inputs = sorted(_glob.glob(f"{part_path}/*.parquet"))
+    if not inputs:
+        return 0
+    df = spark.read.parquet(*inputs)  # snapshot only — concurrent appends unseen
     tmp_path = f"{part_path}__compact"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp_path)
-    shutil.rmtree(part_path)
-    Path(tmp_path).rename(part_path)
-    # drop _SUCCESS markers so the partition dir holds only data files
-    for marker in _glob.glob(f"{part_path}/_SUCCESS*"):
-        Path(marker).unlink()
+    stamp = _uuid.uuid4().hex[:8]
+    for i, f in enumerate(sorted(Path(tmp_path).glob("*.parquet"))):
+        f.rename(Path(part_path) / f"compact-{stamp}-{i:05d}.parquet")
+    shutil.rmtree(tmp_path)
+    for f in inputs:
+        Path(f).unlink(missing_ok=True)
     return len(_glob.glob(f"{part_path}/*.parquet"))

@@ -31,6 +31,7 @@ from ..operators import parse as P
 from ..operators.windows import dsum_col, tumbling_agg
 from ..sources.batch import load_table
 from ..sources.streams import read_events_stream
+from ..sinks import writers as W
 
 # ---------------------------------------------------------------------------
 # Topology 1 — task data (the flagship §3.1 lifecycle)
@@ -88,17 +89,23 @@ def run_fact_stream(
         batch_df = batch_df.persist()  # one scan feeds facts + dead letter
         try:
             out = fact_transform(batch_df, customer, dispatch_sql)
-            (
-                out.withColumn("w_date", F.to_date("w_start"))
-                .write.mode("append")
-                .partitionBy("w_date")  # day partitions, DDL PARTITION BY test_time_d
-                .parquet(out_dir)
+            # Idempotent landing: each micro-batch owns the batch_id=<id>
+            # subpath and overwrites it, so a foreachBatch replay after a
+            # partial write cannot double-append (foreachBatch is
+            # at-least-once; the reference leaned on ReplacingMergeTree for
+            # the same repair).  Readers treat batch_id as a partition
+            # column and simply project it away.
+            W.idempotent_batch_write(
+                out.withColumn("w_date", F.to_date("w_start")),
+                out_dir,
+                batch_id,
+                partition_cols=("w_date",),  # day partitions, DDL PARTITION BY test_time_d
             )
             # Dead-letter branch: the badMsg records the reference only logs
             # and drops (DataMessage.java:21-41) land in a rejects table.
             rejects = P.invalid(batch_df, ["event_type", "user_id"])
             if rejects.limit(1).count() > 0:
-                rejects.write.mode("append").parquet(f"{out_dir}_rejects")
+                W.idempotent_batch_write(rejects, f"{out_dir}_rejects", batch_id)
         finally:
             batch_df.unpersist()
 

@@ -22,6 +22,29 @@ def test_dialect_md5_int_parity(spark) -> None:
         assert s == d
 
 
+def test_dialect_bitops_and_hash_parity(spark) -> None:
+    """The remaining equivalences the dialect docstring claims: bit_count,
+    octet_length, sha256 hex, shiftleft, xor."""
+    con = duckdb.connect()
+    for n in (0, 1, 255, 2**40 + 12345):
+        s = spark.sql(f"SELECT bit_count(CAST({n} AS BIGINT)) AS v").collect()[0].v
+        d = con.execute(f"SELECT bit_count(CAST({n} AS BIGINT)) AS v").fetchone()[0]
+        assert s == d, f"bit_count({n})"
+        s = spark.sql(f"SELECT {X.shiftleft(X.SPARK, '1', str(n % 62))} AS v").collect()[0].v
+        d = con.execute(f"SELECT {X.shiftleft(X.DUCK, '1', str(n % 62))} AS v").fetchone()[0]
+        assert s == d, f"shiftleft(1, {n % 62})"
+        s = spark.sql(f"SELECT {X.xor(X.SPARK, str(n), '12345')} AS v").collect()[0].v
+        d = con.execute(f"SELECT {X.xor(X.DUCK, str(n), '12345')} AS v").fetchone()[0]
+        assert s == d, f"xor({n}, 12345)"
+    for probe in ("abc", "the quick brown fox", "你好"):
+        s = spark.sql(f"SELECT octet_length({probe!r}) AS v").collect()[0].v
+        d = con.execute(f"SELECT octet_length(encode({probe!r})) AS v").fetchone()[0]
+        assert s == d, f"octet_length({probe!r})"
+        s = spark.sql(f"SELECT {X.sha256_hex(X.SPARK, repr(probe))} AS v").collect()[0].v
+        d = con.execute(f"SELECT {X.sha256_hex(X.DUCK, repr(probe))} AS v").fetchone()[0]
+        assert s == d, f"sha256({probe!r})"
+
+
 def test_ann_recall_vs_brute_force(spark) -> None:
     """Multi-table hyperplane LSH must recover most of the exact top-10."""
     emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
@@ -125,3 +148,51 @@ def test_per_user_trend_matches_closed_form(spark) -> None:
         denom = r.n * r.sxx - r.sx * r.sx
         want = (r.n * r.sxy - r.sx * r.sy) / denom if denom else 0.0
         assert abs(got[r.user_id] - want) < 1e-6 * max(1.0, abs(want)), r.user_id
+
+
+def test_simhash_banded_equals_all_pairs() -> None:
+    """The banded candidate generation (pigeonhole over max_dist+1 bands) is
+    provably complete for Hamming distance <= max_dist: its histogram must
+    equal the brute-force all-pairs histogram."""
+    import duckdb
+
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.functions import dialect as X
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    banded = con.execute(
+        DD.simhash_hamming_hist_sql(X.DUCK, max_dist=3)
+    ).fetchall()
+    all_pairs_sql = f"""
+WITH sig AS ({DD.simhash_sql(X.DUCK)})
+SELECT bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming,
+       COUNT(*) AS n_pairs
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+GROUP BY 1
+"""
+    brute = con.execute(all_pairs_sql).fetchall()
+    assert sorted(banded) == sorted(brute)
+
+
+def test_ivf_quantizer_cached_across_calls(spark) -> None:
+    """The IVF coarse quantizer is an index-build artifact: two queries over
+    the same corpus must reuse the fitted model, not re-fit per call."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.operators import similarity as SIM
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").filter("vec_id <> 0")
+    SIM._IVF_MODELS.clear()
+    dim = len(emb.select("embedding").first()[0])
+    SIM.ivf_topk(emb, [0.1] * dim, k=5)
+    assert len(SIM._IVF_MODELS) == 1
+    model_id = id(next(iter(SIM._IVF_MODELS.values()))[0])
+    SIM.ivf_topk(emb, [0.9] * dim, k=5)
+    assert len(SIM._IVF_MODELS) == 1
+    assert id(next(iter(SIM._IVF_MODELS.values()))[0]) == model_id

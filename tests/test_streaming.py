@@ -230,3 +230,82 @@ def test_progress_collector_counts_rows(spark, tmp_path) -> None:
         assert collector.total_rows == total
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_idempotent_batch_write_replay(spark, tmp_path) -> None:
+    """S2 idempotence: replaying the same micro-batch (foreachBatch is
+    at-least-once) overwrites its own batch_id subpath instead of
+    double-appending — total row count is unchanged."""
+    from nqs_console_flink_window_spark.sinks.writers import idempotent_batch_write
+
+    out = str(tmp_path / "facts")
+    df = spark.range(100).withColumn("w_date", F.lit("2024-01-01"))
+    idempotent_batch_write(df, out, 0, partition_cols=("w_date",))
+    idempotent_batch_write(df, out, 1, partition_cols=("w_date",))
+    assert spark.read.parquet(out).count() == 200
+    # replay batch 1 (e.g. crash after a partial write, checkpoint re-runs it)
+    idempotent_batch_write(df, out, 1, partition_cols=("w_date",))
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == 200
+    assert set(r["batch_id"] for r in replayed.select("batch_id").distinct().collect()) == {0, 1}
+
+
+def test_count_or_time_trigger_fires_at_exact_count(spark, tmp_path) -> None:
+    """W2 literal semantics: every count-path fire carries exactly max_count
+    records, per-key count-fire totals match floor(total/max_count), and the
+    remainder flushes through the time path once timeout_ms elapses.
+
+    ProcessingTimeTimeout timers need a live clock, so the query runs under a
+    processing-time trigger and is stopped explicitly once the expected fires
+    land (availableNow would drain the files but never terminate while
+    wall-clock timers are outstanding)."""
+    import collections
+    import time
+
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.operators.stateful import count_or_time_fires
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    totals = {
+        r["event_type"]: r["cnt"]
+        for r in raw.groupBy("event_type").count().withColumnRenamed("count", "cnt").collect()
+    }
+    want_count_fires = sum(t // 60 for t in totals.values())
+    want_time_fires = sum(1 for t in totals.values() if t % 60)
+    src = str(tmp_path / "src")
+    raw.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(raw.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sink = "cot_fires"
+    q = (
+        count_or_time_fires(stream, "event_type", max_count=60, timeout_ms=3_000)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            fires = spark.sql(f"SELECT * FROM {sink}").collect()
+            n_count = sum(1 for r in fires if r["reason"] == "count")
+            n_time = sum(1 for r in fires if r["reason"] == "time")
+            if n_count >= want_count_fires and n_time >= want_time_fires:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    fires = spark.sql(f"SELECT * FROM {sink}").collect()
+    assert all(r["n_records"] == 60 for r in fires if r["reason"] == "count")
+    fired = collections.Counter(r["key"] for r in fires if r["reason"] == "count")
+    for k, total in totals.items():
+        assert fired.get(k, 0) == total // 60, (k, total, fired.get(k))
+    # time path: each key's remainder flushed exactly once, with the leftover
+    remainders = {r["key"]: r["n_records"] for r in fires if r["reason"] == "time"}
+    for k, total in totals.items():
+        if total % 60:
+            assert remainders.get(k) == total % 60, (k, total, remainders.get(k))
