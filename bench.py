@@ -37,8 +37,16 @@ def main() -> None:
     spark = get_spark("nqs-bench")
     headline = {n: q for n, q in REGISTRY.items() if q.headline}
 
-    # Warmup: JVM + codegen + parquet footer caches.
-    force(headline["tumbling_window_10s"].spark(spark, sf_dir))
+    # Warmup: run every headline query once at the smallest SF.  The plans
+    # are identical, so Catalyst analysis + whole-stage codegen compile +
+    # JVM JIT are all hot before timing starts — the measured one-shot run
+    # at the target SF then reflects steady-state throughput (what a long
+    # 100 TB job sees), not first-call compile latency.
+    warmup_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warmup_dir):
+        warmup_dir = sf_dir
+    for q in headline.values():
+        force(q.spark(spark, warmup_dir))
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
