@@ -1,0 +1,107 @@
+"""Near-duplicate clustering: connected components over LSH candidate pairs.
+
+The dedup chain's terminal stage — MinHash signatures → LSH banding →
+candidate pairs (operators/dedup_text.py) are edges of a similarity graph;
+the duplicate *groups* are its connected components, and the deduplicated
+corpus keeps one canonical document per component.
+
+Scale design (100 TB):
+- The component algorithm is bounded iterative min-label propagation over
+  DataFrames: each round is one shuffle (edges ⋈ labels, groupBy dst,
+  min-combine is map-side partial), with ``localCheckpoint`` truncating the
+  lineage so round N's plan does not replay rounds 1..N-1.  Rounds needed =
+  component diameter; near-dup components are clique/star-shaped (every dup
+  shares bands with most others), so diameter is tiny — the ``max_rounds``
+  cap is a safety valve, not a tuning knob.  For adversarial long-chain
+  graphs the same loop accepts the large-star/small-star edge rewrite; the
+  propagation step is unchanged.
+- The convergence probe is ``limit(1).count()`` on the changed-rows filter —
+  an O(1)-output action against the already-checkpointed round result, not a
+  collect of data.
+- Spark 4.1's ``WITH RECURSIVE`` cannot express this fixpoint at all: it
+  supports only UNION ALL recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+  and label propagation over a cyclic (bidirectional) edge set needs
+  distinct-dedup to terminate.  The DuckDB oracle uses the UNION-distinct
+  recursive form; on Spark the bounded iterative loop IS the right engine
+  shape — and it additionally gives the 100 TB controls recursion hides:
+  per-round checkpointing, round metrics, and a hard round bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dialect as X
+from . import dedup_text as DD
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Min-label propagation: returns (id, lbl) where ``lbl`` is the smallest
+    node id in the component.  ``edges`` must be directed both ways (src,
+    dst); ``nodes`` is one column ``id`` covering every vertex (isolated
+    vertices become singleton components).
+    """
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    for _ in range(max_rounds):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("msg"))
+        )
+        joined = (
+            labels.join(msgs, labels["id"] == msgs["dst"], "left")
+            .select(labels["id"], "lbl", "msg")
+            .localCheckpoint()
+        )
+        if joined.where("msg IS NOT NULL AND msg < lbl").limit(1).count() == 0:
+            return joined.select("id", "lbl")
+        labels = joined.select(
+            "id", F.least("lbl", F.coalesce("msg", "lbl")).alias("lbl")
+        )
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+
+def dedup_clusters_df(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) for every document;
+    cluster_id = min doc_id in the component, canonical = that minimum."""
+    from pyspark.sql.window import Window
+
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(edges, nodes)
+    return (
+        comp.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def dedup_clusters_oracle_sql(table: str = "documents") -> str:
+    """DuckDB oracle: the same components via a recursive min-label CTE
+    (UNION-distinct recursion terminates on cycles)."""
+    pairs = DD.minhash_lsh_pairs_sql(X.DUCK, table)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""

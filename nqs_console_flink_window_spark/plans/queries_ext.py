@@ -10,7 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dialect as X
+from ..operators import dedup_cluster as DC
 from ..operators import dedup_text as DD
+from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
 from ..sources.batch import load_table, register_temp_views
@@ -73,7 +75,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
 FROM documents GROUP BY md5(text)
 """,
-    doc="Extension — exact dedup via content-hash groupBy (keep lowest id)",
+    doc="Extension — exact dedup via content-hash groupBy (keep lowest id); "
+    "driver-gated end-to-end through training_sample (its dedup stage)",
+    tier=2,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -99,7 +103,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_pairs",
     sql=DD.minhash_lsh_pairs_sql(X.DUCK),
-    doc="Extension — LSH banding (4 bands x 2 rows) candidate near-dup pairs",
+    doc="Extension — LSH banding (4 bands x 2 rows) candidate near-dup pairs; "
+    "driver-gated end-to-end through dedup_clusters (pairs are its edges and "
+    "its oracle recomputes the full shingle->signature->band chain)",
+    tier=2,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -360,6 +367,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Merged ANN driver row — both index families, one rows-only check
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering + training-corpus assembly (the dedup chain's terminal
+# stages: components over LSH pairs; dedup -> quality -> cap -> sample)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    sql=DC.dedup_clusters_oracle_sql(),
+    doc="Extension — near-dup components over MinHash-LSH candidate pairs "
+    "(bounded iterative min-label propagation, localCheckpoint per round); "
+    "cluster_id = min doc_id, one canonical doc per cluster; oracle is a "
+    "recursive min-label CTE over the same recomputed chain",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    pairs = spark.sql(DD.minhash_lsh_pairs_sql(X.SPARK))
+    docs = load_table(spark, sf_dir, "documents")
+    return DC.dedup_clusters_df(pairs, docs)
+
+
+@register(
+    "training_sample",
+    sql=SMP.training_sample_sql(X.DUCK),
+    doc="Extension — C4-style corpus assembly in one pipeline: exact dedup "
+    "(ROW_NUMBER over md5(text)) -> own-language quality filter -> per-source "
+    "cap (max N docs per source by quality) -> deterministic stratified "
+    "sampling (md5-hash mod 100 vs per-language rate; reproducible, no RNG)",
+)
+def training_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(SMP.training_sample_sql(X.SPARK))
 
 
 @register(

@@ -196,3 +196,66 @@ def test_ivf_quantizer_cached_across_calls(spark) -> None:
     SIM.ivf_topk(emb, [0.9] * dim, k=5)
     assert len(SIM._IVF_MODELS) == 1
     assert id(next(iter(SIM._IVF_MODELS.values()))[0]) == model_id
+
+
+def test_connected_components_multi_hop_chain(spark) -> None:
+    """Min-label propagation must traverse multi-hop chains (label travels
+    the diameter, not one hop) and keep isolated nodes as singletons."""
+    from nqs_console_flink_window_spark.operators.dedup_cluster import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5, pair 10-11, isolated 20
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "id bigint"
+    )
+    got = {r["id"]: r["lbl"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_clusters_cluster_invariants(spark) -> None:
+    """Component invariants on the fixture: cluster_id is the min doc_id of
+    its members, sizes are consistent, every LSH pair lands in one cluster
+    (pairs are edges, so endpoints must share a component)."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+    from nqs_console_flink_window_spark.plans.queries_ext import dedup_clusters
+
+    rows = dedup_clusters(spark, SMOKE_SF_DIR).collect()
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    members: dict = {}
+    for r in rows:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+    for cid, docs in members.items():
+        assert cid == min(docs)
+    sizes = {r["doc_id"]: r["cluster_size"] for r in rows}
+    for r in rows:
+        assert sizes[r["doc_id"]] == len(members[r["cluster_id"]])
+    pairs = spark.sql(DD.minhash_lsh_pairs_sql("spark")).collect()
+    assert pairs, "fixture should produce candidate pairs"
+    for p in pairs:
+        assert cluster_of[p["doc_a"]] == cluster_of[p["doc_b"]]
+
+
+def test_training_sample_pipeline_invariants(spark) -> None:
+    """Stage invariants: per-source cap respected, quality floor enforced,
+    and the hash-sample is deterministic (same rows on a re-run)."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.operators import sampling as SMP
+    from nqs_console_flink_window_spark.plans.queries_ext import training_sample
+
+    rows = training_sample(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    per_source: dict = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        assert r["quality_score"] >= SMP.MIN_QUALITY
+        assert r["sample_pct"] == SMP.LANG_PCT.get(r["lang"], SMP.DEFAULT_PCT)
+    assert max(per_source.values()) <= SMP.CAP_PER_SOURCE
+    again = {r["doc_id"] for r in training_sample(spark, SMOKE_SF_DIR).collect()}
+    assert again == {r["doc_id"] for r in rows}
