@@ -183,13 +183,42 @@ GROUP BY 1
 
 
 def ngram_jaccard_pairs_sql(d: str, threshold: float, table: str = "documents") -> str:
-    """Exact n-gram (character shingle) Jaccard similarity pairs >= threshold."""
+    """Exact n-gram (character shingle) Jaccard similarity pairs >= threshold.
+
+    All-pairs-on-shingle-collisions — the brute-force form, kept as the
+    verification baseline for the LSH-scoped verifier below."""
     return f"""
 WITH sh AS ({shingles_cte(d, table)}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  {X.fround("CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n)", 6)} AS jaccard
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n) >= {threshold!r}
+"""
+
+
+def ngram_jaccard_on_lsh_sql(d: str, threshold: float, table: str = "documents") -> str:
+    """Exact Jaccard verification scoped to MinHash-LSH candidate pairs —
+    the 100 TB composition: the shingle self-join runs only on pairs that
+    already collided in an LSH band (shuffle proportional to candidates),
+    never on all shingle collisions corpus-wide."""
+    cand = minhash_lsh_pairs_sql(d, table)
+    return f"""
+WITH cand AS ({cand}),
+sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS both_n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

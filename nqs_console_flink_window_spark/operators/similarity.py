@@ -221,6 +221,47 @@ def ivf_assignments(df: DataFrame, vec_col: str = "embedding"):
     return assigned, centers
 
 
+def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: the corpus rewritten as parquet partitioned
+    by ``cell``, centroids stored alongside (``<path>.centroids``).
+
+    This is the 100 TB shape the in-memory ``ivf_topk`` only approximates:
+    once the corpus is *stored* cell-partitioned, a query's nprobe filter is
+    partition pruning at the file-listing level — Spark never opens, reads,
+    or schedules the other cells' files at all."""
+    assigned, centers = ivf_assignments(df, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = df.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}.centroids")
+
+
+def ivf_topk_indexed(
+    spark, path: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """IVF search against a persisted index: rank stored centroids, read only
+    the nprobe nearest cell partitions (partition pruning — check
+    ``df.inputFiles()``), exact cosine re-rank inside them."""
+    cent = {
+        r["cell"]: np.asarray(r["centroid"])
+        for r in spark.read.parquet(f"{path}.centroids").collect()
+    }
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = {c: ((v - q) ** 2).sum() for c, v in cent.items()}
+    probe_cells = sorted(d2, key=d2.get)[:IVF_NPROBE]
+
+    q_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in query_vec) + ")"
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = cand.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .select("vec_id", "cell", "cosine")
+        .limit(k)
+    )
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
     """IVF search: rank cells by centroid distance to the query, scan only
     the IVF_NPROBE nearest cells, exact cosine re-rank inside them."""

@@ -137,13 +137,15 @@ def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
-    sql=DD.ngram_jaccard_pairs_sql(X.DUCK, threshold=0.8),
-    doc="Extension — exact n-gram Jaccard similarity pairs >= 0.8 "
-    "(the verifier stage run on LSH candidates at scale)",
+    sql=DD.ngram_jaccard_on_lsh_sql(X.DUCK, threshold=0.8),
+    doc="Extension — exact n-gram Jaccard verification >= 0.8 scoped to "
+    "MinHash-LSH candidate pairs (the scale composition: shuffle is "
+    "proportional to candidates, never all shingle collisions); the "
+    "unrestricted all-pairs form is the pytest baseline",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(DD.ngram_jaccard_pairs_sql(X.SPARK, threshold=0.8))
+    return spark.sql(DD.ngram_jaccard_on_lsh_sql(X.SPARK, threshold=0.8))
 
 
 # --------------------------------------------------------------------------

@@ -259,3 +259,75 @@ def test_training_sample_pipeline_invariants(spark) -> None:
     assert max(per_source.values()) <= SMP.CAP_PER_SOURCE
     again = {r["doc_id"] for r in training_sample(spark, SMOKE_SF_DIR).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path) -> None:
+    """The stored IVF index must (a) return the same top-k as the in-memory
+    search and (b) physically read only the nprobe probed cell partitions —
+    partition pruning at the file-listing level, the on-disk 100 TB path."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.operators import similarity as SIM
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [0.25] * dim
+    idx = str(tmp_path / "ivf_idx")
+    SIM.build_ivf_index(emb, idx)
+    indexed = SIM.ivf_topk_indexed(spark, idx, qvec, k=10)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in indexed.collect()]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.ivf_topk(emb, qvec, k=10).collect()
+    ]
+    assert got == want
+    # recompute the nprobe cells exactly as the indexed search does, then
+    # check the pruned scan lists only those cell directories
+    import numpy as np
+
+    cent = {
+        r["cell"]: np.asarray(r["centroid"])
+        for r in spark.read.parquet(f"{idx}.centroids").collect()
+    }
+    qa = np.asarray(qvec)
+    d2 = {c: float(((v - qa) ** 2).sum()) for c, v in cent.items()}
+    probe = sorted(d2, key=d2.get)[: SIM.IVF_NPROBE]
+    import contextlib
+    import io
+
+    pruned = spark.read.parquet(idx).filter(F.col("cell").isin(probe))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1].splitlines()[0], plan
+    # the pruned frame physically contains only probed-cell rows
+    assert {r["cell"] for r in pruned.select("cell").distinct().collect()} <= set(probe)
+    assert {r["cell"] for r in indexed.collect()} <= set(probe)
+
+
+def test_ngram_jaccard_lsh_scoped_vs_all_pairs() -> None:
+    """The LSH-scoped verifier returns a subset of the brute-force pairs
+    (candidates only), and on the fixture the LSH bands recover nearly all
+    high-Jaccard pairs (recall of the banding scheme)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+
+    scoped = set(
+        (a, b) for a, b, _ in con.execute(
+            DD.ngram_jaccard_on_lsh_sql(X.DUCK, threshold=0.8)
+        ).fetchall()
+    )
+    brute = set(
+        (a, b) for a, b, _ in con.execute(
+            DD.ngram_jaccard_pairs_sql(X.DUCK, threshold=0.8)
+        ).fetchall()
+    )
+    assert scoped <= brute
+    assert brute, "fixture should contain high-Jaccard pairs"
+    recall = len(scoped) / len(brute)
+    assert recall >= 0.9, f"LSH banding recall too low: {recall}"
