@@ -139,3 +139,21 @@ def test_fact_side_joins_are_not_broadcast(spark) -> None:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_no_scale_antipatterns_across_registry(spark) -> None:
+    """Fleet-wide plan guard: no registered query may plan a CartesianProduct
+    or a row-at-a-time Python UDF (BatchEvalPython); BroadcastNestedLoopJoin
+    is allowed only where a broadcast-singleton side makes it the right
+    strategy (cosine_topk broadcasts one query vector; geo_range_join
+    broadcasts the MB-scale IP-range dim for its non-equi lookup)."""
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    bnlj_ok = {"cosine_topk", "geo_range_join"}
+    for name, q in REGISTRY.items():
+        plan = q.spark(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"

@@ -211,6 +211,50 @@ def test_compaction_preserves_rows(spark, tmp_path) -> None:
     assert spark.read.parquet(out).count() == ev.count()
 
 
+def test_compaction_spares_concurrent_append(spark, tmp_path, monkeypatch) -> None:
+    """Online-safety property: a file appended AFTER the input snapshot was
+    taken (a concurrent micro-batch landing mid-compaction) must survive —
+    the compactor deletes only the files it snapshotted and read, so no
+    concurrent write is ever read-skipped AND deleted (the round-1 advisor's
+    rmtree/rename data-loss window)."""
+    import glob as glob_mod
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events").withColumn("d", F.to_date("ts"))
+    out = str(tmp_path / "facts")
+    for i in range(4):
+        W.write_facts(ev.filter(F.col("event_id") % 5 == i), out, "d")
+    day = "2024-01-03"
+    part = f"{out}/d={day}"
+    full_rows = spark.read.parquet(part).count()
+
+    # the "concurrent" file: present on disk but hidden from the snapshot
+    # glob, exactly as if it landed between the snapshot and the swap
+    late = ev.filter(F.col("event_id") % 5 == 4).filter(F.col("d") == day)
+    late_rows = late.count()
+    assert late_rows > 0
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    late_src = glob_mod.glob(str(tmp_path / "late" / "*.parquet"))[0]
+    real_glob = glob_mod.glob
+
+    def snapshot_then_land(pattern, **kw):
+        files = real_glob(pattern, **kw)
+        if pattern.startswith(part):
+            import shutil
+
+            shutil.copy(late_src, f"{part}/late-concurrent.parquet")
+            return [f for f in files if "late-concurrent" not in f]
+        return files
+
+    monkeypatch.setattr(glob_mod, "glob", snapshot_then_land)
+    W.compact_partition(spark, out, "d", day, target_files=1)
+    monkeypatch.setattr(glob_mod, "glob", real_glob)
+
+    import os
+
+    assert os.path.exists(f"{part}/late-concurrent.parquet")
+    assert spark.read.parquet(part).count() == full_rows + late_rows
+
+
 def test_progress_collector_counts_rows(spark, tmp_path) -> None:
     """Observability — the StreamingQueryListener sees every micro-batch."""
     from nqs_console_flink_window_spark.streaming.metrics import ProgressCollector
