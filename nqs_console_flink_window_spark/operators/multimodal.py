@@ -101,6 +101,51 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' stand-in: a real pixel resample needs codecs (stubbed, like
+    ``_decode_stub``); the Spark plumbing is the production shape — payload
+    transformed in an Arrow-batched kernel, metadata rebuilt to the target
+    dimensions JVM-side afterwards.
+
+    Deterministic fake kernel: stride-decimate payload bytes down to
+    <= ``target_bytes`` (byte j survives iff j % stride == 0)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = []
+            for p in pdf["payload"]:
+                stride = max(1, len(p) // target_bytes) if p else 1
+                small.append(bytes(p[::stride]) if p else b"")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": small,
+                    "n_bytes": [len(s) for s in small],
+                }
+            )
+
+    resized = media.select("media_id", "payload").mapInPandas(kernel, out_schema)
+    side = int(target_bytes**0.5)
+    return resized.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(side).cast("int").alias("width"),
+            F.lit(side).cast("int").alias("height"),
+            F.col("n_bytes").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every N bytes (the same
     substring/stride plumbing a video frame sampler needs), JVM-side only."""

@@ -96,3 +96,30 @@ def fingerprint_expr(d: str, text: str = "text") -> str:
     """Deterministic document fingerprint (content-defined identity for
     dedup): md5 of the whitespace-normalized lowercased text."""
     return f"md5(trim(lower({text})))"
+
+
+WINNOW_SHINGLE = 8
+WINNOW_STEP = 4
+
+
+def winnow_fingerprint_expr(d: str, text: str = "text") -> str:
+    """Winnowing-style rolling-hash fingerprint: the minimum 60-bit hash over
+    the document's character shingles — robust to local edits (an edit
+    changes only the shingles it touches, and the min survives unless the
+    minimal shingle itself was hit), unlike the whole-document md5 above.
+
+    Expressed as a per-row higher-order-function chain (sequence →
+    transform(md5) → array_min): stays JVM-side in Spark / vectorized in
+    DuckDB, no explode and no shuffle."""
+    n = f"greatest(length({text}) - {WINNOW_SHINGLE - 1}, 1)"
+    if d == X.SPARK:
+        seq = f"sequence(1, {n}, {WINNOW_STEP})"
+        hashed = X.arr_transform(
+            d, seq, f"i -> {X.md5_int(d, f'substr({text}, i, {WINNOW_SHINGLE})')}"
+        )
+        return f"array_min({hashed})"
+    seq = f"range(1, {n} + 1, {WINNOW_STEP})"
+    hashed = X.arr_transform(
+        d, seq, f"i -> {X.md5_int(d, f'substr({text}, i, {WINNOW_SHINGLE})')}"
+    )
+    return f"list_min({hashed})"

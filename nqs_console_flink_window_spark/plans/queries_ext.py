@@ -64,6 +64,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_text_stats_sql(X.SPARK))
 
 
+def _winnow_sql(d: str) -> str:
+    return (
+        f"SELECT doc_id, {TX.winnow_fingerprint_expr(d)} AS winnow_fp "
+        "FROM documents"
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    sql=_winnow_sql(X.DUCK),
+    doc="Extension — winnowing rolling-hash fingerprint (min 60-bit shingle "
+    "hash per doc, edit-robust); tier-2: fingerprint family driver-gated via "
+    "text_stats",
+    tier=2,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_winnow_sql(X.SPARK))
+
+
 # --------------------------------------------------------------------------
 # Dedup family
 # --------------------------------------------------------------------------

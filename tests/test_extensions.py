@@ -331,3 +331,39 @@ def test_ngram_jaccard_lsh_scoped_vs_all_pairs() -> None:
     assert brute, "fixture should contain high-Jaccard pairs"
     recall = len(scoped) / len(brute)
     assert recall >= 0.9, f"LSH banding recall too low: {recall}"
+
+
+def test_resize_stub_shapes_and_determinism(spark) -> None:
+    """Resize plumbing: payload shrinks to <= ~target bytes through the Arrow
+    kernel, metadata is rebuilt to the target dims, and the kernel is
+    deterministic."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(20)
+    media = MM.documents_as_media(docs)
+    out = MM.resize(media, target_bytes=64).collect()
+    assert len(out) == 20
+    for r in out:
+        # stride decimation: len//stride + (0 or 1); bounded by 2x target
+        assert r.meta.n_bytes <= 2 * 64
+        assert len(r.payload) == r.meta.n_bytes
+        assert r.meta.width == 8 and r.meta.height == 8
+    again = {r.media_id: bytes(r.payload) for r in MM.resize(media, target_bytes=64).collect()}
+    for r in out:
+        assert again[r.media_id] == bytes(r.payload)
+
+
+def test_winnow_fingerprint_edit_robustness(spark) -> None:
+    """The rolling-hash min-fingerprint must survive a local edit that the
+    whole-document md5 cannot: append a char to the end — winnow_fp usually
+    unchanged, md5 always changes."""
+    from nqs_console_flink_window_spark.operators import text as TX
+
+    rows = spark.sql(
+        f"SELECT {TX.winnow_fingerprint_expr(X.SPARK, 'txt')} AS fp, "
+        f"{TX.fingerprint_expr(X.SPARK, 'txt')} AS md5fp "
+        "FROM (SELECT 'the quick brown fox jumps over the lazy dog' AS txt "
+        "UNION ALL SELECT 'the quick brown fox jumps over the lazy dogX')"
+    ).collect()
+    fps = [r["fp"] for r in rows]
+    md5s = [r["md5fp"] for r in rows]
+    assert fps[0] == fps[1], "local tail edit should not move the shingle min"
+    assert md5s[0] != md5s[1]
