@@ -166,14 +166,18 @@ WITH updates AS (
 )
 SELECT COALESCE(c.c_custkey, u.key) AS c_custkey,
   COALESCE(u.new_bal, c.c_acctbal) AS acctbal,
-  CASE WHEN u.key IS NULL THEN 'kept'
-       WHEN c.c_custkey IS NULL THEN 'inserted'
-       ELSE 'updated' END AS merge_action
+  CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+       WHEN u.key IS NOT NULL THEN 'updated'
+       WHEN c.c_custkey % 6 = 0 THEN 'deleted'
+       ELSE 'kept' END AS merge_action
 FROM customer c
 FULL OUTER JOIN updates u ON c.c_custkey = u.key
 """,
-    doc="S5 — probe-dim diff-sync upsert (ProbeAccessTypeSink.java:48-110) as "
-    "MERGE semantics: update matched, insert unmatched, keep the rest",
+    doc="S5 — probe-dim diff-sync (ProbeAccessTypeSink.java:48-110) as full "
+    "MERGE semantics: update matched, insert unmatched, and DELETE rows "
+    "inside the reporting scope (key space c_custkey % 6 = 0 — the "
+    "reporting probe's ports) that the latest report omitted; rows outside "
+    "the scope are kept untouched",
 )
 def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -186,9 +190,10 @@ def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.coalesce(cust["c_custkey"], updates["key"]).alias("c_custkey"),
         F.coalesce(updates["new_bal"], cust["c_acctbal"]).alias("acctbal"),
-        F.when(updates["key"].isNull(), "kept")
-        .when(cust["c_custkey"].isNull(), "inserted")
-        .otherwise("updated")
+        F.when(cust["c_custkey"].isNull(), "inserted")
+        .when(updates["key"].isNotNull(), "updated")
+        .when(cust["c_custkey"] % 6 == 0, "deleted")
+        .otherwise("kept")
         .alias("merge_action"),
     )
 
