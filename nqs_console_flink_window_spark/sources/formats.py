@@ -44,3 +44,10 @@ def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> Dat
         .option("mode", "PERMISSIVE")
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC is the other columnar interchange format (Hive ecosystems):
+    schema enforced, predicate pushdown and column pruning apply as with
+    parquet."""
+    return spark.read.schema(schema).orc(path)

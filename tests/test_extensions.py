@@ -367,3 +367,44 @@ def test_winnow_fingerprint_edit_robustness(spark) -> None:
     md5s = [r["md5fp"] for r in rows]
     assert fps[0] == fps[1], "local tail edit should not move the shingle min"
     assert md5s[0] != md5s[1]
+
+
+def test_connected_components_random_graph_vs_union_find(spark) -> None:
+    """Randomized cross-check: the DataFrame min-label operator must match a
+    plain union-find on a seeded random graph (long chains + isolated nodes
+    included by construction)."""
+    import random
+
+    from nqs_console_flink_window_spark.operators.dedup_cluster import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    n = 200
+    pairs = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(150)})
+    # force one long chain so diameter > a few hops
+    chain = [(i, i + 1) for i in range(n - 20, n - 1)]
+    pairs = sorted(set(pairs + chain))
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {}
+    for x in range(n):
+        root = find(x)
+        want.setdefault(root, []).append(x)
+    want_label = {x: min(members) for members in want.values() for x in members}
+
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    got = {r["id"]: r["lbl"] for r in connected_components(edges, nodes, max_rounds=40).collect()}
+    assert got == want_label

@@ -106,3 +106,10 @@ def test_csv_json_sources_roundtrip(spark, tmp_path) -> None:
     base = {(r.event_id, r.ts, r.event_type) for r in ev.collect()}
     assert {(r.event_id, r.ts, r.event_type) for r in from_csv.collect()} == base
     assert {(r.event_id, r.ts, r.event_type) for r in from_json.collect()} == base
+
+    from nqs_console_flink_window_spark.sources.formats import read_orc
+
+    orc_dir = str(tmp_path / "orc")
+    ev.write.mode("overwrite").orc(orc_dir)
+    from_orc = read_orc(spark, orc_dir, EVENTS_SCHEMA)
+    assert {(r.event_id, r.ts, r.event_type) for r in from_orc.collect()} == base
