@@ -152,3 +152,57 @@ def count_or_time_fires(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+SEEN_ROUTER_OUTPUT = "key string, route string, n_records bigint"
+SEEN_ROUTER_STATE = "last_seen_ms bigint"
+
+
+def seen_router_stream(
+    stream_df: DataFrame, key_col: str, ttl_ms: int = 60_000
+) -> DataFrame:
+    """R1 with the reference's Redis-TTL semantics, state-store native: the
+    exists-check that routes a probe's first message to the register branch
+    and later messages to heartbeat (ProbeExistsCheck — Redis SETEX seen-key
+    with TTL; expiry makes the probe re-register).
+
+    The seen-marker here is per-key state holding the last-seen wall-clock
+    time: a batch whose arrival is more than ``ttl_ms`` after the marker
+    re-registers, exactly like a lapsed Redis key — and every batch slides
+    the TTL forward, like SETEX-on-write.  Expiry is judged purely from the
+    stored timestamp (NoTimeout), so the operator runs under any trigger,
+    including ``availableNow`` drains — wall-clock timers would pin the
+    query alive (see ``count_or_time_fires``).  The cost: state for keys
+    that never return is not timer-GC'd; a long-lived deployment pairs this
+    with ``ProcessingTimeTimeout`` GC under a live processing-time trigger
+    (the ``count_or_time_fires`` pattern) or a periodic checkpoint rewrite.
+
+    Batch analogue (driver-gated): the ``exists_router`` query computes the
+    same routing with a dim anti-join.
+    """
+    import time as _time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state) -> Iterable[pd.DataFrame]:
+        now_ms = int(_time.time() * 1000)
+        expired = (not state.exists) or (now_ms - state.get[0] > ttl_ms)
+        n = sum(len(p) for p in pdfs)
+        if n == 0:
+            return
+        state.update((now_ms,))
+        if expired:
+            out = [(key[0], "register", 1)]
+            if n > 1:
+                out.append((key[0], "heartbeat", n - 1))
+        else:
+            out = [(key[0], "heartbeat", n)]
+        yield pd.DataFrame(out, columns=["key", "route", "n_records"])
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        SEEN_ROUTER_OUTPUT,
+        SEEN_ROUTER_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

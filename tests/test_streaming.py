@@ -353,3 +353,54 @@ def test_count_or_time_trigger_fires_at_exact_count(spark, tmp_path) -> None:
     for k, total in totals.items():
         if total % 60:
             assert remainders.get(k) == total % 60, (k, total, remainders.get(k))
+
+
+def test_seen_router_registers_once_then_heartbeats_and_reregisters_after_ttl(
+    spark, tmp_path
+) -> None:
+    """R1/Redis-TTL semantics: first message per key -> register, later
+    messages -> heartbeat while the marker is fresh, and a key silent past
+    the TTL re-registers (the lapsed-SETEX behavior)."""
+    import time
+
+    from nqs_console_flink_window_spark.operators.stateful import seen_router_stream
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    df1 = spark.createDataFrame([("p1", 1), ("p1", 2), ("p2", 3)], "probe string, x int")
+    df1.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    out = seen_router_stream(stream, "probe", ttl_ms=3_000)
+
+    def drain() -> list:
+        rows: list = []
+
+        def sink(df, _bid):
+            rows.extend(
+                (r["key"], r["route"], r["n_records"]) for r in df.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(rows)
+
+    assert drain() == [("p1", "heartbeat", 1), ("p1", "register", 1), ("p2", "register", 1)]
+
+    # within TTL: same keys heartbeat, a new key registers
+    spark.createDataFrame([("p1", 4), ("p3", 5)], "probe string, x int").write.mode(
+        "append"
+    ).parquet(src)
+    assert drain() == [("p1", "heartbeat", 1), ("p3", "register", 1)]
+
+    # past TTL: the lapsed key re-registers
+    time.sleep(4)
+    spark.createDataFrame([("p1", 6)], "probe string, x int").write.mode(
+        "append"
+    ).parquet(src)
+    assert drain() == [("p1", "register", 1)]
