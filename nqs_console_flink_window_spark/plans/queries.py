@@ -143,7 +143,9 @@ SELECT event_id, {_PROTO_EXPR} AS protocol, {_DISPATCH_SQL} AS score
 FROM events
 """,
     doc="Q1-Q4 + R3 — per-record protocol dispatch incl. outlier zeroing, "
-    "SPEED hard-zero, unknown-protocol zero",
+    "SPEED hard-zero, unknown-protocol zero; driver-gated via "
+    "score_all_protocols (all 13 configs incl. this dispatch CASE)",
+    tier=2,
 )
 def score_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
