@@ -254,3 +254,55 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "30 seconds") -> 
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join and watermarked stream dedup — the two native
+# Structured Streaming operators completing the streaming surface.  The
+# reference joins streams only via external state (MySQL/Redis probes at
+# process time); the event-time-correct forms are below.  Both bound their
+# state stores by watermark, so they run indefinitely at cluster scale.
+# ---------------------------------------------------------------------------
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    views: DataFrame,
+    key: str = "user_id",
+    lookback_sec: int = 60,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Each click pairs with every view of the same user in the preceding
+    ``lookback_sec`` seconds (Flink DataStream ``intervalJoin`` semantics —
+    the operator family the reference's engine offers but the reference app
+    replaces with external-state probes).  Watermarks on BOTH sides plus the
+    event-time range predicate let Spark expire join state: a view older
+    than watermark + lookback can never match again and is dropped, so
+    state is O(rate x lookback), not O(history).
+    """
+    l_side = clicks.withWatermark("ts", watermark).alias("l")
+    r_side = views.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.ts BETWEEN l.ts - INTERVAL {lookback_sec} SECONDS AND l.ts"
+    )
+    return l_side.join(r_side, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("r.ts").alias("view_ts"),
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 minutes"
+) -> DataFrame:
+    """Streaming A5: drop duplicate keys arriving within the watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the ingest-side repair
+    for an at-least-once Kafka producer, complementing batch last-write-wins
+    dedup on read.  State holds one entry per key seen in the horizon and
+    is evicted by watermark, unlike plain ``dropDuplicates`` whose state
+    grows forever on a stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -404,3 +404,67 @@ def test_seen_router_registers_once_then_heartbeats_and_reregisters_after_ttl(
         "append"
     ).parquet(src)
     assert drain() == [("p1", "register", 1)]
+
+
+def test_interval_join_stream_matches_batch(spark) -> None:
+    """Stream-stream interval join over the drained fixture == the same
+    event-time range join in batch."""
+    ev_stream = read_events_stream(spark, SMOKE_SF_DIR)
+    clicks = ev_stream.filter(F.col("event_type") == "click")
+    views = ev_stream.filter(F.col("event_type") == "view")
+    q = (
+        J.interval_join_stream(clicks, views, lookback_sec=14 * 86400, watermark="30 days")
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT click_id, view_id FROM ij_out").collect()
+    }
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    bl = ev.filter(F.col("event_type") == "click").alias("l")
+    br = ev.filter(F.col("event_type") == "view").alias("r")
+    want = {
+        (r.click_id, r.view_id)
+        for r in bl.join(
+            br,
+            F.expr(
+                "l.user_id = r.user_id AND "
+                "r.ts BETWEEN l.ts - INTERVAL 14 DAYS AND l.ts"
+            ),
+        )
+        .select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("view_id"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_dedup_stream_drops_watermark_horizon_dupes(spark, tmp_path) -> None:
+    """dropDuplicatesWithinWatermark keeps one row per key for duplicates
+    arriving inside the horizon."""
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SMOKE_SF_DIR, "events").limit(200)
+    # duplicate every row (same event_id, same ts) — at-least-once replay
+    ev.union(ev).write.mode("overwrite").parquet(src)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        J.dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT COUNT(DISTINCT event_id) AS d, COUNT(*) AS n FROM dd_out").collect()[0]
+    assert n.n == 200 and n.d == 200
