@@ -127,3 +127,153 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("cnt"),
         F.sum("dsum").cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel — ordered multi-step sequence matching (the Flink-CEP /
+# MATCH_RECOGNIZE family, absent from the reference app but native to its
+# engine).  Stage N counts users whose step-N event happened strictly after
+# their step-(N-1) entry time and within the step window.  Each stage is a
+# keyed min-aggregation plus a time-bounded join on user_id — every join
+# side is already hash-partitioned by user_id from its groupBy, so AQE
+# chains them without extra exchanges.
+# --------------------------------------------------------------------------
+
+_FUNNEL_GAP_DAYS = 7
+
+
+@register(
+    "funnel_conversion",
+    sql=f"""
+WITH v AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+    AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL {_FUNNEL_GAP_DAYS} DAY
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+    AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL {_FUNNEL_GAP_DAYS} DAY
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS step, COUNT(*) AS users FROM v
+UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+""",
+    doc="conversion funnel view->click->purchase (ordered sequence match, "
+    "7-day step windows) — the CEP/MATCH_RECOGNIZE capability class; "
+    "building blocks (keyed min agg + time-bounded equi-join) driver-gated "
+    "via thread_load_cost/enrich_events",
+    tier=2,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.expr(f"INTERVAL {_FUNNEL_GAP_DAYS} DAYS")
+
+    def stage(prev: DataFrame, prev_t: str, etype: str, t: str) -> DataFrame:
+        nxt = ev.filter(F.col("event_type") == etype).alias("e")
+        return (
+            nxt.join(prev.alias("p"), F.col("e.user_id") == F.col("p.user_id"))
+            .filter(
+                (F.col("e.ts") > F.col(f"p.{prev_t}"))
+                & (F.col("e.ts") <= F.col(f"p.{prev_t}") + gap)
+            )
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias(t))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = stage(v, "t1", "click", "t2")
+    p = stage(c, "t2", "purchase", "t3")
+
+    def count_row(df: DataFrame, stage_no: int, step: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage_no).alias("stage"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("users"),
+        )
+
+    return (
+        count_row(v, 1, "view")
+        .unionByName(count_row(c, 2, "click"))
+        .unionByName(count_row(p, 3, "purchase"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill + LOCF — time_bucket_gapfill/locf (TimescaleDB family): a dense
+# hourly grid per user between their first and last event, with the hourly
+# mean carried forward over empty hours.  Grid generation is sequence()+
+# explode (no cross join); LOCF is the same last(ignorenulls) window the
+# as-of join uses.  Grid size is bounded by span/grain per key, not |rows|².
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_locf",
+    sql="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS hour_sum
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(h) AS hmin, MAX(h) AS hmax FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id,
+    unnest(range(hmin, hmax + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
+  FROM spans
+)
+SELECT g.user_id, g.h, hr.hour_sum,
+  last_value(hr.hour_sum IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+""",
+    doc="gap-fill + LOCF — dense hourly grid per key with "
+    "carry-forward interpolation (time_bucket_gapfill/locf family); "
+    "grid via sequence()+explode, fill via the driver-gated "
+    "last(ignorenulls) window (asof_state_join); hourly agg driver-gated "
+    "via tumbling_window_10s",
+    tier=2,
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("hour_sum")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "hour_sum",
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled"),
+    )

