@@ -440,3 +440,41 @@ def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "vec_id", "cosine"
     )
     return lsh.unionByName(ivf)
+
+
+# --------------------------------------------------------------------------
+# Single-pass table profiler (operators/profile.py) — the stats audit run
+# before/after every corpus filter stage.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "profile_documents",
+    sql="""
+SELECT 'doc_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(doc_id) AS n_null,
+  COUNT(DISTINCT doc_id) AS n_distinct,
+  CAST(MIN(doc_id) AS DOUBLE) AS min_num, CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+  NULL, NULL, MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+  NULL, NULL, MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+  CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE), NULL, NULL
+FROM documents
+""",
+    doc="single-pass per-column profile of the documents corpus (n, nulls, "
+    "exact cardinality, ranges) — operators/profile.py; aggregation "
+    "building blocks (global count/distinct/min/max) driver-gated via "
+    "distinct_counts/pricing_summary",
+    tier=2,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["doc_id", "lang", "source", "n_chars"])

@@ -113,3 +113,25 @@ def test_csv_json_sources_roundtrip(spark, tmp_path) -> None:
     ev.write.mode("overwrite").orc(orc_dir)
     from_orc = read_orc(spark, orc_dir, EVENTS_SCHEMA)
     assert {(r.event_id, r.ts, r.event_type) for r in from_orc.collect()} == base
+
+
+def test_profile_single_pass_and_approx(spark) -> None:
+    """Profiler: one job computes all columns; approx mode swaps exact
+    distinct for HLL without changing the row shape."""
+    from nqs_console_flink_window_spark.operators.profile import profile
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    out = {r["col"]: r for r in profile(ev, ["user_id", "event_type", "value"]).collect()}
+    n = ev.count()
+    assert out["user_id"]["n"] == n and out["user_id"]["n_null"] == 0
+    n_users = ev.select("user_id").distinct().count()
+    assert out["user_id"]["n_distinct"] == n_users
+    assert out["event_type"]["min_str"] == "click"  # string range populated
+    assert out["value"]["min_num"] is not None and out["value"]["max_num"] is not None
+    # approx mode: same shape, cardinality within HLL tolerance
+    ap = {r["col"]: r for r in profile(ev, ["user_id"], approx=True).collect()}
+    assert abs(ap["user_id"]["n_distinct"] - n_users) <= max(2, n_users // 10)
+    # single-pass shape: the plan has no join and exactly one Expand for
+    # the multi-column distinct aggregation
+    plan = profile(ev, ["user_id", "event_type"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
