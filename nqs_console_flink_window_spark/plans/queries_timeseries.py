@@ -15,6 +15,10 @@ hypertable-style deployment needs explicitly: event-time as-of join
   read 2-3 orders of magnitude less data; exactness across the cascade is
   guaranteed by keeping the partial sums in DECIMAL (associative) until
   the final cast, per the repo-wide float discipline.
+- ``funnel_conversion``: ordered multi-step sequence matching (the
+  Flink-CEP / MATCH_RECOGNIZE capability class).
+- ``gapfill_locf``: dense per-key time grid with carry-forward
+  interpolation (time_bucket_gapfill/locf family).
 """
 
 from __future__ import annotations
