@@ -138,9 +138,10 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MATCH_RECOGNIZE family, absent from the reference app but native to its
 # engine).  Stage N counts users whose step-N event happened strictly after
 # their step-(N-1) entry time and within the step window.  Each stage is a
-# keyed min-aggregation plus a time-bounded join on user_id — every join
-# side is already hash-partitioned by user_id from its groupBy, so AQE
-# chains them without extra exchanges.
+# keyed min-aggregation plus a time-bounded equi-join on user_id: the
+# stage side reuses its groupBy partitioning, the event side shuffles
+# once per stage — shuffle volume is |events-of-type| per stage, and the
+# tiny per-stage user sets broadcast under AQE.
 # --------------------------------------------------------------------------
 
 _FUNNEL_GAP_DAYS = 7
