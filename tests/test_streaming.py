@@ -468,3 +468,44 @@ def test_dedup_stream_drops_watermark_horizon_dupes(spark, tmp_path) -> None:
     q.awaitTermination()
     n = spark.sql("SELECT COUNT(DISTINCT event_id) AS d, COUNT(*) AS n FROM dd_out").collect()[0]
     assert n.n == 200 and n.d == 200
+
+
+def test_streaming_continuous_aggregate_exact_across_batches(spark, tmp_path) -> None:
+    """Minute-rollup partials landed by a 3-batch stream, re-aggregated to
+    hours, equal the direct raw hour aggregation bit-for-bit — minutes
+    split across batches included (decimal partials are associative)."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    src = str(tmp_path / "src")
+    # 3 source files -> 3 micro-batches; rows of one minute scatter across
+    # batches, so cross-batch partial merging is genuinely exercised
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    J.run_rollup_stream(stream, rollup_dir, str(tmp_path / "ckpt"))
+
+    # at least 2 batch_id partitions landed (3 files, 1 per trigger)
+    import pathlib
+
+    batches = [p.name for p in pathlib.Path(rollup_dir).iterdir() if p.name.startswith("batch_id=")]
+    assert len(batches) >= 2
+
+    got = {
+        (r["event_type"], r["bucket_h"]): (r["cnt"], r["sum_value"])
+        for r in J.hour_rollup_from_minute(spark, rollup_dir).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket_h"]): (r["cnt"], r["sum_value"])
+        for r in ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_h"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
