@@ -478,3 +478,36 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+# --------------------------------------------------------------------------
+# Corpus hygiene: benchmark decontamination + Gopher repetition filter
+# --------------------------------------------------------------------------
+
+from ..operators import decontaminate as DX  # noqa: E402
+
+
+@register(
+    "decontaminate",
+    sql=DX.decontaminate_sql(X.DUCK),
+    doc="Extension — benchmark decontamination: flag corpus docs sharing any "
+    "word 3-gram with the deterministic eval slice (doc_id % 17 = 0); "
+    "hashed-gram broadcast probe, per-doc exact COUNT(DISTINCT); the "
+    "GPT-3/PaLM n-gram overlap test as a one-shuffle Spark plan",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(DX.decontaminate_sql(X.SPARK))
+
+
+@register(
+    "repetition_filter",
+    sql=DX.repetition_sql(X.DUCK),
+    doc="Extension — Gopher-style within-doc repetition quality signals: "
+    "top-2-gram character fraction and duplicated-3-gram character "
+    "fraction with drop flags; integer-exact counts, groupBy-only plan "
+    "(no joins, no UDFs)",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(DX.repetition_sql(X.SPARK))

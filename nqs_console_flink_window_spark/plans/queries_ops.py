@@ -270,7 +270,9 @@ SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
 FROM documents
 """,
     doc="N1 — detail-array explode inheriting parent columns "
-    "(DetailAbstractDataParser.java:35-75 pattern)",
+    "(DetailAbstractDataParser.java:35-75 pattern); tier-2: N1 "
+    "driver-gated via detail_array_explode (explode + geo re-enrich)",
+    tier=2,
 )
 def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -392,7 +394,10 @@ SELECT event_id, user_id, value,
     AS running_sum
 FROM events
 """,
-    doc="§2.10 — analytic window functions (row_number/lag/lead/running sum)",
+    doc="§2.10 — analytic window functions (row_number/lag/lead/running sum); "
+    "tier-2: the same function family is driver-gated via scd2_history "
+    "(lag change detection + lead validity intervals + row_number versions)",
+    tier=2,
 )
 def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -415,7 +420,10 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS cnt
 FROM events GROUP BY event_type
 """,
-    doc="A6 — exact distinct aggregation",
+    doc="A6 — exact distinct aggregation; tier-2: exact COUNT(DISTINCT) "
+    "driver-gated via decontaminate (per-doc distinct hit grams) and "
+    "grouping_analytics",
+    tier=2,
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

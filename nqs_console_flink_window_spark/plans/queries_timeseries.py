@@ -282,3 +282,75 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_sum",
         F.last("hour_sum", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension history: rebuild a type-2 slowly-changing dimension from
+# the event log.  The reference mutates its probe/task dims in place
+# (ProbeHelper upserts, S5); the warehouse-grade form keeps every version
+# with a validity interval, which is also what the as-of join above
+# consumes.  One shuffle on user_id — the change-detection lag, the
+# validity lead, and the version row_number all share the same partition
+# key, so Catalyst plans a single exchange reused by all three windows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_history",
+    sql="""
+WITH ordered AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS uts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, uts AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+    AS valid_to,
+  row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+    AS version,
+  CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) IS NULL
+       THEN 1 ELSE 0 END AS is_current
+FROM changes
+""",
+    doc="SCD type-2 dimension history rebuilt from the event log: "
+    "lag()-based change detection, lead()-based validity intervals, "
+    "row_number() version stamps — the event-sourced form of the "
+    "reference's in-place dim upserts (ProbeHelper/S5), and the producer "
+    "of the state table asof_state_join consumes",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(wo))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.row_number().over(wv).alias("version"),
+        F.when(F.lead("valid_from").over(wv).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )

@@ -1,0 +1,133 @@
+"""Semantic tests for the corpus-hygiene operators (decontaminate,
+repetition_filter) and the SCD2 history rebuild — each verified against an
+independent pure-Python recomputation (a third implementation besides the
+Spark plan and the DuckDB oracle), so a shared SQL-level mistake in the
+query/oracle pair cannot hide."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+from nqs_console_flink_window_spark.operators.decontaminate import (
+    DECON_NGRAM,
+    EVAL_MOD,
+)
+from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+
+def _fround6(x: float) -> float:
+    return math.floor(x * 1.0e6 + 0.5) / 1.0e6
+
+
+def _docs() -> list[tuple[int, str, int]]:
+    return duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+def _grams(text: str, n: int) -> list[str]:
+    toks = text.lower().split(" ")
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_decontaminate_matches_python_sets(spark) -> None:
+    out = {
+        int(r["doc_id"]): r
+        for r in REGISTRY["decontaminate"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .to_dict("records")
+    }
+    eval_grams: set[str] = set()
+    corpus: dict[int, list[str]] = {}
+    for doc_id, text, _ in _docs():
+        g = _grams(text, DECON_NGRAM)
+        if not g:
+            continue
+        if doc_id % EVAL_MOD == 0:
+            eval_grams.update(g)
+        else:
+            corpus[doc_id] = g
+    assert set(out) == set(corpus)  # eval docs excluded, all others present
+    for doc_id, g in corpus.items():
+        row = out[doc_id]
+        hits = {x for x in g if x in eval_grams}
+        assert row["n_grams"] == len(g)
+        assert row["n_hit_grams"] == len(hits)
+        assert row["contaminated"] == (1 if hits else 0)
+        assert row["contamination"] == _fround6(len(hits) / len(g))
+    # the fixture's near-dup documents make the test discriminative:
+    # at least one contaminated doc and at least one clean doc must exist
+    flags = {r["contaminated"] for r in out.values()}
+    assert flags == {0, 1}
+
+
+def test_repetition_filter_matches_python(spark) -> None:
+    out = {
+        int(r["doc_id"]): r
+        for r in REGISTRY["repetition_filter"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .to_dict("records")
+    }
+    for doc_id, text, n_chars in _docs():
+        g2, g3 = _grams(text, 2), _grams(text, 3)
+        if not g2 or not g3:
+            assert doc_id not in out
+            continue
+        c2: dict[str, int] = {}
+        for g in g2:
+            c2[g] = c2.get(g, 0) + 1
+        top2 = max(c * len(g) for g, c in c2.items())
+        c3: dict[str, int] = {}
+        for g in g3:
+            c3[g] = c3.get(g, 0) + 1
+        dup = sum(c * len(g) for g, c in c3.items() if c > 1)
+        allc = sum(c * len(g) for g, c in c3.items())
+        row = out[doc_id]
+        assert row["top_2gram_frac"] == _fround6(top2 / n_chars)
+        assert row["dup_3gram_frac"] == _fround6(dup / allc if allc else 0.0)
+
+
+def test_scd2_history_covers_every_event(spark) -> None:
+    hist = (
+        REGISTRY["scd2_history"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    events = duckdb.sql(
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id "
+        f"FROM read_parquet('{SMOKE_SF_DIR}/events.parquet')"
+    ).fetchdf()
+
+    by_user: dict[int, list] = {}
+    for r in hist.to_dict("records"):
+        by_user.setdefault(int(r["user_id"]), []).append(r)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        # versions are contiguous from 1; exactly one open (current) interval
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(int(r["is_current"]) for r in rows) == 1
+        assert rows[-1]["is_current"] == 1
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            # consecutive versions always change the tracked attribute
+            assert a["event_type"] != b["event_type"]
+
+    # full pure-Python recomputation: sort each user's events by
+    # (ts, event_id), keep rows whose type differs from the previous row —
+    # those are the versions, in order, valid_from = the change row's ts
+    ev_sorted = events.sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in ev_sorted.groupby("user_id"):
+        expect = []
+        prev = None
+        for e in grp.itertuples():
+            if prev is None or e.event_type != prev:
+                expect.append((e.event_type, e.ts))
+            prev = e.event_type
+        rows = by_user[int(uid)]
+        assert [(r["event_type"], r["valid_from"]) for r in rows] == expect
