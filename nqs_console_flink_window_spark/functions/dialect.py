@@ -112,3 +112,9 @@ def positions_from(d: str, table_expr: str, cols: str, n: str, step: int = 1) ->
         f"(SELECT {cols}, unnest(range(1, greatest({n}, 1) + 1, {step})) AS i "
         f"FROM {table_expr})"
     )
+
+
+def explode_tokens(d: str, arr: str) -> str:
+    """Array-to-rows generator usable in a SELECT list: Spark ``explode``
+    (single generator per projection) == DuckDB ``unnest``."""
+    return f"explode({arr})" if d == SPARK else f"unnest({arr})"

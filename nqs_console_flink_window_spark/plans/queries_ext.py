@@ -511,3 +511,46 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DX.repetition_sql(X.SPARK))
+
+
+def _tfidf_sql(d: str, k: int = 3) -> str:
+    # tf/df rational score instead of tf*ln(N/df): the ordering signal is the
+    # same shape, but ln() is libm-dependent (JVM Math.log vs C libm can
+    # differ in the last ulp), while CAST(tf AS DOUBLE)/df is a single
+    # correctly-rounded IEEE divide of small exact integers — bit-identical
+    # on both engines, so the top-k cut and the score column hash-match.
+    toks = X.split_tokens(d, "lower(text)")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, {X.explode_tokens(d, toks)} AS token FROM documents) t
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) / df.df AS score,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                tf.token) AS rnk
+  FROM tf JOIN df ON tf.token = df.token
+)
+SELECT s.doc_id, s.rnk, s.token, s.tf, s.df,
+  {X.fround("s.score * n.n_docs", 6)} AS tfidf_score
+FROM scored s CROSS JOIN n WHERE s.rnk <= {k}
+"""
+
+
+@register(
+    "tfidf_keywords",
+    sql=_tfidf_sql(X.DUCK),
+    doc="Extension — per-document top-3 keywords by idf-weighted frequency "
+    "(rational tf/df form, ln-free for cross-engine bit-exactness): "
+    "token counts, corpus document frequency, windowed top-k cut; "
+    "tier-2: token explode/agg/window families all driver-gated elsewhere",
+    tier=2,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_tfidf_sql(X.SPARK))

@@ -354,3 +354,65 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_current"),
     )
+
+
+@register(
+    "sessionize",
+    sql="""
+WITH t AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS uts
+  FROM events
+),
+flags AS (
+  SELECT user_id, event_id, event_type, uts,
+    CASE WHEN lag(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id)
+              IS NULL
+           OR uts - lag(uts) OVER (PARTITION BY user_id
+                                   ORDER BY uts, event_id)
+              > INTERVAL '4' HOUR
+         THEN 1 ELSE 0 END AS new_sess
+  FROM t
+)
+SELECT user_id, event_id, event_type, uts AS ts,
+  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS session_seq
+FROM flags
+""",
+    doc="gap-based sessionization: assign a per-user session sequence number "
+    "wherever the inter-event gap exceeds 4 h (lag flag + running sum, the "
+    "session-ID-assignment dual of the session_windows aggregate); tier-2: "
+    "session semantics driver-gated via session_windows",
+    tier=2,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("uts"),
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)
+                > 4 * 3600 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    ws_run = Window.partitionBy("user_id").orderBy("uts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flags.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("uts").alias("ts"),
+        F.sum("new_sess").over(ws_run).cast("bigint").alias("session_seq"),
+    )

@@ -131,3 +131,40 @@ def test_scd2_history_covers_every_event(spark) -> None:
             prev = e.event_type
         rows = by_user[int(uid)]
         assert [(r["event_type"], r["valid_from"]) for r in rows] == expect
+
+
+def test_sessionize_gap_semantics(spark) -> None:
+    rows = (
+        REGISTRY["sessionize"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .to_dict("records")
+    )
+    prev: dict[int, tuple] = {}
+    for r in rows:
+        uid = int(r["user_id"])
+        if uid not in prev:
+            assert r["session_seq"] == 1  # first event opens session 1
+        else:
+            pts, pseq = prev[uid]
+            gap = (r["ts"] - pts).total_seconds()
+            if gap > 4 * 3600:
+                assert r["session_seq"] == pseq + 1, r
+            else:
+                assert r["session_seq"] == pseq, r
+        prev[uid] = (r["ts"], r["session_seq"])
+
+
+def test_tfidf_topk_shape_and_score(spark) -> None:
+    out = REGISTRY["tfidf_keywords"].spark(spark, SMOKE_SF_DIR).toPandas()
+    n_docs = len(_docs())
+    for doc_id, grp in out.groupby("doc_id"):
+        g = grp.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 3
+        # scores non-increasing with rank; score recomputes from tf/df/N
+        scores = list(g["tfidf_score"])
+        assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+        for r in g.to_dict("records"):
+            assert r["tfidf_score"] == _fround6(r["tf"] / r["df"] * n_docs)
