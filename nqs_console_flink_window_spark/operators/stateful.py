@@ -206,3 +206,64 @@ def seen_router_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def seen_router_tws(
+    stream_df: DataFrame, key_col: str, ttl_ms: int = 60_000
+) -> DataFrame:
+    """``seen_router_stream`` on the Spark 4 ``transformWithStateInPandas``
+    API: the TTL lives in the state store itself (``getValueState(...,
+    ttlDurationMs=...)``) instead of being re-derived from a stored
+    timestamp — the closest native analogue of the reference's Redis SETEX
+    seen-marker (ProbeExistsCheck): every update slides the TTL forward,
+    and a key silent past the TTL reads as absent, so its next message
+    re-registers.
+
+    Requires the RocksDB state-store provider (transformWithState is
+    RocksDB-only; the JNI jar ships with Spark) — callers/tests set
+    ``spark.sql.streaming.stateStore.providerClass`` accordingly.  TTL
+    expiry is judged passively at state *read* time from the stored expiry
+    stamp, so ``availableNow`` drains work (no wall-clock timers held).
+
+    Environment note: the transformWithState Python worker talks protobuf
+    to the JVM state server, so the ``protobuf`` wheel must be installed
+    (the pytest gates itself with ``importorskip``); the
+    ``applyInPandasWithState`` form above has no such dependency and is the
+    default in this repo.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SeenTTL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "last_ms LONG", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(p) for p in rows)
+            if n == 0:
+                return
+            known = self._seen.exists()
+            self._seen.update(
+                (int(timerValues.getCurrentProcessingTimeInMs()),)
+            )
+            if known:
+                out = [(key[0], "heartbeat", n)]
+            else:
+                out = [(key[0], "register", 1)]
+                if n > 1:
+                    out.append((key[0], "heartbeat", n - 1))
+            yield pd.DataFrame(out, columns=["key", "route", "n_records"])
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_SeenTTL(),
+        outputStructType=SEEN_ROUTER_OUTPUT,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -509,3 +509,76 @@ def test_streaming_continuous_aggregate_exact_across_batches(spark, tmp_path) ->
         .collect()
     }
     assert got == want
+
+
+def test_seen_router_tws_native_ttl_state(spark, tmp_path) -> None:
+    """transformWithStateInPandas variant: same register/heartbeat routing,
+    but the TTL is enforced by the state store itself (RocksDB provider,
+    ttlDurationMs on the ValueState) — the native SETEX analogue.
+
+    The transformWithState Python worker speaks protobuf to the JVM state
+    server; skip when the protobuf wheel isn't in the environment."""
+    import time
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from nqs_console_flink_window_spark.operators.stateful import seen_router_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        df1 = spark.createDataFrame(
+            [("p1", 1), ("p1", 2), ("p2", 3)], "probe string, x int"
+        )
+        df1.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df1.schema).parquet(src)
+        out = seen_router_tws(stream, "probe", ttl_ms=3_000)
+
+        def drain() -> list:
+            rows: list = []
+
+            def sink(df, _bid):
+                rows.extend(
+                    (r["key"], r["route"], r["n_records"]) for r in df.collect()
+                )
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(rows)
+
+        assert drain() == [
+            ("p1", "heartbeat", 1),
+            ("p1", "register", 1),
+            ("p2", "register", 1),
+        ]
+
+        # within TTL: known key heartbeats, a new key registers
+        spark.createDataFrame(
+            [("p1", 4), ("p3", 5)], "probe string, x int"
+        ).write.mode("append").parquet(src)
+        assert drain() == [("p1", "heartbeat", 1), ("p3", "register", 1)]
+
+        # past TTL: the state-store-expired key re-registers
+        time.sleep(4)
+        spark.createDataFrame([("p1", 6)], "probe string, x int").write.mode(
+            "append"
+        ).parquet(src)
+        assert drain() == [("p1", "register", 1)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
