@@ -118,3 +118,13 @@ def explode_tokens(d: str, arr: str) -> str:
     """Array-to-rows generator usable in a SELECT list: Spark ``explode``
     (single generator per projection) == DuckDB ``unnest``."""
     return f"explode({arr})" if d == SPARK else f"unnest({arr})"
+
+
+def idiv(d: str, a: str, b: str) -> str:
+    """Exact floor integer division of nonnegative integers.  Plain ``/`` is
+    true division on BOTH engines, and the follow-up CAST(double AS BIGINT)
+    diverges: Spark truncates, DuckDB rounds half-even.  Spark ``DIV`` ==
+    DuckDB ``//`` (both integer-exact, no double round-trip)."""
+    if d == SPARK:
+        return f"(({a}) DIV ({b}))"
+    return f"(({a}) // ({b}))"

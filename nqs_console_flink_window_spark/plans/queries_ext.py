@@ -554,3 +554,63 @@ FROM scored s CROSS JOIN n WHERE s.rnk <= {k}
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_tfidf_sql(X.SPARK))
+
+
+def _mixture_sql(d: str) -> str:
+    # Token-budget allocation across sources: a capped waterfill computed
+    # entirely in exact integer arithmetic, so both engines hash-match
+    # without float discipline.  Integer division must be X.idiv: plain /
+    # is true division on both engines but the CAST back to BIGINT
+    # truncates on Spark and rounds on DuckDB.  Budget = half the corpus,
+    # uniform per-source target, one proportional redistribution of the
+    # leftover against remaining headroom (the standard single-round
+    # approximation of iterative waterfilling — documented, deterministic).
+    tok = X.idiv(d, "SUM(CAST(n_chars AS BIGINT))", "4")
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST({tok} AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_src
+),
+base AS (
+  SELECT p.source, p.tokens, t.total_tokens,
+    CAST({X.idiv(d, "t.total_tokens", "2")} AS BIGINT) AS budget,
+    CAST({X.idiv(d, X.idiv(d, "t.total_tokens", "2"), "t.n_sources")}
+      AS BIGINT) AS uniform_target
+  FROM per_src p CROSS JOIN tot t
+),
+first_pass AS (
+  SELECT source, tokens, total_tokens, budget, uniform_target,
+    LEAST(tokens, uniform_target) AS alloc1
+  FROM base
+),
+agg AS (
+  SELECT CAST(SUM(alloc1) AS BIGINT) AS allocated,
+         CAST(SUM(tokens - alloc1) AS BIGINT) AS headroom
+  FROM first_pass
+)
+SELECT f.source, f.tokens, f.alloc1 +
+    CASE WHEN a.headroom > 0
+         THEN CAST({X.idiv(d, "(f.budget - a.allocated) * (f.tokens - f.alloc1)", "a.headroom")} AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS alloc_tokens,
+  CAST(f.budget AS BIGINT) AS budget
+FROM first_pass f CROSS JOIN agg a
+"""
+
+
+@register(
+    "mixture_allocation",
+    sql=_mixture_sql(X.DUCK),
+    doc="Extension — training-mixture token-budget allocation per source: "
+    "capped uniform waterfill with one proportional leftover "
+    "redistribution, all in exact BIGINT arithmetic; the planning step "
+    "upstream of training_sample's per-source caps",
+    tier=2,
+)
+def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_mixture_sql(X.SPARK))

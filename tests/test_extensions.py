@@ -408,3 +408,43 @@ def test_connected_components_random_graph_vs_union_find(spark) -> None:
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
     got = {r["id"]: r["lbl"] for r in connected_components(edges, nodes, max_rounds=40).collect()}
     assert got == want_label
+
+
+def test_dialect_idiv_and_explode_parity(spark) -> None:
+    """idiv: Spark DIV == DuckDB // exactly (the / + CAST round-trip they
+    replace diverges: Spark truncates the double, DuckDB rounds).  Also
+    explode_tokens: explode == unnest ordering and multiplicity."""
+    con = duckdb.connect()
+    for a, b in ((7, 2), (18645, 2), (2**50 + 3, 7), (0, 5), (12345678901, 4)):
+        s = spark.sql(f"SELECT {X.idiv(X.SPARK, str(a), str(b))} AS v").collect()[0].v
+        d = con.execute(f"SELECT {X.idiv(X.DUCK, str(a), str(b))} AS v").fetchone()[0]
+        assert s == d == a // b, (a, b, s, d)
+    arr_spark = "array('x', 'y', 'x')"
+    arr_duck = "['x','y','x']"
+    s = [r.v for r in spark.sql(
+        f"SELECT {X.explode_tokens(X.SPARK, arr_spark)} AS v").collect()]
+    d = [r[0] for r in con.execute(
+        f"SELECT {X.explode_tokens(X.DUCK, arr_duck)} AS v").fetchall()]
+    assert s == d == ["x", "y", "x"]
+
+
+def test_mixture_allocation_invariants(spark) -> None:
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    rows = (
+        REGISTRY["mixture_allocation"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .to_dict("records")
+    )
+    budget = rows[0]["budget"]
+    assert all(r["budget"] == budget for r in rows)
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["tokens"]  # never over-sample a source
+    # full allocation never exceeds the budget; the single redistribution
+    # round gets within n_sources tokens of it (floor slack only)
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_alloc <= budget
+    uncapped = sum(1 for r in rows if r["alloc_tokens"] < r["tokens"])
+    assert budget - total_alloc <= max(uncapped, 1) * 2
