@@ -128,3 +128,11 @@ def idiv(d: str, a: str, b: str) -> str:
     if d == SPARK:
         return f"(({a}) DIV ({b}))"
     return f"(({a}) // ({b}))"
+
+
+def json_int(d: str, col: str, key: str) -> str:
+    """Integer field from a JSON-string column: Spark ``get_json_object``
+    == DuckDB ``->>`` (both NULL-safe on missing keys / bad JSON)."""
+    if d == SPARK:
+        return f"CAST(get_json_object({col}, '$.{key}') AS BIGINT)"
+    return f"CAST({col}->>'$.{key}' AS BIGINT)"

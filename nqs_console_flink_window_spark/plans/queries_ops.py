@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import dialect as X
+from ..functions.dialect import fround as fround_
 from ..operators import derive as D
 from ..operators.windows import dsum_col
 from ..sources.batch import load_table
@@ -826,3 +828,89 @@ def grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lineitem_ga GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
     )
     return ru.unionByName(cu).unionByName(gs)
+
+
+def _stats_moments_sql(d: str) -> str:
+    # Cross-engine-exact second moments: every SUM is an exact DECIMAL
+    # accumulation (associative, partition-order-free); the double-precision
+    # moment algebra then runs on identical inputs through an identical
+    # expression tree, and sqrt is IEEE-correctly-rounded on both engines —
+    # so mean/stddev/corr hash-match without tolerance.  The naive
+    # one-pass formulas are fine here because the decimal sums are exact
+    # (no catastrophic cancellation from accumulated rounding).
+    y = X.json_int(d, "props", "k")
+    return f"""
+WITH base AS (
+  SELECT event_type, value AS x, CAST({y} AS DOUBLE) AS y
+  FROM events WHERE {y} IS NOT NULL
+),
+sums AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+  {fround_("sx / n", 6)} AS mean_x,
+  {fround_("sqrt((sxx - sx * sx / n) / n)", 6)} AS stddev_pop_x,
+  {fround_(
+      "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+      "THEN (n * sxy - sx * sy) / "
+      "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) "
+      "ELSE 0.0 END", 6)} AS corr_xy
+FROM sums
+"""
+
+
+
+@register(
+    "stats_moments",
+    sql=_stats_moments_sql(X.DUCK),
+    doc="A6/§2.10 — exact-reproducible second-moment statistics per key: "
+    "mean, population stddev, Pearson correlation of value vs the JSON "
+    "props.k field — decimal-exact sums, shared double algebra (the "
+    "engine-native corr()/stddev() are partial-aggregation-order-"
+    "dependent and would not hash-match); tier-2: aggregation families "
+    "driver-gated via pricing_summary/grouping_analytics",
+    tier=2,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_stats_moments_sql(X.SPARK))
+
+
+@register(
+    "value_histogram",
+    sql="""
+SELECT LEAST(GREATEST(CAST(floor(value / 50.0E0) AS INT), 0), 9) AS bucket,
+  COUNT(*) AS cnt,
+  CAST(MIN(value) AS DOUBLE) AS lo,
+  CAST(MAX(value) AS DOUBLE) AS hi
+FROM events GROUP BY 1
+""",
+    doc="§2.10 — equal-width histogram binning (width_bucket semantics "
+    "via pure arithmetic so both engines agree bit-for-bit; "
+    "floor-of-double-divide is IEEE-deterministic); tier-2: grouped "
+    "aggregation driver-gated elsewhere",
+    tier=2,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.least(
+                F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(0)),
+                F.lit(9),
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
