@@ -416,3 +416,60 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uts").alias("ts"),
         F.sum("new_sess").over(ws_run).cast("bigint").alias("session_seq"),
     )
+
+
+_CDC_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+_CDC_SQL = f"""
+WITH base AS (
+  SELECT user_id, base_value, base_ts FROM (
+    SELECT user_id, value AS base_value, CAST(ts AS TIMESTAMP) AS base_ts,
+      row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+        AS rn
+    FROM events WHERE CAST(ts AS TIMESTAMP) < {_CDC_SPLIT}
+  ) s WHERE rn = 1
+),
+chg AS (
+  SELECT user_id, op, chg_value, chg_ts FROM (
+    SELECT user_id,
+      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      value AS chg_value, CAST(ts AS TIMESTAMP) AS chg_ts,
+      row_number() OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+        AS rn
+    FROM events WHERE CAST(ts AS TIMESTAMP) >= {_CDC_SPLIT}
+  ) s WHERE rn = 1
+)
+SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+  CASE WHEN c.user_id IS NULL THEN 'kept'
+       WHEN c.op = 'D' THEN 'deleted'
+       WHEN b.user_id IS NULL THEN 'inserted'
+       ELSE 'updated' END AS merge_action,
+  CASE WHEN c.user_id IS NULL THEN b.base_value
+       WHEN c.op = 'D' THEN CAST(NULL AS DOUBLE)
+       ELSE c.chg_value END AS value,
+  CASE WHEN c.user_id IS NULL THEN b.base_ts
+       ELSE c.chg_ts END AS updated_at
+FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+"""
+
+
+@register(
+    "cdc_merge",
+    sql=_CDC_SQL,
+    doc="CDC MERGE INTO semantics without a table format: base snapshot "
+    "(latest state before the split point) full-outer-joined with the "
+    "last-write-wins compaction of the changelog after it; upserts "
+    "overwrite, 'error' ops delete (tombstones kept visible with NULL "
+    "value and merge_action='deleted' — a sink drops them).  One shuffle "
+    "join on the merge key; at scale base and changelog bucket on "
+    "user_id for a co-partitioned merge.  The batch form of what Delta "
+    "MERGE/Paimon changelog compaction do natively; tier-2: join and "
+    "LWW families driver-gated via semi_anti_joins/dedup_last_write_wins",
+    tier=2,
+)
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_CDC_SQL)

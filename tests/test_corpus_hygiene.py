@@ -168,3 +168,41 @@ def test_tfidf_topk_shape_and_score(spark) -> None:
         assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
         for r in g.to_dict("records"):
             assert r["tfidf_score"] == _fround6(r["tf"] / r["df"] * n_docs)
+
+
+def test_cdc_merge_actions(spark) -> None:
+    """Merge actions reconstruct from raw events: keys only before the
+    split are 'kept'; keys whose last post-split op is 'error' are
+    'deleted' with NULL value; new keys are 'inserted'; the rest
+    'updated' with the last post-split value."""
+    import pandas as pd
+
+    rows = (
+        REGISTRY["cdc_merge"].spark(spark, SMOKE_SF_DIR).toPandas()
+    )
+    ev = duckdb.sql(
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP) ts, event_id, value "
+        f"FROM read_parquet('{SMOKE_SF_DIR}/events.parquet')"
+    ).fetchdf()
+    split = pd.Timestamp("2024-01-16 00:00:00")
+    before = ev[ev.ts < split]
+    after = ev[ev.ts >= split].sort_values(["ts", "event_id"])
+    got = {int(r["user_id"]): r for r in rows.to_dict("records")}
+    all_keys = set(before.user_id) | set(after.user_id)
+    assert set(got) == {int(k) for k in all_keys}
+    for uid in all_keys:
+        r = got[int(uid)]
+        a = after[after.user_id == uid]
+        if a.empty:
+            assert r["merge_action"] == "kept"
+            continue
+        last = a.iloc[-1]
+        if last.event_type == "error":
+            assert r["merge_action"] == "deleted"
+            assert pd.isna(r["value"])
+        elif uid not in set(before.user_id):
+            assert r["merge_action"] == "inserted"
+            assert r["value"] == last.value
+        else:
+            assert r["merge_action"] == "updated"
+            assert r["value"] == last.value
