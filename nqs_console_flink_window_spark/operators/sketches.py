@@ -1,0 +1,99 @@
+"""Count-min sketch over document tokens — a mergeable frequency sketch
+built entirely from deterministic SQL, so the Spark plan and the DuckDB
+oracle agree bit-for-bit (no engine-native approx functions, which hash
+differently per engine and cannot cross-verify).
+
+Why a sketch at 100 TB: exact per-token counts need a shuffle keyed by
+token (heavy-tailed — 'the' is a hot key); the CMS is a fixed
+``DEPTH × WIDTH`` integer grid built with map-side partial aggregation on
+at most ``DEPTH × WIDTH`` distinct keys, merges across partitions/days by
+cell-wise addition, and answers point queries with the classic one-sided
+guarantee (estimate >= true count; overestimate bounded by collisions,
+P[err > 2N/WIDTH] < 2^-DEPTH).
+
+Determinism: row hashes are ``md5_int`` of a salted token
+(``dialect.md5_int`` — verified identical across engines), bucket =
+``hash % WIDTH``.  Counts are BIGINTs.  The verification query joins the
+sketch estimates back to the exact counts of the top tokens and asserts
+``est >= exact`` (the CMS invariant) — made explicit in the output so the
+oracle gate re-proves the guarantee every round, not just the values.
+"""
+
+from __future__ import annotations
+
+from ..functions import dialect as X
+from ..operators.text import tokens_expr
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def bucket_expr(d: str, row: str, token: str) -> str:
+    """Sketch column for ``token`` in sketch row ``row``: 60-bit md5 of the
+    salted token, modulo the sketch width."""
+    salted = f"CAST({row} AS STRING) || ':' || {token}"
+    return f"({X.md5_int(d, salted)} % {CMS_WIDTH})"
+
+
+def _tokens_src(d: str, table: str) -> str:
+    return (
+        f"(SELECT {X.explode_tokens(d, tokens_expr(d))} AS token FROM {table})"
+    )
+
+
+def _rows_src(d: str) -> str:
+    """One row per (token occurrence, sketch row): the DEPTH-way fan-out."""
+    if d == X.SPARK:
+        return (
+            "(SELECT token, r FROM toks "
+            f"LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) g AS r)"
+        )
+    return (
+        f"(SELECT token, g.r FROM toks, "
+        f"generate_series(0, {CMS_DEPTH - 1}) g(r))"
+    )
+
+
+def cms_sql(d: str, table: str = "documents", topk: int = 20) -> str:
+    """Build the sketch, then estimate the exact global top-``topk`` tokens
+    against it.  Output: token, exact count, CMS estimate, and the
+    invariant flag ``est_ge_exact`` (must be all-1)."""
+    build_bucket = bucket_expr(d, "r", "token")
+    probe_bucket = bucket_expr(d, "r", "token")
+    # Fan the probe side out with a generator, not a cross join — the fleet
+    # plan guard forbids cartesian products, and a generator is the honest
+    # plan anyway (no join needed to enumerate DEPTH sketch rows).
+    if d == X.SPARK:
+        probe_fan = (
+            "(SELECT token, exact_cnt, r FROM exact "
+            f"LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) g AS r)"
+        )
+    else:
+        probe_fan = (
+            "(SELECT token, exact_cnt, g.r FROM exact, "
+            f"generate_series(0, {CMS_DEPTH - 1}) g(r))"
+        )
+    return f"""
+WITH toks AS (SELECT token FROM {_tokens_src(d, table)} t),
+fanned AS (SELECT token, r, {build_bucket} AS b FROM {_rows_src(d)} f),
+cms AS (
+  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cell
+  FROM fanned GROUP BY r, b
+),
+exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT {topk}
+),
+probes AS (
+  SELECT token, exact_cnt, r, {probe_bucket} AS b FROM {probe_fan} pf
+),
+est AS (
+  SELECT p.token, p.exact_cnt, CAST(MIN(c.cell) AS BIGINT) AS cms_est
+  FROM probes p JOIN cms c ON p.r = c.r AND p.b = c.b
+  GROUP BY p.token, p.exact_cnt
+)
+SELECT token, exact_cnt, cms_est,
+  CASE WHEN cms_est >= exact_cnt THEN 1 ELSE 0 END AS est_ge_exact
+FROM est
+"""

@@ -614,3 +614,21 @@ FROM first_pass f CROSS JOIN agg a
 def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_mixture_sql(X.SPARK))
+
+
+from ..operators import sketches as SK  # noqa: E402
+
+
+@register(
+    "cms_token_counts",
+    sql=SK.cms_sql(X.DUCK),
+    doc="Extension — count-min sketch (DEPTH=4 x WIDTH=256 integer grid, "
+    "md5-salted bucket hashing, mergeable cell-wise): top-20 exact tokens "
+    "probed against the sketch with the one-sided est>=exact invariant "
+    "emitted as a column; the fixed-size alternative to the heavy-tailed "
+    "token shuffle at corpus scale",
+    tier=2,
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(SK.cms_sql(X.SPARK))

@@ -206,3 +206,15 @@ def test_cdc_merge_actions(spark) -> None:
         else:
             assert r["merge_action"] == "updated"
             assert r["value"] == last.value
+
+
+def test_cms_invariant_and_plan(spark) -> None:
+    """CMS one-sided guarantee holds on every probe, and the plan contains
+    no cartesian product (generator fan-out, not a cross join)."""
+    df = REGISTRY["cms_token_counts"].spark(spark, SMOKE_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.toPandas().to_dict("records")
+    assert len(rows) == 20
+    assert all(r["est_ge_exact"] == 1 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
