@@ -608,7 +608,8 @@ FROM first_pass f CROSS JOIN agg a
     doc="Extension — training-mixture token-budget allocation per source: "
     "capped uniform waterfill with one proportional leftover "
     "redistribution, all in exact BIGINT arithmetic; the planning step "
-    "upstream of training_sample's per-source caps",
+    "upstream of training_sample's per-source caps; tier-2: sampling "
+    "family driver-gated via training_sample",
     tier=2,
 )
 def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,7 +627,8 @@ from ..operators import sketches as SK  # noqa: E402
     "md5-salted bucket hashing, mergeable cell-wise): top-20 exact tokens "
     "probed against the sketch with the one-sided est>=exact invariant "
     "emitted as a column; the fixed-size alternative to the heavy-tailed "
-    "token shuffle at corpus scale",
+    "token shuffle at corpus scale; tier-2: token explode/agg "
+    "driver-gated via text_stats/decontaminate",
     tier=2,
 )
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
