@@ -22,6 +22,7 @@ oracle gate re-proves the guarantee every round, not just the values.
 from __future__ import annotations
 
 from ..functions import dialect as X
+from ..operators.decontaminate import word_grams_cte
 from ..operators.text import tokens_expr
 
 CMS_DEPTH = 4
@@ -96,4 +97,67 @@ est AS (
 SELECT token, exact_cnt, cms_est,
   CASE WHEN cms_est >= exact_cnt THEN 1 ELSE 0 END AS est_ge_exact
 FROM est
+"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog, deterministic-by-construction.  Engine-native HLLs
+# (approx_count_distinct) use engine-private hashes and cannot cross-verify;
+# this one is pure integer SQL on md5_int, so Spark and DuckDB produce the
+# IDENTICAL register array and estimate.
+#
+# rho (rank) uses trailing zeros of the remaining hash bits — same geometric
+# distribution as leading zeros, and computable with pure bit arithmetic:
+# tz(x) = bit_count((x & -x) - 1).  The raw-estimate denominator
+# sum(2^-rho) is accumulated as exact scaled BIGINTs (2^(HLL_REST-rho)),
+# so no float summation order can perturb it; the only float op is one
+# final division of exact integers.  No bias/linear-counting correction is
+# applied (ln() is libm-dependent) — the raw estimator's accuracy is
+# asserted in pytest, the determinism in the oracle gate.
+# --------------------------------------------------------------------------
+
+HLL_BUCKETS = 64  # m
+HLL_REST = 54  # usable bits after the 6 bucket bits of the 60-bit hash
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+
+def hll_sql(d: str, table: str = "documents") -> str:
+    # Cardinality source: distinct word 3-grams (thousands at smoke scale) —
+    # raw HLL without the linear-counting correction is only unbiased when
+    # n >> m, and the correction needs ln(), which is libm-dependent.
+    h = X.md5_int(d, "token")
+    rest = X.idiv(d, "h", str(HLL_BUCKETS))
+    # tz(x) = bit_count((x & -x) - 1): isolate the lowest set bit, turn
+    # everything below it into ones, count them.  Same syntax both engines.
+    tz = "bit_count((rest & -rest) - 1)"
+    rho = f"CASE WHEN rest = 0 THEN {HLL_REST} ELSE LEAST({tz} + 1, {HLL_REST}) END"
+    # denominator: sum(2^-register) over all m buckets; hit buckets are
+    # accumulated as exact scaled BIGINTs 2^(REST-register), empty buckets
+    # contribute 2^0 = 1 each.
+    scale = 1 << HLL_REST
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT gram AS token
+  FROM {word_grams_cte(d, 3, table)} wg
+),
+hashed AS (
+  SELECT h % {HLL_BUCKETS} AS bucket, {rest} AS rest
+  FROM (SELECT {h} AS h FROM toks) hh
+),
+regs AS (
+  SELECT bucket, CAST(MAX({rho}) AS BIGINT) AS register
+  FROM hashed GROUP BY bucket
+),
+padded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+    CAST(SUM({X.shiftleft(d, "1", f"{HLL_REST} - register")}) AS BIGINT)
+      AS sum_scaled
+  FROM regs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_exact,
+  buckets_hit,
+  CAST({_HLL_ALPHA} * {HLL_BUCKETS} * {HLL_BUCKETS} AS DOUBLE)
+    / (CAST(sum_scaled AS DOUBLE) / {scale}.0
+       + ({HLL_BUCKETS} - buckets_hit)) AS hll_raw_est
+FROM padded
 """

@@ -634,3 +634,19 @@ from ..operators import sketches as SK  # noqa: E402
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(SK.cms_sql(X.SPARK))
+
+
+@register(
+    "hll_distinct",
+    sql=SK.hll_sql(X.DUCK),
+    doc="Extension — HyperLogLog distinct-count built from pure integer SQL "
+    "(md5 bucket/rank, trailing-zero rho via bit_count, exact scaled-"
+    "BIGINT register sum, one final IEEE divide) — deterministic across "
+    "engines, unlike engine-native approx_count_distinct; raw estimator, "
+    "accuracy asserted in pytest; tier-2: distinct family driver-gated "
+    "via decontaminate/grouping_analytics",
+    tier=2,
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(SK.hll_sql(X.SPARK))

@@ -218,3 +218,21 @@ def test_cms_invariant_and_plan(spark) -> None:
     assert len(rows) == 20
     assert all(r["est_ge_exact"] == 1 for r in rows)
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_hll_estimate_accuracy_and_determinism(spark) -> None:
+    """Raw HLL with m=64 has ~1.04/sqrt(64) = 13% standard error; assert
+    the estimate lands within 3 sigma of exact, and that repeated runs
+    are bit-identical (determinism is the whole point)."""
+    df = REGISTRY["hll_distinct"].spark(spark, SMOKE_SF_DIR)
+    r1 = df.toPandas().to_dict("records")[0]
+    r2 = (
+        REGISTRY["hll_distinct"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .to_dict("records")[0]
+    )
+    assert r1 == r2
+    n, est = r1["n_exact"], r1["hll_raw_est"]
+    assert n > 0
+    assert abs(est - n) / n < 3 * 1.04 / (64**0.5), (n, est)
