@@ -161,3 +161,77 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_exact,
        + ({HLL_BUCKETS} - buckets_hit)) AS hll_raw_est
 FROM padded
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — the join-pruning sketch.  At 100 TB the canonical use is
+# semi-join pushdown: build a ~KB bit array over the dim side's join keys,
+# broadcast it, and drop non-matching fact rows AT THE SCAN, before the
+# shuffle (Spark's runtime bloom-filter injection does exactly this; the
+# session enables spark.sql.optimizer.runtime.bloomFilter.enabled).  This
+# SQL-native build/probe makes the mechanism itself testable cross-engine:
+# md5-salted bit positions, per-word BIT_OR aggregation (mergeable), probe
+# = all K bits set.  No false negative is possible by construction; the
+# false-positive rate is measured on a disjoint probe set.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1024
+# 63-bit words: DuckDB range-checks 1<<63 (sign bit) where Spark wraps, so
+# bit masks stay within the positive BIGINT range on both engines.
+BLOOM_WORD_BITS = 63
+BLOOM_K = 3
+
+
+def _bloom_fan(d: str, src: str, cols: str) -> str:
+    """cols + hash index j in 0..K-1 from subquery ``src``."""
+    if d == X.SPARK:
+        return (
+            f"(SELECT {cols}, j FROM {src} "
+            f"LATERAL VIEW explode(sequence(0, {BLOOM_K - 1})) g AS j)"
+        )
+    return f"(SELECT {cols}, g.j FROM {src} sq, generate_series(0, {BLOOM_K - 1}) g(j))"
+
+
+def _bloom_pos(d: str, key: str) -> str:
+    salted = f"CAST(j AS STRING) || '#' || CAST({key} AS STRING)"
+    return f"({X.md5_int(d, salted)} % {BLOOM_BITS})"
+
+
+def bloom_sql(d: str, table: str = "orders") -> str:
+    """Build a Bloom filter over the distinct ``o_custkey`` set of orders,
+    then probe (a) the member set itself — must be all-positive, the
+    no-false-negative guarantee — and (b) a disjoint shifted key set —
+    positives there are the measured false-positive count.  Output: one
+    row per probe set with totals; deterministic on both engines."""
+    pos = _bloom_pos(d, "k")
+    word = X.idiv(d, pos, str(BLOOM_WORD_BITS))
+    mask = X.shiftleft(d, "1", f"{pos} % {BLOOM_WORD_BITS}")
+    keys = f"(SELECT DISTINCT o_custkey AS k FROM {table})"
+    probes = (
+        f"(SELECT k, 'members' AS probe_set FROM {keys} m "
+        f"UNION ALL SELECT k + 10000000, 'disjoint' FROM {keys} s)"
+    )
+    return f"""
+WITH bloom AS (
+  SELECT w, CAST(bit_or(mask) AS BIGINT) AS word_val
+  FROM (
+    SELECT CAST({word} AS BIGINT) AS w, CAST({mask} AS BIGINT) AS mask
+    FROM {_bloom_fan(d, keys, "k")} f
+  ) bits GROUP BY w
+),
+probe_bits AS (
+  SELECT probe_set, k, CAST({word} AS BIGINT) AS w,
+         CAST({mask} AS BIGINT) AS mask
+  FROM {_bloom_fan(d, probes, "k, probe_set")} f
+),
+checked AS (
+  SELECT p.probe_set, p.k,
+    CAST(MIN(CASE WHEN (b.word_val & p.mask) <> 0 THEN 1 ELSE 0 END)
+         AS INT) AS hit
+  FROM probe_bits p LEFT JOIN bloom b ON p.w = b.w
+  GROUP BY p.probe_set, p.k
+)
+SELECT probe_set, CAST(COUNT(*) AS BIGINT) AS n_probes,
+  CAST(SUM(hit) AS BIGINT) AS n_positive
+FROM checked GROUP BY probe_set
+"""

@@ -650,3 +650,19 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(SK.hll_sql(X.SPARK))
+
+
+@register(
+    "bloom_filter_probe",
+    sql=SK.bloom_sql(X.DUCK),
+    doc="Extension — Bloom filter build+probe in deterministic SQL "
+    "(md5-salted positions, mergeable per-word BIT_OR, all-K-bits probe): "
+    "members must be all-positive (no false negatives), a disjoint key "
+    "set measures the FP rate; the testable form of the runtime "
+    "bloom-join pruning the session enables; tier-2: semi-join pruning "
+    "driver-gated via semi_anti_joins",
+    tier=2,
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("orders",))
+    return spark.sql(SK.bloom_sql(X.SPARK))

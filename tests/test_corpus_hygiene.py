@@ -236,3 +236,19 @@ def test_hll_estimate_accuracy_and_determinism(spark) -> None:
     n, est = r1["n_exact"], r1["hll_raw_est"]
     assert n > 0
     assert abs(est - n) / n < 3 * 1.04 / (64**0.5), (n, est)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark) -> None:
+    rows = {
+        r["probe_set"]: r
+        for r in REGISTRY["bloom_filter_probe"]
+        .spark(spark, SMOKE_SF_DIR)
+        .toPandas()
+        .to_dict("records")
+    }
+    m = rows["members"]
+    assert m["n_positive"] == m["n_probes"]  # Bloom guarantee
+    dj = rows["disjoint"]
+    # 1024 bits / ~n keys at K=3: FP rate should be well under 50% at smoke
+    # scale; exact value is pinned by the oracle gate, this bounds sanity
+    assert dj["n_positive"] < dj["n_probes"]
