@@ -353,3 +353,91 @@ def hour_rollup_from_minute(spark: SparkSession, rollup_dir: str) -> DataFrame:
         F.sum("cnt").alias("cnt"),
         F.sum("dsum").cast("double").alias("sum_value"),
     )
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    delete_when: str = "event_type = 'error'",
+) -> None:
+    """Streaming MERGE: apply each micro-batch as a CDC changelog onto the
+    manifest-versioned table (``sinks/versioned.py``) — the streaming form
+    of the batch ``cdc_merge`` query and the Spark-native analogue of a
+    Delta streaming MERGE / Paimon changelog ingest.
+
+    Per batch: compact the changelog to last-write-wins per key (ts +
+    event_id tiebreak), full-outer-merge it with the current snapshot
+    (upserts overwrite, ``delete_when`` rows tombstone), and commit the
+    merged state as a new *overwrite* version.  Re-applying the same batch
+    to the already-merged state is a no-op by construction (LWW on
+    identical ops), so an at-least-once foreachBatch replay converges to
+    the same table — and every committed version stays time-travel
+    readable, giving the stream a full audit history for free.
+
+    Scale: the merge joins snapshot vs batch keys — both bucketable on
+    ``key_col``; the snapshot read is manifest-pruned, and versions are
+    compacted/vacuumed out-of-band (``compact_version``/``vacuum``).
+    """
+    from pyspark.sql import Window as W_
+
+    from ..sinks import versioned as V
+
+    def apply_batch(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        wo = W_.partitionBy(key_col).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        chg = (
+            batch_df.withColumn("rn", F.row_number().over(wo))
+            .filter(F.col("rn") == 1)
+            .select(
+                key_col,
+                F.when(F.expr(delete_when), F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("value").alias("chg_value"),
+                F.col("ts").alias("chg_ts"),
+            )
+        )
+        try:
+            base = V.read_version(spark, table_dir).select(
+                key_col, "value", "updated_at"
+            )
+        except FileNotFoundError:
+            base = None
+        if base is None:
+            merged = chg.filter(F.col("op") != "D").select(
+                key_col,
+                F.col("chg_value").alias("value"),
+                F.col("chg_ts").alias("updated_at"),
+            )
+        else:
+            b = base.withColumnRenamed(key_col, "bk")
+            merged = (
+                b.join(chg, b["bk"] == chg[key_col], "full_outer")
+                # drop tombstoned keys; base-only rows have op NULL and
+                # must survive (a bare op <> 'D' is NULL there and would
+                # silently delete the whole untouched base)
+                .filter(F.col("op").isNull() | (F.col("op") != "D"))
+                .select(
+                    F.coalesce(F.col(key_col), F.col("bk")).alias(key_col),
+                    F.coalesce(F.col("chg_value"), F.col("value")).alias("value"),
+                    F.coalesce(F.col("chg_ts"), F.col("updated_at")).alias(
+                        "updated_at"
+                    ),
+                )
+            )
+        V.commit_version(merged, table_dir, mode="overwrite")
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -84,3 +84,55 @@ def test_empty_commit_reads_back_empty_with_schema(spark, tmp_path) -> None:
     out = V.read_version(spark, t, 0)
     assert out.count() == 0
     assert out.columns == ["k"]
+
+
+def test_run_cdc_stream_matches_sequential_apply(spark, tmp_path) -> None:
+    """Two micro-batches of a changelog streamed through run_cdc_stream end
+    in the same state as applying the ops sequentially by hand, and every
+    intermediate version stays time-travel readable."""
+    import datetime as dt
+
+    from nqs_console_flink_window_spark.streaming.jobs import run_cdc_stream
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    cp = str(tmp_path / "cp")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    b1 = [
+        (1, t(1), 10, "signup", 1.0),
+        (2, t(2), 10, "click", 2.0),   # LWW within batch -> value 2.0
+        (3, t(3), 20, "signup", 3.0),
+        (4, t(4), 30, "signup", 4.0),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    run_cdc_stream(spark, stream, tbl, cp)
+
+    from nqs_console_flink_window_spark.sinks import versioned as V
+
+    s1 = {r.user_id: r.value for r in V.read_version(spark, tbl).collect()}
+    assert s1 == {10: 2.0, 20: 3.0, 30: 4.0}
+
+    b2 = [
+        (5, t(5), 20, "error", 0.0),   # delete 20
+        (6, t(6), 30, "click", 9.0),   # update 30
+        (7, t(7), 40, "signup", 7.0),  # insert 40
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    run_cdc_stream(spark, stream2, tbl, cp)
+
+    s2 = {r.user_id: r.value for r in V.read_version(spark, tbl).collect()}
+    assert s2 == {10: 2.0, 30: 9.0, 40: 7.0}
+    # time travel: the pre-batch-2 state is still readable
+    versions = [m["version"] for m in V.versions(tbl)]
+    prev = {r.user_id: r.value for r in V.read_version(spark, tbl, versions[-2]).collect()}
+    assert prev == s1
