@@ -6,7 +6,7 @@ multimodal binary plumbing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dialect as X
@@ -666,3 +666,45 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("orders",))
     return spark.sql(SK.bloom_sql(X.SPARK))
+
+
+def _bottomk_sql(d: str, k: int = 50) -> str:
+    # Bottom-k by a content hash = a uniform sample that is (a) deterministic
+    # and reproducible across engines/runs, (b) mergeable: bottom-k of a
+    # union is the bottom-k of the per-partition bottom-k's, so each
+    # executor ships k candidates, never its whole partition (Spark's
+    # TakeOrderedAndProject does exactly this map-side truncation).
+    h = X.md5_int(d, "text")
+    return f"""
+SELECT doc_id, sample_rank FROM (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY {h}, doc_id) AS sample_rank
+  FROM documents
+) r WHERE sample_rank <= {k}
+"""
+
+
+@register(
+    "bottomk_sample",
+    sql=_bottomk_sql(X.DUCK),
+    doc="Extension — deterministic uniform corpus sample via bottom-k of a "
+    "content hash (k-minimum-values): reproducible across engines and "
+    "mergeable per-partition (executors ship k candidates, not "
+    "partitions — TakeOrderedAndProject's map-side truncation); tier-2: "
+    "sampling family driver-gated via training_sample",
+    tier=2,
+)
+def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(X.md5_int(X.SPARK, "text"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("h", "doc_id"))
+            .alias("sample_rank"),
+        )
+    )
