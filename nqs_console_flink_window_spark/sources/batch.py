@@ -9,19 +9,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import TABLE_NAMES
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zone TimestampType.
+
+    The fixture has shipped two physical encodings across driver rounds:
+    int64 nanoseconds (TIMESTAMP(NANOS) surfaced as LongType via the
+    ``nanosAsLong`` legacy conf) and plain TIMESTAMP/TIMESTAMP_NTZ micros.
+    Adapt on the observed dtype instead of assuming one, so the engine reads
+    either vintage; both paths floor-truncate to microseconds exactly like
+    DuckDB's ``CAST(ts AS TIMESTAMP)``.  The session runs in UTC
+    (session.py), so the NTZ->TZ cast is value-preserving.
+    """
+    if "ts" not in df.columns:
+        return df
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The fixture events.parquet stores ts as TIMESTAMP(NANOS) which Spark's
-    # parquet reader rejects; read the raw int64 nanos (legacy conf, works
-    # with the vectorized reader) and floor-truncate to microsecond
-    # TimestampType — the same truncation DuckDB's CAST(ts AS TIMESTAMP) does.
+    # nanosAsLong keeps old TIMESTAMP(NANOS) fixtures readable; it is a
+    # no-op for fixtures that already store micros timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -12,21 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Raw parquet schema of the events fixture: ts arrives as int64 nanoseconds
-# (TIMESTAMP(NANOS) read via nanosAsLong, see sources/batch.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -36,13 +21,27 @@ def read_events_stream(
     ``maxFilesPerTrigger`` is the operational analogue of the reference's
     1000-count early-fire trigger (time/TimeCountMessageTrigger.java:46-104):
     it caps micro-batch size; batch cadence comes from the trigger interval.
+
+    The file source needs an explicit schema; read it from the parquet
+    footer (one driver-side metadata fetch) so the stream adapts to either
+    ts encoding the fixture has shipped (int64 nanos vs TIMESTAMP micros) —
+    see ``sources.batch.normalize_event_ts``.
     """
+    from .batch import normalize_event_ts
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except AnalysisException:
+        # sf_dir may hold bare part files (tests chunk the fixture); any
+        # footer in the directory carries the same events schema.
+        raw_schema = spark.read.parquet(sf_dir).schema
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(sf_dir))

@@ -365,12 +365,18 @@ def test_seen_router_registers_once_then_heartbeats_and_reregisters_after_ttl(
 
     from nqs_console_flink_window_spark.operators.stateful import seen_router_stream
 
+    # Processing-time TTL is wall-clock sensitive: each drain() restart costs
+    # seconds of query setup, so keep state partitions tiny (fast restart)
+    # and the TTL comfortably above one drain's overhead.
+    ttl_ms = 12_000
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     src = str(tmp_path / "src")
     cp = str(tmp_path / "cp")
     df1 = spark.createDataFrame([("p1", 1), ("p1", 2), ("p2", 3)], "probe string, x int")
     df1.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(df1.schema).parquet(src)
-    out = seen_router_stream(stream, "probe", ttl_ms=3_000)
+    out = seen_router_stream(stream, "probe", ttl_ms=ttl_ms)
 
     def drain() -> list:
         rows: list = []
@@ -399,11 +405,14 @@ def test_seen_router_registers_once_then_heartbeats_and_reregisters_after_ttl(
     assert drain() == [("p1", "heartbeat", 1), ("p3", "register", 1)]
 
     # past TTL: the lapsed key re-registers
-    time.sleep(4)
+    time.sleep(ttl_ms / 1000 + 1)
     spark.createDataFrame([("p1", 6)], "probe string, x int").write.mode(
         "append"
     ).parquet(src)
-    assert drain() == [("p1", "register", 1)]
+    try:
+        assert drain() == [("p1", "register", 1)]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def test_interval_join_stream_matches_batch(spark) -> None:
