@@ -35,6 +35,32 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def canonicalize_types(df: DataFrame) -> DataFrame:
+    """Coerce fixture-vintage physical types to the engine's canonical ones.
+
+    The driver regenerates the fixture between rounds and its physical
+    encodings have drifted (events.ts: int64 nanos -> TIMESTAMP micros).
+    Queries and oracles are written against canonical logical types, so
+    absorb representational drift here, once, instead of in 80 queries:
+
+    - DECIMAL(p,s) -> DOUBLE (Spark would surface python Decimal objects
+      where DuckDB's pandas bridge yields float64 — a value-identical but
+      hash-breaking divergence, the round-1 `fround` lesson at the source).
+
+    Deliberately NOT cast here: TIMESTAMP_NTZ on non-events tables.  A cast
+    wrapping a scan column defeats parquet predicate pushdown (the
+    ship-date filter would stop reaching the scan), and NTZ already
+    compares cleanly against both Spark timestamp literals and DuckDB's
+    naive TIMESTAMP.  Only events.ts is normalized (``normalize_event_ts``)
+    because its *physical encoding* drifted, not just its logical type.
+    """
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            out = out.withColumn(f.name, F.col(f.name).cast("double"))
+    return out
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanosAsLong keeps old TIMESTAMP(NANOS) fixtures readable; it is a
     # no-op for fixtures that already store micros timestamps.
@@ -42,7 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
-    return df
+    return canonicalize_types(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
