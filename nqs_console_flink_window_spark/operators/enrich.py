@@ -52,6 +52,51 @@ def geo_chain(customer: DataFrame, nation: DataFrame, region: DataFrame) -> Data
     ).join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
 
 
+def bucketed_range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    width: float,
+    how: str = "left",
+) -> DataFrame:
+    """J4 at scale — point-in-range lookup as an EQUI join, not a BNLJ.
+
+    The naive range join (``p >= lo AND p < hi``) has no equi component, so
+    Spark plans BroadcastNestedLoopJoin: every fact row linearly scans every
+    range.  Fine for 25 nations; wrong for a real ipdb (~1e6-1e7 CIDR
+    ranges, IPHelper.java:35-66 semantics) under 100 TB of facts.
+
+    Scale shape: quantize the number line into fixed-width buckets.  Each
+    range explodes into the buckets it overlaps (ranges are narrow relative
+    to ``width``, so the blow-up is small); each fact row computes its one
+    bucket.  The join is then an equi hash join on ``__bucket`` with the
+    precise ``[lo, hi)`` predicate as a residual filter — shuffle (or
+    broadcast, AQE's choice) proportional to data size, per-row work
+    proportional to the handful of ranges sharing a bucket.
+
+    Half-open ``[lo, hi)`` semantics; overlapping ranges emit one row per
+    match.  With ``how='left'`` unmatched facts survive with NULL range
+    columns (the engine-default geo-miss behavior).
+    """
+    lob = F.floor(F.col(lo_col) / width).cast("long")
+    hib_raw = F.floor(F.col(hi_col) / width).cast("long")
+    # hi is exclusive: a range ending exactly on a bucket boundary does not
+    # reach into the next bucket
+    hib = F.when(F.col(hi_col) == hib_raw * width, hib_raw - 1).otherwise(hib_raw)
+    r = ranges.withColumn(
+        "__bucket", F.explode(F.sequence(lob, F.greatest(lob, hib)))
+    )
+    f = facts.withColumn("__fbucket", F.floor(F.col(point_col) / width).cast("long"))
+    cond = (
+        (f["__fbucket"] == r["__bucket"])
+        & (f[point_col] >= r[lo_col])
+        & (f[point_col] < r[hi_col])
+    )
+    return f.join(r, cond, how).drop("__fbucket", "__bucket")
+
+
 def municipality_norm_sql(code: str, district: str) -> str:
     """J4 — the municipality special case (IPHelper.java:117-125): the four
     province-level municipalities (Beijing 110000, Tianjin 120000, Shanghai

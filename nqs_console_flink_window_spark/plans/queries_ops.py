@@ -471,6 +471,33 @@ def geo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(n), cond, "left").select("event_id", "value", "n_name")
 
 
+@register(
+    "geo_range_join_bucketed",
+    sql="""
+SELECT e.event_id, e.value, n.n_name
+FROM events e
+LEFT JOIN nation n
+  ON e.value >= n.n_nationkey * 20.0 AND e.value < (n.n_nationkey + 1) * 20.0
+""",
+    doc="J4 at 100 TB — the same ip->region range lookup planned as an EQUI "
+    "hash join via fixed-width bucketing (operators/enrich.py:"
+    "bucketed_range_join) instead of the BNLJ the raw range predicate "
+    "forces; same oracle as geo_range_join",
+    tier=2,
+)
+def geo_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.enrich import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        ((F.col("n_nationkey") + 1) * 20.0).alias("hi"),
+    )
+    j = bucketed_range_join(ev, n, "value", "lo", "hi", width=10.0)
+    return j.select("event_id", "value", "n_name")
+
+
 # --------------------------------------------------------------------------
 # Multi-join dim chain + skew-safe aggregation (J1-J4 at TPC-H shape)
 # --------------------------------------------------------------------------

@@ -159,3 +159,44 @@ def test_no_scale_antipatterns_across_registry(spark) -> None:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
+
+
+def test_bucketed_range_join_is_equi_join_and_matches_bnlj(spark) -> None:
+    """The bucketed range join must (a) return exactly what the naive BNLJ
+    range join returns, including left-join misses and overlapping-range
+    fan-out, and (b) plan as an equi hash/merge join — the 100 TB shape."""
+    from nqs_console_flink_window_spark.operators.enrich import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 19.99), (3, 20.0), (4, 55.5), (5, 999.0)],
+        "id long, p double",
+    )
+    # overlapping ranges + one range ending exactly on a bucket boundary
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 20.0), ("b", 15.0, 30.0), ("c", 50.0, 60.0)],
+        "tag string, lo double, hi double",
+    )
+    got = bucketed_range_join(facts, ranges, "p", "lo", "hi", width=10.0)
+    bnlj = facts.join(
+        ranges, (facts["p"] >= ranges["lo"]) & (facts["p"] < ranges["hi"]), "left"
+    )
+    g = sorted((r["id"], r["tag"]) for r in got.select("id", "tag").collect())
+    b = sorted((r["id"], r["tag"]) for r in bnlj.select("id", "tag").collect())
+    assert g == b, (g, b)
+    assert (5, None) in g  # left-join miss survives
+    assert (2, "a") in g and (2, "b") in g  # overlap fan-out
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any(
+        k in plan for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), plan
+
+
+def test_geo_range_join_bucketed_matches_bnlj_query(spark) -> None:
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    a = REGISTRY["geo_range_join"].spark(spark, SMOKE_SF_DIR)
+    b = REGISTRY["geo_range_join_bucketed"].spark(spark, SMOKE_SF_DIR)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
