@@ -130,6 +130,23 @@ def idiv(d: str, a: str, b: str) -> str:
     return f"(({a}) // ({b}))"
 
 
+def regex_replace_all(d: str, expr: str, pattern: str, repl: str) -> str:
+    """Replace every match.  Spark's regexp_replace is global by default;
+    DuckDB needs the 'g' flag.  Patterns must stay backslash-free (use
+    [0-9]-style classes, never \\d): Spark SQL literals consume one level
+    of backslash escaping, DuckDB literals do not, so any backslash renders
+    differently on the two engines."""
+    if d == SPARK:
+        return f"regexp_replace({expr}, '{pattern}', '{repl}')"
+    return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
+
+def regex_count(d: str, expr: str, pattern: str) -> str:
+    """Count of non-overlapping matches (same backslash-free rule)."""
+    inner = f"regexp_extract_all({expr}, '{pattern}', 0)"
+    return f"size({inner})" if d == SPARK else f"len({inner})"
+
+
 def json_int(d: str, col: str, key: str) -> str:
     """Integer field from a JSON-string column: Spark ``get_json_object``
     == DuckDB ``->>`` (both NULL-safe on missing keys / bad JSON)."""

@@ -98,6 +98,36 @@ def fingerprint_expr(d: str, text: str = "text") -> str:
     return f"md5(trim(lower({text})))"
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every training-data pipeline runs before
+# anything else sees the text.  Regexes are deliberately backslash-free
+# ([0-9] classes, never \d) so one pattern string renders identically inside
+# Spark and DuckDB SQL literals (see dialect.regex_replace_all).  Order
+# matters: the most specific shapes (email, SSN) redact before the greedy
+# ones (phone) so a phone-ish substring inside an email never fires first.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+    "phone": "[+]?[0-9][0-9() -]{6,}[0-9]",
+}
+
+
+def pii_count_expr(d: str, kind: str, text: str = "text") -> str:
+    return X.regex_count(d, text, PII_PATTERNS[kind])
+
+
+def pii_redact_expr(d: str, text: str = "text") -> str:
+    """Chain of global regexp_replace — one projection, JVM-side in Spark,
+    vectorized in DuckDB; at 100 TB this is a pure map stage, no shuffle."""
+    expr = text
+    for kind, pat in PII_PATTERNS.items():
+        expr = X.regex_replace_all(d, expr, pat, f"<{kind.upper()}>")
+    return expr
+
+
 WINNOW_SHINGLE = 8
 WINNOW_STEP = 4
 

@@ -32,7 +32,7 @@ SELECT doc_id, lang, n_chars, n_tokens,
   n_distinct_tokens, avg_token_len, hits_en,
   {TX.lang_guess_from('hits_en', 'hits_de', 'hits_es')} AS lang_guess,
   {TX.quality_score_from('hits_en', 'n_tokens')} AS quality_score,
-  fingerprint
+  fingerprint, n_pii_email, n_pii_ipv4
 FROM (
   SELECT doc_id, lang, n_chars,
     {X.arr_size(d, 'toks')} AS n_tokens,
@@ -41,11 +41,13 @@ FROM (
     {TX.stopword_hits_from(d, 'en', 'toks')} AS hits_en,
     {TX.stopword_hits_from(d, 'de', 'toks')} AS hits_de,
     {TX.stopword_hits_from(d, 'es', 'toks')} AS hits_es,
-    fingerprint
+    fingerprint, n_pii_email, n_pii_ipv4
   FROM (
     SELECT doc_id, lang, n_chars,
       {TX.tokens_expr(d)} AS toks,
-      {TX.fingerprint_expr(d)} AS fingerprint
+      {TX.fingerprint_expr(d)} AS fingerprint,
+      {TX.pii_count_expr(d, 'email')} AS n_pii_email,
+      {TX.pii_count_expr(d, 'ipv4')} AS n_pii_ipv4
     FROM documents
   ) t1
 ) t2
@@ -82,6 +84,61 @@ def _winnow_sql(d: str) -> str:
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_winnow_sql(X.SPARK))
+
+
+def _pii_scrub_sql(d: str) -> str:
+    counts = ",\n  ".join(
+        f"{TX.pii_count_expr(d, k)} AS n_{k}" for k in TX.PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+  {counts},
+  {TX.pii_redact_expr(d)} AS redacted_text
+FROM documents
+"""
+
+
+@register(
+    "pii_scrub",
+    sql=_pii_scrub_sql(X.DUCK),
+    doc="Extension — PII redaction pass (email/SSN/IPv4/phone regex chain, "
+    "one map-stage projection, no shuffle); counts driver-gated via "
+    "text_stats' n_pii_* columns",
+    tier=2,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_pii_scrub_sql(X.SPARK))
+
+
+CHUNK_SIZE = 400
+CHUNK_OVERLAP = 50
+
+
+def _chunk_documents_sql(d: str) -> str:
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    pos = X.positions_from(d, "documents", "doc_id, text", "n_chars", stride)
+    return f"""
+SELECT doc_id,
+  {X.idiv(d, '(i - 1)', str(stride))} AS chunk_id,
+  substr(text, i, {CHUNK_SIZE}) AS chunk_text
+FROM {pos} p
+"""
+
+
+@register(
+    "chunk_documents",
+    sql=_chunk_documents_sql(X.DUCK),
+    doc="Extension — fixed-stride document chunking with overlap (the "
+    "context-window splitter feeding embedding/training jobs): stride "
+    "starts via sequence-explode, substr projection — row fan-out "
+    "~n_chars/stride per doc, zero shuffles; explode-fan-out family "
+    "driver-gated via detail_array_explode, chunk grain oracle+pytest-gated",
+    tier=2,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_chunk_documents_sql(X.SPARK))
 
 
 # --------------------------------------------------------------------------

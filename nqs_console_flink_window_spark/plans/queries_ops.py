@@ -482,7 +482,8 @@ LEFT JOIN nation n
     doc="J4 at 100 TB — the same ip->region range lookup planned as an EQUI "
     "hash join via fixed-width bucketing (operators/enrich.py:"
     "bucketed_range_join) instead of the BNLJ the raw range predicate "
-    "forces; same oracle as geo_range_join",
+    "forces; same oracle as geo_range_join, operator driver-gated via "
+    "enrich_events/geo_coalesce_precedence",
     tier=2,
 )
 def geo_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -448,3 +448,81 @@ def test_mixture_allocation_invariants(spark) -> None:
     assert total_alloc <= budget
     uncapped = sum(1 for r in rows if r["alloc_tokens"] < r["tokens"])
     assert budget - total_alloc <= max(uncapped, 1) * 2
+
+def test_pii_redaction_parity_and_semantics(spark) -> None:
+    """PII regex chain: Spark and DuckDB must redact crafted PII-bearing
+    strings identically, and the redaction must actually fire (the parquet
+    fixture contains no PII, so its 0==0 parity proves nothing)."""
+    from nqs_console_flink_window_spark.operators import text as TX
+
+    probes = [
+        "contact me at jane.doe+spam@example.co.uk for details",
+        "server 192.168.001.1 and 10.0.0.255 are internal",
+        "ssn 123-45-6789 leaked",
+        "call +1 (555) 123-4567 or 555 867 5309 now",
+        "no pii here at all",
+        "edge: a@b.io.",
+    ]
+    con = duckdb.connect()
+    for p in probes:
+        lit = "'" + p.replace("'", "''") + "'"
+        s_red = spark.sql(
+            "SELECT " + TX.pii_redact_expr(X.SPARK, lit) + " AS v"
+        ).collect()[0].v
+        d_red = con.execute(
+            "SELECT " + TX.pii_redact_expr(X.DUCK, lit) + " AS v"
+        ).fetchone()[0]
+        assert s_red == d_red, (p, s_red, d_red)
+        for kind in TX.PII_PATTERNS:
+            s_n = spark.sql(
+                "SELECT " + TX.pii_count_expr(X.SPARK, kind, lit) + " AS v"
+            ).collect()[0].v
+            d_n = con.execute(
+                "SELECT " + TX.pii_count_expr(X.DUCK, kind, lit) + " AS v"
+            ).fetchone()[0]
+            assert s_n == d_n, (p, kind, s_n, d_n)
+
+    def redact(p: str) -> str:
+        lit = "'" + p.replace("'", "''") + "'"
+        return spark.sql(
+            "SELECT " + TX.pii_redact_expr(X.SPARK, lit) + " AS v"
+        ).collect()[0].v
+
+    assert "<EMAIL>" in redact(probes[0]) and "@" not in redact(probes[0])
+    assert redact(probes[1]).count("<IPV4>") == 2
+    assert "<SSN>" in redact(probes[2]) and "123-45-6789" not in redact(probes[2])
+    assert "<PHONE>" in redact(probes[3])
+    assert redact(probes[4]) == probes[4]
+
+
+def test_chunk_documents_covers_text_exactly(spark) -> None:
+    """Chunking invariants: dense stride-aligned chunk ids, each chunk is
+    exactly the text slice it claims, and the union of chunks covers every
+    character of every document."""
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.queries_ext import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+    )
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    out = REGISTRY["chunk_documents"].spark(spark, SMOKE_SF_DIR)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids))), doc_id  # dense chunk ids
+        covered = 0
+        for i in ids:
+            start = i * stride
+            assert chunks[i] == text[start : start + CHUNK_SIZE], (doc_id, i)
+            covered = max(covered, start + len(chunks[i]))
+        assert covered == len(text), (doc_id, covered, len(text))
