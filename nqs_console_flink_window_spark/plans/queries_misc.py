@@ -491,3 +491,67 @@ def parse_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("value_nn"),
     )
+
+
+# --------------------------------------------------------------------------
+# P4 + W6/T9 + W7 — single-object JSON parse, to_json re-serialization, and
+# traffic-array explode, proven value-preserving end to end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pinfo_roundtrip",
+    sql="""
+SELECT event_id, 'p' || CAST(user_id AS VARCHAR) AS probe_id,
+  value AS up_max, value * 2.0 AS down_max, 'wan' AS traffic_type
+FROM events
+UNION ALL
+SELECT event_id, 'p' || CAST(user_id AS VARCHAR) AS probe_id,
+  value + 1.0 AS up_max, value * 3.0 AS down_max, 'wan' AS traffic_type
+FROM events
+""",
+    doc="P4+W6+W7+T9 — build the probe-info payload with to_json "
+    "(WindowProbeInfoProcessFunction.java:65-128 serialization), re-parse "
+    "it with from_json (GwInfoMessage.java:8-28), explode traffic_info "
+    "with traffic_type='wan' (WindowProbeTrafficProcessFunction.java:31-73); "
+    "the oracle states the expected values directly, so a green row proves "
+    "the serialize->parse->explode chain is bit-value-preserving; parse "
+    "family driver-gated via parse_validate/parse_stage",
+    tier=2,
+)
+def pinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("probe_id"),
+            F.array(
+                F.struct(
+                    F.col("value").alias("up_max"),
+                    (F.col("value") * 2.0).alias("down_max"),
+                ),
+                F.struct(
+                    (F.col("value") + 1.0).alias("up_max"),
+                    (F.col("value") * 3.0).alias("down_max"),
+                ),
+            ).alias("traffic_info"),
+        )
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_json(
+            payload,
+            "struct<probe_id:string,"
+            "traffic_info:array<struct<up_max:double,down_max:double>>>",
+        ).alias("g"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("g.probe_id").alias("probe_id"),
+        F.explode("g.traffic_info").alias("t"),
+    ).select(
+        "event_id",
+        "probe_id",
+        F.col("t.up_max").alias("up_max"),
+        F.col("t.down_max").alias("down_max"),
+        F.lit("wan").alias("traffic_type"),
+    )
