@@ -555,3 +555,57 @@ def pinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.down_max").alias("down_max"),
         F.lit("wan").alias("traffic_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# W4-adjacent — heartbeat-gap / probe-offline detection.  The reference only
+# *stores* heartbeats (WindowHeartbeatProcessFunction); the monitoring
+# question they exist for — "which probes went silent, when, for how long" —
+# is a LAG window over the heartbeat stream.  Exact timestamp arithmetic on
+# both engines (no float accumulation), one shuffle on the probe key.
+# --------------------------------------------------------------------------
+
+_GAP_SECONDS = 1800
+
+
+@register(
+    "heartbeat_gaps",
+    sql=f"""
+SELECT user_id, event_id,
+  CAST(prev_ts AS TIMESTAMP) AS silent_since,
+  CAST(ts AS TIMESTAMP) AS back_at,
+  gap_s
+FROM (
+  SELECT user_id, event_id, ts,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      - CAST(floor(epoch(CAST(LAG(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS TIMESTAMP))) AS BIGINT) AS gap_s
+  FROM events
+) t
+WHERE gap_s > {_GAP_SECONDS}
+""",
+    doc="W4-adjacent — probe-offline detection: per-key LAG over the "
+    "heartbeat stream, flag silences over the threshold "
+    "(the monitoring query WindowHeartbeatProcessFunction.java's heartbeat "
+    "table exists to answer); key-partitioned window, one shuffle; "
+    "window-function family driver-gated via latest_event_per_user_agg",
+    tier=2,
+)
+def heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W_
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W_.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(prev)).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            prev.alias("silent_since"),
+            F.col("ts").alias("back_at"),
+            gap.alias("gap_s"),
+        )
+        .filter(F.col("gap_s") > _GAP_SECONDS)
+    )
