@@ -565,7 +565,7 @@ def pinfo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines (no float accumulation), one shuffle on the probe key.
 # --------------------------------------------------------------------------
 
-_GAP_SECONDS = 1800
+_HB_SILENCE_SECONDS = 1800
 
 
 @register(
@@ -583,7 +583,7 @@ FROM (
           ORDER BY ts, event_id) AS TIMESTAMP))) AS BIGINT) AS gap_s
   FROM events
 ) t
-WHERE gap_s > {_GAP_SECONDS}
+WHERE gap_s > {_HB_SILENCE_SECONDS}
 """,
     doc="W4-adjacent — probe-offline detection: per-key LAG over the "
     "heartbeat stream, flag silences over the threshold "
@@ -607,5 +607,5 @@ def heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("back_at"),
             gap.alias("gap_s"),
         )
-        .filter(F.col("gap_s") > _GAP_SECONDS)
+        .filter(F.col("gap_s") > _HB_SILENCE_SECONDS)
     )
