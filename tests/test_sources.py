@@ -70,3 +70,37 @@ def test_canonicalize_types_decimal_to_double(spark) -> None:
     assert isinstance(out.schema["t"].dataType, T.TimestampNTZType)
     r = out.first()
     assert r["price"] == 1.0 and r["t"] == datetime.datetime(2024, 1, 1)
+
+
+def test_queries_identical_across_ts_encodings(spark, tmp_path) -> None:
+    """Fixture-vintage simulation: rewrite the smoke dir with events.ts as
+    int64 nanoseconds (the rounds-1/2 physical encoding) and run registered
+    queries through load_table against both vintages — results must be
+    identical.  This is the end-to-end guard for the drift that cost
+    round 2 (ts misread collapsed every window)."""
+    import shutil
+
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    from nqs_console_flink_window_spark.config import TABLE_NAMES
+
+    alt = tmp_path / "vintage_nanos"
+    alt.mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(f"{SMOKE_SF_DIR}/{t}.parquet", alt / f"{t}.parquet")
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    nanos = ev.withColumn(
+        "ts", (F.unix_micros("ts") * F.lit(1000)).cast("long")
+    )
+    # single file, same name, long-typed ts
+    (alt / "events.parquet").unlink()
+    nanos.coalesce(1).write.mode("overwrite").parquet(str(alt / "_tmp"))
+    part = next((alt / "_tmp").glob("part-*.parquet"))
+    part.rename(alt / "events.parquet")
+    shutil.rmtree(alt / "_tmp")
+
+    for name in ("tumbling_window_10s", "session_windows", "enrich_events"):
+        base = sorted(map(tuple, REGISTRY[name].spark(spark, SMOKE_SF_DIR).collect()))
+        vint = sorted(map(tuple, REGISTRY[name].spark(spark, str(alt)).collect()))
+        assert base == vint, f"{name}: ts-encoding changed results"
