@@ -45,27 +45,42 @@ def main() -> None:
     warmup_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warmup_dir):
         warmup_dir = sf_dir
-    for q in headline.values():
-        force(q.spark(spark, warmup_dir))
+
+    # One failing query must not zero out the whole bench (round-2 lesson:
+    # a loader regression crashed the first warmup call and the round
+    # recorded no timings at all).  Time what runs, name what failed.
+    failures: dict[str, str] = {}
+    for name, q in headline.items():
+        try:
+            force(q.spark(spark, warmup_dir))
+        except Exception as e:  # noqa: BLE001 - survey, don't die
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
+        if name in failures:
+            continue
         t0 = time.perf_counter()
-        force(q.spark(spark, sf_dir))
+        try:
+            force(q.spark(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failed"] = failures
+    print(json.dumps(out))
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
