@@ -228,3 +228,67 @@ JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
 WHERE CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n) >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the production shape at 100 TB.  A corpus ingests in
+# batches; re-LSH-ing the whole history per batch is O(corpus) per day.
+# Instead the band table (doc_id, band_id, band_key) persists as the dedup
+# INDEX: each new batch computes only its own bands, semi-joins them against
+# the index (shuffle ~ batch + index, both bucketable on band_key), drops
+# collisions, and appends the survivors' bands.  The reference's analogue is
+# ReplacingMergeTree doing last-write dedup at merge time — this is the
+# ingest-time, index-backed form.
+#
+# Semantics: direct-collision dedup — a new doc is dropped if any of its
+# bands matches the index or a SMALLER-id doc in the same batch.  Chain-
+# transitive merging (A~B, B~C, A!~C) is the job of dedup_cluster.connected
+# _components over the accumulated pairs; direct collision is the standard
+# conservative ingest-time rule.
+# ---------------------------------------------------------------------------
+
+
+def band_table(spark, docs, view_name: str | None = None):
+    """(doc_id, band_id, band_key) for a batch of documents (doc_id, text)."""
+    if view_name is None:
+        import uuid
+
+        view_name = f"__inc_dedup_{uuid.uuid4().hex[:12]}"
+    docs.createOrReplaceTempView(view_name)
+    bands = "\nUNION ALL\n".join(minhash_band_selects(X.SPARK))
+    return spark.sql(
+        f"WITH sig AS ({minhash_signatures_sql(X.SPARK, view_name)})\n{bands}"
+    )
+
+
+def incremental_dedup(spark, new_docs, index):
+    """Dedup ``new_docs`` against the persisted band ``index`` (may be None
+    for the first batch) and within the batch.  Returns ``(kept_docs,
+    kept_bands)`` — append ``kept_bands`` to the index to ingest the batch.
+    """
+    from pyspark.sql import functions as F
+
+    nb = band_table(spark, new_docs).localCheckpoint()  # bands used 3x below
+    dup_ids = None
+    if index is not None:
+        vs_index = (
+            nb.join(index, ["band_id", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        dup_ids = vs_index
+    a, b = nb.alias("a"), nb.alias("b")
+    in_batch = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    dup_ids = in_batch if dup_ids is None else dup_ids.unionByName(in_batch).distinct()
+    kept = new_docs.join(dup_ids, "doc_id", "left_anti")
+    kept_bands = nb.join(kept.select("doc_id"), "doc_id", "left_semi")
+    return kept, kept_bands

@@ -765,3 +765,60 @@ def bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sample_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup — the ingest-time, band-index-backed production shape
+# --------------------------------------------------------------------------
+
+_INC_SPLIT = 250  # doc_id < SPLIT = "historical" batch 1, rest = new batch
+
+
+def _incremental_dedup_sql(d: str) -> str:
+    bands = "\nUNION ALL\n".join(DD.minhash_band_selects(d))
+    eq = "a.band_id = b.band_id AND a.band_key = b.band_key"
+    return f"""
+WITH sig AS ({DD.minhash_signatures_sql(d)}),
+bands AS ({bands}),
+s1 AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_INC_SPLIT}
+  EXCEPT
+  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+    ON {eq} AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {_INC_SPLIT} AND b.doc_id < {_INC_SPLIT}
+),
+dup2 AS (
+  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b ON {eq}
+  WHERE b.doc_id >= {_INC_SPLIT}
+    AND (a.doc_id IN (SELECT doc_id FROM s1)
+         OR (a.doc_id >= {_INC_SPLIT} AND a.doc_id < b.doc_id))
+),
+s2 AS (
+  SELECT doc_id FROM documents WHERE doc_id >= {_INC_SPLIT}
+  EXCEPT SELECT doc_id FROM dup2
+)
+SELECT doc_id, 1 AS batch FROM s1
+UNION ALL
+SELECT doc_id, 2 AS batch FROM s2
+"""
+
+
+@register(
+    "incremental_dedup_batches",
+    sql=_incremental_dedup_sql(X.DUCK),
+    doc="Extension — ingest-time incremental dedup "
+    "(operators/dedup_text.py:incremental_dedup): batch 2 dedups against "
+    "the PERSISTED band index of batch 1's survivors plus itself, never "
+    "re-scanning history — the O(batch+index) shape a daily 100 TB ingest "
+    "needs; MinHash/band family driver-gated via dedup_clusters",
+    tier=2,
+)
+def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < _INC_SPLIT)
+    b2 = docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    kept1, bands1 = DD.incremental_dedup(spark, b1, None)
+    kept2, _ = DD.incremental_dedup(spark, b2, bands1)
+    return kept1.select("doc_id", F.lit(1).alias("batch")).unionByName(
+        kept2.select("doc_id", F.lit(2).alias("batch"))
+    )

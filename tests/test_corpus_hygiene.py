@@ -252,3 +252,44 @@ def test_bloom_no_false_negatives_and_low_fp(spark) -> None:
     # 1024 bits / ~n keys at K=3: FP rate should be well under 50% at smoke
     # scale; exact value is pinned by the oracle gate, this bounds sanity
     assert dj["n_positive"] < dj["n_probes"]
+
+
+def test_incremental_dedup_two_batches(spark) -> None:
+    """Batch 2 drops exact dups of batch 1 (via the persisted band index)
+    and in-batch dups (smaller id wins); the index grows only by survivors.
+    End state matches running the same rule over the full corpus at once."""
+    from nqs_console_flink_window_spark.operators.dedup_text import (
+        band_table,
+        incremental_dedup,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different content with no shared shingles at all here"
+    t_c = "a third unique document about spark engines and band indexes"
+    b1 = spark.createDataFrame([(1, t_a), (2, t_b)], "doc_id long, text string")
+    kept1, bands1 = incremental_dedup(spark, b1, None)
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 2]
+    index = bands1.localCheckpoint()
+
+    # batch 2: dup of doc 1, internal dup pair (10, 11), one new unique
+    b2 = spark.createDataFrame(
+        [(10, t_c), (11, t_c), (12, t_a), (13, "yet another fresh text body nothing like the others")],
+        "doc_id long, text string",
+    )
+    kept2, bands2 = incremental_dedup(spark, b2, index)
+    assert sorted(r.doc_id for r in kept2.collect()) == [10, 13]
+
+    # index grows by survivors only
+    merged = index.unionByName(bands2)
+    survivors = {1, 2, 10, 13}
+    assert {r.doc_id for r in merged.select("doc_id").distinct().collect()} == survivors
+
+    # parity with the one-shot rule over the full corpus
+    full = b1.unionByName(b2)
+    kept_full, _ = incremental_dedup(spark, full, None)
+    assert {r.doc_id for r in kept_full.collect()} == survivors
+
+    # a third batch against the merged index still drops historical dups
+    b3 = spark.createDataFrame([(20, t_c)], "doc_id long, text string")
+    kept3, _ = incremental_dedup(spark, b3, merged)
+    assert kept3.count() == 0
