@@ -822,3 +822,35 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept1.select("doc_id", F.lit(1).alias("batch")).unionByName(
         kept2.select("doc_id", F.lit(2).alias("batch"))
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split — content-hash assignment, stable
+# across runs, machines, and partitionings (never rand(): a re-run must
+# put every document in the same split or eval sets leak into training).
+# --------------------------------------------------------------------------
+
+
+def _split_sql(d: str) -> str:
+    h = X.md5_int(d, "'split:' || CAST(doc_id AS STRING)")
+    return f"""
+SELECT doc_id, lang,
+  CASE WHEN {h} % 100 < 90 THEN 'train'
+       WHEN {h} % 100 < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register(
+    "train_val_test_split",
+    sql=_split_sql(X.DUCK),
+    doc="Extension — deterministic 90/5/5 train/val/test assignment from a "
+    "salted content hash (stable across runs/partitionings, no rand(); "
+    "pure projection, zero shuffles); hash-mod family driver-gated via "
+    "training_sample",
+    tier=2,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_split_sql(X.SPARK))
