@@ -122,25 +122,43 @@ def with_lsh_buckets(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -
 def ann_candidates(df: DataFrame, query_df: DataFrame) -> DataFrame:
     """Candidate pairs: corpus rows sharing >=1 (table, bucket) with a query
     row.  Both sides explode their signature array to (table, bucket) keys;
-    the join is a plain equi-join (broadcast when the query side is small)."""
+    the join is a plain equi-join (broadcast when the query side is small).
+
+    Scale shape: a corpus row can collide with the same query in several
+    tables, so candidates need a dedup — but running ``distinct()`` over the
+    embedding payloads would drag two float-arrays per row through the
+    exchange (the dominant cost at 100 TB).  Instead the distinct runs on
+    the bare ``(q_vec_id, c_vec_id)`` id pair; embeddings re-attach after —
+    query side broadcast, corpus side one narrow shuffle keyed on vec_id."""
+
     def explode_buckets(d: DataFrame, prefix: str) -> DataFrame:
         return d.select(
             F.col("vec_id").alias(f"{prefix}_vec_id"),
-            F.col("embedding").alias(f"{prefix}_embedding"),
             F.posexplode("lsh_buckets").alias("tbl", f"{prefix}_bucket"),
         )
 
     corpus = explode_buckets(df, "c")
     query = explode_buckets(query_df, "q")
-    return (
+    pairs = (
         corpus.join(
             F.broadcast(query),
             (corpus["tbl"] == query["tbl"])
             & (corpus["c_bucket"] == query["q_bucket"]),
         )
         .filter(F.col("c_vec_id") != F.col("q_vec_id"))
-        .select("q_vec_id", "c_vec_id", "q_embedding", "c_embedding")
+        .select("q_vec_id", "c_vec_id")
         .distinct()
+    )
+    q_emb = query_df.select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    c_emb = df.select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")
+    )
+    return (
+        pairs.join(F.broadcast(q_emb), "q_vec_id")
+        .join(c_emb, "c_vec_id")
+        .select("q_vec_id", "c_vec_id", "q_embedding", "c_embedding")
     )
 
 

@@ -426,20 +426,58 @@ def score_all_protocols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    sql=None,  # Python decode kernel has no SQL twin by design
+    # The stub decode kernel is a deterministic byte histogram (byte % 16,
+    # normalized by payload length) — DuckDB recomputes it from the raw UTF-8
+    # bytes via hex-pair extraction.  The driver row de-normalizes each float
+    # back to its integer bucket count (round(val * n_bytes) is exact for
+    # counts < 2^23 despite the float32 feature schema), so the comparison is
+    # integer hash-exact end-to-end through the Arrow mapInPandas stage.
+    sql=f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, unnest(range(n)) AS i, h FROM d
+), c AS (
+  SELECT doc_id, (('0x' || substr(h, CAST(i AS INT) * 2 + 1, 2))::INT) % 16 AS dim,
+         COUNT(*) AS byte_cnt
+  FROM b GROUP BY doc_id, dim
+)
+SELECT d.doc_id AS media_id, CAST(dims.dim AS BIGINT) AS dim,
+       COALESCE(c.byte_cnt, 0) AS byte_cnt, TRUE AS decode_ok
+FROM d
+CROSS JOIN (SELECT unnest(range(16)) AS dim) dims
+LEFT JOIN c ON c.doc_id = d.doc_id AND c.dim = dims.dim
+""",
     doc="Extension — Arrow-batched mapInPandas feature extraction over "
-    "binary payloads (decode kernel stubbed; plumbing real)",
+    "binary payloads (decode kernel stubbed as a deterministic byte "
+    "histogram; plumbing real); oracle recomputes the histogram from hex "
+    "pairs and the driver row de-normalizes features to exact bucket counts",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = MM.extract_features(MM.documents_as_media(docs))
-    # Serialize the array<float> column: the driver's pandas canonicalizer
-    # sort_values over every column and list cells are unhashable/unsortable
-    # (round-1 hard error).  to_json keeps the values checkable as a scalar.
-    return feats.select(
-        "media_id", F.to_json("feature").alias("feature_json"), "decode_ok"
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media)
+    # The driver's pandas canonicalizer sort_values over every column and
+    # array cells are unhashable/unsortable (round-1 hard error), so explode
+    # the feature vector to scalar rows; multiplying back by n_bytes turns
+    # each normalized float32 bucket into its exact integer count.
+    n_bytes = media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+    exploded = feats.join(F.broadcast(n_bytes), "media_id").select(
+        "media_id",
+        F.posexplode("feature").alias("dim", "val"),
+        "n_bytes",
+        "decode_ok",
+    )
+    return exploded.select(
+        "media_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * F.col("n_bytes"))
+        .cast("long")
+        .alias("byte_cnt"),
+        "decode_ok",
     )
 
 
@@ -832,7 +870,11 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_sql(d: str) -> str:
-    h = X.md5_int(d, "'split:' || CAST(doc_id AS STRING)")
+    # Hash the CONTENT, not doc_id: identical texts must land in the same
+    # split (train/test leakage otherwise), and id-hash assignment churns
+    # whenever a fixture round regenerates ids.  Near-duplicates that
+    # survive dedup can still straddle splits — run the dedup family first.
+    h = X.md5_int(d, "'split:' || text")
     return f"""
 SELECT doc_id, lang,
   CASE WHEN {h} % 100 < 90 THEN 'train'
@@ -846,9 +888,9 @@ FROM documents
     "train_val_test_split",
     sql=_split_sql(X.DUCK),
     doc="Extension — deterministic 90/5/5 train/val/test assignment from a "
-    "salted content hash (stable across runs/partitionings, no rand(); "
-    "pure projection, zero shuffles); hash-mod family driver-gated via "
-    "training_sample",
+    "salted content hash (identical texts co-split; stable across runs/"
+    "partitionings/id-regeneration, no rand(); pure projection, zero "
+    "shuffles); hash-mod family driver-gated via training_sample",
     tier=2,
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:

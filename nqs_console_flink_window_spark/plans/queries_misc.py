@@ -378,19 +378,49 @@ def detail_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trend_sql(epoch_expr: str) -> str:
+    """Closed-form per-user least-squares slope, hash-exact across engines.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x centered on the
+    per-user minimum (shift-invariant, kills catastrophic cancellation and
+    keeps Σx² inside BIGINT).  Every SUM is exact (BIGINT / DECIMAL); the
+    final arithmetic runs in IEEE double over identical expression trees, so
+    Spark and DuckDB agree bit-for-bit.  The applyInPandas numpy form of the
+    same operator (`operators/stateful.py:per_key_trend`) stays the UDF-
+    surface demo, agreement asserted in tests/test_udf_surface.py."""
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         {epoch_expr} - MIN({epoch_expr}) OVER (PARTITION BY user_id) AS xc,
+         CAST(CAST(value AS DOUBLE) AS DECIMAL(20,6)) AS yv
+  FROM events
+), s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(xc) AS DOUBLE) AS sx,
+         CAST(SUM(xc * xc) AS DOUBLE) AS sxx,
+         CAST(SUM(yv) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xc AS DECIMAL(12,0)) * yv) AS DOUBLE) AS sxy
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN n < 2 OR n * sxx - sx * sx = 0.0 THEN 0.0
+            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       n
+FROM s
+"""
+
+
 @register(
     "per_user_trend",
-    sql=None,  # numpy lstsq has no bit-exact SQL twin; checked in tests
-    doc="UDF surface — applyInPandas grouped-map: per-user least-squares "
-    "value-over-time slope (custom analytics beyond the SQL surface)",
+    sql=_trend_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+    doc="Custom analytics — per-user least-squares value-over-time slope as "
+    "closed-form exact aggregation sums (JVM-side, shuffle-once; the "
+    "applyInPandas numpy twin is the UDF-surface demo, parity-tested)",
 )
 def per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stateful import per_key_trend
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "x", F.unix_timestamp("ts").cast("double")
-    )
-    return per_key_trend(ev, "user_id", "x", "value")
+    register_temp_views(spark, sf_dir, ("events",))
+    return spark.sql(_trend_sql("CAST(unix_timestamp(ts) AS BIGINT)"))
 
 
 # --------------------------------------------------------------------------

@@ -164,10 +164,14 @@ def default_port_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_running_counts",
-    sql=None,  # cross-batch stateful op; verified in tests vs batch counts
+    # The memory sink (update mode) retains every per-batch emission; the
+    # final MAX(running_total) per key is therefore the all-time row count
+    # per event_type regardless of how the source files were chunked into
+    # micro-batches — which a one-line batch aggregate oracles exactly.
+    sql="SELECT event_type AS key, COUNT(*) AS total FROM events GROUP BY event_type",
     doc="W10 — applyInPandasWithState running per-key counter across "
     "micro-batches (the reference trigger's ReducingState), driven by a "
-    "chunked availableNow source",
+    "chunked availableNow source; oracled on the final per-key totals",
 )
 def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid

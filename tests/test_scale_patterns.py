@@ -200,3 +200,29 @@ def test_geo_range_join_bucketed_matches_bnlj_query(spark) -> None:
     a = REGISTRY["geo_range_join"].spark(spark, SMOKE_SF_DIR)
     b = REGISTRY["geo_range_join_bucketed"].spark(spark, SMOKE_SF_DIR)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ann_candidate_dedup_exchange_carries_only_ids(spark) -> None:
+    """The LSH candidate dedup must distinct() on the bare id pair — an
+    exchange that shuffles the float-array embeddings is the dominant cost
+    at 100 TB (round-3 `weak` finding).  Assert every distinct HashAggregate
+    groups on ids only, with no embedding column in its keys."""
+    import re
+
+    from nqs_console_flink_window_spark.operators import similarity as SIM
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    with_b = SIM.with_lsh_buckets(emb)
+    query = with_b.limit(2)
+    plan = (
+        SIM.ann_candidates(with_b, query)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    aggs = re.findall(r"Aggregate \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert aggs, plan
+    for keys, out in aggs:
+        assert "embedding" not in keys, plan
+        assert "embedding" not in out, plan
