@@ -249,16 +249,27 @@ WHERE CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n) >= {threshold!r}
 
 
 def band_table(spark, docs, view_name: str | None = None):
-    """(doc_id, band_id, band_key) for a batch of documents (doc_id, text)."""
+    """(doc_id, band_id, band_key) for a batch of documents (doc_id, text).
+
+    The uuid temp view exists only long enough to render the signature SQL
+    against a stable name; it is dropped before returning (a long-lived
+    ingest session would otherwise accumulate one catalog entry per batch).
+    The returned DataFrame is localCheckpoint()ed so dropping the view
+    cannot invalidate its lineage."""
+    drop_after = view_name is None
     if view_name is None:
         import uuid
 
         view_name = f"__inc_dedup_{uuid.uuid4().hex[:12]}"
     docs.createOrReplaceTempView(view_name)
     bands = "\nUNION ALL\n".join(minhash_band_selects(X.SPARK))
-    return spark.sql(
+    out = spark.sql(
         f"WITH sig AS ({minhash_signatures_sql(X.SPARK, view_name)})\n{bands}"
     )
+    if drop_after:
+        out = out.localCheckpoint()
+        spark.catalog.dropTempView(view_name)
+    return out
 
 
 def incremental_dedup(spark, new_docs, index):
@@ -268,7 +279,7 @@ def incremental_dedup(spark, new_docs, index):
     """
     from pyspark.sql import functions as F
 
-    nb = band_table(spark, new_docs).localCheckpoint()  # bands used 3x below
+    nb = band_table(spark, new_docs)  # checkpointed inside; bands used 3x below
     dup_ids = None
     if index is not None:
         vs_index = (

@@ -46,6 +46,14 @@ def canonicalize_types(df: DataFrame) -> DataFrame:
     - DECIMAL(p,s) -> DOUBLE (Spark would surface python Decimal objects
       where DuckDB's pandas bridge yields float64 — a value-identical but
       hash-breaking divergence, the round-1 `fround` lesson at the source).
+      Caveat (advisor, round 3): the cast moves Spark to IEEE accumulation
+      while DuckDB (reading parquet directly) would SUM decimal-exact — a
+      divergence only for AGGREGATES over a decimal-typed fixture column.
+      No current fixture ships decimals; if one appears with aggregating
+      queries, those queries must re-cast through the registry's
+      DECIMAL(25,6)-sum pattern (see plans/registry.py) so both engines
+      accumulate exactly — the scan-level cast alone is projection-safe
+      but not accumulation-safe.
 
     Deliberately NOT cast here: TIMESTAMP_NTZ on non-events tables.  A cast
     wrapping a scan column defeats parquet predicate pushdown (the

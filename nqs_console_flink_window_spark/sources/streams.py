@@ -34,14 +34,15 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        glob = "events.parquet"
     except AnalysisException:
         # sf_dir may hold bare part files (tests chunk the fixture); any
-        # footer in the directory carries the same events schema.
+        # footer in the directory carries the same events schema.  The
+        # events.parquet glob would match ZERO of those files and yield a
+        # stream that silently never emits — widen it with the schema probe.
         raw_schema = spark.read.parquet(sf_dir).schema
-    reader = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-    )
+        glob = "*.parquet"
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return normalize_event_ts(reader.parquet(sf_dir))

@@ -371,45 +371,53 @@ def test_seen_router_registers_once_then_heartbeats_and_reregisters_after_ttl(
     ttl_ms = 12_000
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
-    src = str(tmp_path / "src")
-    cp = str(tmp_path / "cp")
-    df1 = spark.createDataFrame([("p1", 1), ("p1", 2), ("p2", 3)], "probe string, x int")
-    df1.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(df1.schema).parquet(src)
-    out = seen_router_stream(stream, "probe", ttl_ms=ttl_ms)
-
-    def drain() -> list:
-        rows: list = []
-
-        def sink(df, _bid):
-            rows.extend(
-                (r["key"], r["route"], r["n_records"]) for r in df.collect()
-            )
-
-        q = (
-            out.writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return sorted(rows)
-
-    assert drain() == [("p1", "heartbeat", 1), ("p1", "register", 1), ("p2", "register", 1)]
-
-    # within TTL: same keys heartbeat, a new key registers
-    spark.createDataFrame([("p1", 4), ("p3", 5)], "probe string, x int").write.mode(
-        "append"
-    ).parquet(src)
-    assert drain() == [("p1", "heartbeat", 1), ("p3", "register", 1)]
-
-    # past TTL: the lapsed key re-registers
-    time.sleep(ttl_ms / 1000 + 1)
-    spark.createDataFrame([("p1", 6)], "probe string, x int").write.mode(
-        "append"
-    ).parquet(src)
+    # try/finally spans EVERY drain: an assertion failure in the first drain
+    # must not leak partitions=2 into later tests on the shared session.
     try:
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        df1 = spark.createDataFrame(
+            [("p1", 1), ("p1", 2), ("p2", 3)], "probe string, x int"
+        )
+        df1.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df1.schema).parquet(src)
+        out = seen_router_stream(stream, "probe", ttl_ms=ttl_ms)
+
+        def drain() -> list:
+            rows: list = []
+
+            def sink(df, _bid):
+                rows.extend(
+                    (r["key"], r["route"], r["n_records"]) for r in df.collect()
+                )
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(rows)
+
+        assert drain() == [
+            ("p1", "heartbeat", 1),
+            ("p1", "register", 1),
+            ("p2", "register", 1),
+        ]
+
+        # within TTL: same keys heartbeat, a new key registers
+        spark.createDataFrame(
+            [("p1", 4), ("p3", 5)], "probe string, x int"
+        ).write.mode("append").parquet(src)
+        assert drain() == [("p1", "heartbeat", 1), ("p3", "register", 1)]
+
+        # past TTL: the lapsed key re-registers
+        time.sleep(ttl_ms / 1000 + 1)
+        spark.createDataFrame([("p1", 6)], "probe string, x int").write.mode(
+            "append"
+        ).parquet(src)
         assert drain() == [("p1", "register", 1)]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
