@@ -89,9 +89,20 @@ def game_metrics_sql(m: dict[str, str]) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def repair_model_sql(model: str, magic_model: str = "DT741-csf") -> str:
+    """Vendor mojibake repair (handler/thread/ProbeInfoThread.java:76-78):
+    some probes report their product code as the four-0xFF string 'ÿÿÿÿ'
+    (an uninitialized EEPROM field decoded as Latin-1); the reference
+    rewrites it to the known model before any model-conditional logic."""
+    return f"(CASE WHEN ({model}) = 'ÿÿÿÿ' THEN '{magic_model}' ELSE ({model}) END)"
+
+
 def pon_rescale_sql(rx_power: str, model: str, magic_model: str = "DT741-csf") -> str:
+    # The model conditional sees the REPAIRED product code, so mojibake
+    # probes rescale exactly like explicitly-tagged DT741-csf units.
+    repaired = repair_model_sql(model, magic_model)
     return (
-        f"(CASE WHEN ({model}) = '{magic_model}' THEN ({rx_power}) / 10000.0 "
+        f"(CASE WHEN {repaired} = '{magic_model}' THEN ({rx_power}) / 10000.0 "
         f"ELSE ({rx_power}) END)"
     )
 

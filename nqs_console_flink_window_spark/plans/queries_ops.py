@@ -91,7 +91,10 @@ def derive_game_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T5/T6 — conditional rescale + status derivation on part stand-ins
 # --------------------------------------------------------------------------
 
-_PON_MODEL = "CASE WHEN p_size % 5 = 0 THEN 'DT741-csf' ELSE p_brand END"
+_PON_MODEL = (
+    "CASE WHEN p_size % 5 = 0 THEN 'DT741-csf' "
+    "WHEN p_size % 7 = 0 THEN 'ÿÿÿÿ' ELSE p_brand END"  # mojibake vendor code
+)
 _PON_SQL = D.pon_rescale_sql("p_retailprice", _PON_MODEL)
 _STATUS_SQL = D.probe_status_sql("CASE WHEN p_size % 2 = 0 THEN 'connected' ELSE 'down' END")
 

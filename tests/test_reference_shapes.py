@@ -130,6 +130,32 @@ def test_pon_rescale_and_status(spark) -> None:
     assert out.rx == 12.3456 and out.status == 10
 
 
+def test_pon_rescale_repairs_mojibake_vendor_code(spark) -> None:
+    """ProbeInfoThread.java:76-78 — 'ÿÿÿÿ' (uninitialized EEPROM product
+    code) is repaired to DT741-csf BEFORE the model conditional, so such
+    probes rescale; any other vendor string passes through unscaled."""
+    from nqs_console_flink_window_spark.operators.derive import (
+        pon_rescale_sql,
+        repair_model_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("ÿÿÿÿ", 123456.0), ("DT741-csf", 123456.0), ("OTHER", 123456.0)],
+        "pc string, rx_power double",
+    )
+    rows = {
+        r.pc: (r.repaired, r.rx)
+        for r in df.select(
+            "pc",
+            F.expr(repair_model_sql("pc")).alias("repaired"),
+            F.expr(pon_rescale_sql("rx_power", "pc")).alias("rx"),
+        ).collect()
+    }
+    assert rows["ÿÿÿÿ"] == ("DT741-csf", 12.3456)
+    assert rows["DT741-csf"] == ("DT741-csf", 12.3456)
+    assert rows["OTHER"] == ("OTHER", 123456.0)
+
+
 def test_fanout_branch_predicates(spark) -> None:
     """R2 — presence-based routing: all four branches fire for this payload."""
     df = _gw_info_df(spark)
