@@ -148,3 +148,21 @@ def test_criteria_transcription_complete() -> None:
         for m in crit.metrics:
             assert len(m.bands) == 5, (crit.protocol, m.name)
             assert m.direction in ("up", "down")
+
+
+def test_criteria_transcription_matches_shipped_xml() -> None:
+    """Drift guard: the Python literal transcription (pq_criteria.CRITERIA)
+    must equal what the runtime XML parser (pq_xml.parse_criteria — the
+    ParserPQXml.java analogue) extracts from the SHIPPED config file.  Any
+    edit to either side that is not mirrored in the other fails here, so
+    config/literal drift is impossible."""
+    from nqs_console_flink_window_spark.functions.pq_xml import (
+        DEFAULT_XML,
+        parse_criteria,
+    )
+
+    assert DEFAULT_XML.exists(), DEFAULT_XML
+    parsed = parse_criteria()
+    assert list(parsed) == list(CRITERIA)  # same protocols, same order
+    for proto, crit in CRITERIA.items():
+        assert parsed[proto] == crit, proto
