@@ -42,6 +42,41 @@ def write_facts(
     df.write.mode(mode).partitionBy(date_col).parquet(out_dir)
 
 
+def write_facts_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    max_connections: int | None = None,
+) -> None:
+    """S3/S5 — the reference's relational landing path (MySQL/ClickHouse via
+    MyBatis ``insertList`` — sink/ProbeHeartbeatSink.java:41-51,
+    nqs-gen GwDataServiceImpl.java:32-51) behind the same facts API.
+
+    Spark-first shape: ONE ``format('jdbc')`` batch write, not per-record
+    inserts (the S3 anti-pattern stays unmapped).  ``batchsize`` is the
+    executor-side addBatch/executeBatch chunk — the ``insertList`` analogue;
+    ``max_connections`` coalesces to cap concurrent connections so a
+    1000-executor cluster cannot open 1000 sessions against one database
+    (the classic JDBC-sink scale failure).  Day-partitioning/TTL are the
+    database's job on this path (the reference's ClickHouse DDL), not the
+    writer's."""
+    if max_connections and max_connections > 0:
+        df = df.coalesce(max_connections)
+    w = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "READ_COMMITTED")
+    )
+    if driver:
+        w = w.option("driver", driver)
+    w.mode(mode).save()
+
+
 def idempotent_batch_write(
     df: DataFrame, base_dir: str, batch_id: int, partition_cols: tuple[str, ...] = ()
 ) -> None:
