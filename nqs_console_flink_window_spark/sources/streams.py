@@ -4,8 +4,10 @@ The reference consumes Kafka topics (env/BaseFlink.java:107-129).  The same
 pipelines here read any Structured Streaming source; for the fixture tables
 the file source stands in for Kafka (TESTDATA.md), with ``availableNow``
 used by tests to drain it deterministically.  A real deployment swaps
-``read_events_stream`` for ``spark.readStream.format('kafka')...`` — every
-transform downstream is source-agnostic (unified batch/streaming API).
+``read_events_stream`` for ``parse_kafka_events(kafka_events_reader(...)
+.load())`` (see ``sources.kafka`` — option map, SASL wiring, and the wire
+parse stage, all statically tested) — every transform downstream is
+source-agnostic (unified batch/streaming API).
 """
 
 from __future__ import annotations
