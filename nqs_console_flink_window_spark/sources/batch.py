@@ -55,6 +55,10 @@ def canonicalize_types(df: DataFrame) -> DataFrame:
       accumulate exactly — the scan-level cast alone is projection-safe
       but not accumulation-safe.
 
+    - FLOAT -> DOUBLE: exact widening (no value change), protects against a
+      float32 fixture vintage where Spark float vs DuckDB's float->double
+      promotion would diverge kinds at the pandas bridge.
+
     Deliberately NOT cast here: TIMESTAMP_NTZ on non-events tables.  A cast
     wrapping a scan column defeats parquet predicate pushdown (the
     ship-date filter would stop reaching the scan), and NTZ already
@@ -64,7 +68,7 @@ def canonicalize_types(df: DataFrame) -> DataFrame:
     """
     out = df
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.DecimalType):
+        if isinstance(f.dataType, (T.DecimalType, T.FloatType)):
             out = out.withColumn(f.name, F.col(f.name).cast("double"))
     return out
 

@@ -188,3 +188,61 @@ def test_kafka_reader_and_writer_builders_construct(spark) -> None:
     stream = read_events_stream(spark, SMOKE_SF_DIR)
     writer = kafka_sink_writer(stream, "data_saved", "broker")
     assert writer is not None
+
+
+def test_loader_absorbs_every_fixture_vintage(spark, tmp_path) -> None:
+    """Round-2 lesson, generalized: the driver has re-encoded fixture
+    physical types between rounds (events.ts int64-nanos -> TIMESTAMP
+    micros) and may again.  Write the same logical events table in every
+    physical-type family parquet can ship it in, and assert load_table
+    normalizes each to the canonical schema with identical values — so a
+    third encoding change cannot zero a bench again."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    base_ts = datetime.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    ids = list(range(4))
+    tss = [base_ts + datetime.timedelta(seconds=i) for i in ids]
+    vals = [1.5, 2.5, 3.25, 4.0]
+
+    def write_vintage(name: str, ts_arr: pa.Array, val_arr: pa.Array) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(["a", "b", "a", "b"]),
+                "value": val_arr,
+                "props": pa.array(['{"k": 1}'] * 4),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    us = pa.array(tss, pa.timestamp("us"))
+    vintages = {
+        "ns_int64": (pa.array(tss, pa.timestamp("ns")), pa.array(vals, pa.float64())),
+        "us_ntz": (us, pa.array(vals, pa.float64())),
+        "us_tz": (pa.array(tss, pa.timestamp("us", tz="UTC")), pa.array(vals)),
+        "ms": (pa.array(tss, pa.timestamp("ms")), pa.array(vals)),
+        "float32_val": (us, pa.array(vals, pa.float32())),
+        "decimal_val": (us, pa.array(vals, pa.float64()).cast(pa.decimal128(12, 4))),
+    }
+    results = {}
+    for name, (ts_arr, val_arr) in vintages.items():
+        df = load_table(spark, write_vintage(name, ts_arr, val_arr), "events")
+        schema = dict(df.dtypes)
+        assert schema["ts"] == "timestamp", (name, schema)
+        assert schema["value"] == "double", (name, schema)
+        results[name] = sorted(
+            (r.event_id, r.ts, r.value, r.event_type) for r in df.collect()
+        )
+    want = results["us_ntz"]
+    for name, got in results.items():
+        assert got == want, (name, got, want)
