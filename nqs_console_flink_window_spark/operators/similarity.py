@@ -85,34 +85,95 @@ FROM sums
 
 
 # ---------------------------------------------------------------------------
-# LSH ANN (Spark-only; verified against brute force in tests)
+# LSH ANN — deterministic integer sign-random-projection (Charikar SRP with
+# md5-derived ±1 hyperplanes over 2^20-quantized embeddings).
+#
+# Why integer, not Gaussian: with ±1 plane entries and integer-quantized
+# vectors the signature is EXACT integer arithmetic — the same bucket ids
+# come out of the numpy fast path, a SQL engine, or any future re-index run.
+# That makes the index (a) DuckDB-oracle-able end-to-end (the driver's
+# ann_topk row is hash-green, not rows-only) and (b) stable for incremental
+# maintenance: re-bucketing history after adding vectors can never churn
+# buckets the way float rounding order could.  Recall is the standard SRP
+# guarantee — ±1 projections approximate angles as well as Gaussian ones
+# for LSH purposes (verified >= 0.5 recall@10 in tests).
 # ---------------------------------------------------------------------------
 
 LSH_TABLES = 8
 LSH_PLANES = 4
-LSH_SEED = 42
+SRP_SCALE = 1 << 20  # quantization: q[d] = floor(x[d] * 2^20 + 0.5), exact in IEEE
 
 
-def _planes(dim: int) -> np.ndarray:
-    """Deterministic random hyperplanes, shape (tables, planes, dim)."""
-    rs = np.random.RandomState(LSH_SEED)
-    return rs.normal(size=(LSH_TABLES, LSH_PLANES, dim)).astype(np.float64)
+def _srp_sign(t: int, p: int, d: int) -> int:
+    """±1 plane entry from the first 15 md5 hex chars of 'plane:t:p:d' —
+    the Python twin of the cross-engine ``dialect.md5_int`` rule."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+def _srp_signs(dim: int) -> np.ndarray:
+    """Plane-sign matrix, shape (T*P, dim), int64 ±1."""
+    return np.array(
+        [
+            [_srp_sign(t, p, d) for d in range(dim)]
+            for t in range(LSH_TABLES)
+            for p in range(LSH_PLANES)
+        ],
+        dtype=np.int64,
+    )
+
+
+def srp_buckets_duck_sql(vec_table: str = "embeddings", dim: int = 64) -> str:
+    """DuckDB oracle twin of ``with_lsh_buckets``: (vec_id, tbl, bucket) via
+    the same quantization + md5-sign rule, all integer-exact."""
+    from ..functions import dialect as X
+
+    sign = X.md5_int(
+        X.DUCK,
+        "'plane:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) "
+        "|| ':' || CAST(d AS VARCHAR)",
+    )
+    return f"""
+SELECT vec_id, t AS tbl,
+       CAST(SUM((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) * (1 << p)) AS INT) AS bucket
+FROM (
+  SELECT qv.vec_id, pl.t, pl.p, SUM(qv.q * pl.s) AS dot
+  FROM (
+    SELECT vec_id, d,
+           CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {float(SRP_SCALE)} + 0.5)
+                AS BIGINT) AS q
+    FROM (SELECT vec_id, embedding, unnest(range({dim})) AS d FROM {vec_table})
+  ) qv
+  JOIN (
+    SELECT t, p, d,
+           (CASE WHEN {sign} % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM (SELECT unnest(range({LSH_TABLES})) AS t)
+    CROSS JOIN (SELECT unnest(range({LSH_PLANES})) AS p)
+    CROSS JOIN (SELECT unnest(range({dim})) AS d)
+  ) pl ON qv.d = pl.d
+  GROUP BY 1, 2, 3
+) GROUP BY vec_id, t
+"""
 
 
 def with_lsh_buckets(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """Adds an array<int> of LSH_TABLES bucket ids (sign-bit signatures).
+    """Adds an array<int> of LSH_TABLES bucket ids (SRP signatures).
 
-    Vectorized: each Arrow batch becomes one numpy (n, dim) @ (dim, T*P)
-    matmul — the idiomatic Pandas-UDF fast path.
+    Vectorized: each Arrow batch becomes one integer numpy (n, dim) @
+    (dim, T*P) matmul — the idiomatic Pandas-UDF fast path.  float32 ->
+    float64 widening, *2^20, floor(+0.5) and the int64 dot are all exact,
+    so the buckets match ``srp_buckets_duck_sql`` bit-for-bit.
     """
-    planes = _planes(dim).reshape(LSH_TABLES * LSH_PLANES, dim).T  # (dim, T*P)
+    signs = _srp_signs(dim).T  # (dim, T*P)
     weights = np.power(2, np.arange(LSH_PLANES))
 
     @F.pandas_udf("array<int>")
     def buckets(v: pd.Series) -> pd.Series:
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
-        signs = (mat @ planes) > 0  # (n, T*P)
-        bits = signs.reshape(len(v), LSH_TABLES, LSH_PLANES)
+        q = np.floor(mat * float(SRP_SCALE) + 0.5).astype(np.int64)
+        bits = (q @ signs >= 0).reshape(len(v), LSH_TABLES, LSH_PLANES)
         ids = (bits * weights).sum(axis=2).astype(np.int32)  # (n, T)
         return pd.Series(list(ids))
 

@@ -520,21 +520,42 @@ def training_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SMP.training_sample_sql(X.SPARK))
 
 
+def _ann_topk_oracle_sql() -> str:
+    """The ENTIRE LSH ANN pipeline in SQL: deterministic-SRP buckets (the
+    md5-sign / 2^20-quantization rule is integer-exact, so DuckDB produces
+    the same buckets as the numpy pandas UDF), candidate pairs by bucket
+    collision, exact-decimal cosine re-rank, top-10.  ANN usually can't be
+    value-oracled because the hash family is runtime-random; making the
+    family deterministic is what turns this from rows-only to hash-green."""
+    return f"""
+WITH buckets AS ({SIM.srp_buckets_duck_sql("embeddings")}),
+qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+),
+cos AS ({SIM.cosine_duck_cte("embeddings", "vec_id = 0")})
+SELECT vec_id, cosine FROM (
+  SELECT c.vec_id, c.cosine,
+         row_number() OVER (ORDER BY c.cosine DESC, c.vec_id) AS rn
+  FROM cos c JOIN cand USING (vec_id)
+) WHERE rn <= 10
+"""
+
+
 @register(
     "ann_topk",
-    sql=None,  # approximate by design; recall vs brute force in tests
-    doc="Extension — ANN top-10 by both index families in one tagged union: "
-    "LSH (bucket equi-join + exact re-rank) and IVF (nprobe cell pruning); "
-    "merged driver row for ann_lsh_topk / ann_ivf_topk",
+    sql=_ann_topk_oracle_sql(),
+    doc="Extension — LSH ANN top-10 (deterministic integer SRP: md5-derived "
+    "±1 hyperplanes over 2^20-quantized embeddings, bucket equi-join, "
+    "exact-decimal cosine re-rank).  The deterministic family makes the "
+    "index reproducible across engines/runs, so the full ANN pipeline is "
+    "value-oracled; IVF stays tier-2 (ann_ivf_topk, recall + pruning "
+    "pytests — k-means has no SQL twin)",
 )
 def ann_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lsh = ann_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "vec_id", "cosine"
-    )
-    ivf = ann_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "vec_id", "cosine"
-    )
-    return lsh.unionByName(ivf)
+    return ann_lsh_topk(spark, sf_dir).select("vec_id", "cosine")
 
 
 # --------------------------------------------------------------------------

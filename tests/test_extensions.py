@@ -526,3 +526,26 @@ def test_chunk_documents_covers_text_exactly(spark) -> None:
             assert chunks[i] == text[start : start + CHUNK_SIZE], (doc_id, i)
             covered = max(covered, start + len(chunks[i]))
         assert covered == len(text), (doc_id, covered, len(text))
+
+
+def test_srp_buckets_bit_identical_across_engines(spark) -> None:
+    """The deterministic-SRP hash family is the reason ann_topk can be
+    value-oracled at all: the numpy pandas-UDF path and the DuckDB SQL twin
+    must produce the SAME (vec_id, table, bucket) triples, bit for bit."""
+    import duckdb
+
+    from nqs_console_flink_window_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    spark_b = {
+        (r.vec_id, t, b)
+        for r in SIM.with_lsh_buckets(emb).collect()
+        for t, b in enumerate(r.lsh_buckets)
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/embeddings.parquet')"
+    )
+    duck_b = {tuple(r) for r in con.execute(SIM.srp_buckets_duck_sql()).fetchall()}
+    assert spark_b == duck_b

@@ -1,0 +1,136 @@
+"""Scale soak — runs the engine at ~10x the bench fixture to verify the
+designs scale linearly, not just pass at sf0.1.
+
+Builds a replicated fixture (events/lineitem/orders/documents/embeddings
+replicated K times with id offsets; dims unchanged) in a temp dir, runs the
+headline bench suite plus the dedup family end-to-end at both scales, and
+prints per-query wall times with the scale ratio.  A design with the right
+shuffle shape lands near Kx (or below, where fixed Spark overhead dominates
+at sf0.1); a super-linear ratio flags an accidental quadratic/broadcast-miss.
+
+Usage: python tools/soak.py [K] [--keep]    (default K=10)
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nqs_console_flink_window_spark.config import TABLE_NAMES  # noqa: E402
+from nqs_console_flink_window_spark.plans import all as _all  # noqa: E402,F401
+from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
+from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
+from nqs_console_flink_window_spark.sources.batch import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+# Tables that scale with the fact volume; dims keep their base cardinality
+# (exactly the 100 TB shape: facts grow, dimensions don't).
+SCALED = {
+    "events": ("event_id", "user_id"),
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+SOAK_QUERIES = [
+    # headline suite
+    "pricing_summary", "revenue_by_region", "enrich_events",
+    "nqs_fact_pipeline", "score_ping", "tumbling_window_10s", "text_stats",
+    "minhash_signatures", "cosine_topk",
+    # dedup family end-to-end (the quadratic-risk operators)
+    "dedup_clusters", "simhash_hamming_hist", "incremental_dedup_batches",
+    "training_sample",
+]
+
+
+def build_scaled_dir(spark, k: int, out: str) -> None:
+    for t in TABLE_NAMES:
+        src = load_table(spark, BASE, t)
+        if t not in SCALED:
+            src.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            continue
+        id_cols = SCALED[t]
+        offsets = {c: src.agg(F.max(c)).first()[0] + 1 for c in id_cols}
+        parts = []
+        for r in range(k):
+            d = src
+            for c, off in offsets.items():
+                d = d.withColumn(c, (F.col(c) + F.lit(r * off)).cast("long"))
+            if t == "documents" and r > 0:
+                # perturb 90% of replica texts so near-dup search has real
+                # work; keep 10% as exact cross-replica duplicates
+                d = d.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 10 == 0, F.col("text")
+                    ).otherwise(F.concat("text", F.lit(f" r{r}"))),
+                )
+            parts.append(d)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in SOAK_QUERIES:
+        q = REGISTRY[name]
+        t0 = time.time()
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    keep = "--keep" in sys.argv
+    spark = get_spark("nqs-soak")
+    out = tempfile.mkdtemp(prefix="nqs_soak_")
+    t0 = time.time()
+    build_scaled_dir(spark, k, out)
+    build_s = round(time.time() - t0, 1)
+
+    # warmup (codegen/JIT) at the small smoke dir, mirroring bench.py
+    for name in SOAK_QUERIES:
+        try:
+            REGISTRY[name].spark(spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"warmup fail {name}: {e}", file=sys.stderr)
+
+    base = run_suite(spark, BASE)
+    scaled = run_suite(spark, out)
+    report = {
+        "k": k,
+        "build_sec": build_s,
+        "base_total": round(sum(base.values()), 2),
+        "scaled_total": round(sum(scaled.values()), 2),
+        "queries": {
+            n: {
+                "base_sec": base[n],
+                "scaled_sec": scaled[n],
+                "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
+            }
+            for n in SOAK_QUERIES
+        },
+    }
+    print(json.dumps(report))
+    if keep:
+        print(f"scaled dir kept: {out}", file=sys.stderr)
+    else:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
