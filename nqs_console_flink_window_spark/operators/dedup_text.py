@@ -98,45 +98,51 @@ FROM bands a JOIN bands b
 """
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60  # full md5_int width; 15-bit bands at max_dist=3
 
 
 def simhash_sql(d: str, table: str = "documents") -> str:
     """Per-doc SimHash over distinct lowercase tokens (SIMHASH_BITS wide).
 
-    The token hash is computed once per token (``hashed`` CTE), then fanned
-    out across bit positions — not re-hashed per (token, bit)."""
+    Scale shape (round-4 soak lesson): the naive formulation fans each
+    (doc, token) row out ``SIMHASH_BITS`` times before aggregating — a 60x
+    row explosion ahead of the shuffle.  Instead each bit's counter is its
+    own aggregate expression in ONE ``GROUP BY doc_id`` pass (60 SUMs,
+    map-side partial aggregation, zero fanout), and the fingerprint is
+    assembled from the 60 signs in the same projection.  16-bit
+    fingerprints were also the quadratic bomb in band joins: 4-bit bands
+    have only 16 distinct values, so every bucket holds n/16 docs; 60 bits
+    give 15-bit bands (32k values) and bucket sizes driven by real near-dup
+    structure, not keyspace exhaustion."""
     tok_hash = X.md5_int(d, "tok")
-    shift = X.shiftleft(d, "1", "j")
     if d == X.SPARK:
         toks = (
             f"SELECT DISTINCT doc_id, tok FROM {table} "
             f"LATERAL VIEW explode(split(lower(text), ' ')) t AS tok"
-        )
-        bits_src = (
-            "SELECT doc_id, hv, j FROM hashed "
-            f"LATERAL VIEW explode(sequence(0, {SIMHASH_BITS - 1})) b AS j"
         )
     else:
         toks = (
             f"SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok "
             f"FROM {table}"
         )
-        bits_src = (
-            f"SELECT doc_id, hv, g.j FROM hashed, "
-            f"generate_series(0, {SIMHASH_BITS - 1}) g(j)"
-        )
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
     return f"""
 WITH toks AS ({toks}),
 hashed AS (SELECT doc_id, {tok_hash} AS hv FROM toks),
-bits AS (
-  SELECT doc_id, j,
-    CAST(SUM(CASE WHEN (hv >> j) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
-  FROM ({bits_src}) GROUP BY doc_id, j
+agg AS (
+  SELECT doc_id,
+    {sums}
+  FROM hashed GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(SUM(CASE WHEN s > 0 THEN {shift} ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+FROM agg
 """
 
 
