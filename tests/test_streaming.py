@@ -631,3 +631,49 @@ def test_jdbc_facts_roundtrip_embedded_derby(spark, tmp_path) -> None:
     )
     assert got == want
     assert dict(back.dtypes) == dict(df.dtypes)
+
+
+def test_streaming_jdbc_landing_foreachbatch(spark, tmp_path) -> None:
+    """S3/S4 streaming form — the reference's sink operators receive each
+    window's records and insertList them into the database
+    (ProbeHeartbeatSink.java:41-51); here every micro-batch lands through
+    write_facts_jdbc inside foreachBatch.  Exactly-once-ish: Derby totals
+    must equal the source row count after a multi-batch availableNow drain."""
+    from nqs_console_flink_window_spark.sinks.writers import write_facts_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(src)
+    total = raw.count()
+
+    def land(df, _bid):
+        write_facts_jdbc(
+            df.select("event_id", "user_id", "event_type"),
+            url,
+            "fact_land",
+            driver=drv,
+            max_connections=2,
+        )
+
+    q = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "fact_land")
+        .option("driver", drv)
+        .load()
+    )
+    assert back.count() == total
+    assert back.select("event_id").distinct().count() == total
