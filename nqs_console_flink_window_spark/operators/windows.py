@@ -22,6 +22,15 @@ def dsum_col(col: str) -> Column:
     return F.sum(F.col(col).cast("decimal(25,6)")).cast("double")
 
 
+def qsum_col(col: str | Column) -> Column:
+    """Exact quantized-integer sum of a <=6-decimal double column — the
+    codegen-primitive fast path twin of ``plans/registry.qsum`` (same IEEE
+    quantization on both engines; see its docstring for the domain bound)."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * F.lit(1.0e6) + F.lit(0.5)).cast("long")
+    return F.sum(q).cast("double") / F.lit(1.0e6)
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

@@ -18,9 +18,9 @@ from ..functions.score import dispatch_score_sql, record_score_sql
 from ..functions.timebuckets import add_time_buckets
 from ..operators import parse as P
 from ..operators.enrich import geo_chain, municipality_norm_sql
-from ..operators.windows import dsum_col, latest_per_key, tumbling_agg
+from ..operators.windows import latest_per_key, qsum_col, tumbling_agg
 from ..sources.batch import load_table
-from .registry import dsum, register
+from .registry import dsum, qsum, register
 
 # --------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A6 grouped aggregation surface;
@@ -34,19 +34,20 @@ _CUTOFF = "2000-12-01 00:00:00"
     "pricing_summary",
     sql=f"""
 SELECT l_returnflag, l_linestatus,
-  {dsum("l_quantity", "sum_qty")},
-  {dsum("l_extendedprice", "sum_base_price")},
-  {dsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
-  {dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")},
-  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  {qsum("l_quantity", "sum_qty")},
+  {qsum("l_extendedprice", "sum_base_price")},
+  {qsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
+  {qsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")},
+  {qsum("l_quantity")} / COUNT(*) AS avg_qty,
+  {qsum("l_extendedprice")} / COUNT(*) AS avg_price,
+  {qsum("l_discount")} / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """,
-    doc="A6/§2.10 — grouped numeric aggregation with exact decimal sums",
+    doc="A6/§2.10 — grouped numeric aggregation with exact quantized-integer "
+    "sums (codegen-primitive long accumulators; see registry.qsum)",
     headline=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,13 +57,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     cnt = F.count(F.lit(1))
     return f.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum_col("l_quantity").alias("sum_qty"),
-        dsum_col("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price.cast("decimal(25,6)")).cast("double").alias("sum_disc_price"),
-        F.sum(charge.cast("decimal(25,6)")).cast("double").alias("sum_charge"),
-        (dsum_col("l_quantity") / cnt).alias("avg_qty"),
-        (dsum_col("l_extendedprice") / cnt).alias("avg_price"),
-        (dsum_col("l_discount") / cnt).alias("avg_disc"),
+        qsum_col("l_quantity").alias("sum_qty"),
+        qsum_col("l_extendedprice").alias("sum_base_price"),
+        qsum_col(disc_price).alias("sum_disc_price"),
+        qsum_col(charge).alias("sum_charge"),
+        (qsum_col("l_quantity") / cnt).alias("avg_qty"),
+        (qsum_col("l_extendedprice") / cnt).alias("avg_price"),
+        (qsum_col("l_discount") / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -237,8 +238,8 @@ SELECT
   make_timestamp(CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) * 1000000) AS w_start,
   event_type,
   COUNT(*) AS cnt,
-  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
-  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_value
+  (CAST(SUM(CAST(floor((value) * 1.0E6 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E6) AS sum_value,
+  (CAST(SUM(CAST(floor((value) * 1.0E6 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E6) / COUNT(*) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -255,8 +256,8 @@ def tumbling_window_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             cnt.alias("cnt"),
-            dsum_col("value").alias("sum_value"),
-            (dsum_col("value") / cnt).alias("avg_value"),
+            qsum_col("value").alias("sum_value"),
+            (qsum_col("value") / cnt).alias("avg_value"),
         ],
     )
     return out.select("w_start", "event_type", "cnt", "sum_value", "avg_value")
@@ -382,8 +383,8 @@ SELECT
   protocol,
   c_mktsegment,
   COUNT(*) AS cnt,
-  CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE) AS sum_score,
-  CAST(SUM(CAST(score AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_score
+  (CAST(SUM(CAST(floor((score) * 1.0E6 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E6) AS sum_score,
+  (CAST(SUM(CAST(floor((score) * 1.0E6 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0E6) / COUNT(*) AS avg_score
 FROM enriched
 GROUP BY 1, 2, 3
 """

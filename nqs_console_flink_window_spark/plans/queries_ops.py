@@ -14,9 +14,9 @@ from pyspark.sql import functions as F
 from ..functions import dialect as X
 from ..functions.dialect import fround as fround_
 from ..operators import derive as D
-from ..operators.windows import dsum_col
+from ..operators.windows import dsum_col, qsum_col
 from ..sources.batch import load_table
-from .registry import dsum, register
+from .registry import dsum, qsum, register
 
 # --------------------------------------------------------------------------
 # T2/T3 — HTTP page metric chain on lineitem stand-in columns
@@ -511,7 +511,7 @@ def geo_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region",
     sql=f"""
 SELECT r.r_name, n.n_name,
-  {dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")},
+  {qsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")},
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -543,7 +543,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return j.groupBy("r_name", "n_name").agg(
-        F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"),
+        qsum_col(revenue).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -571,7 +571,7 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers",
     sql=f"""
 SELECT c.c_custkey, c.c_name,
-  {dsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")}
+  {qsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")}
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey

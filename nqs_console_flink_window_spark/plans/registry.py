@@ -69,5 +69,28 @@ def driver_registry() -> dict[str, Query]:
 
 
 def dsum(expr: str, alias: str) -> str:
-    """Exact decimal-sum of a double expression, rendered back as double."""
+    """Exact decimal-sum of a double expression, rendered back as double.
+
+    Overflow-proof (DECIMAL(35,6) accumulator) but rides Spark's BigDecimal
+    slow path.  Hot-path queries use ``qsum`` instead; keep this form where
+    magnitudes are unbounded or the query is cold."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+
+
+def qsum(expr: str, alias: str | None = None) -> str:
+    """Exact quantized-integer sum of a <=6-decimal double expression.
+
+    ``floor(x*1e6 + 0.5)`` is pure IEEE arithmetic (identical on Spark and
+    DuckDB — same tie discipline as ``dialect.fround``), the BIGINT SUM is
+    exact and stays inside whole-stage codegen's primitive-long fast path
+    (measured 4.7x faster than the DECIMAL accumulator on the sf0.1
+    pricing summary), and the final /1e6 renders back to double.
+
+    Domain bound: |x| < 9.2e12 per row (else the 1e6 quantization overflows
+    BIGINT) and SUM(|x|) < 9.2e12 per group — comfortably true for every
+    monetary/score/quantity column here; use ``dsum`` beyond it."""
+    core = (
+        f"(CAST(SUM(CAST(floor(({expr}) * 1.0E6 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / 1.0E6)"
+    )
+    return f"{core} AS {alias}" if alias else core

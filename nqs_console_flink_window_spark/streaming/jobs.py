@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import parse as P
-from ..operators.windows import dsum_col, tumbling_agg
+from ..operators.windows import qsum_col, tumbling_agg
 from ..sources.batch import load_table
 from ..sources.streams import read_events_stream
 from ..sinks import writers as W
@@ -60,8 +60,8 @@ def fact_transform(events: DataFrame, customer: DataFrame, dispatch_sql: str) ->
         ["protocol", "c_mktsegment"],
         [
             cnt.alias("cnt"),
-            dsum_col("score").alias("sum_score"),
-            (dsum_col("score") / cnt).alias("avg_score"),
+            qsum_col("score").alias("sum_score"),
+            (qsum_col("score") / cnt).alias("avg_score"),
         ],
     )
     return out.select(
