@@ -677,3 +677,26 @@ def test_streaming_jdbc_landing_foreachbatch(spark, tmp_path) -> None:
     )
     assert back.count() == total
     assert back.select("event_id").distinct().count() == total
+
+
+def test_read_events_stream_bare_part_files_fallback(spark, tmp_path) -> None:
+    """Advisor round-3 fix: when sf_dir holds only bare part files (no
+    events.parquet), the reader must widen its glob along with the schema
+    probe fallback — previously it built a stream whose events.parquet glob
+    matched nothing and silently never emitted."""
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(src)
+    total = raw.count()
+
+    seen = []
+    q = (
+        read_events_stream(spark, src)
+        .writeStream.foreachBatch(lambda df, _b: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen) == total
