@@ -69,8 +69,14 @@ def dedup_clusters_df(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     cluster_id = min doc_id in the component, canonical = that minimum."""
     from pyspark.sql.window import Window
 
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    # Materialize the edge set ONCE: every propagation round joins against
+    # edges, and without this checkpoint each round's lazy plan replays the
+    # entire upstream MinHash -> banding -> candidate-join pipeline (round-4
+    # profile: ~80% of the query's wall time was that recomputation).
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
     comp = connected_components(edges, nodes)
