@@ -257,11 +257,14 @@ WHERE CAST(both_n AS DOUBLE) / (na.n + nb.n - both_n) >= {threshold!r}
 def band_table(spark, docs, view_name: str | None = None):
     """(doc_id, band_id, band_key) for a batch of documents (doc_id, text).
 
-    The uuid temp view exists only long enough to render the signature SQL
-    against a stable name; it is dropped before returning (a long-lived
-    ingest session would otherwise accumulate one catalog entry per batch).
-    The returned DataFrame is localCheckpoint()ed so dropping the view
-    cannot invalidate its lineage."""
+    With the default uuid view name, the view exists only long enough to
+    render the signature SQL against a stable name; it is dropped before
+    returning (a long-lived ingest session would otherwise accumulate one
+    catalog entry per batch), and the returned DataFrame is
+    localCheckpoint()ed so the drop cannot invalidate its lineage.  A
+    caller passing an explicit ``view_name`` owns the view's lifecycle and
+    gets the LAZY plan — they must keep the view alive until they have
+    consumed (or checkpointed) the result."""
     drop_after = view_name is None
     if view_name is None:
         import uuid

@@ -31,6 +31,20 @@ def qsum_col(col: str | Column) -> Column:
     return F.sum(q).cast("double") / F.lit(1.0e6)
 
 
+def qsum_partial_col(col: str | Column) -> Column:
+    """Inner stage of the two-level salted exact sum (the BIGINT partial);
+    twin of ``plans/registry.qsum_salted_inner``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.floor(c * F.lit(1.0e6) + F.lit(0.5)).cast("long"))
+
+
+def qsum_merge_col(partial: str | Column) -> Column:
+    """Outer stage: overflow-proof DECIMAL re-sum of the salted partials;
+    twin of ``plans/registry.qsum_salted_outer``."""
+    c = F.col(partial) if isinstance(partial, str) else partial
+    return F.sum(c.cast("decimal(38,0)")).cast("double") / F.lit(1.0e6)
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,

@@ -18,9 +18,15 @@ from ..functions.score import dispatch_score_sql, record_score_sql
 from ..functions.timebuckets import add_time_buckets
 from ..operators import parse as P
 from ..operators.enrich import geo_chain, municipality_norm_sql
-from ..operators.windows import latest_per_key, qsum_col, tumbling_agg
+from ..operators.windows import (
+    latest_per_key,
+    qsum_col,
+    qsum_merge_col,
+    qsum_partial_col,
+    tumbling_agg,
+)
 from ..sources.batch import load_table
-from .registry import dsum, qsum, register
+from .registry import SALT_BUCKETS, qsum_salted_inner, qsum_salted_outer, register
 
 # --------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A6 grouped aggregation surface;
@@ -30,41 +36,74 @@ from .registry import dsum, qsum, register
 _CUTOFF = "2000-12-01 00:00:00"
 
 
+# Whole-corpus rollup into a handful of groups -> two-level salted exact
+# sum (registry.qsum_salted_*): the salted inner stage keeps >99.9% of rows
+# on the codegen-primitive long path, the tiny outer stage re-sums partials
+# in overflow-proof DECIMAL — exact past 100 TB, unlike a single-level
+# BIGINT sum (overflows ~sf200) or a DECIMAL accumulator (4.7x slower).
+_PS_TERMS = {
+    "sum_qty": "l_quantity",
+    "sum_base_price": "l_extendedprice",
+    "sum_disc_price": "l_extendedprice * (1.0 - l_discount)",
+    "sum_charge": "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)",
+    "sum_disc": "l_discount",
+}
+_PS_INNER = ",\n    ".join(
+    qsum_salted_inner(e, f"p_{a}") for a, e in _PS_TERMS.items()
+)
+_PS_OUTER = ",\n  ".join(
+    qsum_salted_outer(f"p_{a}", a) for a in _PS_TERMS if a != "sum_disc"
+)
+
+
 @register(
     "pricing_summary",
     sql=f"""
 SELECT l_returnflag, l_linestatus,
-  {qsum("l_quantity", "sum_qty")},
-  {qsum("l_extendedprice", "sum_base_price")},
-  {qsum("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
-  {qsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", "sum_charge")},
-  {qsum("l_quantity")} / COUNT(*) AS avg_qty,
-  {qsum("l_extendedprice")} / COUNT(*) AS avg_price,
-  {qsum("l_discount")} / COUNT(*) AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+  {_PS_OUTER},
+  {qsum_salted_outer("p_sum_qty")} / SUM(n) AS avg_qty,
+  {qsum_salted_outer("p_sum_base_price")} / SUM(n) AS avg_price,
+  {qsum_salted_outer("p_sum_disc")} / SUM(n) AS avg_disc,
+  CAST(SUM(n) AS BIGINT) AS count_order
+FROM (
+  SELECT l_returnflag, l_linestatus, l_orderkey % {SALT_BUCKETS} AS salt,
+    {_PS_INNER},
+    COUNT(*) AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
+  GROUP BY 1, 2, 3
+)
 GROUP BY l_returnflag, l_linestatus
 """,
-    doc="A6/§2.10 — grouped numeric aggregation with exact quantized-integer "
-    "sums (codegen-primitive long accumulators; see registry.qsum)",
+    doc="A6/§2.10 — grouped numeric aggregation with two-level salted exact "
+    "sums (long partials per salt, decimal re-sum; exact past 100 TB — see "
+    "registry.qsum_salted_outer)",
     headline=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     f = li.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    cnt = F.count(F.lit(1))
-    return f.groupBy("l_returnflag", "l_linestatus").agg(
-        qsum_col("l_quantity").alias("sum_qty"),
-        qsum_col("l_extendedprice").alias("sum_base_price"),
-        qsum_col(disc_price).alias("sum_disc_price"),
-        qsum_col(charge).alias("sum_charge"),
-        (qsum_col("l_quantity") / cnt).alias("avg_qty"),
-        (qsum_col("l_extendedprice") / cnt).alias("avg_price"),
-        (qsum_col("l_discount") / cnt).alias("avg_disc"),
-        cnt.alias("count_order"),
+    inner = f.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_orderkey") % SALT_BUCKETS).alias("salt"),
+    ).agg(
+        *[
+            qsum_partial_col(F.expr(e)).alias(f"p_{a}")
+            for a, e in _PS_TERMS.items()
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.sum("n")
+    return inner.groupBy("l_returnflag", "l_linestatus").agg(
+        qsum_merge_col("p_sum_qty").alias("sum_qty"),
+        qsum_merge_col("p_sum_base_price").alias("sum_base_price"),
+        qsum_merge_col("p_sum_disc_price").alias("sum_disc_price"),
+        qsum_merge_col("p_sum_charge").alias("sum_charge"),
+        (qsum_merge_col("p_sum_qty") / n).alias("avg_qty"),
+        (qsum_merge_col("p_sum_base_price") / n).alias("avg_price"),
+        (qsum_merge_col("p_sum_disc") / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 

@@ -387,7 +387,8 @@ def _trend_sql(epoch_expr: str) -> str:
     final arithmetic runs in IEEE double over identical expression trees, so
     Spark and DuckDB agree bit-for-bit.  The applyInPandas numpy form of the
     same operator (`operators/stateful.py:per_key_trend`) stays the UDF-
-    surface demo, agreement asserted in tests/test_udf_surface.py."""
+    surface demo, agreement asserted in
+    tests/test_extensions.py::test_per_user_trend_matches_closed_form."""
     return f"""
 WITH e AS (
   SELECT user_id,

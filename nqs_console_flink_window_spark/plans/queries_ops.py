@@ -16,7 +16,14 @@ from ..functions.dialect import fround as fround_
 from ..operators import derive as D
 from ..operators.windows import dsum_col, qsum_col
 from ..sources.batch import load_table
-from .registry import dsum, qsum, register
+from .registry import (
+    SALT_BUCKETS,
+    dsum,
+    qsum,
+    qsum_salted_inner,
+    qsum_salted_outer,
+    register,
+)
 
 # --------------------------------------------------------------------------
 # T2/T3 — HTTP page metric chain on lineitem stand-in columns
@@ -509,23 +516,34 @@ def geo_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_by_region",
+    # Whole-corpus revenue into ~25 groups: two-level salted exact sum (the
+    # same 100 TB-proof shape as pricing_summary — long partials per
+    # (group, salt), decimal re-sum of the tiny partial set).
     sql=f"""
-SELECT r.r_name, n.n_name,
-  {qsum("l.l_extendedprice * (1.0 - l.l_discount)", "revenue")},
-  COUNT(*) AS n_items
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name, n.n_name
+SELECT r_name, n_name,
+  {qsum_salted_outer("p_rev", "revenue")},
+  CAST(SUM(pn) AS BIGINT) AS n_items
+FROM (
+  SELECT r.r_name, n.n_name, l.l_orderkey % {SALT_BUCKETS} AS salt,
+    {qsum_salted_inner("l.l_extendedprice * (1.0 - l.l_discount)", "p_rev")},
+    COUNT(*) AS pn
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2, 3
+)
+GROUP BY r_name, n_name
 """,
     doc="J1-J4/A6 — 5-table dim-chain join with grouped revenue (the full "
     "enrichment lifecycle at TPC-H shape; dims broadcast, facts never shuffle "
-    "before the final aggregate)",
+    "before the final aggregate; two-level salted exact revenue sum)",
     headline=True,
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import qsum_merge_col, qsum_partial_col
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -542,9 +560,15 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return j.groupBy("r_name", "n_name").agg(
-        qsum_col(revenue).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    inner = j.groupBy(
+        "r_name", "n_name", (F.col("l_orderkey") % SALT_BUCKETS).alias("salt")
+    ).agg(
+        qsum_partial_col(revenue).alias("p_rev"),
+        F.count(F.lit(1)).alias("pn"),
+    )
+    return inner.groupBy("r_name", "n_name").agg(
+        qsum_merge_col("p_rev").alias("revenue"),
+        F.sum("pn").alias("n_items"),
     )
 
 
@@ -595,9 +619,12 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
     )
+    # Per-customer groups are bounded (one customer's lifetime revenue stays
+    # far under the qsum domain bound even at 100 TB), so the single-level
+    # quantized sum is safe here — no salted two-level needed.
     return (
         j.groupBy("c_custkey", "c_name")
-        .agg(F.sum(revenue.cast("decimal(25,6)")).cast("double").alias("revenue"))
+        .agg(qsum_col(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
     )

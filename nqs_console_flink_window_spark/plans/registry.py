@@ -87,10 +87,37 @@ def qsum(expr: str, alias: str | None = None) -> str:
     pricing summary), and the final /1e6 renders back to double.
 
     Domain bound: |x| < 9.2e12 per row (else the 1e6 quantization overflows
-    BIGINT) and SUM(|x|) < 9.2e12 per group — comfortably true for every
-    monetary/score/quantity column here; use ``dsum`` beyond it."""
+    BIGINT) and SUM(|x|) < 9.2e12 PER GROUP.  The group bound is the real
+    constraint: fine for bounded groups (per-window aggregates — a 10 s
+    window cannot accumulate 9e12 of anything), but a whole-corpus rollup
+    into a handful of groups crosses it around sf~200.  For those use
+    ``qsum_salted`` (same speed, bound pushed ~1000x) or ``dsum``."""
     core = (
         f"(CAST(SUM(CAST(floor(({expr}) * 1.0E6 + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / 1.0E6)"
     )
     return f"{core} AS {alias}" if alias else core
+
+
+def qsum_salted_inner(expr: str, alias: str) -> str:
+    """Inner (salted) stage of the two-level exact quantized sum: emit the
+    per-(group, salt) BIGINT partial.  Pair with ``qsum_salted_outer``."""
+    return f"SUM(CAST(floor(({expr}) * 1.0E6 + 0.5) AS BIGINT)) AS {alias}"
+
+
+def qsum_salted_outer(partial: str, alias: str | None = None) -> str:
+    """Outer stage: exact DECIMAL re-sum of the salted BIGINT partials,
+    rendered back to double.
+
+    Two-level shape for whole-corpus rollups at 100 TB: >99.9% of rows are
+    absorbed by the codegen-primitive long sums in the salted inner
+    aggregation (one partial per (group, salt)); only the tiny partial set
+    rides the BigDecimal path, so the DECIMAL accumulator's overflow-proof
+    width costs nothing.  With SALT_BUCKETS=1024 the per-long bound applies
+    per salt, pushing the exact-sum domain to ~9e15 per group (~sf 1.6e5,
+    comfortably past 100 TB of lineitem)."""
+    core = f"(CAST(SUM(CAST({partial} AS DECIMAL(38,0))) AS DOUBLE) / 1.0E6)"
+    return f"{core} AS {alias}" if alias else core
+
+
+SALT_BUCKETS = 1024

@@ -58,13 +58,14 @@ def write_facts_jdbc(
     Spark-first shape: ONE ``format('jdbc')`` batch write, not per-record
     inserts (the S3 anti-pattern stays unmapped).  ``batchsize`` is the
     executor-side addBatch/executeBatch chunk — the ``insertList`` analogue;
-    ``max_connections`` coalesces to cap concurrent connections so a
-    1000-executor cluster cannot open 1000 sessions against one database
-    (the classic JDBC-sink scale failure).  Day-partitioning/TTL are the
+    ``max_connections`` maps to the JDBC writer's ``numPartitions`` option,
+    which caps concurrent connections so a 1000-executor cluster cannot
+    open 1000 sessions against one database (the classic JDBC-sink scale
+    failure) — the option form confines the narrowing to the write stage,
+    where an explicit ``coalesce`` could propagate reduced parallelism
+    upstream into the preceding computation.  Day-partitioning/TTL are the
     database's job on this path (the reference's ClickHouse DDL), not the
     writer's."""
-    if max_connections and max_connections > 0:
-        df = df.coalesce(max_connections)
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -72,6 +73,8 @@ def write_facts_jdbc(
         .option("batchsize", str(batchsize))
         .option("isolationLevel", "READ_COMMITTED")
     )
+    if max_connections and max_connections > 0:
+        w = w.option("numPartitions", str(max_connections))
     if driver:
         w = w.option("driver", driver)
     w.mode(mode).save()

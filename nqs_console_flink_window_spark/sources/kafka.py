@@ -126,8 +126,19 @@ def kafka_sink_writer(df: DataFrame, topic: str, servers: str, **kw):
     from ..sinks.writers import kafka_payload
 
     writer = kafka_payload(df).writeStream.format("kafka")
+    # Source/consumer-only options must not leak into the producer:
+    # subscribe/startingOffsets/failOnDataLoss/maxOffsetsPerTrigger are
+    # read-side Spark options, and kafka.group.id is a consumer config the
+    # Kafka producer client would warn about on every start.
+    source_only = (
+        "subscribe",
+        "startingOffsets",
+        "failOnDataLoss",
+        "maxOffsetsPerTrigger",
+        "kafka.group.id",
+    )
     for k, v in kafka_options(topic, servers, **kw).items():
-        if k in ("subscribe", "startingOffsets", "failOnDataLoss"):
-            continue  # source-only options
+        if k in source_only:
+            continue
         writer = writer.option(k, v)
     return writer.option("topic", topic)

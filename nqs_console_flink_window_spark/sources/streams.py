@@ -33,10 +33,21 @@ def read_events_stream(
 
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src_dir = sf_dir
     try:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        glob = "events.parquet"
+        if os.path.isdir(f"{sf_dir}/events.parquet"):
+            # Spark-written layout: events.parquet is a DIRECTORY of
+            # part-*.parquet files.  pathGlobFilter matches leaf file NAMES,
+            # so the events.parquet glob would match nothing — stream from
+            # inside the directory instead (same silent-empty bug class as
+            # the bare-part-files fallback below).
+            src_dir, glob = f"{sf_dir}/events.parquet", "*.parquet"
+        else:
+            glob = "events.parquet"
     except AnalysisException:
         # sf_dir may hold bare part files (tests chunk the fixture); any
         # footer in the directory carries the same events schema.  The
@@ -47,4 +58,4 @@ def read_events_stream(
     reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return normalize_event_ts(reader.parquet(sf_dir))
+    return normalize_event_ts(reader.parquet(src_dir))

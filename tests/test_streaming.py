@@ -700,3 +700,26 @@ def test_read_events_stream_bare_part_files_fallback(spark, tmp_path) -> None:
     )
     q.awaitTermination()
     assert sum(seen) == total
+
+
+def test_read_events_stream_directory_events_parquet(spark, tmp_path) -> None:
+    """Round-4 review finding: when events.parquet is a Spark-written
+    DIRECTORY of part files (the layout tools/soak.py produces), the glob
+    matches leaf file names and the old reader silently never emitted —
+    the reader must stream from inside the directory."""
+    sf_dir = str(tmp_path / "sf")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    raw.repartition(3).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    total = raw.count()
+
+    seen = []
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(lambda df, _b: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen) == total

@@ -33,11 +33,16 @@ from nqs_console_flink_window_spark.sources.batch import load_table  # noqa: E40
 
 BASE = "/root/testdata/sf0.1"
 # Tables that scale with the fact volume; dims keep their base cardinality
-# (exactly the 100 TB shape: facts grow, dimensions don't).
+# (exactly the 100 TB shape: facts grow, dimensions don't).  Offset ONLY
+# true primary keys: foreign keys into the un-replicated dims (events.
+# user_id -> customer, orders.o_custkey -> customer) must keep their base
+# values or every replica row misses its dim join and the soak measures
+# scan growth instead of join growth (round-4 review finding).  l_orderkey
+# is offset on both lineitem and orders so the fact-fact join stays valid.
 SCALED = {
-    "events": ("event_id", "user_id"),
+    "events": ("event_id",),
     "lineitem": ("l_orderkey",),
-    "orders": ("o_orderkey", "o_custkey"),
+    "orders": ("o_orderkey",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
 }
@@ -53,13 +58,29 @@ SOAK_QUERIES = [
 
 
 def build_scaled_dir(spark, k: int, out: str) -> None:
+    # The orderkey offset must be IDENTICAL on lineitem and orders or the
+    # replicas' fact-fact join (l_orderkey = o_orderkey) silently breaks.
+    shared_orderkey_off = (
+        max(
+            load_table(spark, BASE, "lineitem").agg(F.max("l_orderkey")).first()[0],
+            load_table(spark, BASE, "orders").agg(F.max("o_orderkey")).first()[0],
+        )
+        + 1
+    )
     for t in TABLE_NAMES:
         src = load_table(spark, BASE, t)
         if t not in SCALED:
             src.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
             continue
         id_cols = SCALED[t]
-        offsets = {c: src.agg(F.max(c)).first()[0] + 1 for c in id_cols}
+        offsets = {
+            c: (
+                shared_orderkey_off
+                if c in ("l_orderkey", "o_orderkey")
+                else src.agg(F.max(c)).first()[0] + 1
+            )
+            for c in id_cols
+        }
         parts = []
         for r in range(k):
             d = src
