@@ -193,7 +193,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_fingerprints",
     sql=DD.simhash_sql(X.DUCK),
-    doc="Extension — 16-bit SimHash over distinct tokens; driver-gated "
+    doc="Extension — 60-bit SimHash over distinct tokens (one-pass 60-agg "
+    "signature, see operators/dedup_text.simhash_sql); driver-gated "
     "end-to-end through simhash_hamming_hist (oracle recomputes fingerprints)",
     tier=2,
 )
@@ -344,6 +345,38 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.octet_length("text").alias("n_bytes"),
         F.expr(X.sha256_hex(X.SPARK, "text")).alias("content_sha256"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    # positions i = 1, 65, 129, ... over the UTF-8 payload bytes; each frame
+    # is the 8-byte slice at i, compared as its hex rendering (both engines
+    # produce uppercase hex; DuckDB lacks blob substring, so the oracle
+    # slices the hex string at (i-1)*2+1 instead — byte-identical).
+    sql=f"""
+SELECT media_id, i, substr(h, (i - 1) * 2 + 1, 16) AS frame_hex
+FROM {X.positions_from(X.DUCK, "(SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents)", "media_id, h", "n", 64)} p
+""",
+    doc="Extension — video frame-sampling plumbing (fixed-stride substring "
+    "slices over the opaque payload, JVM-side HOF, zero Python): every "
+    "64th byte position yields an 8-byte 'frame', value-oracled via hex "
+    "slicing; the real decoder swap-in point is operators/multimodal.py",
+    tier=2,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    frames = MM.frame_sample(media, every_n_bytes=64)
+    ex = frames.select(
+        "media_id", F.posexplode("frames").alias("pos", "frame")
+    )
+    return ex.select(
+        "media_id",
+        (F.col("pos") * 64 + 1).cast("long").alias("i"),
+        F.hex("frame").alias("frame_hex"),
     )
 
 
