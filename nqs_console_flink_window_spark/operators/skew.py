@@ -33,21 +33,27 @@ def salted_sum_count(
     Phase 1 shuffles on (keys, salt) — at most 1/n_salts of the hot key's
     rows land in any one task; phase 2 merges the n_salts partials, a
     shuffle of only |keys| * n_salts rows.  Result columns: ``sum_value``,
-    ``cnt`` (decimal-exact sum, same contract as windows.dsum_col).
+    ``cnt``.  The salted shape IS the two-level exact quantized sum
+    (windows.qsum_partial_col / qsum_merge_col): long partials on the
+    codegen-primitive path, overflow-proof decimal merge of the tiny
+    partial set — value-identical to a single-level ``qsum`` because the
+    quantized-long sum is associative.
     """
+    from .windows import qsum_merge_col, qsum_partial_col
+
     salt = (F.spark_partition_id() % n_salts).alias("__salt")
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
         .agg(
-            F.sum(F.col(value_col).cast("decimal(25,6)")).alias("__psum"),
+            qsum_partial_col(value_col).alias("__psum"),
             F.count(F.lit(1)).alias("__pcnt"),
         )
     )
     return (
         partial.groupBy(*keys)
         .agg(
-            F.sum("__psum").cast("double").alias("sum_value"),
+            qsum_merge_col("__psum").alias("sum_value"),
             F.sum("__pcnt").alias("cnt"),
         )
     )

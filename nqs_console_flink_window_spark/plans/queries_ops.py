@@ -574,15 +574,17 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "salted_agg",
-    sql="""
+    # Oracle is the single-level qsum — value-identical to the operator's
+    # two-level salted form because the quantized-long sum is associative.
+    sql=f"""
 SELECT event_type,
-  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+  {qsum("value", "sum_value")},
   COUNT(*) AS cnt
 FROM events GROUP BY event_type
 """,
     doc="Skew playbook — two-phase salted aggregation over a hot key "
     "(keyBy(taskTypeName) shape, ConsoleTaskDataMain.java:81); result "
-    "identical to the direct groupBy",
+    "identical to the direct groupBy (long partials per salt, decimal merge)",
 )
 def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_sum_count

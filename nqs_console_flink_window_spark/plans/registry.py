@@ -11,11 +11,18 @@ and ``__spark_entry__.py`` simply re-exports the registry.  Keeping both
 sides in one place forces every query/oracle pair to stay column-name and
 semantics aligned.
 
-Float discipline: aggregate sums over many double rows are computed as
-``SUM(CAST(x AS DECIMAL(25,6)))`` then cast back to double in BOTH engines,
-so results are exact and hash-identical regardless of partial-aggregation
-order (Spark sums per-partition in parallel; DuckDB in storage order — raw
-double sums would drift in the last bits).
+Float discipline: aggregate sums over many double rows are EXACT in both
+engines, so results hash-identical regardless of partial-aggregation order
+(Spark sums per-partition in parallel; DuckDB in storage order — raw double
+sums would drift in the last bits).  Three forms, pick by group bound:
+
+- ``qsum`` — quantize to BIGINT (``floor(x*1e6+0.5)``), long SUM, /1e6.
+  Codegen-primitive fast path; requires SUM(|x|) < 9.2e12 per group.
+- ``qsum_salted_inner``/``qsum_salted_outer`` — two-level: long partials
+  per (group, salt), DECIMAL re-sum of the tiny partial set.  Same speed,
+  bound pushed ~1000x; the whole-corpus-rollup form.
+- ``dsum`` — ``SUM(CAST(x AS DECIMAL(25,6)))``: overflow-proof BigDecimal
+  path for unbounded magnitudes and cold queries.
 """
 
 from __future__ import annotations
