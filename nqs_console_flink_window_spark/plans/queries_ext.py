@@ -361,7 +361,9 @@ FROM {X.positions_from(X.DUCK, "(SELECT doc_id AS media_id, hex(encode(text)) AS
     doc="Extension — video frame-sampling plumbing (fixed-stride substring "
     "slices over the opaque payload, JVM-side HOF, zero Python): every "
     "64th byte position yields an 8-byte 'frame', value-oracled via hex "
-    "slicing; the real decoder swap-in point is operators/multimodal.py",
+    "slicing; multimodal family driver-gated via binary_metadata / "
+    "multimodal_features; the real decoder swap-in point is "
+    "operators/multimodal.py",
     tier=2,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
