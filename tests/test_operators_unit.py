@@ -135,3 +135,54 @@ def test_profile_single_pass_and_approx(spark) -> None:
     # the multi-column distinct aggregation
     plan = profile(ev, ["user_id", "event_type"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_qsum_forms_agree_exactly(spark) -> None:
+    """The three exact-sum forms must agree: single-level qsum == two-level
+    salted (associativity of the quantized-long sum, any salt assignment),
+    and both must match a Python-side recomputation of the same
+    floor(x*1e6+0.5) quantization — including adversarial values (ties at
+    the .5 boundary, negatives, many decimals)."""
+    import math
+
+    from nqs_console_flink_window_spark.operators.windows import (
+        qsum_col,
+        qsum_merge_col,
+        qsum_partial_col,
+    )
+
+    vals = [
+        0.1234565,  # 7 decimals, tie-ish at 1e6 scale
+        0.0000005,  # exactly .5 after *1e6 (binary value decides)
+        -3.25,
+        185.22,
+        1e9 + 0.333333,
+        -0.0000004,
+        7.0,
+        123456.654321,
+    ] * 37  # several partitions' worth
+    df = spark.createDataFrame(
+        [(i, i % 5, v) for i, v in enumerate(vals)], "id long, salt int, v double"
+    )
+    want = sum(math.floor(v * 1.0e6 + 0.5) for v in vals) / 1.0e6
+
+    single = df.agg(qsum_col("v").alias("s")).first()["s"]
+    two_level = (
+        df.groupBy("salt")
+        .agg(qsum_partial_col("v").alias("p"))
+        .agg(qsum_merge_col("p").alias("s"))
+        .first()["s"]
+    )
+    assert single == want, (single, want)
+    assert two_level == want, (two_level, want)
+
+    # and the DuckDB rendering of the same expression is bit-identical
+    import duckdb
+
+    from nqs_console_flink_window_spark.plans.registry import qsum
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck = con.execute(f"SELECT {qsum('v', 's')} FROM t").fetchone()[0]
+    assert duck == want, (duck, want)
