@@ -27,36 +27,43 @@ def salted_sum_count(
     keys: list[str],
     value_col: str,
     n_salts: int = 16,
+    exact: str = "quantized",
 ) -> DataFrame:
     """Two-phase skew-safe sum/count of ``value_col`` per ``keys``.
 
     Phase 1 shuffles on (keys, salt) — at most 1/n_salts of the hot key's
     rows land in any one task; phase 2 merges the n_salts partials, a
     shuffle of only |keys| * n_salts rows.  Result columns: ``sum_value``,
-    ``cnt``.  The salted shape IS the two-level exact quantized sum
-    (windows.qsum_partial_col / qsum_merge_col): long partials on the
-    codegen-primitive path, overflow-proof decimal merge of the tiny
-    partial set — value-identical to a single-level ``qsum`` because the
-    quantized-long sum is associative.
+    ``cnt``.
+
+    ``exact='quantized'`` (default): the salted shape rides the two-level
+    exact quantized sum (windows.qsum_partial_col / qsum_merge_col) — long
+    partials on the codegen-primitive path, overflow-proof decimal merge —
+    value-identical to a single-level ``qsum`` by associativity.  DOMAIN
+    BOUND: each (key, salt) partial must keep SUM(|value|) < 9.2e12, and
+    the salt is ``spark_partition_id() % n_salts`` so the EFFECTIVE salt
+    count is min(#partitions, n_salts) — a hot key summing beyond
+    ~9e12 * n_salts of value needs ``exact='decimal'``, which computes the
+    phase-1 partials in overflow-proof DECIMAL(25,6) (exact to 1e29, at
+    BigDecimal-accumulator speed).
     """
     from .windows import qsum_merge_col, qsum_partial_col
 
     salt = (F.spark_partition_id() % n_salts).alias("__salt")
-    partial = (
-        df.withColumn("__salt", salt)
-        .groupBy(*keys, "__salt")
-        .agg(
+    grouped = df.withColumn("__salt", salt).groupBy(*keys, "__salt")
+    if exact == "decimal":
+        partial = grouped.agg(
+            F.sum(F.col(value_col).cast("decimal(25,6)")).alias("__psum"),
+            F.count(F.lit(1)).alias("__pcnt"),
+        )
+        merged = F.sum("__psum").cast("double").alias("sum_value")
+    else:
+        partial = grouped.agg(
             qsum_partial_col(value_col).alias("__psum"),
             F.count(F.lit(1)).alias("__pcnt"),
         )
-    )
-    return (
-        partial.groupBy(*keys)
-        .agg(
-            qsum_merge_col("__psum").alias("sum_value"),
-            F.sum("__pcnt").alias("cnt"),
-        )
-    )
+        merged = qsum_merge_col("__psum").alias("sum_value")
+    return partial.groupBy(*keys).agg(merged, F.sum("__pcnt").alias("cnt"))
 
 
 def explode_salt(dim: DataFrame, n_salts: int, out: str = "__salt") -> DataFrame:

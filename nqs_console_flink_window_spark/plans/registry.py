@@ -90,8 +90,9 @@ def qsum(expr: str, alias: str | None = None) -> str:
     ``floor(x*1e6 + 0.5)`` is pure IEEE arithmetic (identical on Spark and
     DuckDB — same tie discipline as ``dialect.fround``), the BIGINT SUM is
     exact and stays inside whole-stage codegen's primitive-long fast path
-    (measured 4.7x faster than the DECIMAL accumulator on the sf0.1
-    pricing summary), and the final /1e6 renders back to double.
+    (vs the DECIMAL accumulator on the sf0.1 pricing summary: 4.7x on the
+    aggregation alone, 3.4x query end-to-end), and the final /1e6 renders
+    back to double.
 
     Domain bound: |x| < 9.2e12 per row (else the 1e6 quantization overflows
     BIGINT) and SUM(|x|) < 9.2e12 PER GROUP.  The group bound is the real

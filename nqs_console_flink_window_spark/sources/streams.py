@@ -33,18 +33,21 @@ def read_events_stream(
 
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src_dir = sf_dir
     try:
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        if os.path.isdir(f"{sf_dir}/events.parquet"):
+        probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw_schema = probe.schema
+        files = probe.inputFiles()
+        if files and not files[0].rstrip("/").endswith("/events.parquet"):
             # Spark-written layout: events.parquet is a DIRECTORY of
-            # part-*.parquet files.  pathGlobFilter matches leaf file NAMES,
-            # so the events.parquet glob would match nothing — stream from
-            # inside the directory instead (same silent-empty bug class as
-            # the bare-part-files fallback below).
+            # part-*.parquet files (the probe's input files live INSIDE it).
+            # pathGlobFilter matches leaf file NAMES, so the events.parquet
+            # glob would match nothing — stream from inside the directory
+            # instead (same silent-empty bug class as the bare-part-files
+            # fallback below).  Layout detection uses the probe's own
+            # inputFiles(), not os.path, so file:/ hdfs:/ s3a:/ URIs all
+            # classify correctly.
             src_dir, glob = f"{sf_dir}/events.parquet", "*.parquet"
         else:
             glob = "events.parquet"

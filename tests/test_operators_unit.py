@@ -66,8 +66,26 @@ def test_salt_helpers_roundtrip(spark) -> None:
 
 
 def test_salted_sum_matches_direct(spark) -> None:
+    """Both exact modes must equal their same-discipline direct groupBy:
+    quantized vs single-level qsum (the operator's actual contract — a
+    decimal-cast direct side would only agree on <=6-decimal fixtures),
+    and decimal mode vs the decimal-cast direct sum."""
+    from nqs_console_flink_window_spark.operators.windows import qsum_col
+
     ev = load_table(spark, SMOKE_SF_DIR, "events")
-    direct = {
+    direct_q = {
+        r.event_type: (r.s, r.c)
+        for r in ev.groupBy("event_type")
+        .agg(qsum_col("value").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted_q = {
+        r.event_type: (r.sum_value, r.cnt)
+        for r in salted_sum_count(ev, ["event_type"], "value").collect()
+    }
+    assert direct_q == salted_q
+
+    direct_d = {
         r.event_type: (r.s, r.c)
         for r in ev.groupBy("event_type")
         .agg(
@@ -76,11 +94,11 @@ def test_salted_sum_matches_direct(spark) -> None:
         )
         .collect()
     }
-    salted = {
+    salted_d = {
         r.event_type: (r.sum_value, r.cnt)
-        for r in salted_sum_count(ev, ["event_type"], "value").collect()
+        for r in salted_sum_count(ev, ["event_type"], "value", exact="decimal").collect()
     }
-    assert direct == salted
+    assert direct_d == salted_d
 
 
 def test_csv_json_sources_roundtrip(spark, tmp_path) -> None:
