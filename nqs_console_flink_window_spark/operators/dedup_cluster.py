@@ -39,28 +39,57 @@ from . import dedup_text as DD
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_rounds: int = 20
 ) -> DataFrame:
-    """Min-label propagation: returns (id, lbl) where ``lbl`` is the smallest
-    node id in the component.  ``edges`` must be directed both ways (src,
-    dst); ``nodes`` is one column ``id`` covering every vertex (isolated
-    vertices become singleton components).
-    """
-    labels = nodes.select("id", F.col("id").alias("lbl"))
+    """Min-label propagation with pointer doubling: returns (id, lbl) where
+    ``lbl`` is the smallest node id in the component.  ``edges`` must be
+    directed both ways (src, dst); ``nodes`` is one column ``id`` covering
+    every vertex (isolated vertices become singleton components).
+
+    Each round does (1) one edge-join propagation step and (2) one label
+    self-join shortcut step (lbl := lbl's lbl — path compression), so label
+    distances halve per round and convergence is O(log diameter) instead of
+    O(diameter).  Round-4 measurement at sf0.1: plain propagation needed 18
+    rounds on the chain-shaped LSH near-dup graph; doubling needs 10 (the
+    doubling step compresses label chains, not graph edges, so the gain is
+    bounded by how fast minima spread through the edge joins too).  The
+    shortcut join touches only the |nodes|-row label table — far cheaper
+    than an extra edge join."""
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
     for _ in range(max_rounds):
         msgs = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("lbl").alias("msg"))
         )
-        joined = (
+        propagated = (
             labels.join(msgs, labels["id"] == msgs["dst"], "left")
-            .select(labels["id"], "lbl", "msg")
+            .select(
+                labels["id"],
+                F.least("lbl", F.coalesce("msg", "lbl")).alias("lbl"),
+            )
+        )
+        lookup = propagated.select(
+            F.col("id").alias("l_id"), F.col("lbl").alias("l_lbl")
+        )
+        doubled = (
+            propagated.join(lookup, propagated["lbl"] == lookup["l_id"], "left")
+            .select(
+                propagated["id"],
+                F.least(
+                    propagated["lbl"], F.coalesce("l_lbl", propagated["lbl"])
+                ).alias("lbl"),
+            )
             .localCheckpoint()
         )
-        if joined.where("msg IS NOT NULL AND msg < lbl").limit(1).count() == 0:
-            return joined.select("id", "lbl")
-        labels = joined.select(
-            "id", F.least("lbl", F.coalesce("msg", "lbl")).alias("lbl")
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("p"), F.col("n.id") == F.col("p.id"))
+            .where("n.lbl != p.lbl")
+            .limit(1)
+            .count()
         )
+        if changed == 0:
+            return doubled.select("id", "lbl")
+        labels = doubled
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
