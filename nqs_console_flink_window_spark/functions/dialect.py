@@ -147,6 +147,55 @@ def regex_count(d: str, expr: str, pattern: str) -> str:
     return f"size({inner})" if d == SPARK else f"len({inner})"
 
 
+def arr_slice(d: str, arr: str, start: str, length: int) -> str:
+    """1-based subarray of ``length`` elements (clamped at the array end).
+    Spark ``slice(arr, start, len)`` == DuckDB ``list_slice(arr, start,
+    start+len-1)`` (DuckDB's end index is inclusive and self-clamping)."""
+    if d == SPARK:
+        return f"slice({arr}, {start}, {length})"
+    return f"list_slice({arr}, {start}, ({start}) + {length - 1})"
+
+
+def arr_join(d: str, arr: str, sep: str = " ") -> str:
+    """Concatenate a string array: Spark ``array_join`` == DuckDB
+    ``array_to_string`` (both skip NULL elements)."""
+    fn = "array_join" if d == SPARK else "array_to_string"
+    return f"{fn}({arr}, '{sep}')"
+
+
+def ordered_join(d: str, val: str, order: str, sep: str = " ") -> str:
+    """Order-sensitive string aggregation of ``val`` by ``order`` within a
+    GROUP BY, skipping NULL ``val`` rows (so a CASE-gated ``val`` doubles as
+    a filter).  DuckDB: ``string_agg(... ORDER BY ...)``.  Spark: collect
+    (order, val) structs — NULL-gated at the STRUCT level, since
+    ``collect_list`` skips NULL structs but keeps structs with NULL fields —
+    sort by the unique order key, project, join.  Aggregation order never
+    leaks: ``array_sort`` canonicalizes whatever arrival order the shuffle
+    produced."""
+    if d == SPARK:
+        structs = (
+            f"collect_list(CASE WHEN {val} IS NOT NULL THEN "
+            f"named_struct('o', {order}, 'v', {val}) END)"
+        )
+        return f"array_join(transform(array_sort({structs}), x -> x.v), '{sep}')"
+    return f"string_agg({val}, '{sep}' ORDER BY {order})"
+
+
+def explode_range(d: str, table_expr: str, cols: str, lo: str, hi: str, alias: str = "w") -> str:
+    """Subquery yielding ``cols`` plus one row per integer ``alias`` in
+    [lo, hi] (inclusive; lo <= hi must hold).  Spark: LATERAL VIEW
+    explode(sequence); DuckDB: unnest(range) in the SELECT list."""
+    if d == SPARK:
+        return (
+            f"(SELECT {cols}, {alias} FROM {table_expr} "
+            f"LATERAL VIEW explode(sequence({lo}, {hi})) g AS {alias})"
+        )
+    return (
+        f"(SELECT {cols}, unnest(range({lo}, ({hi}) + 1)) AS {alias} "
+        f"FROM {table_expr})"
+    )
+
+
 def json_int(d: str, col: str, key: str) -> str:
     """Integer field from a JSON-string column: Spark ``get_json_object``
     == DuckDB ``->>`` (both NULL-safe on missing keys / bad JSON)."""

@@ -312,3 +312,61 @@ def incremental_dedup(spark, new_docs, index):
     kept = new_docs.join(dup_ids, "doc_id", "left_anti")
     kept_bands = nb.join(kept.select("doc_id"), "doc_id", "left_semi")
     return kept, kept_bands
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level repeated-span removal ("line dedup").  The C4 / Lee et al.
+# 2022 ("Deduplicating Training Data Makes Language Models Better") pipeline
+# stage the document-level family above cannot express: boilerplate SPANS
+# (navigation chrome, license headers, repeated sentences) recur across
+# thousands of otherwise-distinct pages, so the unit of dedup is the span,
+# and the output is a REWRITTEN document, not a drop decision.
+#
+# Spans here are non-overlapping k-word segments (the word-aligned analogue
+# of C4's newline-delimited lines — the fixture corpus is single-line).  A
+# segment whose document frequency reaches ``min_df`` is removed everywhere
+# and the surviving segments are re-joined in order.
+#
+# Scale design (100 TB): segmenting is a per-row lateral explode (no
+# shuffle); the df table is one groupBy(seg) with map-side partial combine;
+# the df lookup is an equi shuffle join on seg (the df table is corpus-wide
+# — too big to broadcast — but heavy-hitter segs are exactly the ones
+# removed, so the join output is bounded); the rebuild re-groups by doc_id,
+# co-partitioned with the source if the corpus is bucketed on doc_id.  No
+# step is quadratic and nothing touches the driver.
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 5
+SPAN_MIN_DF = 3
+
+
+def span_dedup_sql(
+    d: str,
+    table: str = "documents",
+    k: int = SPAN_WORDS,
+    min_df: int = SPAN_MIN_DF,
+) -> str:
+    """Per-doc rewrite removing every k-word segment whose corpus document
+    frequency >= min_df.  Output: doc_id, n_segs, n_removed, cleaned_text
+    (original text when nothing was removed; '' when everything was)."""
+    toks = X.split_tokens(d, "text")
+    n_segs = X.idiv(d, f"{X.arr_size(d, 'toks')} + {k - 1}", str(k))
+    seg = X.arr_join(d, X.arr_slice(d, "toks", f"(i - 1) * {k} + 1", k))
+    src = X.positions_from(
+        d, f"(SELECT doc_id, {toks} AS toks FROM {table})", "doc_id, toks", n_segs
+    )
+    kept = X.ordered_join(d, f"CASE WHEN f.df < {min_df} THEN s.seg END", "s.i")
+    return f"""
+WITH segs AS (
+  SELECT doc_id, i, {seg} AS seg FROM {src} p
+),
+df AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+  COUNT(*) AS n_segs,
+  CAST(SUM(CASE WHEN f.df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  COALESCE({kept}, '') AS cleaned_text
+FROM segs s JOIN df f ON s.seg = f.seg
+GROUP BY s.doc_id
+"""

@@ -1,0 +1,115 @@
+"""Sequence packing — assign documents to fixed-length training context
+windows (the GPT-style "concatenate the corpus and chunk every L tokens"
+batch-prep stage; the capability the reference's window/batch machinery has
+no analogue for, and every LLM pre-training pipeline needs after the dedup /
+quality / mixture stages in this package).
+
+Semantics: documents ordered by ``doc_id`` form one virtual token stream;
+window ``w`` owns tokens ``[w*L, (w+1)*L)``.  The output is the assignment
+table — one row per (document, window) it overlaps, with the slice bounds —
+from which a writer can materialize packed examples with zero further
+shuffles (group by window_id).  A document longer than ``L`` spans several
+windows (the standard chunk-split; no document is dropped).
+
+Two forms, parity-tested against each other:
+
+- ``pack_sequences_sql``: one global window cumsum — the oracle-exact SQL
+  twin both engines run verbatim.  The global ``ORDER BY doc_id`` window is
+  a single-partition sort at scale; fine for the driver gate, wrong for
+  100 TB.
+- ``pack_sequences_scalable``: the 100 TB plan.  Range-partition by
+  ``doc_id``, per-partition cumsum (parallel window PARTITION BY pid), and
+  a prefix-sum of the <=#partitions per-partition totals joined back as a
+  broadcast — the classic distributed prefix-sum: no single-partition
+  exchange anywhere, driver traffic is O(#partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import dialect as X
+
+WINDOW_TOKENS = 256
+
+
+def pack_sequences_sql(d: str, table: str = "documents", length: int = WINDOW_TOKENS) -> str:
+    """One row per (doc, window) overlap: window_id, doc_id, tok_from (first
+    token of the doc landing in this window, 0-based), n_toks_in_window,
+    window_offset (where in the window the slice starts).  All BIGINT."""
+    n_toks = X.arr_size(d, X.split_tokens(d, "text"))
+    base = (
+        f"(SELECT doc_id, CAST({n_toks} AS BIGINT) AS n_toks, "
+        # CAST around the window sum: DuckDB widens SUM(BIGINT) to HUGEINT,
+        # which its range() generator rejects.
+        f"CAST(SUM(CAST({n_toks} AS BIGINT)) OVER "
+        f"(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"- CAST({n_toks} AS BIGINT) AS BIGINT) AS off FROM {table})"
+    )
+    lo = X.idiv(d, "off", str(length))
+    hi = X.idiv(d, "off + n_toks - 1", str(length))
+    src = X.explode_range(d, base, "doc_id, n_toks, off", lo, hi)
+    return f"""
+SELECT w AS window_id, doc_id,
+  GREATEST(off, w * {length}) - off AS tok_from,
+  LEAST(off + n_toks, (w + 1) * {length}) - GREATEST(off, w * {length}) AS n_toks_in_window,
+  GREATEST(off, w * {length}) - w * {length} AS window_offset
+FROM {src} s
+"""
+
+
+def pack_sequences_scalable(
+    docs: DataFrame, length: int = WINDOW_TOKENS, partitions: int = 8
+) -> DataFrame:
+    """Distributed prefix-sum form of ``pack_sequences_sql`` — identical
+    output, no global-order single-partition window.
+
+    Stage 1: range-partition on doc_id so partition ranges are contiguous
+    in the global order.  Stage 2: per-partition token cumsum (window
+    PARTITION BY pid — runs parallel).  Stage 3: per-partition totals
+    (<= ``partitions`` rows) get their own prefix sum and rejoin broadcast;
+    global offset = partition prefix + local cumsum.  Stage 4: per-row
+    window-range explode (sequence), no shuffle."""
+    sized = (
+        docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
+        .repartitionByRange(partitions, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = sized.withColumn(
+        "local_off",
+        F.sum("n_toks").over(
+            Window.partitionBy("pid").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_toks"),
+    )
+    totals = sized.groupBy("pid").agg(F.sum("n_toks").alias("ptot"))
+    prefixes = totals.withColumn(
+        "prefix",
+        F.sum("ptot").over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("ptot"),
+    ).select("pid", "prefix")
+    with_off = local.join(F.broadcast(prefixes), "pid").withColumn(
+        "off", F.col("prefix") + F.col("local_off")
+    )
+    L = F.lit(length).cast("long")
+    w = F.explode(
+        F.sequence(
+            (F.col("off") / L).cast("long"),
+            ((F.col("off") + F.col("n_toks") - 1) / L).cast("long"),
+        )
+    ).alias("window_id")
+    ex = with_off.select("doc_id", "n_toks", "off", w)
+    start = F.greatest(F.col("off"), F.col("window_id") * L)
+    return ex.select(
+        F.col("window_id"),
+        "doc_id",
+        (start - F.col("off")).alias("tok_from"),
+        (
+            F.least(F.col("off") + F.col("n_toks"), (F.col("window_id") + 1) * L) - start
+        ).alias("n_toks_in_window"),
+        (start - F.col("window_id") * L).alias("window_offset"),
+    )

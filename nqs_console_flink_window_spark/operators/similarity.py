@@ -357,3 +357,91 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
         .select("vec_id", "cell", "cosine")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"): cluster
+# the embedding space coarsely, then prune near-identical items WITHIN each
+# cluster, so the pairwise-cosine step is quadratic only in the cluster
+# size, never the corpus.
+#
+# Two deliberate deltas from the paper, both for determinism/oracle-ability:
+# - the coarse clustering is the deterministic SRP bucket (table 0 of the
+#   LSH family above) instead of k-means — same role (angular locality),
+#   but integer-exact and therefore reproducible in SQL;
+# - within a cluster the keep rule is "prune a vector iff some LOWER-id
+#   cluster-mate has cosine >= tau" (greedy keep-min, transitive-chain
+#   pruning) instead of distance-to-centroid ranking.  Same semantics
+#   family as dedup_cluster's keep-min canonical docs.
+#
+# Scale design: bucket assignment is one Arrow-batched matmul (no shuffle);
+# the pairwise step is an equi self-join on the cluster key — the shuffle
+# moves each vector once, and work is sum(cluster^2), bounded by the bucket
+# granularity knob (LSH_PLANES), not corpus^2.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup_prune(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """(vec_id, cluster, is_kept) — is_kept=false iff a lower-id vector in
+    the same SRP cluster has cosine >= tau."""
+    b = with_lsh_buckets(df).select(
+        "vec_id", "embedding", F.element_at("lsh_buckets", 1).alias("cluster")
+    )
+    a = b.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cluster"),
+        F.col("embedding").alias("ea"),
+    )
+    pairs = a.join(
+        b.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cluster").alias("b_cluster"),
+            F.col("embedding").alias("eb"),
+        ),
+        (F.col("a_cluster") == F.col("b_cluster")) & (F.col("a_id") < F.col("b_id")),
+    )
+    pruned = (
+        pairs.filter(F.expr(cosine_spark("ea", "eb")) >= tau)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return b.join(pruned.withColumn("hit", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cluster", F.coalesce(F.col("hit"), F.lit(False)).alias("is_pruned")
+    ).select("vec_id", "cluster", (~F.col("is_pruned")).alias("is_kept"))
+
+
+def semdedup_duck_sql(tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings") -> str:
+    """DuckDB oracle twin: SRP table-0 buckets + in-cluster pairwise exact
+    decimal cosine + the same lower-id prune rule."""
+    return f"""
+WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
+c AS (
+  SELECT b.vec_id, b.bucket AS cluster, e.embedding
+  FROM buckets b JOIN {vec_table} e USING (vec_id)
+  WHERE b.tbl = 0
+),
+ex AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.embedding AS ea, b.embedding AS eb,
+         unnest(range(1, len(a.embedding) + 1)) AS i
+  FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT a_id, b_id,
+    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na,
+    CAST(SUM(CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb
+  FROM ex GROUP BY 1, 2
+),
+pruned AS (
+  SELECT DISTINCT b_id AS vec_id FROM pairs
+  WHERE CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+             ELSE (floor((dot / (SQRT(na) * SQRT(nb))) * 100000000.0 + 0.5) / 100000000.0)
+        END >= {tau}
+)
+SELECT c.vec_id, c.cluster, (p.vec_id IS NULL) AS is_kept
+FROM c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+"""

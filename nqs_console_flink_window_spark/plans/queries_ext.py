@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions import dialect as X
 from ..operators import dedup_cluster as DC
 from ..operators import dedup_text as DD
+from ..operators import packing as PK
 from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
@@ -952,3 +953,57 @@ FROM documents
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_split_sql(X.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Corpus-level repeated-span removal, sequence packing, SemDeDup — the three
+# stages between "documents are deduped" and "token stream is on disk".
+# --------------------------------------------------------------------------
+
+
+@register(
+    "span_dedup",
+    sql=DD.span_dedup_sql(X.DUCK),
+    doc="Extension — corpus repeated-span removal (C4 / Lee et al. 2022 "
+    "line-dedup class): k-word segments with document frequency >= 3 are "
+    "removed from every doc and the text rewritten in order; lateral-explode "
+    "segmenting, one groupBy(seg) df table, seg equi-join, doc_id regroup — "
+    "nothing quadratic; dedup family driver-gated via dedup_clusters / "
+    "training_sample",
+    tier=2,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(DD.span_dedup_sql(X.SPARK))
+
+
+@register(
+    "pack_sequences",
+    sql=PK.pack_sequences_sql(X.DUCK),
+    doc="Extension — GPT-style sequence packing (concat-and-chunk): docs in "
+    "doc_id order form one token stream, window w owns tokens [w*L,(w+1)*L); "
+    "output is the (doc, window) assignment table with slice bounds.  This "
+    "SQL form uses one global cumsum window (oracle-exact); the 100 TB "
+    "two-pass distributed-prefix-sum twin (pack_sequences_scalable) is "
+    "parity-tested in tests/test_extensions.py; corpus-assembly family "
+    "driver-gated via training_sample",
+    tier=2,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(PK.pack_sequences_sql(X.SPARK))
+
+
+@register(
+    "semdedup_prune",
+    sql=SIM.semdedup_duck_sql(),
+    doc="Extension — SemDeDup (Abbas et al. 2023): coarse angular clusters "
+    "(deterministic SRP bucket, table 0) + in-cluster pairwise exact-decimal "
+    "cosine + greedy keep-min prune at tau=0.35; pairwise work is "
+    "sum(cluster^2), never corpus^2; embedding-dedup family driver-gated "
+    "via embedding_near_dup / ann_topk",
+    tier=2,
+)
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup_prune(emb)

@@ -549,3 +549,117 @@ def test_srp_buckets_bit_identical_across_engines(spark) -> None:
     )
     duck_b = {tuple(r) for r in con.execute(SIM.srp_buckets_duck_sql()).fetchall()}
     assert spark_b == duck_b
+
+
+def test_span_dedup_rewrite_invariants(spark) -> None:
+    """Corpus repeated-span removal: rewritten docs keep exactly the
+    segments whose corpus df < threshold, in original order."""
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    out = {
+        r["doc_id"]: r
+        for r in spark.sql(DD.span_dedup_sql(X.SPARK)).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    }
+    assert set(out) == set(docs)
+
+    # pure-Python recomputation of the same rule
+    k, min_df = DD.SPAN_WORDS, DD.SPAN_MIN_DF
+    segs_by_doc = {}
+    df_count: dict[str, set] = {}
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        segs = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+        segs_by_doc[doc_id] = segs
+        for s in set(segs):
+            df_count.setdefault(s, set()).add(doc_id)
+
+    n_removed_total = 0
+    for doc_id, segs in segs_by_doc.items():
+        kept = [s for s in segs if len(df_count[s]) < min_df]
+        removed = len(segs) - len(kept)
+        n_removed_total += removed
+        row = out[doc_id]
+        assert row["n_segs"] == len(segs)
+        assert row["n_removed"] == removed
+        assert row["cleaned_text"] == " ".join(kept)
+        if removed == 0:
+            assert row["cleaned_text"] == docs[doc_id]
+    assert n_removed_total > 0  # fixture actually exercises the removal path
+
+
+def test_pack_sequences_scalable_matches_sql_form(spark) -> None:
+    """The distributed-prefix-sum packing == the global-window SQL form,
+    and the packing invariants hold: every window except the last is
+    exactly full, and each doc's slices cover it exactly."""
+    from nqs_console_flink_window_spark.operators import packing as PK
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    sql_rows = sorted(
+        (tuple(r) for r in spark.sql(PK.pack_sequences_sql(X.SPARK)).collect())
+    )
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    sc_rows = sorted(
+        (tuple(r) for r in PK.pack_sequences_scalable(docs, partitions=5).collect())
+    )
+    assert sql_rows == sc_rows
+
+    L = PK.WINDOW_TOKENS
+    by_window: dict[int, int] = {}
+    by_doc: dict[int, int] = {}
+    for window_id, doc_id, tok_from, n_in_win, win_off in sql_rows:
+        assert 0 < n_in_win <= L
+        assert 0 <= win_off < L
+        by_window[window_id] = by_window.get(window_id, 0) + n_in_win
+        by_doc[doc_id] = by_doc.get(doc_id, 0) + n_in_win
+    last = max(by_window)
+    for w, tot in by_window.items():
+        assert tot == L or w == last
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert by_doc == n_toks
+
+
+def test_semdedup_prune_semantics(spark) -> None:
+    """SemDeDup greedy keep-min: the lowest id of every cluster is kept, and
+    a numpy recomputation of the prune rule agrees exactly."""
+    import numpy as np
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    out = SIM.semdedup_prune(emb).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for r in out:
+        clusters.setdefault(r["cluster"], []).append(r["vec_id"])
+    kept = {r["vec_id"]: r["is_kept"] for r in out}
+
+    def cos(a, b):
+        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return np.floor((a @ b) / (na * nb) * 1e8 + 0.5) / 1e8
+
+    for cluster, ids in clusters.items():
+        ids.sort()
+        assert kept[ids[0]], "lowest id in a cluster must always be kept"
+        for i, vid in enumerate(ids):
+            expect_pruned = any(
+                cos(vecs[lo], vecs[vid]) >= SIM.SEMDEDUP_TAU for lo in ids[:i]
+            )
+            assert kept[vid] == (not expect_pruned), (cluster, vid)
+    assert sum(not v for v in kept.values()) > 0  # fixture exercises pruning
