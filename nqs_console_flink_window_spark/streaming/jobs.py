@@ -441,3 +441,55 @@ def run_cdc_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingest with cross-batch dedup — the streaming form of
+# operators/dedup_text.incremental_dedup: every micro-batch of new documents
+# is deduped against the PERSISTED band index (all history, O(batch+index)
+# via band semi-join — never re-MinHashing old docs) and against itself,
+# then survivors land and their bands extend the index.  This is the shape a
+# continuously-crawled training corpus actually ingests under: the index is
+# the only state, it lives in the table (bucketable on band_key at scale),
+# and Spark streaming state stays empty.
+# ---------------------------------------------------------------------------
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    kept_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Per batch: read the current band index, ``incremental_dedup`` the
+    batch against it, land survivors + their bands under idempotent
+    batch_id subpaths (an at-least-once replay overwrites its own subpath,
+    so the index cannot double-grow)."""
+    import os
+
+    from ..operators.dedup_text import incremental_dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        # foreachBatch hands over a DataFrame bound to the micro-batch's
+        # CLONED session; temp views registered on it (band_table) resolve
+        # only there, so every op in this body must use that session.
+        bspark = batch_df.sparkSession
+        index = None
+        if os.path.isdir(index_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(index_dir)
+        ):
+            index = bspark.read.parquet(index_dir).drop("batch_id")
+        kept, kept_bands = incremental_dedup(bspark, batch_df, index)
+        W.idempotent_batch_write(kept, kept_dir, batch_id)
+        W.idempotent_batch_write(kept_bands, index_dir, batch_id)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -723,3 +723,55 @@ def test_read_events_stream_directory_events_parquet(spark, tmp_path) -> None:
     )
     q.awaitTermination()
     assert sum(seen) == total
+
+
+def test_incremental_dedup_stream_across_batches(spark, tmp_path) -> None:
+    """Streaming corpus ingest: three micro-batches dedup against the
+    persisted band index; the final survivor set carries no LSH band
+    collision (order-independent invariant), covers the corpus together
+    with the dropped docs, and the landed index is exactly the survivors'
+    bands."""
+    from nqs_console_flink_window_spark.operators.dedup_text import band_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = str(tmp_path / "src")
+    # doc_id ranges per file make the micro-batch content deterministic
+    # regardless of file listing order
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    J.run_incremental_dedup_stream(
+        spark, stream, kept_dir, index_dir, str(tmp_path / "cp")
+    )
+
+    kept = spark.read.parquet(kept_dir).drop("batch_id")
+    index = spark.read.parquet(index_dir).drop("batch_id")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ids <= all_ids and len(kept_ids) < len(all_ids)  # some dropped
+
+    # no two survivors collide on any LSH band — the cross-batch dedup
+    # guarantee, independent of micro-batch arrival order
+    kb = band_table(spark, kept)
+    collisions = (
+        kb.alias("a")
+        .join(
+            kb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert collisions == 0
+
+    # the persisted index is exactly the survivors' bands
+    assert {r["doc_id"] for r in index.select("doc_id").distinct().collect()} == kept_ids
