@@ -150,7 +150,10 @@ def regex_count(d: str, expr: str, pattern: str) -> str:
 def arr_slice(d: str, arr: str, start: str, length: int) -> str:
     """1-based subarray of ``length`` elements (clamped at the array end).
     Spark ``slice(arr, start, len)`` == DuckDB ``list_slice(arr, start,
-    start+len-1)`` (DuckDB's end index is inclusive and self-clamping)."""
+    start+len-1)`` (DuckDB's end index is inclusive and self-clamping).
+    Requires ``length >= 1``: at 0 Spark yields an empty array but DuckDB's
+    inverted-bounds list_slice yields NULL."""
+    assert length >= 1
     if d == SPARK:
         return f"slice({arr}, {start}, {length})"
     return f"list_slice({arr}, {start}, ({start}) + {length - 1})"

@@ -382,64 +382,130 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.35
+# Cluster key = the concatenated bucket bits of the first SEMDEDUP_TABLES
+# SRP tables (SEMDEDUP_TABLES * LSH_PLANES bits -> 256 clusters at the
+# defaults).  The knob that keeps the in-cluster quadratic bounded: pick
+# tables such that corpus_size / 2^(tables*planes) stays at the target
+# cluster size (the paper's k ~ sqrt(N) guidance).  The first soak run
+# (SOAK.md) measured the 1-table version super-linear (16 clusters ->
+# n^2/16 pairs); 2 tables cut pair count ~16x.
+SEMDEDUP_TABLES = 2
+
+_Q = float(SRP_SCALE)
+# Quantized-integer cosine: q[i] = floor(x[i] * 2^20 + 0.5) exactly as the
+# SRP signatures quantize, dot/norms are exact BIGINT sums (64 dims x
+# (2^20)^2 products ~ 2^46 << 2^63), and only the final divide runs in
+# IEEE double over an identical expression tree — cross-engine identical
+# AND ~10x cheaper than per-pair DECIMAL(30,15) lambda accumulation.
+# Norms are precomputed per VECTOR, not per pair (the first soak's other
+# super-linear cost: na/nb recomputed for every pair).
+
+
+def _quantize_spark(vec: str) -> str:
+    return f"transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT))"
+
+
+def _qnorm_spark(qvec: str) -> str:
+    return (
+        f"aggregate(transform({qvec}, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
 
 
 def semdedup_prune(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     """(vec_id, cluster, is_kept) — is_kept=false iff a lower-id vector in
-    the same SRP cluster has cosine >= tau."""
-    b = with_lsh_buckets(df).select(
-        "vec_id", "embedding", F.element_at("lsh_buckets", 1).alias("cluster")
+    the same SRP cluster has quantized cosine >= tau."""
+    cluster = sum(
+        (F.element_at("lsh_buckets", t + 1).cast("long") * (1 << (t * LSH_PLANES)))
+        for t in range(SEMDEDUP_TABLES)
+    )
+    b = (
+        with_lsh_buckets(df)
+        .withColumn("qe", F.expr(_quantize_spark("embedding")))
+        .select(
+            "vec_id",
+            cluster.cast("int").alias("cluster"),
+            "qe",
+            F.expr(_qnorm_spark("qe")).alias("nq"),
+        )
     )
     a = b.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cluster"),
-        F.col("embedding").alias("ea"),
+        F.col("qe").alias("qa"),
+        F.col("nq").alias("na"),
     )
     pairs = a.join(
         b.select(
             F.col("vec_id").alias("b_id"),
             F.col("cluster").alias("b_cluster"),
-            F.col("embedding").alias("eb"),
+            F.col("qe").alias("qb"),
+            F.col("nq").alias("nb"),
         ),
         (F.col("a_cluster") == F.col("b_cluster")) & (F.col("a_id") < F.col("b_id")),
     )
+    from ..functions.dialect import fround
+
+    dot = (
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+    cos = (
+        f"(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE "
+        f"{fround(f'CAST({dot} AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))', 8)} END)"
+    )
     pruned = (
-        pairs.filter(F.expr(cosine_spark("ea", "eb")) >= tau)
+        pairs.filter(F.expr(cos) >= tau)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
-    return b.join(pruned.withColumn("hit", F.lit(True)), "vec_id", "left").select(
-        "vec_id", "cluster", F.coalesce(F.col("hit"), F.lit(False)).alias("is_pruned")
-    ).select("vec_id", "cluster", (~F.col("is_pruned")).alias("is_kept"))
+    return (
+        b.join(pruned.withColumn("hit", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("is_pruned"),
+        )
+        .select("vec_id", "cluster", (~F.col("is_pruned")).alias("is_kept"))
+    )
 
 
 def semdedup_duck_sql(tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings") -> str:
-    """DuckDB oracle twin: SRP table-0 buckets + in-cluster pairwise exact
-    decimal cosine + the same lower-id prune rule."""
+    """DuckDB oracle twin: same multi-table SRP cluster key, same quantized
+    vectors/precomputed norms, same BIGINT pairwise dot + lower-id prune."""
+    cluster = " + ".join(
+        f"MAX(CASE WHEN tbl = {t} THEN bucket ELSE 0 END) * {1 << (t * LSH_PLANES)}"
+        for t in range(SEMDEDUP_TABLES)
+    )
     return f"""
 WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
+cl AS (
+  SELECT vec_id, CAST({cluster} AS INT) AS cluster
+  FROM buckets WHERE tbl < {SEMDEDUP_TABLES} GROUP BY vec_id
+),
 c AS (
-  SELECT b.vec_id, b.bucket AS cluster, e.embedding
-  FROM buckets b JOIN {vec_table} e USING (vec_id)
-  WHERE b.tbl = 0
+  SELECT cl.vec_id, cl.cluster,
+    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS qe
+  FROM cl JOIN {vec_table} e USING (vec_id)
+),
+n AS (
+  SELECT vec_id, CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nq
+  FROM c
 ),
 ex AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         a.embedding AS ea, b.embedding AS eb,
-         unnest(range(1, len(a.embedding) + 1)) AS i
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.qe AS qa, b.qe AS qb,
+         unnest(range(1, len(a.qe) + 1)) AS i
   FROM c a JOIN c b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 ),
 pairs AS (
-  SELECT a_id, b_id,
-    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na,
-    CAST(SUM(CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb
+  SELECT a_id, b_id, CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS dot
   FROM ex GROUP BY 1, 2
 ),
 pruned AS (
-  SELECT DISTINCT b_id AS vec_id FROM pairs
-  WHERE CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
-             ELSE (floor((dot / (SQRT(na) * SQRT(nb))) * 100000000.0 + 0.5) / 100000000.0)
+  SELECT DISTINCT p.b_id AS vec_id FROM pairs p
+  JOIN n nla ON nla.vec_id = p.a_id
+  JOIN n nlb ON nlb.vec_id = p.b_id
+  WHERE CASE WHEN nla.nq = 0 OR nlb.nq = 0 THEN 0.0
+             ELSE (floor((CAST(p.dot AS DOUBLE) / (SQRT(CAST(nla.nq AS DOUBLE)) * SQRT(CAST(nlb.nq AS DOUBLE)))) * 1.0E8 + 0.5) / 1.0E8)
         END >= {tau}
 )
 SELECT c.vec_id, c.cluster, (p.vec_id IS NULL) AS is_kept

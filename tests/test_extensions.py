@@ -634,13 +634,16 @@ def test_pack_sequences_scalable_matches_sql_form(spark) -> None:
 
 def test_semdedup_prune_semantics(spark) -> None:
     """SemDeDup greedy keep-min: the lowest id of every cluster is kept, and
-    a numpy recomputation of the prune rule agrees exactly."""
+    a numpy recomputation of the prune rule (quantized-integer cosine, the
+    operator's exact arithmetic) agrees exactly."""
     import numpy as np
 
     emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
     out = SIM.semdedup_prune(emb).collect()
     vecs = {
-        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        r["vec_id"]: np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * float(SIM.SRP_SCALE) + 0.5
+        ).astype(np.int64)
         for r in emb.collect()
     }
     clusters: dict[int, list[int]] = {}
@@ -649,10 +652,10 @@ def test_semdedup_prune_semantics(spark) -> None:
     kept = {r["vec_id"]: r["is_kept"] for r in out}
 
     def cos(a, b):
-        na, nb = np.sqrt(a @ a), np.sqrt(b @ b)
+        na, nb = np.sqrt(float(a @ a)), np.sqrt(float(b @ b))
         if na == 0.0 or nb == 0.0:
             return 0.0
-        return np.floor((a @ b) / (na * nb) * 1e8 + 0.5) / 1e8
+        return np.floor(float(a @ b) / (na * nb) * 1e8 + 0.5) / 1e8
 
     for cluster, ids in clusters.items():
         ids.sort()
@@ -663,3 +666,44 @@ def test_semdedup_prune_semantics(spark) -> None:
             )
             assert kept[vid] == (not expect_pruned), (cluster, vid)
     assert sum(not v for v in kept.values()) > 0  # fixture exercises pruning
+
+
+def test_dialect_slice_join_ordered_parity(spark) -> None:
+    """arr_slice (incl. overshoot + clamp-at-end), arr_join, ordered_join
+    (NULL-val rows skipped, order restored after shuffle), explode_range
+    (inclusive bounds) agree across engines."""
+    con = duckdb.connect()
+    arr_s, arr_d = "array('a','b','c','d','e')", "['a','b','c','d','e']"
+    for start, length in ((1, 2), (4, 5), (5, 1)):
+        s = spark.sql(
+            f"SELECT {X.arr_join(X.SPARK, X.arr_slice(X.SPARK, arr_s, str(start), length), '-')} AS v"
+        ).collect()[0].v
+        d = con.execute(
+            f"SELECT {X.arr_join(X.DUCK, X.arr_slice(X.DUCK, arr_d, str(start), length), '-')} AS v"
+        ).fetchone()[0]
+        assert s == d, (start, length, s, d)
+
+    # ordered_join over a shuffled group with a NULL-gated value
+    rows = [(1, 3, "c"), (1, 1, "a"), (1, 2, None), (1, 4, "d"), (2, 1, "z")]
+    spark.createDataFrame(rows, "g int, o int, v string").createOrReplaceTempView(
+        "oj_t"
+    )
+    con.execute("CREATE TABLE oj_t (g INT, o INT, v VARCHAR)")
+    con.executemany("INSERT INTO oj_t VALUES (?, ?, ?)", rows)
+    q = lambda d: f"SELECT g, {X.ordered_join(d, 'v', 'o', '|')} AS j FROM oj_t GROUP BY g"  # noqa: E731
+    s = {r.g: r.j for r in spark.sql(q(X.SPARK)).collect()}
+    d = dict(con.execute(q(X.DUCK)).fetchall())
+    assert s == d == {1: "a|c|d", 2: "z"}
+
+    # explode_range inclusive bounds
+    s = sorted(
+        r.w for r in spark.sql(
+            f"SELECT w FROM {X.explode_range(X.SPARK, '(SELECT 1 AS x)', 'x', '2', '5')} t"
+        ).collect()
+    )
+    d = sorted(
+        r[0] for r in con.execute(
+            f"SELECT w FROM {X.explode_range(X.DUCK, '(SELECT 1 AS x)', 'x', '2', '5')} t"
+        ).fetchall()
+    )
+    assert s == d == [2, 3, 4, 5]

@@ -54,6 +54,10 @@ SOAK_QUERIES = [
     # dedup family end-to-end (the quadratic-risk operators)
     "dedup_clusters", "simhash_hamming_hist", "incremental_dedup_batches",
     "training_sample",
+    # corpus-prep additions (round 4): span removal carries a corpus-wide
+    # seg-df join, packing a global-order cumsum, SemDeDup an in-cluster
+    # quadratic — the three next-most-likely super-linear suspects
+    "span_dedup", "pack_sequences", "semdedup_prune",
 ]
 
 
