@@ -427,6 +427,11 @@ def semdedup_prune(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
             "qe",
             F.expr(_qnorm_spark("qe")).alias("nq"),
         )
+        # The prepared table feeds three consumers (both join sides + the
+        # final keep-flag join): checkpoint so the Arrow bucket UDF and the
+        # quantization run once, not three times (same pattern as
+        # dedup_cluster's edge-set checkpoint).
+        .localCheckpoint()
     )
     a = b.select(
         F.col("vec_id").alias("a_id"),
