@@ -370,3 +370,47 @@ SELECT s.doc_id,
 FROM segs s JOIN df f ON s.seg = f.seg
 GROUP BY s.doc_id
 """
+
+
+def minhash_jaccard_estimate_sql(d: str, table: str = "documents") -> str:
+    """Signature-based Jaccard ESTIMATION on LSH candidate pairs — est =
+    (matching signature slots) / NUM_PERM, side by side with the exact
+    shingle Jaccard and the absolute error.
+
+    At 100 TB this is the similarity you can actually afford corpus-wide:
+    after the LSH join, estimation touches only the two 8-slot signatures
+    (already materialized in the band index), while exact Jaccard re-joins
+    both documents' full shingle sets.  The est/exact/error triple makes
+    the standard MinHash unbiased-estimator property an observable query
+    output rather than a belief."""
+    cand = minhash_lsh_pairs_sql(d, table)
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(NUM_PERM)
+    )
+    return f"""
+WITH cand AS ({cand}),
+sig AS ({minhash_signatures_sql(d, table)}),
+sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS both_n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(({matches}) AS DOUBLE) / {NUM_PERM}.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+  {X.fround("CAST(COALESCE(i.both_n, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.both_n, 0))", 6)} AS jaccard,
+  {X.fround("ABS(e.est_jaccard - CAST(COALESCE(i.both_n, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.both_n, 0)))", 6)} AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes na ON e.doc_a = na.doc_id
+JOIN sizes nb ON e.doc_b = nb.doc_id
+"""

@@ -1007,3 +1007,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.semdedup_prune(emb)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    sql=DD.minhash_jaccard_estimate_sql(X.DUCK),
+    doc="Extension — signature-based Jaccard estimation on LSH candidates "
+    "(matching slots / NUM_PERM) beside the exact shingle Jaccard and the "
+    "absolute error: the similarity you can afford corpus-wide at 100 TB "
+    "(signatures only) vs the one that re-joins full shingle sets; "
+    "dedup family driver-gated via dedup_clusters / ngram_jaccard_pairs",
+    tier=2,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(DD.minhash_jaccard_estimate_sql(X.SPARK))

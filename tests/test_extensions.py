@@ -707,3 +707,23 @@ def test_dialect_slice_join_ordered_parity(spark) -> None:
         ).fetchall()
     )
     assert s == d == [2, 3, 4, 5]
+
+
+def test_minhash_jaccard_estimate_properties(spark) -> None:
+    """Signature-slot Jaccard estimation: est is k/NUM_PERM, abs_err is
+    consistent, and (near-)identical pairs estimate 1.0 — identical shingle
+    sets produce identical signatures by construction."""
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    rows = spark.sql(DD.minhash_jaccard_estimate_sql(X.SPARK)).collect()
+    assert rows
+    valid = {k / DD.NUM_PERM for k in range(DD.NUM_PERM + 1)}
+    for r in rows:
+        assert r["est_jaccard"] in valid
+        # abs_err rounds the error of the UNROUNDED jaccard; recomputing it
+        # from the rounded column can differ by one ulp-of-rounding (2e-6)
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) <= 2e-6
+        if r["jaccard"] >= 0.999:
+            assert r["est_jaccard"] == 1.0
