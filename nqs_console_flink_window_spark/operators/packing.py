@@ -34,18 +34,18 @@ from ..functions import dialect as X
 WINDOW_TOKENS = 256
 
 
-def pack_sequences_sql(d: str, table: str = "documents", length: int = WINDOW_TOKENS) -> str:
-    """One row per (doc, window) overlap: window_id, doc_id, tok_from (first
+def pack_assignment_sql(d: str, sized_subquery: str, length: int = WINDOW_TOKENS) -> str:
+    """Window-assignment core over any ``(doc_id, n_toks)`` provider —
+    one row per (doc, window) overlap: window_id, doc_id, tok_from (first
     token of the doc landing in this window, 0-based), n_toks_in_window,
     window_offset (where in the window the slice starts).  All BIGINT."""
-    n_toks = X.arr_size(d, X.split_tokens(d, "text"))
     base = (
-        f"(SELECT doc_id, CAST({n_toks} AS BIGINT) AS n_toks, "
+        f"(SELECT doc_id, n_toks, "
         # CAST around the window sum: DuckDB widens SUM(BIGINT) to HUGEINT,
         # which its range() generator rejects.
-        f"CAST(SUM(CAST({n_toks} AS BIGINT)) OVER "
+        f"CAST(SUM(n_toks) OVER "
         f"(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-        f"- CAST({n_toks} AS BIGINT) AS BIGINT) AS off FROM {table})"
+        f"- n_toks AS BIGINT) AS off FROM {sized_subquery} z)"
     )
     lo = X.idiv(d, "off", str(length))
     hi = X.idiv(d, "off + n_toks - 1", str(length))
@@ -57,6 +57,13 @@ SELECT w AS window_id, doc_id,
   GREATEST(off, w * {length}) - w * {length} AS window_offset
 FROM {src} s
 """
+
+
+def pack_sequences_sql(d: str, table: str = "documents", length: int = WINDOW_TOKENS) -> str:
+    """Packing over a raw document table (token count = whitespace split)."""
+    n_toks = X.arr_size(d, X.split_tokens(d, "text"))
+    sized = f"(SELECT doc_id, CAST({n_toks} AS BIGINT) AS n_toks FROM {table})"
+    return pack_assignment_sql(d, sized, length)
 
 
 def pack_sequences_scalable(

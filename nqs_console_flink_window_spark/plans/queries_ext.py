@@ -1022,3 +1022,29 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(DD.minhash_jaccard_estimate_sql(X.SPARK))
+
+
+def _corpus_to_windows_sql(d: str) -> str:
+    """The full corpus-prep lifecycle in ONE plan: exact dedup -> quality
+    filter -> per-source cap -> stratified sample (training_sample_sql) ->
+    context-window packing of the survivors' token stream.  Every stage is
+    the same SQL both engines run, so the terminal assignment table is
+    value-oracled end-to-end through the whole pipeline."""
+    sample = SMP.training_sample_sql(d)
+    sized = f"(WITH smp AS ({sample}) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_toks FROM smp)"
+    return PK.pack_assignment_sql(d, sized)
+
+
+@register(
+    "corpus_to_windows",
+    sql=_corpus_to_windows_sql(X.DUCK),
+    doc="Extension — end-to-end corpus assembly composition: the "
+    "training_sample pipeline (dedup -> quality -> cap -> sample) feeding "
+    "sequence packing, one declarative plan from raw documents to the "
+    "(doc, context-window) assignment table; stages driver-gated via "
+    "training_sample, packing oracle-gated via pack_sequences",
+    tier=2,
+)
+def corpus_to_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_corpus_to_windows_sql(X.SPARK))
