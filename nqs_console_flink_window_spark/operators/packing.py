@@ -38,14 +38,19 @@ def pack_assignment_sql(d: str, sized_subquery: str, length: int = WINDOW_TOKENS
     """Window-assignment core over any ``(doc_id, n_toks)`` provider —
     one row per (doc, window) overlap: window_id, doc_id, tok_from (first
     token of the doc landing in this window, 0-based), n_toks_in_window,
-    window_offset (where in the window the slice starts).  All BIGINT."""
+    window_offset (where in the window the slice starts).  All BIGINT.
+
+    Zero-token rows are filtered out: they own no window slice, and an
+    n_toks = 0 row whose offset lands exactly on a window boundary would
+    violate explode_range's lo <= hi precondition (Spark's sequence would
+    emit a DESCENDING [k, k-1] while DuckDB's range emits nothing)."""
     base = (
         f"(SELECT doc_id, n_toks, "
         # CAST around the window sum: DuckDB widens SUM(BIGINT) to HUGEINT,
         # which its range() generator rejects.
         f"CAST(SUM(n_toks) OVER "
         f"(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-        f"- n_toks AS BIGINT) AS off FROM {sized_subquery} z)"
+        f"- n_toks AS BIGINT) AS off FROM {sized_subquery} z WHERE n_toks > 0)"
     )
     lo = X.idiv(d, "off", str(length))
     hi = X.idiv(d, "off + n_toks - 1", str(length))
@@ -82,6 +87,12 @@ def pack_sequences_scalable(
         docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
         .repartitionByRange(partitions, "doc_id")
         .withColumn("pid", F.spark_partition_id())
+        # Checkpoint before fanning out to two consumers: RangePartitioner
+        # estimates boundaries by SAMPLING, so re-evaluating this plan for
+        # the `local` branch and the `totals` branch could assign different
+        # pids to the same row — corrupting off = prefix + local_off.  One
+        # materialization makes the pid assignment a fact, not a plan.
+        .localCheckpoint()
     )
     local = sized.withColumn(
         "local_off",
@@ -103,10 +114,13 @@ def pack_sequences_scalable(
         "off", F.col("prefix") + F.col("local_off")
     )
     L = F.lit(length).cast("long")
+    # Integer DIV, not double `/`+cast: for offsets beyond ~2^45 the IEEE
+    # double nearest to (k*L-1)/L is exactly k, so the cast would mis-assign
+    # a doc's last token — and diverge from the SQL twin's exact DIV.
     w = F.explode(
         F.sequence(
-            (F.col("off") / L).cast("long"),
-            ((F.col("off") + F.col("n_toks") - 1) / L).cast("long"),
+            F.expr(f"off DIV {length}"),
+            F.expr(f"(off + n_toks - 1) DIV {length}"),
         )
     ).alias("window_id")
     ex = with_off.select("doc_id", "n_toks", "off", w)

@@ -998,10 +998,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup_prune",
     sql=SIM.semdedup_duck_sql(),
     doc="Extension — SemDeDup (Abbas et al. 2023): coarse angular clusters "
-    "(deterministic SRP bucket, table 0) + in-cluster pairwise exact-decimal "
-    "cosine + greedy keep-min prune at tau=0.35; pairwise work is "
-    "sum(cluster^2), never corpus^2; embedding-dedup family driver-gated "
-    "via embedding_near_dup / ann_topk",
+    "(deterministic SRP buckets of the first SEMDEDUP_TABLES tables "
+    "concatenated — 256 clusters at the defaults) + in-cluster pairwise "
+    "quantized-integer cosine (int64 dot over floor(x*2^20+0.5) vectors, "
+    "per-vector precomputed norms) + greedy keep-min prune at tau=0.35; "
+    "pairwise work is sum(cluster^2), never corpus^2; embedding-dedup "
+    "family driver-gated via embedding_near_dup / ann_topk",
     tier=2,
 )
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:

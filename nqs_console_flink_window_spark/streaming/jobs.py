@@ -455,6 +455,38 @@ def run_cdc_stream(
 # ---------------------------------------------------------------------------
 
 
+def ingest_dedup_batch(
+    bspark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    kept_dir: str,
+    index_dir: str,
+) -> None:
+    """One micro-batch's ingest: dedup against the index, land survivors +
+    bands under the batch_id subpath.  Replay-convergent: re-running the
+    same (batch, batch_id) reproduces the identical subpaths."""
+    from ..operators.dedup_text import incremental_dedup
+
+    try:
+        # Probe through Spark, not os.path: the index may live on any
+        # store (HDFS/S3), where a local isdir() would silently report
+        # "absent" and disable cross-batch dedup entirely.
+        index = bspark.read.parquet(index_dir)
+    except Exception:  # no index yet ([PATH_NOT_FOUND] on first batch)
+        index = None
+    if index is not None:
+        # Replay safety: after a crash between the landing writes and the
+        # checkpoint commit, this batch re-runs with the SAME batch_id and
+        # the index already contains its own bands — which would mark every
+        # survivor a duplicate of itself and overwrite the subpath with an
+        # empty set (permanent loss).  Exclude the current batch's partition
+        # so a replay sees exactly the state the first attempt saw.
+        index = index.filter(F.col("batch_id") != batch_id).drop("batch_id")
+    kept, kept_bands = incremental_dedup(bspark, batch_df, index)
+    W.idempotent_batch_write(kept, kept_dir, batch_id)
+    W.idempotent_batch_write(kept_bands, index_dir, batch_id)
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -466,25 +498,13 @@ def run_incremental_dedup_stream(
     batch against it, land survivors + their bands under idempotent
     batch_id subpaths (an at-least-once replay overwrites its own subpath,
     so the index cannot double-grow)."""
-    import os
-
-    from ..operators.dedup_text import incremental_dedup
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
         # foreachBatch hands over a DataFrame bound to the micro-batch's
         # CLONED session; temp views registered on it (band_table) resolve
         # only there, so every op in this body must use that session.
-        bspark = batch_df.sparkSession
-        index = None
-        if os.path.isdir(index_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(index_dir)
-        ):
-            index = bspark.read.parquet(index_dir).drop("batch_id")
-        kept, kept_bands = incremental_dedup(bspark, batch_df, index)
-        W.idempotent_batch_write(kept, kept_dir, batch_id)
-        W.idempotent_batch_write(kept_bands, index_dir, batch_id)
+        ingest_dedup_batch(batch_df.sparkSession, batch_df, batch_id, kept_dir, index_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(process)

@@ -775,3 +775,39 @@ def test_incremental_dedup_stream_across_batches(spark, tmp_path) -> None:
 
     # the persisted index is exactly the survivors' bands
     assert {r["doc_id"] for r in index.select("doc_id").distinct().collect()} == kept_ids
+
+
+def test_incremental_dedup_batch_replay_converges(spark, tmp_path) -> None:
+    """At-least-once replay: re-ingesting the SAME batch with the SAME
+    batch_id must reproduce identical survivors — the index read excludes
+    the batch's own landed bands, so a replay cannot see the first
+    attempt's output and drop every survivor as a self-duplicate."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+
+    J.ingest_dedup_batch(spark, b0, 0, kept_dir, index_dir)
+    J.ingest_dedup_batch(spark, b1, 1, kept_dir, index_dir)
+    first = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept_dir}/batch_id=1").select("doc_id").collect()
+    )
+    assert first  # batch 1 kept something
+
+    # crash-after-land, checkpoint-not-committed: batch 1 replays
+    J.ingest_dedup_batch(spark, b1, 1, kept_dir, index_dir)
+    replay = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept_dir}/batch_id=1").select("doc_id").collect()
+    )
+    assert replay == first
+    idx = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_dir}/batch_id=1")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert idx == first
