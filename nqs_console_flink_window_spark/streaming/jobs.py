@@ -513,3 +513,90 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing — the incremental form of operators/packing:
+# documents arrive in micro-batches (in doc_id order, the ingest contract),
+# and each batch's (doc, context-window) assignments continue the global
+# token stream exactly where the previous batch ended.  The carry is not
+# separate state: it is derived from the landed assignment table itself
+# (SUM of n_toks_in_window over prior batches), so the output IS the state
+# — replay-convergent by the same exclude-own-batch rule as the dedup
+# ingest, and a window split across a batch boundary is assembled from its
+# two partial rows exactly like the batch form would emit them.
+# ---------------------------------------------------------------------------
+
+
+def pack_batch(
+    bspark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    length: int = 256,
+) -> None:
+    """Assign one micro-batch of documents to context windows, continuing
+    the token stream from all previously landed batches."""
+    from pyspark.sql import Window as W_
+
+    try:
+        landed = bspark.read.parquet(out_dir)
+    except Exception:  # first batch: nothing landed yet
+        landed = None
+    carry = 0
+    if landed is not None:
+        row = (
+            landed.filter(F.col("batch_id") != batch_id)
+            .agg(F.sum("n_toks_in_window"))
+            .first()
+        )
+        carry = int(row[0] or 0)
+    sized = batch_df.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+    # One global window INSIDE the micro-batch is fine: a batch is bounded
+    # by the trigger cap; the cross-batch dimension is the carry.
+    wcum = W_.orderBy("doc_id").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    with_off = sized.withColumn(
+        "off", F.lit(carry).cast("long") + F.sum("n_toks").over(wcum) - F.col("n_toks")
+    )
+    L = F.lit(length).cast("long")
+    w = F.explode(
+        F.sequence(
+            F.expr(f"off DIV {length}"), F.expr(f"(off + n_toks - 1) DIV {length}")
+        )
+    ).alias("window_id")
+    ex = with_off.select("doc_id", "n_toks", "off", w)
+    start = F.greatest(F.col("off"), F.col("window_id") * L)
+    out = ex.select(
+        F.col("window_id"),
+        "doc_id",
+        (start - F.col("off")).alias("tok_from"),
+        (
+            F.least(F.col("off") + F.col("n_toks"), (F.col("window_id") + 1) * L)
+            - start
+        ).alias("n_toks_in_window"),
+        (start - F.col("window_id") * L).alias("window_offset"),
+    )
+    W.idempotent_batch_write(out, out_dir, batch_id)
+
+
+def run_packing_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    length: int = 256,
+) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        pack_batch(batch_df.sparkSession, batch_df, batch_id, out_dir, length)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -811,3 +811,64 @@ def test_incremental_dedup_batch_replay_converges(spark, tmp_path) -> None:
         .collect()
     )
     assert idx == first
+
+
+def test_packing_stream_matches_batch_and_replays(spark, tmp_path) -> None:
+    """Streaming sequence packing with derived carry: three doc_id-contiguous
+    micro-batches produce EXACTLY the batch pack_sequences_sql assignment
+    (window splits across batch boundaries included), and replaying a batch
+    converges."""
+    from nqs_console_flink_window_spark.functions import dialect as X
+    from nqs_console_flink_window_spark.operators import packing as PK
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = str(tmp_path / "src")
+    n = docs.count()
+    # contiguous doc_id ranges => the stream sees docs in global order
+    docs.withColumn(
+        "part", (F.col("doc_id") * 3 / n).cast("int")
+    ).write.partitionBy("part").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "packed")
+    J.run_packing_stream(
+        spark, stream, out_dir, str(tmp_path / "cp"), length=PK.WINDOW_TOKENS
+    )
+
+    streamed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    )
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    batch = sorted(
+        tuple(r) for r in spark.sql(PK.pack_sequences_sql(X.SPARK)).collect()
+    )
+    assert streamed == batch
+
+    # replay the highest batch id: identical subpath content afterwards
+    import re
+    from pathlib import Path
+
+    bids = sorted(
+        int(re.match(r"batch_id=(\d+)", p.name).group(1))
+        for p in Path(out_dir).iterdir()
+        if p.name.startswith("batch_id=")
+    )
+    last = bids[-1]
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out_dir}/batch_id={last}").collect()
+    )
+    # the docs that batch saw are recoverable from its own assignment rows
+    seen = [r[0] for r in spark.read.parquet(f"{out_dir}/batch_id={last}").select("doc_id").distinct().collect()]
+    J.pack_batch(
+        spark, docs.filter(F.col("doc_id").isin(seen)), last, out_dir, PK.WINDOW_TOKENS
+    )
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out_dir}/batch_id={last}").collect()
+    )
+    assert after == before
