@@ -1050,3 +1050,110 @@ def _corpus_to_windows_sql(d: str) -> str:
 def corpus_to_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_corpus_to_windows_sql(X.SPARK))
+
+
+def _vocab_topk_sql(d: str, k: int = 50) -> str:
+    """Corpus vocabulary: top-k tokens by frequency with rank and cumulative
+    coverage share — the vocab-builder / coverage-report step ahead of
+    tokenizer training.  One explode + one groupBy(token) with map-side
+    combine; the rank/coverage window runs over k rows, not the corpus.
+    Exact BIGINT counts; the share divides two BIGINTs in IEEE double over
+    identical expression trees (cross-engine identical)."""
+    tok = X.explode_tokens(d, X.split_tokens(d, "lower(text)"))
+    return f"""
+WITH toks AS (SELECT {tok} AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+  FROM counts
+)
+SELECT r.token, r.cnt, r.rank,
+  {X.fround("CAST(r.cum_cnt AS DOUBLE) / CAST(t.n AS DOUBLE)", 8)} AS cum_coverage
+FROM ranked r CROSS JOIN total t
+WHERE r.rank <= {k}
+"""
+
+
+@register(
+    "vocab_topk",
+    sql=_vocab_topk_sql(X.DUCK),
+    doc="Extension — corpus vocabulary builder: top-k tokens with rank and "
+    "cumulative coverage share (the tokenizer-training / vocab-coverage "
+    "report); explode + one groupBy(token) map-side combine, the window "
+    "runs over k rows; token family driver-gated via text_stats",
+    tier=2,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_vocab_topk_sql(X.SPARK))
+
+
+def _score_drift_sql(d: str, n_buckets: int = 10) -> str:
+    """Distribution drift between the first and second time-half of the
+    events stream, per value bucket: counts, shares, and the per-bucket
+    total-variation and chi-square contributions.  The monitoring query a
+    pipeline runs to detect input drift between deploys/windows.
+
+    Deliberately ln-free (no PSI): ln is not correctly-rounded-guaranteed
+    across libm implementations, so a PSI would be cross-engine hash-fragile;
+    TV distance (0.5*sum|p-q|) and chi-square (sum (p-q)^2/(p+q)) are pure
+    IEEE +-*/ over identical expression trees — bit-identical.  Epoch
+    midpoint and equal-width buckets are exact integer / IEEE arithmetic."""
+    if d == X.SPARK:
+        epoch = "CAST(unix_timestamp(ts) AS BIGINT)"
+    else:
+        epoch = "CAST(floor(epoch(ts)) AS BIGINT)"
+    mid = X.idiv(d, "emin + emax", "2")
+    return f"""
+WITH e AS (SELECT {epoch} AS ep, CAST(value AS DOUBLE) AS v FROM events),
+bounds AS (
+  SELECT MIN(ep) AS emin, MAX(ep) AS emax, MIN(v) AS vmin, MAX(v) AS vmax
+  FROM e
+),
+tagged AS (
+  SELECT CASE WHEN e.ep < {mid} THEN 0 ELSE 1 END AS half,
+    CAST(LEAST({n_buckets - 1}, GREATEST(0,
+      CAST(floor((e.v - b.vmin) / ((b.vmax - b.vmin) / {n_buckets}.0)) AS BIGINT)
+    )) AS BIGINT) AS bucket
+  FROM e CROSS JOIN bounds b
+),
+counts AS (
+  SELECT half, bucket, COUNT(*) AS cnt FROM tagged GROUP BY half, bucket
+),
+tot AS (SELECT half, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY half),
+grid AS (
+  SELECT g.bucket,
+    COALESCE(p.cnt, 0) AS p_cnt, COALESCE(q.cnt, 0) AS q_cnt
+  FROM (SELECT DISTINCT bucket FROM tagged) g
+  LEFT JOIN (SELECT bucket, cnt FROM counts WHERE half = 0) p ON p.bucket = g.bucket
+  LEFT JOIN (SELECT bucket, cnt FROM counts WHERE half = 1) q ON q.bucket = g.bucket
+)
+SELECT g.bucket, g.p_cnt, g.q_cnt,
+  {X.fround("CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)", 8)} AS p_share,
+  {X.fround("CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE)", 8)} AS q_share,
+  {X.fround("ABS(CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE) - CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE)) / 2.0", 8)} AS tv_part,
+  {X.fround("(CASE WHEN g.p_cnt + g.q_cnt = 0 THEN 0.0 ELSE ((CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)) - (CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE))) * ((CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)) - (CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE))) / ((CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)) + (CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE))) END)", 8)} AS chi2_part
+FROM grid g
+CROSS JOIN (SELECT n FROM tot WHERE half = 0) tp
+CROSS JOIN (SELECT n FROM tot WHERE half = 1) tq
+"""
+
+
+@register(
+    "score_drift",
+    sql=_score_drift_sql(X.DUCK),
+    doc="Extension — distribution-drift monitor between the stream's two "
+    "time halves: per-bucket counts/shares plus total-variation and "
+    "chi-square contributions (ln-free by design — PSI's ln is libm-"
+    "dependent and hash-fragile cross-engine); two scans + tiny grid "
+    "join, buckets from exact floor arithmetic; histogram family "
+    "driver-gated via percentiles / grouping_analytics",
+    tier=2,
+)
+def score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("events",))
+    return spark.sql(_score_drift_sql(X.SPARK))

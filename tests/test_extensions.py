@@ -727,3 +727,34 @@ def test_minhash_jaccard_estimate_properties(spark) -> None:
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) <= 2e-6
         if r["jaccard"] >= 0.999:
             assert r["est_jaccard"] == 1.0
+
+
+def test_vocab_topk_and_score_drift_properties(spark) -> None:
+    """vocab_topk: ranks dense, counts non-increasing, cumulative coverage
+    non-decreasing and ending at 1.0 when k exceeds the vocab.  score_drift:
+    shares sum to 1 per half, TV in [0, 1], chi2 parts non-negative."""
+    from nqs_console_flink_window_spark.plans.queries_ext import (
+        _score_drift_sql,
+        _vocab_topk_sql,
+    )
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents", "events"))
+    vocab = sorted(
+        (r["rank"], r["cnt"], r["cum_coverage"])
+        for r in spark.sql(_vocab_topk_sql(X.SPARK)).collect()
+    )
+    assert [r[0] for r in vocab] == list(range(1, len(vocab) + 1))
+    cnts = [r[1] for r in vocab]
+    assert cnts == sorted(cnts, reverse=True)
+    covs = [r[2] for r in vocab]
+    assert covs == sorted(covs)
+    assert abs(covs[-1] - 1.0) < 1e-8  # fixture vocab is smaller than k
+
+    drift = spark.sql(_score_drift_sql(X.SPARK)).collect()
+    assert drift
+    assert abs(sum(r["p_share"] for r in drift) - 1.0) < 1e-6
+    assert abs(sum(r["q_share"] for r in drift) - 1.0) < 1e-6
+    tv = sum(r["tv_part"] for r in drift)
+    assert 0.0 <= tv <= 1.0
+    assert all(r["chi2_part"] >= 0.0 for r in drift)
