@@ -84,7 +84,7 @@ def pack_sequences_scalable(
     global offset = partition prefix + local cumsum.  Stage 4: per-row
     window-range explode (sequence), no shuffle."""
     sized = (
-        docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
+        sized_docs(docs)
         .repartitionByRange(partitions, "doc_id")
         .withColumn("pid", F.spark_partition_id())
         # Checkpoint before fanning out to two consumers: RangePartitioner
@@ -113,6 +113,21 @@ def pack_sequences_scalable(
     with_off = local.join(F.broadcast(prefixes), "pid").withColumn(
         "off", F.col("prefix") + F.col("local_off")
     )
+    return assign_windows(with_off, length)
+
+
+def sized_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_toks) projection shared by every packing entry point."""
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+
+
+def assign_windows(with_off: DataFrame, length: int = WINDOW_TOKENS) -> DataFrame:
+    """Assignment tail shared by the scalable batch form and the streaming
+    ``pack_batch``: (doc_id, n_toks, off) -> one row per (doc, window)
+    overlap.  One copy of the arithmetic, so the streamed==batch
+    bit-exactness can't drift between hand-synced twins."""
     L = F.lit(length).cast("long")
     # Integer DIV, not double `/`+cast: for offsets beyond ~2^45 the IEEE
     # double nearest to (k*L-1)/L is exactly k, so the cast would mis-assign

@@ -1056,25 +1056,28 @@ def _vocab_topk_sql(d: str, k: int = 50) -> str:
     """Corpus vocabulary: top-k tokens by frequency with rank and cumulative
     coverage share — the vocab-builder / coverage-report step ahead of
     tokenizer training.  One explode + one groupBy(token) with map-side
-    combine; the rank/coverage window runs over k rows, not the corpus.
-    Exact BIGINT counts; the share divides two BIGINTs in IEEE double over
-    identical expression trees (cross-engine identical)."""
+    combine; the top-k cut is ORDER BY + LIMIT (Spark plans
+    TakeOrderedAndProject — executors ship k candidates each, never the
+    vocabulary), and only then do the rank/coverage windows run, over the
+    k surviving rows.  Exact BIGINT counts; the share divides two BIGINTs
+    in IEEE double over identical expression trees (cross-engine
+    identical)."""
     tok = X.explode_tokens(d, X.split_tokens(d, "lower(text)"))
     return f"""
 WITH toks AS (SELECT {tok} AS token FROM documents),
 counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
 total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+topk AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {k}),
 ranked AS (
   SELECT token, cnt,
          ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
-  FROM counts
+  FROM topk
 )
 SELECT r.token, r.cnt, r.rank,
   {X.fround("CAST(r.cum_cnt AS DOUBLE) / CAST(t.n AS DOUBLE)", 8)} AS cum_coverage
 FROM ranked r CROSS JOIN total t
-WHERE r.rank <= {k}
 """
 
 
@@ -1083,8 +1086,9 @@ WHERE r.rank <= {k}
     sql=_vocab_topk_sql(X.DUCK),
     doc="Extension — corpus vocabulary builder: top-k tokens with rank and "
     "cumulative coverage share (the tokenizer-training / vocab-coverage "
-    "report); explode + one groupBy(token) map-side combine, the window "
-    "runs over k rows; token family driver-gated via text_stats",
+    "report); explode + one groupBy(token) map-side combine, top-k via "
+    "TakeOrdered (never a vocabulary-wide sort), windows over the k "
+    "survivors; token family driver-gated via text_stats",
     tier=2,
 )
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,22 +1128,37 @@ tagged AS (
 counts AS (
   SELECT half, bucket, COUNT(*) AS cnt FROM tagged GROUP BY half, bucket
 ),
-tot AS (SELECT half, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY half),
 grid AS (
+  -- buckets come from the tiny aggregate, not a re-scan of events; and the
+  -- per-half totals are MAX-CASE pivoted into ONE always-present row so an
+  -- empty half yields share 0.0 rows (total drift) instead of the CROSS
+  -- JOIN annihilating the entire output — a drift monitor must report
+  -- loudest, not vanish, on exactly the degenerate input.
   SELECT g.bucket,
     COALESCE(p.cnt, 0) AS p_cnt, COALESCE(q.cnt, 0) AS q_cnt
-  FROM (SELECT DISTINCT bucket FROM tagged) g
+  FROM (SELECT DISTINCT bucket FROM counts) g
   LEFT JOIN (SELECT bucket, cnt FROM counts WHERE half = 0) p ON p.bucket = g.bucket
   LEFT JOIN (SELECT bucket, cnt FROM counts WHERE half = 1) q ON q.bucket = g.bucket
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN half = 0 THEN cnt END), 0) AS BIGINT) AS pn,
+         CAST(COALESCE(SUM(CASE WHEN half = 1 THEN cnt END), 0) AS BIGINT) AS qn
+  FROM counts
+),
+shares AS (
+  SELECT g.bucket, g.p_cnt, g.q_cnt,
+    CASE WHEN t.pn = 0 THEN 0.0
+         ELSE CAST(g.p_cnt AS DOUBLE) / CAST(t.pn AS DOUBLE) END AS ps,
+    CASE WHEN t.qn = 0 THEN 0.0
+         ELSE CAST(g.q_cnt AS DOUBLE) / CAST(t.qn AS DOUBLE) END AS qs
+  FROM grid g CROSS JOIN tot t
 )
-SELECT g.bucket, g.p_cnt, g.q_cnt,
-  {X.fround("CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)", 8)} AS p_share,
-  {X.fround("CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE)", 8)} AS q_share,
-  {X.fround("ABS(CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE) - CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE)) / 2.0", 8)} AS tv_part,
-  {X.fround("(CASE WHEN g.p_cnt + g.q_cnt = 0 THEN 0.0 ELSE ((CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)) - (CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE))) * ((CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)) - (CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE))) / ((CAST(g.p_cnt AS DOUBLE) / CAST(tp.n AS DOUBLE)) + (CAST(g.q_cnt AS DOUBLE) / CAST(tq.n AS DOUBLE))) END)", 8)} AS chi2_part
-FROM grid g
-CROSS JOIN (SELECT n FROM tot WHERE half = 0) tp
-CROSS JOIN (SELECT n FROM tot WHERE half = 1) tq
+SELECT bucket, p_cnt, q_cnt,
+  {X.fround("ps", 8)} AS p_share,
+  {X.fround("qs", 8)} AS q_share,
+  {X.fround("ABS(ps - qs) / 2.0", 8)} AS tv_part,
+  {X.fround("(CASE WHEN ps + qs = 0.0 THEN 0.0 ELSE (ps - qs) * (ps - qs) / (ps + qs) END)", 8)} AS chi2_part
+FROM shares
 """
 
 
@@ -1149,8 +1168,9 @@ CROSS JOIN (SELECT n FROM tot WHERE half = 1) tq
     doc="Extension — distribution-drift monitor between the stream's two "
     "time halves: per-bucket counts/shares plus total-variation and "
     "chi-square contributions (ln-free by design — PSI's ln is libm-"
-    "dependent and hash-fragile cross-engine); two scans + tiny grid "
-    "join, buckets from exact floor arithmetic; histogram family "
+    "dependent and hash-fragile cross-engine); an empty half reports "
+    "total drift instead of vanishing; buckets from exact floor "
+    "arithmetic; histogram family "
     "driver-gated via percentiles / grouping_analytics",
     tier=2,
 )

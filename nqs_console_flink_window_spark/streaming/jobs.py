@@ -455,6 +455,32 @@ def run_cdc_stream(
 # ---------------------------------------------------------------------------
 
 
+def _read_prior_batches(bspark: SparkSession, base_dir: str, batch_id: int):
+    """Read a batch_id-partitioned landing table restricted to batches
+    BEFORE ``batch_id``; None if nothing is landed yet.
+
+    - Only [PATH_NOT_FOUND] means "first batch": any other read failure
+      (transient store error, corrupt footer) must propagate — swallowing
+      it would silently reset the derived state (dedup index / token carry)
+      and corrupt everything downstream, with the checkpoint then
+      committing the corruption.
+    - ``<`` not ``!=``: a replay of the latest uncommitted batch must not
+      see its own first-attempt output (self-duplicate wipeout), and a
+      restart against an existing table with a FRESH checkpoint (batch ids
+      restarting at 0) must re-own, not double-count, the higher-id
+      subpaths it replays into.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        landed = bspark.read.parquet(base_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+    return landed.filter(F.col("batch_id") < batch_id).drop("batch_id")
+
+
 def ingest_dedup_batch(
     bspark: SparkSession,
     batch_df: DataFrame,
@@ -467,21 +493,7 @@ def ingest_dedup_batch(
     same (batch, batch_id) reproduces the identical subpaths."""
     from ..operators.dedup_text import incremental_dedup
 
-    try:
-        # Probe through Spark, not os.path: the index may live on any
-        # store (HDFS/S3), where a local isdir() would silently report
-        # "absent" and disable cross-batch dedup entirely.
-        index = bspark.read.parquet(index_dir)
-    except Exception:  # no index yet ([PATH_NOT_FOUND] on first batch)
-        index = None
-    if index is not None:
-        # Replay safety: after a crash between the landing writes and the
-        # checkpoint commit, this batch re-runs with the SAME batch_id and
-        # the index already contains its own bands — which would mark every
-        # survivor a duplicate of itself and overwrite the subpath with an
-        # empty set (permanent loss).  Exclude the current batch's partition
-        # so a replay sees exactly the state the first attempt saw.
-        index = index.filter(F.col("batch_id") != batch_id).drop("batch_id")
+    index = _read_prior_batches(bspark, index_dir, batch_id)
     kept, kept_bands = incremental_dedup(bspark, batch_df, index)
     W.idempotent_batch_write(kept, kept_dir, batch_id)
     W.idempotent_batch_write(kept_bands, index_dir, batch_id)
@@ -536,49 +548,25 @@ def pack_batch(
     length: int = 256,
 ) -> None:
     """Assign one micro-batch of documents to context windows, continuing
-    the token stream from all previously landed batches."""
+    the token stream from all previously landed batches.  The carry derives
+    from the landed table itself; the assignment arithmetic is the shared
+    ``operators.packing.assign_windows`` (one copy, so the streamed==batch
+    bit-exactness can't drift)."""
     from pyspark.sql import Window as W_
 
-    try:
-        landed = bspark.read.parquet(out_dir)
-    except Exception:  # first batch: nothing landed yet
-        landed = None
+    from ..operators.packing import assign_windows, sized_docs
+
+    prior = _read_prior_batches(bspark, out_dir, batch_id)
     carry = 0
-    if landed is not None:
-        row = (
-            landed.filter(F.col("batch_id") != batch_id)
-            .agg(F.sum("n_toks_in_window"))
-            .first()
-        )
-        carry = int(row[0] or 0)
-    sized = batch_df.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
-    ).filter(F.col("n_toks") > 0)
+    if prior is not None:
+        carry = int(prior.agg(F.sum("n_toks_in_window")).first()[0] or 0)
     # One global window INSIDE the micro-batch is fine: a batch is bounded
     # by the trigger cap; the cross-batch dimension is the carry.
     wcum = W_.orderBy("doc_id").rowsBetween(W_.unboundedPreceding, W_.currentRow)
-    with_off = sized.withColumn(
+    with_off = sized_docs(batch_df).withColumn(
         "off", F.lit(carry).cast("long") + F.sum("n_toks").over(wcum) - F.col("n_toks")
     )
-    L = F.lit(length).cast("long")
-    w = F.explode(
-        F.sequence(
-            F.expr(f"off DIV {length}"), F.expr(f"(off + n_toks - 1) DIV {length}")
-        )
-    ).alias("window_id")
-    ex = with_off.select("doc_id", "n_toks", "off", w)
-    start = F.greatest(F.col("off"), F.col("window_id") * L)
-    out = ex.select(
-        F.col("window_id"),
-        "doc_id",
-        (start - F.col("off")).alias("tok_from"),
-        (
-            F.least(F.col("off") + F.col("n_toks"), (F.col("window_id") + 1) * L)
-            - start
-        ).alias("n_toks_in_window"),
-        (start - F.col("window_id") * L).alias("window_offset"),
-    )
-    W.idempotent_batch_write(out, out_dir, batch_id)
+    W.idempotent_batch_write(assign_windows(with_off, length), out_dir, batch_id)
 
 
 def run_packing_stream(

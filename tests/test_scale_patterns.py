@@ -147,12 +147,19 @@ def test_no_scale_antipatterns_across_registry(spark) -> None:
     is allowed only where a broadcast-singleton side makes it the right
     strategy (cosine_topk broadcasts one query vector; geo_range_join
     broadcasts the MB-scale IP-range dim for its non-equi lookup;
-    tfidf_keywords and mixture_allocation cross-join 1-row scalar
-    aggregates)."""
+    tfidf_keywords, mixture_allocation, vocab_topk and score_drift
+    cross-join 1-row scalar aggregates)."""
     from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
     from nqs_console_flink_window_spark.plans.registry import REGISTRY
 
-    bnlj_ok = {"cosine_topk", "geo_range_join", "tfidf_keywords", "mixture_allocation"}
+    bnlj_ok = {
+        "cosine_topk",
+        "geo_range_join",
+        "tfidf_keywords",
+        "mixture_allocation",
+        "vocab_topk",
+        "score_drift",
+    }
     for name, q in REGISTRY.items():
         plan = q.spark(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"

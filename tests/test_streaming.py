@@ -826,7 +826,9 @@ def test_packing_stream_matches_batch_and_replays(spark, tmp_path) -> None:
     src = str(tmp_path / "src")
     n = docs.count()
     # contiguous doc_id ranges => the stream sees docs in global order
-    docs.withColumn(
+    # coalesce(1): one file per part dir, so maxFilesPerTrigger=1 yields
+    # doc_id-contiguous batches by construction, not by fixture accident
+    docs.coalesce(1).withColumn(
         "part", (F.col("doc_id") * 3 / n).cast("int")
     ).write.partitionBy("part").mode("overwrite").parquet(src)
 
