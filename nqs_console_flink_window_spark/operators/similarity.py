@@ -414,25 +414,11 @@ def _qnorm_spark(qvec: str) -> str:
 def semdedup_prune(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     """(vec_id, cluster, is_kept) — is_kept=false iff a lower-id vector in
     the same SRP cluster has quantized cosine >= tau."""
-    cluster = sum(
-        (F.element_at("lsh_buckets", t + 1).cast("long") * (1 << (t * LSH_PLANES)))
-        for t in range(SEMDEDUP_TABLES)
-    )
-    b = (
-        with_lsh_buckets(df)
-        .withColumn("qe", F.expr(_quantize_spark("embedding")))
-        .select(
-            "vec_id",
-            cluster.cast("int").alias("cluster"),
-            "qe",
-            F.expr(_qnorm_spark("qe")).alias("nq"),
-        )
-        # The prepared table feeds three consumers (both join sides + the
-        # final keep-flag join): checkpoint so the Arrow bucket UDF and the
-        # quantization run once, not three times (same pattern as
-        # dedup_cluster's edge-set checkpoint).
-        .localCheckpoint()
-    )
+    # _clustered_quantized checkpoints: the prepared table feeds three
+    # consumers (both join sides + the final keep-flag join), so the Arrow
+    # bucket UDF and the quantization run once, not three times (same
+    # pattern as dedup_cluster's edge-set checkpoint).
+    b = _clustered_quantized(df)
     a = b.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cluster"),
@@ -448,18 +434,8 @@ def semdedup_prune(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
         ),
         (F.col("a_cluster") == F.col("b_cluster")) & (F.col("a_id") < F.col("b_id")),
     )
-    from ..functions.dialect import fround
-
-    dot = (
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), "
-        "(acc, v) -> acc + v)"
-    )
-    cos = (
-        f"(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE "
-        f"{fround(f'CAST({dot} AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))', 8)} END)"
-    )
     pruned = (
-        pairs.filter(F.expr(cos) >= tau)
+        pairs.filter(F.expr(_qcos_expr()) >= tau)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
@@ -515,4 +491,140 @@ pruned AS (
 )
 SELECT c.vec_id, c.cluster, (p.vec_id IS NULL) AS is_kept
 FROM c LEFT JOIN pruned p ON c.vec_id = p.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the embedding-training prep step downstream of the
+# dedup family: for every vector, the most-similar DIFFERENT-label neighbor
+# among its SRP-cluster mates.  Contrastive/triplet training wants exactly
+# these pairs (near the decision boundary); random negatives are too easy.
+# Same bounded in-cluster quadratic and quantized-integer cosine as
+# semdedup_prune, so the cost profile and oracle story carry over.
+# ---------------------------------------------------------------------------
+
+
+def _clustered_quantized(df: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Shared SemDeDup/hard-negatives prep: (vec_id, cluster, qe, nq
+    [, extras]), checkpointed (Arrow bucket UDF + quantization run once)."""
+    cluster = sum(
+        (F.element_at("lsh_buckets", t + 1).cast("long") * (1 << (t * LSH_PLANES)))
+        for t in range(SEMDEDUP_TABLES)
+    )
+    return (
+        with_lsh_buckets(df)
+        .withColumn("qe", F.expr(_quantize_spark("embedding")))
+        .select(
+            "vec_id",
+            cluster.cast("int").alias("cluster"),
+            "qe",
+            F.expr(_qnorm_spark("qe")).alias("nq"),
+            *extra_cols,
+        )
+        .localCheckpoint()
+    )
+
+
+_QDOT = (
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _qcos_expr() -> str:
+    from ..functions.dialect import fround
+
+    return (
+        f"(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE "
+        f"{fround(f'CAST({_QDOT} AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))', 8)} END)"
+    )
+
+
+def hard_negatives(df: DataFrame) -> DataFrame:
+    """(vec_id, label, neg_id, neg_label, cosine) — per vector, the top-1
+    most-similar cluster-mate with a different label (ties broken by lowest
+    neg_id).  Vectors whose cluster holds no other-label mate emit no row
+    (their negatives must come from a wider probe — the standard recall
+    trade of cluster-scoped mining)."""
+    from pyspark.sql import Window as W_
+
+    b = _clustered_quantized(df, extra_cols=("label",))
+    a = b.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cluster"),
+        F.col("label").alias("a_label"),
+        F.col("qe").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    pairs = a.join(
+        b.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("cluster").alias("b_cluster"),
+            F.col("label").alias("b_label"),
+            F.col("qe").alias("qb"),
+            F.col("nq").alias("nb"),
+        ),
+        (F.col("a_cluster") == F.col("b_cluster"))
+        & (F.col("a_id") != F.col("b_id"))
+        & (F.col("a_label") != F.col("b_label")),
+    ).withColumn("cosine", F.expr(_qcos_expr()))
+    top = W_.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("a_label").alias("label"),
+            F.col("b_id").alias("neg_id"),
+            F.col("b_label").alias("neg_label"),
+            "cosine",
+        )
+    )
+
+
+def hard_negatives_duck_sql(vec_table: str = "embeddings") -> str:
+    """DuckDB oracle twin of ``hard_negatives``."""
+    cluster = " + ".join(
+        f"MAX(CASE WHEN tbl = {t} THEN bucket ELSE 0 END) * {1 << (t * LSH_PLANES)}"
+        for t in range(SEMDEDUP_TABLES)
+    )
+    return f"""
+WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
+cl AS (
+  SELECT vec_id, CAST({cluster} AS INT) AS cluster
+  FROM buckets WHERE tbl < {SEMDEDUP_TABLES} GROUP BY vec_id
+),
+c AS (
+  SELECT cl.vec_id, cl.cluster, e.label,
+    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS qe,
+    CAST(list_sum(list_transform(
+      list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)),
+      x -> x * x)) AS BIGINT) AS nq
+  FROM cl JOIN {vec_table} e USING (vec_id)
+),
+ex AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, a.nq AS na,
+         b.vec_id AS b_id, b.label AS b_label, b.nq AS nb,
+         a.qe AS qa, b.qe AS qb,
+         unnest(range(1, len(a.qe) + 1)) AS i
+  FROM c a JOIN c b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id AND a.label <> b.label
+),
+pairs AS (
+  SELECT a_id, a_label, b_id, b_label, na, nb,
+         CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS dot
+  FROM ex GROUP BY 1, 2, 3, 4, 5, 6
+),
+scored AS (
+  SELECT a_id, a_label, b_id, b_label,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         ELSE (floor((CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))) * 1.0E8 + 0.5) / 1.0E8)
+    END AS cosine
+  FROM pairs
+)
+SELECT a_id AS vec_id, a_label AS label, b_id AS neg_id, b_label AS neg_label, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+  FROM scored
+) WHERE rn = 1
 """

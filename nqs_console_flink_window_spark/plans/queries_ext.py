@@ -1177,3 +1177,18 @@ FROM shares
 def score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("events",))
     return spark.sql(_score_drift_sql(X.SPARK))
+
+
+@register(
+    "hard_negatives",
+    sql=SIM.hard_negatives_duck_sql(),
+    doc="Extension — hard-negative mining for contrastive embedding "
+    "training: per vector, the most-similar different-label SRP-cluster "
+    "mate (quantized-integer cosine, per-vector norms, in-cluster bounded "
+    "quadratic — the semdedup cost profile); embedding family driver-gated "
+    "via embedding_near_dup / ann_topk",
+    tier=2,
+)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb)

@@ -758,3 +758,62 @@ def test_vocab_topk_and_score_drift_properties(spark) -> None:
     tv = sum(r["tv_part"] for r in drift)
     assert 0.0 <= tv <= 1.0
     assert all(r["chi2_part"] >= 0.0 for r in drift)
+
+
+def test_hard_negatives_semantics(spark) -> None:
+    """Hard-negative mining: the emitted negative is the argmax
+    different-label cluster-mate by quantized cosine (numpy recompute),
+    every vector with an other-label mate gets exactly one row, and no
+    emitted pair shares a label."""
+    import numpy as np
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    out = SIM.hard_negatives(emb).collect()
+    assert out
+    rows = {r["vec_id"]: r for r in out}
+    assert len(rows) == len(out)  # one row per vec
+
+    meta = {
+        r["vec_id"]: (
+            r["label"],
+            np.floor(
+                np.asarray(r["embedding"], dtype=np.float64) * float(SIM.SRP_SCALE)
+                + 0.5
+            ).astype(np.int64),
+        )
+        for r in emb.collect()
+    }
+    # recompute clusters exactly as the operator does
+    signs = SIM._srp_signs(64).T
+    import pandas as pd  # noqa: F401
+
+    clusters: dict[int, list[int]] = {}
+    for vid, (_lbl, q) in meta.items():
+        bits = (q @ signs >= 0).reshape(SIM.LSH_TABLES, SIM.LSH_PLANES)
+        ids = (bits * (2 ** np.arange(SIM.LSH_PLANES))).sum(axis=1)
+        cl = int(
+            sum(int(ids[t]) << (t * SIM.LSH_PLANES) for t in range(SIM.SEMDEDUP_TABLES))
+        )
+        clusters.setdefault(cl, []).append(vid)
+
+    def qcos(a, b):
+        na, nb = np.sqrt(float(a @ a)), np.sqrt(float(b @ b))
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return np.floor(float(a @ b) / (na * nb) * 1e8 + 0.5) / 1e8
+
+    for cl, ids in clusters.items():
+        for vid in ids:
+            lbl, q = meta[vid]
+            cands = [
+                (qcos(q, meta[o][1]), o)
+                for o in ids
+                if o != vid and meta[o][0] != lbl
+            ]
+            if not cands:
+                assert vid not in rows
+                continue
+            best = max(cands, key=lambda t: (t[0], -t[1]))
+            r = rows[vid]
+            assert r["neg_label"] != lbl
+            assert (r["cosine"], r["neg_id"]) == (best[0], best[1]), vid
