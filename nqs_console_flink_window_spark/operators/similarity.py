@@ -453,25 +453,8 @@ def semdedup_prune(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 def semdedup_duck_sql(tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings") -> str:
     """DuckDB oracle twin: same multi-table SRP cluster key, same quantized
     vectors/precomputed norms, same BIGINT pairwise dot + lower-id prune."""
-    cluster = " + ".join(
-        f"MAX(CASE WHEN tbl = {t} THEN bucket ELSE 0 END) * {1 << (t * LSH_PLANES)}"
-        for t in range(SEMDEDUP_TABLES)
-    )
     return f"""
-WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
-cl AS (
-  SELECT vec_id, CAST({cluster} AS INT) AS cluster
-  FROM buckets WHERE tbl < {SEMDEDUP_TABLES} GROUP BY vec_id
-),
-c AS (
-  SELECT cl.vec_id, cl.cluster,
-    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS qe
-  FROM cl JOIN {vec_table} e USING (vec_id)
-),
-n AS (
-  SELECT vec_id, CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nq
-  FROM c
-),
+WITH {_clustered_quantized_duck_ctes(vec_table)},
 ex AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.qe AS qa, b.qe AS qb,
          unnest(range(1, len(a.qe) + 1)) AS i
@@ -502,6 +485,31 @@ FROM c LEFT JOIN pruned p ON c.vec_id = p.vec_id
 # Same bounded in-cluster quadratic and quantized-integer cosine as
 # semdedup_prune, so the cost profile and oracle story carry over.
 # ---------------------------------------------------------------------------
+
+
+def _clustered_quantized_duck_ctes(vec_table: str = "embeddings") -> str:
+    """DuckDB twin of ``_clustered_quantized``, shared by the semdedup and
+    hard-negatives oracles so the cluster-key encoding and quantization rule
+    live in ONE place per engine: CTEs ``buckets``/``cl``/``c`` (vec_id,
+    cluster, label, qe) and ``n`` (vec_id, nq)."""
+    cluster = " + ".join(
+        f"MAX(CASE WHEN tbl = {t} THEN bucket ELSE 0 END) * {1 << (t * LSH_PLANES)}"
+        for t in range(SEMDEDUP_TABLES)
+    )
+    return f"""buckets AS ({srp_buckets_duck_sql(vec_table)}),
+cl AS (
+  SELECT vec_id, CAST({cluster} AS INT) AS cluster
+  FROM buckets WHERE tbl < {SEMDEDUP_TABLES} GROUP BY vec_id
+),
+c AS (
+  SELECT cl.vec_id, cl.cluster, e.label,
+    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS qe
+  FROM cl JOIN {vec_table} e USING (vec_id)
+),
+n AS (
+  SELECT vec_id, CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nq
+  FROM c
+)"""
 
 
 def _clustered_quantized(df: DataFrame, extra_cols: tuple = ()) -> DataFrame:
@@ -545,7 +553,10 @@ def hard_negatives(df: DataFrame) -> DataFrame:
     most-similar cluster-mate with a different label (ties broken by lowest
     neg_id).  Vectors whose cluster holds no other-label mate emit no row
     (their negatives must come from a wider probe — the standard recall
-    trade of cluster-scoped mining)."""
+    trade of cluster-scoped mining).  NULL-labeled vectors neither receive
+    nor serve as negatives (label is required metadata for supervised
+    mining), and zero-norm vectors are excluded entirely (cosine undefined;
+    the 0.0 sentinel would outrank real negative-cosine mates)."""
     from pyspark.sql import Window as W_
 
     b = _clustered_quantized(df, extra_cols=("label",))
@@ -556,8 +567,14 @@ def hard_negatives(df: DataFrame) -> DataFrame:
         F.col("qe").alias("qa"),
         F.col("nq").alias("na"),
     )
-    pairs = a.join(
-        b.select(
+    # label inequality alone excludes self-pairs (one label per vec_id);
+    # NULL-labeled vectors fall out of BOTH sides of the <> (SQL
+    # three-valued logic) — unlabeled rows can neither receive nor serve as
+    # negatives, see the docstring.  Zero-norm vectors are excluded up
+    # front: their sentinel cosine 0.0 would otherwise outrank genuinely
+    # most-similar mates with negative cosine in the argmax.
+    pairs = a.filter(F.col("na") > 0).join(
+        b.filter(F.col("nq") > 0).select(
             F.col("vec_id").alias("b_id"),
             F.col("cluster").alias("b_cluster"),
             F.col("label").alias("b_label"),
@@ -565,7 +582,6 @@ def hard_negatives(df: DataFrame) -> DataFrame:
             F.col("nq").alias("nb"),
         ),
         (F.col("a_cluster") == F.col("b_cluster"))
-        & (F.col("a_id") != F.col("b_id"))
         & (F.col("a_label") != F.col("b_label")),
     ).withColumn("cosine", F.expr(_qcos_expr()))
     top = W_.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
@@ -583,32 +599,20 @@ def hard_negatives(df: DataFrame) -> DataFrame:
 
 
 def hard_negatives_duck_sql(vec_table: str = "embeddings") -> str:
-    """DuckDB oracle twin of ``hard_negatives``."""
-    cluster = " + ".join(
-        f"MAX(CASE WHEN tbl = {t} THEN bucket ELSE 0 END) * {1 << (t * LSH_PLANES)}"
-        for t in range(SEMDEDUP_TABLES)
-    )
+    """DuckDB oracle twin of ``hard_negatives`` (same shared cluster/
+    quantization CTEs as the semdedup oracle, same NULL-label and
+    zero-norm exclusions)."""
     return f"""
-WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
-cl AS (
-  SELECT vec_id, CAST({cluster} AS INT) AS cluster
-  FROM buckets WHERE tbl < {SEMDEDUP_TABLES} GROUP BY vec_id
-),
-c AS (
-  SELECT cl.vec_id, cl.cluster, e.label,
-    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS qe,
-    CAST(list_sum(list_transform(
-      list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)),
-      x -> x * x)) AS BIGINT) AS nq
-  FROM cl JOIN {vec_table} e USING (vec_id)
-),
+WITH {_clustered_quantized_duck_ctes(vec_table)},
 ex AS (
-  SELECT a.vec_id AS a_id, a.label AS a_label, a.nq AS na,
-         b.vec_id AS b_id, b.label AS b_label, b.nq AS nb,
+  SELECT a.vec_id AS a_id, a.label AS a_label, na.nq AS na,
+         b.vec_id AS b_id, b.label AS b_label, nb.nq AS nb,
          a.qe AS qa, b.qe AS qb,
          unnest(range(1, len(a.qe) + 1)) AS i
   FROM c a JOIN c b
-    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id AND a.label <> b.label
+    ON a.cluster = b.cluster AND a.label <> b.label
+  JOIN n na ON na.vec_id = a.vec_id AND na.nq > 0
+  JOIN n nb ON nb.vec_id = b.vec_id AND nb.nq > 0
 ),
 pairs AS (
   SELECT a_id, a_label, b_id, b_label, na, nb,
@@ -617,9 +621,7 @@ pairs AS (
 ),
 scored AS (
   SELECT a_id, a_label, b_id, b_label,
-    CASE WHEN na = 0 OR nb = 0 THEN 0.0
-         ELSE (floor((CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))) * 1.0E8 + 0.5) / 1.0E8)
-    END AS cosine
+    (floor((CAST(dot AS DOUBLE) / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))) * 1.0E8 + 0.5) / 1.0E8) AS cosine
   FROM pairs
 )
 SELECT a_id AS vec_id, a_label AS label, b_id AS neg_id, b_label AS neg_label, cosine

@@ -785,7 +785,6 @@ def test_hard_negatives_semantics(spark) -> None:
     }
     # recompute clusters exactly as the operator does
     signs = SIM._srp_signs(64).T
-    import pandas as pd  # noqa: F401
 
     clusters: dict[int, list[int]] = {}
     for vid, (_lbl, q) in meta.items():
