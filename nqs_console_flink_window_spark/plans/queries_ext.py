@@ -1192,3 +1192,60 @@ def score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.hard_negatives(emb)
+
+
+def _quality_upsample_sql(d: str, target_copies: int = 600) -> str:
+    """Quality-weighted upsampling with repetition — the data-mixing step
+    that REPEATS high-quality documents (the complement of the downsampling
+    in training_sample): each doc's copy weight w = target * q^2 / sum(q^2)
+    (temperature-2 quality weighting; an integer power, so no libm pow and
+    the weight is pure IEEE arithmetic), materialized as floor(w) copies
+    plus one more with probability frac(w) decided by a deterministic
+    content-hash coin — E[total copies] = target, no RNG, reproducible.
+    Two passes: one scalar aggregate for Z, one projection + explode."""
+    q = TX.quality_score_expr(d)
+    frac_coin = X.md5_int(d, "'upsample:' || CAST(doc_id AS STRING)")
+    copies = f"""
+WITH scored AS (
+  SELECT doc_id, {q} AS quality FROM documents
+),
+z AS (SELECT SUM(quality * quality) AS zz FROM scored),
+weighted AS (
+  SELECT s.doc_id, s.quality,
+    {target_copies}.0 * s.quality * s.quality / z.zz AS w
+  FROM scored s CROSS JOIN z
+),
+counted AS (
+  SELECT doc_id, quality, w,
+    CAST(floor(w) AS BIGINT)
+    + (CASE WHEN ({frac_coin} % 1000000) < CAST(floor((w - floor(w)) * 1000000.0 + 0.5) AS BIGINT)
+            THEN 1 ELSE 0 END) AS n_copies
+  FROM weighted
+),
+kept AS (
+  -- filter BEFORE the explode: explode_range requires lo <= hi, and a
+  -- n_copies = 0 row would make Spark's sequence(1, 0) emit a DESCENDING
+  -- [1, 0] while DuckDB's range(1, 1) emits nothing
+  SELECT * FROM counted WHERE n_copies >= 1
+)"""
+    ex = X.explode_range(d, "kept", "doc_id, quality, w, n_copies", "1", "n_copies", alias="copy_idx")
+    return f"""{copies}
+SELECT doc_id, {X.fround('quality', 4)} AS quality, {X.fround('w', 8)} AS weight,
+       n_copies, copy_idx
+FROM {ex} e
+"""
+
+
+@register(
+    "quality_upsample",
+    sql=_quality_upsample_sql(X.DUCK),
+    doc="Extension — quality-weighted upsampling with repetition (the "
+    "mixing step that repeats high-quality docs): temperature-2 quality "
+    "weights (integer power — no libm pow), deterministic hash-coin "
+    "probabilistic rounding (E[total]=target, no RNG), explode to "
+    "(doc, copy) rows; sampling family driver-gated via training_sample",
+    tier=2,
+)
+def quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(_quality_upsample_sql(X.SPARK))

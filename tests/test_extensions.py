@@ -816,3 +816,38 @@ def test_hard_negatives_semantics(spark) -> None:
             r = rows[vid]
             assert r["neg_label"] != lbl
             assert (r["cosine"], r["neg_id"]) == (best[0], best[1]), vid
+
+
+def test_quality_upsample_invariants(spark) -> None:
+    """Quality upsampling: copy rows are dense 1..n_copies per doc, total
+    copies lands near the target (hash-coin rounding), and higher-quality
+    docs never get fewer expected copies than lower-quality ones."""
+    from nqs_console_flink_window_spark.plans.queries_ext import (
+        _quality_upsample_sql,
+    )
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    rows = spark.sql(_quality_upsample_sql(X.SPARK)).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    total = 0
+    weights = {}
+    for doc_id, rs in by_doc.items():
+        n = rs[0]["n_copies"]
+        assert sorted(r["copy_idx"] for r in rs) == list(range(1, n + 1))
+        assert all(r["n_copies"] == n for r in rs)
+        # floor(w) <= n_copies <= floor(w) + 1
+        w = rs[0]["weight"]
+        assert int(w) <= n <= int(w) + 1
+        weights[doc_id] = (rs[0]["quality"], w)
+        total += n
+    # E[total] = 600; binomial noise across ~500 coins stays well within 10%
+    assert 520 <= total <= 680, total
+    # weight is monotone in quality (w = c * q^2 with one global constant)
+    ordered = sorted(weights.values())
+    for (q1, w1), (q2, w2) in zip(ordered, ordered[1:]):
+        if q2 > q1:
+            assert w2 >= w1
