@@ -414,3 +414,90 @@ LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
 JOIN sizes na ON e.doc_a = na.doc_id
 JOIN sizes nb ON e.doc_b = nb.doc_id
 """
+
+
+def minhash_jaccard_estimate_df(spark, table: str = "documents"):
+    """Staged DataFrame form of ``minhash_jaccard_estimate_sql`` for the
+    engine side.  Spark INLINES repeated CTEs, so the plain SQL re-runs the
+    shingle scan + signature pipeline up to four times (once inside cand's
+    band derivation, twice for the intersection join sides, once for
+    sizes); on a near-dup-dense 10x corpus the soak measured that at 20x
+    wall (SOAK.md round-4 batch 2).  Checkpointing the three shared stages
+    (shingles, signatures, candidates) makes each run once — the result is
+    bit-identical to the SQL the DuckDB oracle still runs (DuckDB
+    materializes multiply-referenced CTEs on its own)."""
+    from pyspark.sql import functions as F
+
+    d = X.SPARK
+    sh = spark.sql(shingles_cte(d, table)).localCheckpoint()
+    hv = sh.select("doc_id", F.expr(X.md5_int(d, "sh")).alias("hv"))
+    sig = hv.groupBy("doc_id").agg(
+        *[F.expr(e.replace(f" AS m{k}", "")).alias(f"m{k}")
+          for k, e in enumerate(minhash_min_exprs())]
+    ).localCheckpoint()
+
+    n_bands = NUM_PERM // BAND_ROWS
+    bands = None
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat_ws("_", *[
+                F.col(f"m{b * BAND_ROWS + r}").cast("string")
+                for r in range(BAND_ROWS)
+            ])
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band_id"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    matches = sum(
+        F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
+        for k in range(NUM_PERM)
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            (matches.cast("double") / float(NUM_PERM)).alias("est_jaccard"),
+        )
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na_n"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_n"))
+    j = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("both0", F.coalesce(F.col("both_n"), F.lit(0)))
+    )
+    jac = "CAST(both0 AS DOUBLE) / (na_n + nb_n - both0)"
+    from ..functions.dialect import fround
+
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        F.expr(fround(jac, 6)).alias("jaccard"),
+        F.expr(fround(f"ABS(est_jaccard - {jac})", 6)).alias("abs_err"),
+    )

@@ -1023,7 +1023,9 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(DD.minhash_jaccard_estimate_sql(X.SPARK))
+    # staged DataFrame form: Spark inlines repeated CTEs, so the plain SQL
+    # re-runs the shingle/signature pipeline 4x (20x wall on the 10x soak)
+    return DD.minhash_jaccard_estimate_df(spark)
 
 
 def _corpus_to_windows_sql(d: str) -> str:

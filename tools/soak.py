@@ -58,6 +58,11 @@ SOAK_QUERIES = [
     # seg-df join, packing a global-order cumsum, SemDeDup an in-cluster
     # quadratic — the three next-most-likely super-linear suspects
     "span_dedup", "pack_sequences", "semdedup_prune",
+    # second round-4 batch: hard_negatives shares semdedup's in-cluster
+    # quadratic, the estimator joins signatures onto LSH candidates, the
+    # composition chains sample->pack, upsampling fans out by copy count
+    "hard_negatives", "minhash_jaccard_estimate", "corpus_to_windows",
+    "quality_upsample", "vocab_topk",
 ]
 
 
