@@ -416,16 +416,14 @@ JOIN sizes nb ON e.doc_b = nb.doc_id
 """
 
 
-def minhash_jaccard_estimate_df(spark, table: str = "documents"):
-    """Staged DataFrame form of ``minhash_jaccard_estimate_sql`` for the
-    engine side.  Spark INLINES repeated CTEs, so the plain SQL re-runs the
-    shingle scan + signature pipeline up to four times (once inside cand's
-    band derivation, twice for the intersection join sides, once for
-    sizes); on a near-dup-dense 10x corpus the soak measured that at 20x
-    wall (SOAK.md round-4 batch 2).  Checkpointing the three shared stages
-    (shingles, signatures, candidates) makes each run once — the result is
-    bit-identical to the SQL the DuckDB oracle still runs (DuckDB
-    materializes multiply-referenced CTEs on its own)."""
+def _staged_minhash_parts(spark, table: str = "documents"):
+    """Checkpointed shared stages of the MinHash pipeline — (sh, sig, cand,
+    sizes).  Spark INLINES repeated CTEs, so any SQL that references the
+    shingle/signature/candidate CTEs more than once re-runs the whole
+    pipeline per reference (the 10x soak measured the estimator's 4
+    references at 20x wall — SOAK.md round-4 batch 2); DuckDB
+    auto-materializes multiply-referenced CTEs, so the ORACLES keep the
+    plain SQL.  Engine-side queries assemble from these instead."""
     from pyspark.sql import functions as F
 
     d = X.SPARK
@@ -459,9 +457,15 @@ def minhash_jaccard_estimate_df(spark, table: str = "documents"):
         .distinct()
         .localCheckpoint()
     )
-
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
+    return sh, sig, cand, sizes
+
+
+def _staged_intersections(cand, sh):
+    """Per-candidate exact shingle intersection counts."""
+    from pyspark.sql import functions as F
+
+    return (
         cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(
             sh.alias("sb"),
@@ -471,6 +475,35 @@ def minhash_jaccard_estimate_df(spark, table: str = "documents"):
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("both_n"))
     )
+
+
+def ngram_jaccard_on_lsh_df(spark, threshold: float, table: str = "documents"):
+    """Staged engine form of ``ngram_jaccard_on_lsh_sql`` (the tier-1
+    ngram_jaccard_pairs implementation) — same output, pipeline runs once."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dialect import fround
+
+    sh, _sig, cand, sizes = _staged_minhash_parts(spark, table)
+    inter = _staged_intersections(cand, sh)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na_n"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_n"))
+    jac = "CAST(both_n AS DOUBLE) / (na_n + nb_n - both_n)"
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.expr(f"{jac} >= {threshold!r}"))
+        .select("doc_a", "doc_b", F.expr(fround(jac, 6)).alias("jaccard"))
+    )
+
+
+def minhash_jaccard_estimate_df(spark, table: str = "documents"):
+    """Staged engine form of ``minhash_jaccard_estimate_sql`` — same
+    output, pipeline runs once (see ``_staged_minhash_parts``)."""
+    from pyspark.sql import functions as F
+
+    sh, sig, cand, sizes = _staged_minhash_parts(spark, table)
+    inter = _staged_intersections(cand, sh)
     matches = sum(
         F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
         for k in range(NUM_PERM)

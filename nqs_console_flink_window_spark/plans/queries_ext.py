@@ -224,7 +224,9 @@ def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(DD.ngram_jaccard_on_lsh_sql(X.SPARK, threshold=0.8))
+    # staged form: the plain SQL's repeated CTE references re-run the
+    # shingle/signature pipeline under Spark's CTE inlining (SOAK.md)
+    return DD.ngram_jaccard_on_lsh_df(spark, threshold=0.8)
 
 
 # --------------------------------------------------------------------------
