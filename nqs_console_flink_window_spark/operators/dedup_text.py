@@ -534,3 +534,69 @@ def minhash_jaccard_estimate_df(spark, table: str = "documents"):
         F.expr(fround(jac, 6)).alias("jaccard"),
         F.expr(fround(f"ABS(est_jaccard - {jac})", 6)).alias("abs_err"),
     )
+
+
+def simhash_hamming_hist_df(spark, max_dist: int, table: str = "documents"):
+    """Staged engine form of ``simhash_hamming_hist_sql``: the bands CTE is
+    self-joined, so under Spark's CTE inlining the whole 60-aggregate
+    SimHash pipeline ran twice; checkpoint the banded fingerprints once."""
+    from pyspark.sql import functions as F
+
+    d = X.SPARK
+    bands = max_dist + 1
+    width = (SIMHASH_BITS + bands - 1) // bands
+    banded = spark.sql(
+        f"WITH sig AS ({simhash_sql(d, table)}) "
+        "SELECT doc_id, simhash, i, "
+        f"(simhash >> (i * {width})) % {1 << width} AS bv "
+        f"FROM sig LATERAL VIEW explode(sequence(0, {bands - 1})) g AS i"
+    ).localCheckpoint()
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("a.simhash").alias("simhash"),
+            F.col("b.doc_id").alias("db"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr(X.xor(d, "CAST(simhash AS BIGINT)", "CAST(simhash_b AS BIGINT)")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_dist)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def span_dedup_df(spark, table: str = "documents", k: int = SPAN_WORDS, min_df: int = SPAN_MIN_DF):
+    """Staged engine form of ``span_dedup_sql``: the segs CTE feeds both the
+    df aggregate and the rebuild join — checkpoint it so the document scan
+    and the split/slice segmenting run once."""
+    from pyspark.sql import functions as F
+
+    d = X.SPARK
+    toks = X.split_tokens(d, "text")
+    n_segs = X.idiv(d, f"{X.arr_size(d, 'toks')} + {k - 1}", str(k))
+    seg = X.arr_join(d, X.arr_slice(d, "toks", f"(i - 1) * {k} + 1", k))
+    src = X.positions_from(
+        d, f"(SELECT doc_id, {toks} AS toks FROM {table})", "doc_id, toks", n_segs
+    )
+    segs = spark.sql(
+        f"SELECT doc_id, i, {seg} AS seg FROM {src} p"
+    ).localCheckpoint()
+    df_tab = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    joined = segs.join(df_tab, "seg")
+    kept = X.ordered_join(d, f"CASE WHEN df < {min_df} THEN seg END", "i")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.expr(f"COALESCE({kept}, '')").alias("cleaned_text"),
+    )

@@ -188,7 +188,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(DD.minhash_lsh_pairs_sql(X.SPARK))
+    # staged: the bands self-join over the sig CTE re-ran the signature
+    # pipeline up to 8x under Spark's CTE inlining
+    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
+    return cand
 
 
 @register(
@@ -211,7 +214,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(DD.simhash_hamming_hist_sql(X.SPARK, max_dist=3))
+    # staged: the bands CTE self-join would re-run the SimHash pipeline
+    # twice under Spark's CTE inlining (see _staged_minhash_parts note)
+    return DD.simhash_hamming_hist_df(spark, max_dist=3)
 
 
 @register(
@@ -540,7 +545,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    pairs = spark.sql(DD.minhash_lsh_pairs_sql(X.SPARK))
+    # staged candidate pairs: the plain SQL's 8 sig references re-ran the
+    # signature pipeline 8x within one evaluation under CTE inlining
+    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark)
     docs = load_table(spark, sf_dir, "documents")
     return DC.dedup_clusters_df(pairs, docs)
 
@@ -976,7 +983,8 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(DD.span_dedup_sql(X.SPARK))
+    # staged: segs feeds both the df aggregate and the rebuild join
+    return DD.span_dedup_df(spark)
 
 
 @register(
