@@ -600,3 +600,86 @@ def span_dedup_df(spark, table: str = "documents", k: int = SPAN_WORDS, min_df: 
         F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).cast("long").alias("n_removed"),
         F.expr(f"COALESCE({kept}, '')").alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment — the partial-overlap signal Jaccard misses.  C(A,B) =
+# |A∩B| / |A| is near 1 when doc A is (mostly) embedded inside doc B even
+# though Jaccard is small (the quote/boilerplate/near-superset case —
+# Broder 1997 distinguishes "resemblance" from "containment").  Scoped to
+# LSH candidates like the Jaccard verifier: shuffle ~ candidates.
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def containment_on_lsh_sql(
+    d: str, threshold: float = CONTAIN_THRESHOLD, table: str = "documents"
+) -> str:
+    """Directional containment on MinHash-LSH candidate pairs: both
+    directions plus the dominant one, kept when max(C_ab, C_ba) >=
+    threshold.  Same CTE skeleton as ``ngram_jaccard_on_lsh_sql``; DuckDB
+    auto-materializes the shared CTEs, the Spark engine side uses the
+    staged form.
+
+    Recall caveat (honest scale note): the candidate generator is the
+    shared MinHash band index, whose collision probability tracks
+    RESEMBLANCE (Jaccard) — a tiny doc fully contained in a huge one has
+    high containment but low Jaccard and can miss every band.  This
+    operator therefore surfaces the *moderate-size-ratio* containment
+    pairs (quotes, boilerplate, near-supersets up to a few x).  Catching
+    extreme-ratio containment needs a dedicated candidate generator
+    (per-shingle inverted index or suffix-based bands) — out of scope;
+    span_dedup covers the corpus-frequent-substring half of that case."""
+    cand = minhash_lsh_pairs_sql(d, table)
+    c_ab = "CAST(both_n AS DOUBLE) / na.n"
+    c_ba = "CAST(both_n AS DOUBLE) / nb.n"
+    return f"""
+WITH cand AS ({cand}),
+sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS both_n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  {X.fround(c_ab, 6)} AS contain_ab,
+  {X.fround(c_ba, 6)} AS contain_ba,
+  CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS contained_doc
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= {threshold!r}
+"""
+
+
+def containment_on_lsh_df(
+    spark, threshold: float = CONTAIN_THRESHOLD, table: str = "documents"
+):
+    """Staged engine form of ``containment_on_lsh_sql`` — rides the shared
+    checkpointed MinHash parts so the shingle/band pipeline runs once."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dialect import fround
+
+    sh, _sig, cand, sizes = _staged_minhash_parts(spark, table)
+    inter = _staged_intersections(cand, sh)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na_n"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_n"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.expr(f"CAST(both_n AS DOUBLE) / LEAST(na_n, nb_n) >= {threshold!r}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(fround("CAST(both_n AS DOUBLE) / na_n", 6)).alias("contain_ab"),
+            F.expr(fround("CAST(both_n AS DOUBLE) / nb_n", 6)).alias("contain_ba"),
+            F.expr("CASE WHEN na_n <= nb_n THEN doc_a ELSE doc_b END").alias(
+                "contained_doc"
+            ),
+        )
+    )

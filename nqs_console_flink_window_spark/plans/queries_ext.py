@@ -1223,9 +1223,12 @@ WITH scored AS (
 ),
 z AS (SELECT SUM(quality * quality) AS zz FROM scored),
 weighted AS (
+  -- scalar subquery, not CROSS JOIN z: Spark plans the 1-row join as a
+  -- BroadcastNestedLoopJoin (flagged by the fleet-wide plan guard), but a
+  -- scalar subquery becomes a precomputed literal — no join operator at all
   SELECT s.doc_id, s.quality,
-    {target_copies}.0 * s.quality * s.quality / z.zz AS w
-  FROM scored s CROSS JOIN z
+    {target_copies}.0 * s.quality * s.quality / (SELECT zz FROM z) AS w
+  FROM scored s
 ),
 counted AS (
   SELECT doc_id, quality, w,
@@ -1261,3 +1264,80 @@ FROM {ex} e
 def quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return spark.sql(_quality_upsample_sql(X.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Data selection: DSIR importance weighting, token entropy, BPE merge stats
+# (operators/selection.py — published curation methods beyond the reference)
+# --------------------------------------------------------------------------
+
+from ..operators import selection as SEL  # noqa: E402
+
+
+@register(
+    "dsir_importance",
+    sql=SEL.dsir_sql(X.DUCK),
+    doc="Extension — DSIR importance weights (Xie et al. 2023): hashed "
+    "unigram+bigram bag features, Laplace-smoothed target-vs-raw bucket "
+    "distributions, per-doc importance log-weight in exact integer "
+    "micro-nats (qln quantization — no raw double log ever enters a SUM), "
+    "Gumbel-top-k resampling flag via ORDER BY + LIMIT (TakeOrdered, no "
+    "global sort); constant-size bucket stats broadcast back to the "
+    "feature stream; sampling family driver-gated via training_sample",
+    tier=2,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    # staged feats: the feature stream is referenced twice (bucket stats +
+    # per-doc sum) and Spark inlines CTEs
+    return SEL.dsir_df(spark)
+
+
+@register(
+    "token_entropy",
+    sql=SEL.token_entropy_sql(X.DUCK),
+    doc="Extension — per-document Shannon entropy of the word-frequency "
+    "distribution + type-token ratio (the 'word salad vs natural text' "
+    "quality signal): exact integer micro-nat numerator via qln "
+    "quantization, one BIGINT/DOUBLE division at the end; two-level "
+    "keyed aggregation, map-side combinable; quality family driver-gated "
+    "via text_stats",
+    tier=2,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(SEL.token_entropy_sql(X.SPARK))
+
+
+@register(
+    "bpe_merge_pairs",
+    sql=SEL.bpe_merge_pairs_sql(X.DUCK),
+    doc="Extension — BPE tokenizer-training pair statistics (Sennrich et "
+    "al. 2016, first iteration): adjacent character-pair counts weighted "
+    "by word frequency over the DISTINCT-word vocabulary (sublinear in "
+    "corpus size), deterministic count-desc/pair-asc tiebreak; the "
+    "iterative greedy trainer (selection.bpe_train, aggregate-HOF merge "
+    "rewrite, zero Python in executors) is parity-tested against a pure-"
+    "Python reference in tests/test_extensions.py; vocab family "
+    "driver-gated via text_stats",
+    tier=2,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return spark.sql(SEL.bpe_merge_pairs_sql(X.SPARK))
+
+
+@register(
+    "containment_pairs",
+    sql=DD.containment_on_lsh_sql(X.DUCK),
+    doc="Extension — directional shingle containment C(A,B)=|A∩B|/|A| on "
+    "LSH candidate pairs (Broder 1997 'containment' vs 'resemblance'): "
+    "catches a doc embedded in a near-superset where Jaccard stays small "
+    "(quote/boilerplate dedup); rides the staged MinHash parts on the "
+    "engine side, shuffle ~ candidates; dedup family driver-gated via "
+    "ngram_jaccard_pairs / dedup_clusters",
+    tier=2,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return DD.containment_on_lsh_df(spark)

@@ -851,3 +851,115 @@ def test_quality_upsample_invariants(spark) -> None:
     for (q1, w1), (q2, w2) in zip(ordered, ordered[1:]):
         if q2 > q1:
             assert w2 >= w1
+
+
+def test_bpe_train_matches_python_reference(spark) -> None:
+    """The iterative Spark BPE trainer (aggregate-HOF merge rewrite) learns
+    the same merge sequence, with the same counts, as a pure-Python BPE on
+    the same word frequencies — including multi-char symbols from chained
+    merges and the count-desc/pair-asc tiebreak."""
+    from collections import Counter
+
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(60)
+    merges = SEL.bpe_train(spark, docs, n_merges=6)
+
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split(" "):
+            if len(w) >= 2:
+                freqs[w] += 1
+    expected = SEL.bpe_train_reference(dict(freqs), n_merges=6)
+    assert merges == expected
+
+    # chained merges on a corpus built to force them: 'abab' dominates, so
+    # merge 1 = (a,b) and merge 2 must reuse the multi-char symbol 'ab'
+    chain = spark.createDataFrame(
+        [(1, "abab abab abab ab xy")], "doc_id long, text string"
+    )
+    chained = SEL.bpe_train(spark, chain, n_merges=3)
+    freqs2 = {"abab": 3, "ab": 1, "xy": 1}
+    assert chained == SEL.bpe_train_reference(freqs2, n_merges=3)
+    assert any(len(a) > 1 or len(b) > 1 for a, b, _ in chained)
+
+
+def test_dsir_importance_semantics(spark) -> None:
+    """DSIR invariants: target-domain docs score higher on average than the
+    rest (the weights point toward the target distribution), the sampled
+    set is exactly top-k by selection key, and n_feats = 2*len-1 per doc
+    (unigrams + bigrams)."""
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["dsir_importance"].spark(spark, SMOKE_SF_DIR).collect()
+    docs = {
+        r["doc_id"]: (r["source"], len(r["text"].lower().split(" ")))
+        for r in load_table(spark, SMOKE_SF_DIR, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    }
+    tgt = [r["log_weight"] for r in rows if docs[r["doc_id"]][0] in ("src0", "src1", "src2", "src3")]
+    rest = [r["log_weight"] for r in rows if docs[r["doc_id"]][0] not in ("src0", "src1", "src2", "src3")]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        assert r["n_feats"] == 2 * docs[r["doc_id"]][1] - 1
+    k = sum(r["sampled"] for r in rows)
+    threshold = sorted((r["sel_key_micro"] for r in rows), reverse=True)[k - 1]
+    for r in rows:
+        assert r["sampled"] == (1 if r["sel_key_micro"] >= threshold else 0)
+
+
+def test_token_entropy_bounds(spark) -> None:
+    """0 <= H <= ln(n_types) (uniform bound), and a doc of repeated tokens
+    has H == 0 while distinct tokens hit the uniform maximum."""
+    import math
+
+    from nqs_console_flink_window_spark.operators import selection as SEL
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    for r in REGISTRY["token_entropy"].spark(spark, SMOKE_SF_DIR).collect():
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-6
+        assert 0 < r["type_token_ratio"] <= 1.0
+
+    probe = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    probe.createOrReplaceTempView("documents")
+    got = {
+        r["doc_id"]: r["entropy_nats"]
+        for r in spark.sql(SEL.token_entropy_sql(X.SPARK)).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - math.log(4)) < 1e-5
+
+
+def test_containment_catches_subset_docs(spark) -> None:
+    """A doc embedded inside a near-superset has containment ~1 from the
+    small side while Jaccard stays well below it — the partial-overlap
+    case the Jaccard threshold misses."""
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+
+    small = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    # non-repeating filler: distinct shingles must actually grow (periodic
+    # filler saturates the DISTINCT shingle set and Jaccard stops dropping).
+    # Size 4 keeps the pair inside LSH band-collision range — candidate
+    # recall tracks RESEMBLANCE, so extreme-containment/low-Jaccard pairs
+    # fall outside plain MinHash banding (see containment_on_lsh_sql doc)
+    big = small + " ".join(f"filler{i:03d} extra{i:03d}" for i in range(4))
+    spark.createDataFrame(
+        [(1, small.strip()), (2, big.strip()), (3, "totally different words here " * 8)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    rows = DD.containment_on_lsh_df(spark, threshold=0.5).collect()
+    pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in pair
+    r = pair[(1, 2)]
+    assert r["contain_ab"] >= 0.9          # small side almost fully contained
+    assert r["contained_doc"] == 1
+    jac = r["contain_ab"] * r["contain_ba"] / (
+        r["contain_ab"] + r["contain_ba"] - r["contain_ab"] * r["contain_ba"]
+    )
+    assert jac < 0.6                        # resemblance alone would miss it
+    assert not any(3 in (a, b) for (a, b) in pair)
