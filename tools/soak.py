@@ -63,6 +63,11 @@ SOAK_QUERIES = [
     # composition chains sample->pack, upsampling fans out by copy count
     "hard_negatives", "minhash_jaccard_estimate", "corpus_to_windows",
     "quality_upsample", "vocab_topk",
+    # third round-4 batch (data-selection family): DSIR re-reads the feature
+    # stream for bucket stats + per-doc sums, containment re-joins shingles
+    # onto LSH candidates — both candidate super-linear shapes; entropy and
+    # BPE pairs are the cheap keyed-agg controls
+    "dsir_importance", "containment_pairs", "token_entropy", "bpe_merge_pairs",
 ]
 
 
