@@ -714,7 +714,36 @@ FROM scored s CROSS JOIN n WHERE s.rnk <= {k}
 )
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(_tfidf_sql(X.SPARK))
+    # staged: the tf CTE is referenced twice (df + scored) and Spark inlines
+    # CTEs — unstaged, the corpus tokenize+groupBy ran twice.  n_docs rides
+    # a scalar subquery (count(*) over parquet is metadata-cheap), so the
+    # 1-row CROSS JOIN (BNLJ) disappears from the plan.
+    d = X.SPARK
+    toks = X.split_tokens(d, "lower(text)")
+    tf = spark.sql(
+        f"SELECT doc_id, token, COUNT(*) AS tf FROM "
+        f"(SELECT doc_id, {X.explode_tokens(d, toks)} AS token FROM documents) t "
+        "GROUP BY doc_id, token"
+    ).localCheckpoint()
+    view = "__tfidf_tf"
+    tf.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+WITH df AS (SELECT token, COUNT(*) AS df FROM {view} GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) / df.df AS score,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                tf.token) AS rnk
+  FROM {view} tf JOIN df ON tf.token = df.token
+)
+SELECT s.doc_id, s.rnk, s.token, s.tf, s.df,
+  {X.fround("s.score * (SELECT COUNT(*) FROM documents)", 6)} AS tfidf_score
+FROM scored s WHERE s.rnk <= 3
+""")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _mixture_sql(d: str) -> str:
@@ -775,7 +804,47 @@ FROM first_pass f CROSS JOIN agg a
 )
 def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(_mixture_sql(X.SPARK))
+    # staged: per_src (the one corpus-scale groupBy) was referenced by both
+    # tot and base — CTE inlining aggregated the corpus twice.  After the
+    # checkpoint everything downstream runs over a sources-cardinality
+    # table, so the scalar aggregates ride subqueries (re-scanning the
+    # ~20-row staged view is free) and no BNLJ remains.
+    d = X.SPARK
+    tok = X.idiv(d, "SUM(CAST(n_chars AS BIGINT))", "4")
+    per_src = spark.sql(
+        f"SELECT source, CAST({tok} AS BIGINT) AS tokens "
+        "FROM documents GROUP BY source"
+    ).localCheckpoint()
+    view = "__mixture_per_src"
+    per_src.createOrReplaceTempView(view)
+    try:
+        total = f"(SELECT CAST(SUM(tokens) AS BIGINT) FROM {view})"
+        nsrc = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {view})"
+        budget = X.idiv(d, total, "2")
+        uniform = X.idiv(d, budget, nsrc)
+        return spark.sql(f"""
+WITH first_pass AS (
+  SELECT source, tokens,
+    CAST({total} AS BIGINT) AS total_tokens,
+    CAST({budget} AS BIGINT) AS budget,
+    LEAST(tokens, CAST({uniform} AS BIGINT)) AS alloc1
+  FROM {view}
+),
+with_agg AS (
+  SELECT source, tokens, budget, alloc1,
+    CAST((SELECT CAST(SUM(alloc1) AS BIGINT) FROM first_pass) AS BIGINT) AS allocated,
+    CAST((SELECT CAST(SUM(tokens - alloc1) AS BIGINT) FROM first_pass) AS BIGINT) AS headroom
+  FROM first_pass
+)
+SELECT f.source, f.tokens, f.alloc1 +
+    CASE WHEN f.headroom > 0
+         THEN CAST({X.idiv(d, "(f.budget - f.allocated) * (f.tokens - f.alloc1)", "f.headroom")} AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS alloc_tokens,
+  CAST(f.budget AS BIGINT) AS budget
+FROM with_agg f
+""")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 from ..operators import sketches as SK  # noqa: E402
@@ -1105,7 +1174,34 @@ FROM ranked r CROSS JOIN total t
 )
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(_vocab_topk_sql(X.SPARK))
+    # staged: the counts CTE is referenced twice (total + topk) and Spark
+    # inlines CTEs — unstaged, the corpus explode+groupBy ran twice (the 10x
+    # soak measured 11.25x); the checkpointed counts table is vocab-size.
+    # The 1-row total rides a scalar subquery, not a CROSS JOIN (BNLJ).
+    d = X.SPARK
+    tok = X.explode_tokens(d, X.split_tokens(d, "lower(text)"))
+    counts = spark.sql(
+        f"SELECT token, COUNT(*) AS cnt FROM "
+        f"(SELECT {tok} AS token FROM documents) t GROUP BY token"
+    ).localCheckpoint()
+    view = "__vocab_counts"
+    counts.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+WITH topk AS (SELECT token, cnt FROM {view} ORDER BY cnt DESC, token LIMIT 50),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+  FROM topk
+)
+SELECT token, cnt, rank,
+  {X.fround(f"CAST(cum_cnt AS DOUBLE) / CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM {view}) AS DOUBLE)", 8)} AS cum_coverage
+FROM ranked
+""")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _score_drift_sql(d: str, n_buckets: int = 10) -> str:
@@ -1263,7 +1359,42 @@ FROM {ex} e
 )
 def quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(_quality_upsample_sql(X.SPARK))
+    # staged: scored (the tokenizing quality expression) is referenced by
+    # both the Z aggregate and the weighted projection; Spark's CTE inlining
+    # would tokenize the corpus twice.  Checkpoint once, then render the
+    # rest of the same SQL against the staged view.
+    d = X.SPARK
+    q = TX.quality_score_expr(d)
+    scored = spark.sql(
+        f"SELECT doc_id, {q} AS quality FROM documents"
+    ).localCheckpoint()
+    view = "__upsample_scored"
+    scored.createOrReplaceTempView(view)
+    try:
+        frac_coin = X.md5_int(d, "'upsample:' || CAST(doc_id AS STRING)")
+        ex = X.explode_range(
+            d, "kept", "doc_id, quality, w, n_copies", "1", "n_copies", alias="copy_idx"
+        )
+        return spark.sql(f"""
+WITH weighted AS (
+  SELECT doc_id, quality,
+    600.0 * quality * quality / (SELECT SUM(quality * quality) FROM {view}) AS w
+  FROM {view}
+),
+counted AS (
+  SELECT doc_id, quality, w,
+    CAST(floor(w) AS BIGINT)
+    + (CASE WHEN ({frac_coin} % 1000000) < CAST(floor((w - floor(w)) * 1000000.0 + 0.5) AS BIGINT)
+            THEN 1 ELSE 0 END) AS n_copies
+  FROM weighted
+),
+kept AS (SELECT * FROM counted WHERE n_copies >= 1)
+SELECT doc_id, {X.fround('quality', 4)} AS quality, {X.fround('w', 8)} AS weight,
+       n_copies, copy_idx
+FROM {ex} e
+""")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------------------------------------

@@ -963,3 +963,53 @@ def test_containment_catches_subset_docs(spark) -> None:
     )
     assert jac < 0.6                        # resemblance alone would miss it
     assert not any(3 in (a, b) for (a, b) in pair)
+
+
+def test_dsir_pure_python_recomputation(spark) -> None:
+    """Third-implementation check (beyond Spark==DuckDB): recompute the DSIR
+    importance log-weights from first principles in Python — tokenize, hash
+    n-grams with the same md5-derived 60-bit hash, build both smoothed
+    bucket distributions, quantize each ln at its integer argument — and
+    demand exact integer equality with the engine's micro-nat weights."""
+    import hashlib
+    import math
+
+    from nqs_console_flink_window_spark.operators import selection as SEL
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def qln(k: int) -> int:
+        return math.floor(math.log(k) * 1e6 + 0.5)
+
+    B = SEL.DSIR_BUCKETS
+    docs = [
+        (r["doc_id"], r["text"].lower().split(" "), r["source"])
+        for r in load_table(spark, SMOKE_SF_DIR, "documents").collect()
+    ]
+    target_srcs = {"src0", "src1", "src2", "src3"}
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    feats_by_doc: dict[int, list[int]] = {}
+    for doc_id, toks, src in docs:
+        fs = [h60("u:" + t) % B for t in toks]
+        fs += [h60("b:" + a + "_" + b) % B for a, b in zip(toks, toks[1:])]
+        feats_by_doc[doc_id] = fs
+        for b in fs:
+            cr[b] = cr.get(b, 0) + 1
+            if src in target_srcs:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    qnorm = qln(tr + B) - qln(tt + B)
+    expected = {
+        doc_id: sum(qln(ct.get(b, 0) + 1) - qln(cr[b] + 1) for b in fs)
+        + len(fs) * qnorm
+        for doc_id, fs in feats_by_doc.items()
+    }
+    got = {
+        r["doc_id"]: round(r["log_weight"] * 1e6)
+        for r in REGISTRY["dsir_importance"].spark(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == expected

@@ -147,17 +147,19 @@ def test_no_scale_antipatterns_across_registry(spark) -> None:
     is allowed only where a broadcast-singleton side makes it the right
     strategy (cosine_topk broadcasts one query vector; geo_range_join
     broadcasts the MB-scale IP-range dim for its non-equi lookup;
-    tfidf_keywords, mixture_allocation, vocab_topk and score_drift
-    cross-join 1-row scalar aggregates)."""
+    score_drift broadcasts its 1-row bounds aggregate against the corpus —
+    cheaper than the 4 extra corpus scans that scalar subqueries would
+    cost).  tfidf_keywords / mixture_allocation / vocab_topk came OFF the
+    list when their 1-row cross joins became scalar subqueries over staged
+    (checkpointed) intermediates — which also removed the double corpus
+    pass their multiply-referenced CTEs caused under Spark's CTE
+    inlining."""
     from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
     from nqs_console_flink_window_spark.plans.registry import REGISTRY
 
     bnlj_ok = {
         "cosine_topk",
         "geo_range_join",
-        "tfidf_keywords",
-        "mixture_allocation",
-        "vocab_topk",
         "score_drift",
     }
     for name, q in REGISTRY.items():
