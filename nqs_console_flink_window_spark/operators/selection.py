@@ -356,3 +356,83 @@ def bpe_train_reference(word_freqs: dict[str, int], n_merges: int = 8) -> list[t
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
         vocab = new_vocab
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Fit/score split — the streaming-ingest form.  ``dsir_fit`` runs once over
+# a reference corpus and returns a constant-size model (1024 bucket
+# log-ratios + the normalization constant, plain Python values so it can
+# cross into foreachBatch's cloned sessions); ``dsir_score`` applies it to
+# any document batch.  At 100 TB the model is the thing you'd persist and
+# broadcast — per-batch cost is one feature explode + one broadcast join +
+# one keyed aggregation.
+# ---------------------------------------------------------------------------
+
+
+def dsir_fit(
+    spark, ref_docs, n_buckets: int = DSIR_BUCKETS
+) -> tuple[list[tuple[int, int]], int]:
+    """Fit the DSIR bucket model on a reference corpus: returns
+    ([(bucket, qlr_micro)...], qnorm_micro).  Target membership inside the
+    reference pool is ``DSIR_TARGET_PRED``; the returned list has exactly
+    the buckets observed in the reference (absent buckets score 0 — both
+    smoothed counts are 1 and the qlns cancel)."""
+    view = "__dsir_fit_docs"
+    ref_docs.createOrReplaceTempView(view)
+    try:
+        feats = spark.sql(dsir_feats_sql(X.SPARK, view, n_buckets)).localCheckpoint()
+        fview = "__dsir_fit_feats"
+        feats.createOrReplaceTempView(fview)
+        try:
+            lr_rows = spark.sql(f"""
+SELECT b, {qln_micro("ct + 1")} - {qln_micro("cr + 1")} AS qlr
+FROM (
+  SELECT b, CAST(SUM(is_target) AS BIGINT) AS ct, COUNT(*) AS cr
+  FROM {fview} GROUP BY b
+)
+""").collect()
+            tt, tr = spark.sql(
+                f"SELECT CAST(SUM(is_target) AS BIGINT) AS tt, COUNT(*) AS tr FROM {fview}"
+            ).first()
+        finally:
+            spark.catalog.dropTempView(fview)
+    finally:
+        spark.catalog.dropTempView(view)
+    import math
+
+    qnorm = math.floor(math.log(int(tr) + n_buckets) * 1e6 + 0.5) - math.floor(
+        math.log(int(tt) + n_buckets) * 1e6 + 0.5
+    )
+    return [(int(r["b"]), int(r["qlr"])) for r in lr_rows], qnorm
+
+
+def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int]):
+    """Score documents against a fitted model: (doc_id, n_feats,
+    lw_micro, log_weight).  The model arrives as plain Python values and is
+    rebuilt as a broadcast-joined 1024-row DataFrame inside whatever
+    session ``docs_df`` belongs to (foreachBatch clones sessions; a
+    DataFrame fitted on the main session cannot join a batch DataFrame).
+    Buckets unseen at fit time contribute 0 (Laplace counts 1/1)."""
+    from pyspark.sql import functions as F
+
+    lr_rows, qnorm = model
+    sess = docs_df.sparkSession
+    lr = sess.createDataFrame(lr_rows or [(0, 0)], "b long, qlr long")
+    view = "__dsir_score_docs"
+    docs_df.createOrReplaceTempView(view)
+    try:
+        feats = sess.sql(dsir_feats_sql(X.SPARK, view))
+    finally:
+        sess.catalog.dropTempView(view)
+    return (
+        feats.join(F.broadcast(lr), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (
+                F.sum(F.coalesce(F.col("qlr"), F.lit(0)))
+                + F.count(F.lit(1)) * F.lit(qnorm)
+            ).cast("long").alias("lw_micro"),
+        )
+        .withColumn("log_weight", F.col("lw_micro").cast("double") / 1.0e6)
+    )

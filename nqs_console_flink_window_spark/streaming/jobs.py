@@ -588,3 +588,91 @@ def run_packing_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus curation — the ingest-time data-selection gate: each
+# micro-batch of documents is scored against a PRE-FIT DSIR bucket model
+# (constant-size, fitted once on a reference corpus — the thing you'd
+# persist and broadcast at 100 TB), quality-scored, threshold-filtered,
+# then incrementally deduped against the persisted band index.  Composes
+# selection.dsir_fit/dsir_score with the ingest_dedup_batch machinery; the
+# landed table carries the scores so downstream mixing can re-weight
+# without re-scoring.
+# ---------------------------------------------------------------------------
+
+
+def curate_batch(
+    bspark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    model: tuple[list[tuple[int, int]], int],
+    kept_dir: str,
+    index_dir: str,
+    min_quality: float = 10.0,
+    min_logw: float = -10.0,
+) -> None:
+    """One micro-batch's curation: DSIR-score against the fixed model,
+    quality-score, filter on both, then index-backed dedup.  The model
+    crosses into the cloned batch session as plain Python values
+    (``dsir_score`` rebuilds the 1024-row broadcast side in-session).
+    Replay-convergent for the same reason as ``ingest_dedup_batch``: both
+    landings are idempotent batch_id subpaths."""
+    from ..functions import dialect as X
+    from ..operators import selection as SEL
+    from ..operators import text as TX
+
+    scored = SEL.dsir_score(bspark, batch_df, model).select(
+        "doc_id", "lw_micro", "log_weight"
+    )
+    q = TX.quality_score_expr(X.SPARK)
+    passed = (
+        batch_df.withColumn("quality", F.expr(q))
+        .join(scored, "doc_id")
+        .filter(
+            (F.col("quality") >= F.lit(min_quality))
+            & (F.col("log_weight") >= F.lit(min_logw))
+        )
+    )
+    ingest_dedup_batch(
+        bspark,
+        passed.select(*batch_df.columns, "quality", "log_weight"),
+        batch_id,
+        kept_dir,
+        index_dir,
+    )
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    model: tuple[list[tuple[int, int]], int],
+    kept_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 10.0,
+    min_logw: float = -10.0,
+) -> None:
+    """Streaming runner for the curation gate (availableNow in tests;
+    a production job would run a processing-time trigger)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        curate_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            model,
+            kept_dir,
+            index_dir,
+            min_quality,
+            min_logw,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -874,3 +874,93 @@ def test_packing_stream_matches_batch_and_replays(spark, tmp_path) -> None:
         tuple(r) for r in spark.read.parquet(f"{out_dir}/batch_id={last}").collect()
     )
     assert after == before
+
+
+def test_curation_stream_scores_filters_dedups(spark, tmp_path) -> None:
+    """Streaming corpus curation: micro-batches are DSIR-scored against a
+    model fitted ONCE on a reference corpus, quality-filtered, then
+    index-deduped.  Checks: (a) landed scores equal the batch dsir_score
+    on the same docs, exactly, in integer micro-nats; (b) every landed doc
+    passes both thresholds and every in-threshold doc was only dropped by
+    dedup (band collision with a survivor); (c) survivors carry no band
+    collision."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+    from nqs_console_flink_window_spark.operators.dedup_text import band_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model = SEL.dsir_fit(spark, docs)
+
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    min_quality, min_logw = 15.0, -1.0
+    J.run_curation_stream(
+        spark, stream, model, kept_dir, index_dir, str(tmp_path / "cp"),
+        min_quality=min_quality, min_logw=min_logw,
+    )
+
+    kept = spark.read.parquet(kept_dir)
+    rows = kept.collect()
+    assert rows, "curation stream landed nothing"
+
+    # (a) landed DSIR scores == batch scoring against the same model
+    want = {
+        r["doc_id"]: r["lw_micro"]
+        for r in SEL.dsir_score(spark, docs, model).collect()
+    }
+    for r in rows:
+        assert round(r["log_weight"] * 1e6) == want[r["doc_id"]], r["doc_id"]
+        assert r["quality"] >= min_quality
+        assert r["log_weight"] >= min_logw
+
+    # (b) every doc passing both thresholds either landed or band-collides
+    # with a landed survivor (dedup was the only other drop reason)
+    from nqs_console_flink_window_spark.functions import dialect as X
+    from nqs_console_flink_window_spark.operators import text as TX
+
+    passing = {
+        r["doc_id"]
+        for r in docs.withColumn("q", F.expr(TX.quality_score_expr(X.SPARK)))
+        .filter(F.col("q") >= min_quality)
+        .select("doc_id")
+        .collect()
+        if want[r["doc_id"]] / 1e6 >= min_logw
+    }
+    kept_ids = {r["doc_id"] for r in rows}
+    assert kept_ids <= passing
+    dropped = passing - kept_ids
+    if dropped:
+        kb = band_table(spark, kept)
+        db = band_table(spark, docs.filter(F.col("doc_id").isin([int(x) for x in dropped])))
+        collided = {
+            r["doc_id"]
+            for r in db.join(
+                kb.select("band_id", "band_key").distinct(), ["band_id", "band_key"]
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert collided == dropped
+
+    # (c) survivors are band-collision-free
+    kb = band_table(spark, kept)
+    assert (
+        kb.alias("a")
+        .join(
+            kb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+        == 0
+    )
