@@ -1013,3 +1013,35 @@ def test_dsir_pure_python_recomputation(spark) -> None:
         for r in REGISTRY["dsir_importance"].spark(spark, SMOKE_SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_qln_micro_three_way_parity(spark) -> None:
+    """The micro-nat foundation: the quantized integer log agrees across
+    Spark SQL, DuckDB SQL, and Python math.log for a spread of integer
+    arguments covering every magnitude the selection operators feed it
+    (counts 1..10^7) — including the adversarial neighborhood of exact
+    powers where ln(k)*1e6 comes closest to quantization boundaries."""
+    import math
+
+    from nqs_console_flink_window_spark.operators.selection import qln_micro
+
+    ks = (
+        list(range(1, 40))
+        + [97, 1000, 1001, 54321, 10**6, 10**7]
+        + [2**j for j in range(1, 23)]
+        + [2**j - 1 for j in range(2, 23)]
+        + [int(math.e ** j) for j in range(1, 16)]  # ln lands near integers
+    )
+    vals = ", ".join(f"({k})" for k in sorted(set(ks)))
+    expr = qln_micro("k")
+    s = {
+        r["k"]: r["q"]
+        for r in spark.sql(f"SELECT k, {expr} AS q FROM VALUES {vals} AS t(k)").collect()
+    }
+    con = duckdb.connect()
+    d = {
+        k: con.execute(f"SELECT {qln_micro(str(k))}").fetchone()[0]
+        for k in sorted(set(ks))
+    }
+    p = {k: math.floor(math.log(k) * 1e6 + 0.5) for k in sorted(set(ks))}
+    assert s == d == p
