@@ -314,18 +314,15 @@ def bpe_train(spark, docs_df, n_merges: int = 8) -> list[tuple[str, str, int]]:
             break
         a, b, cnt = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["cnt"])
         merges.append((a, b, cnt))
-        qa, qb = a.replace("'", "''"), b.replace("'", "''")
         # Left-to-right single-pass merge as an aggregate-HOF fold: append
         # each symbol, but when the accumulator ends in `a` and the next
         # symbol is `b`, replace that tail element with the merged symbol —
-        # exactly the reference Python merge below (test-verified).
-        merge_expr = (
-            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
-            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
-            "ELSE concat(acc, array(x)) END)"
-        )
-        vocab = vocab.select(F.expr(merge_expr).alias("syms"), "freq").localCheckpoint()
+        # exactly the reference Python merge below (test-verified).  The
+        # fold is the SAME expression bpe_encode chains, so training-time
+        # and encode-time segmentation cannot drift.
+        vocab = vocab.select(
+            F.expr(_merge_fold_expr("syms", a, b)).alias("syms"), "freq"
+        ).localCheckpoint()
     return merges
 
 
@@ -436,3 +433,70 @@ def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int]):
         )
         .withColumn("log_weight", F.col("lw_micro").cast("double") / 1.0e6)
     )
+
+
+def _merge_fold_expr(syms_col: str, a: str, b: str) -> str:
+    """One merge pass as an aggregate-HOF fold (shared by the trainer and
+    the encoder so train/encode cannot drift)."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return (
+        f"aggregate({syms_col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_encode(spark, docs_df, merges: list[tuple[str, str, int]]):
+    """Tokenize a corpus with a learned merge list — the apply half of BPE
+    tokenizer training.  Segmentation is computed ONCE PER DISTINCT WORD
+    (the merge folds chain over the vocabulary, sublinear in corpus size)
+    and hash-joined back to the token stream; the corpus itself is touched
+    by exactly one explode + one join + one keyed re-aggregation.  Returns
+    (doc_id, n_words, n_subwords, subwords) with the doc's full subword
+    sequence in word order.
+
+    At 100 TB the vocab side broadcasts (a few MB for any real vocab) and
+    the join is map-side; here it stays a hash join under AQE's choice."""
+    from pyspark.sql import functions as F
+
+    toks = docs_df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    vocab = toks.select("tok").distinct()
+    expr = "transform(split(tok, ''), x -> x)"
+    for a, b, _ in merges:
+        expr = _merge_fold_expr(expr, a, b)
+    seg = vocab.select(
+        "tok", F.expr(expr).alias("syms"), F.expr(f"size({expr})").alias("n_syms")
+    )
+    return (
+        toks.join(F.broadcast(seg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_subwords"),
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(pos, syms))), s -> s.syms))"
+            ).alias("subwords"),
+        )
+    )
+
+
+def bpe_encode_reference(text: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Pure-Python reference encoder (same left-to-right single-pass merge
+    order as the fold) for the parity test."""
+    out: list[str] = []
+    for w in text.lower().split(" "):
+        syms = list(w)
+        for a, b, _ in merges:
+            merged: list[str] = []
+            for x in syms:
+                if merged and merged[-1] == a and x == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(x)
+            syms = merged
+        out.extend(syms)
+    return out

@@ -1045,3 +1045,22 @@ def test_qln_micro_three_way_parity(spark) -> None:
     }
     p = {k: math.floor(math.log(k) * 1e6 + 0.5) for k in sorted(set(ks))}
     assert s == d == p
+
+
+def test_bpe_encode_matches_reference(spark) -> None:
+    """The corpus encoder applies the learned merges exactly like the
+    pure-Python encoder: per-doc subword sequences match, and the
+    segmentation is consistent (n_subwords == len(subwords), concatenating
+    subwords re-spells the document)."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(40)
+    merges = SEL.bpe_train(spark, docs, n_merges=5)
+    assert merges
+    got = {r["doc_id"]: r for r in SEL.bpe_encode(spark, docs, merges).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        want = SEL.bpe_encode_reference(r["text"], merges)
+        g = got[r["doc_id"]]
+        assert list(g["subwords"]) == want, r["doc_id"]
+        assert g["n_subwords"] == len(want)
+        assert "".join(g["subwords"]) == r["text"].lower().replace(" ", "")
