@@ -468,8 +468,8 @@ def bpe_encode(spark, docs_df, merges: list[tuple[str, str, int]]):
     expr = "transform(split(tok, ''), x -> x)"
     for a, b, _ in merges:
         expr = _merge_fold_expr(expr, a, b)
-    seg = vocab.select(
-        "tok", F.expr(expr).alias("syms"), F.expr(f"size({expr})").alias("n_syms")
+    seg = vocab.select("tok", F.expr(expr).alias("syms")).select(
+        "tok", "syms", F.size("syms").alias("n_syms")
     )
     return (
         toks.join(F.broadcast(seg), "tok")
