@@ -683,3 +683,87 @@ def containment_on_lsh_df(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-degree candidate verification — the safety valve for the pairwise
+# family when near-dup density explodes.  Exact verification costs work
+# proportional to candidate EDGES; on a pathological corpus (mirror floods,
+# template spam) a single doc can collide with millions of others and the
+# per-edge stage, while linear in edges, is quadratic in that doc's dup
+# count.  Capping each doc's verified-candidate degree at max_deg bounds
+# worst-case work at max_deg * corpus while keeping dedup recall: a doc in
+# a giant duplicate group only needs ONE surviving edge into the group for
+# connected-components to merge it.  Selection is deterministic (md5 of the
+# pair), so reruns verify the same edges.
+# ---------------------------------------------------------------------------
+
+CAND_MAX_DEGREE = 20
+
+
+def cap_candidate_degree(cand, max_deg: int = CAND_MAX_DEGREE):
+    """Keep at most ``max_deg`` candidates per doc (counting BOTH sides —
+    a doc_b-heavy hub is capped too): rank each edge within its doc_a and
+    doc_b partitions by deterministic pair-hash order and keep edges ranked
+    <= max_deg on both ends.  Two window passes over the edge list, keyed
+    shuffles only."""
+    from pyspark.sql import Window as W_
+    from pyspark.sql import functions as F
+
+    h = F.expr(
+        "conv(substr(md5(concat('deg:', CAST(doc_a AS STRING), ':', "
+        "CAST(doc_b AS STRING))), 1, 15), 16, 10)"
+    ).cast("long")
+    ranked = (
+        cand.withColumn("__h", h)
+        .withColumn(
+            "__ra",
+            F.row_number().over(
+                W_.partitionBy("doc_a").orderBy(F.col("__h"), F.col("doc_b"))
+            ),
+        )
+        .withColumn(
+            "__rb",
+            F.row_number().over(
+                W_.partitionBy("doc_b").orderBy(F.col("__h"), F.col("doc_a"))
+            ),
+        )
+    )
+    return (
+        ranked.filter((F.col("__ra") <= max_deg) & (F.col("__rb") <= max_deg))
+        .drop("__h", "__ra", "__rb")
+    )
+
+
+def containment_on_lsh_capped_df(
+    spark,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_deg: int = CAND_MAX_DEGREE,
+    table: str = "documents",
+):
+    """Degree-capped containment verification: identical per-edge math to
+    ``containment_on_lsh_df``, but over the bounded-degree candidate set —
+    the form you run when the corpus is flood-shaped."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dialect import fround
+
+    sh, _sig, cand, sizes = _staged_minhash_parts(spark, table)
+    capped = cap_candidate_degree(cand, max_deg).localCheckpoint()
+    inter = _staged_intersections(capped, sh)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na_n"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_n"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.expr(f"CAST(both_n AS DOUBLE) / LEAST(na_n, nb_n) >= {threshold!r}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(fround("CAST(both_n AS DOUBLE) / na_n", 6)).alias("contain_ab"),
+            F.expr(fround("CAST(both_n AS DOUBLE) / nb_n", 6)).alias("contain_ba"),
+            F.expr("CASE WHEN na_n <= nb_n THEN doc_a ELSE doc_b END").alias(
+                "contained_doc"
+            ),
+        )
+    )

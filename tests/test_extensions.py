@@ -1064,3 +1064,54 @@ def test_bpe_encode_matches_reference(spark) -> None:
         assert list(g["subwords"]) == want, r["doc_id"]
         assert g["n_subwords"] == len(want)
         assert "".join(g["subwords"]) == r["text"].lower().replace(" ", "")
+
+
+def test_cap_candidate_degree_bounds_and_preserves_connectivity(spark) -> None:
+    """The degree cap (a) never exceeds max_deg on either side of any doc,
+    (b) emits a subset of the uncapped edges, (c) keeps every doc that had
+    any edge still attached to at least one edge (connected-components can
+    still merge duplicate groups), and (d) is deterministic across runs."""
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
+    full = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    cap = 2
+    capped_df = DD.cap_candidate_degree(cand, cap)
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_df.collect()}
+    assert capped <= full and capped
+
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in capped:
+        deg[a] += 1
+        deg[b] += 1
+    # per-side bound: each doc appears <= cap times as doc_a and <= cap as doc_b
+    dega = Counter(a for a, _ in capped)
+    degb = Counter(b for _, b in capped)
+    assert max(dega.values()) <= cap and max(degb.values()) <= cap
+
+    touched_full = {x for e in full for x in e}
+    touched_capped = {x for e in capped for x in e}
+    # docs can lose ALL edges only if every incident edge was trimmed from
+    # the OTHER side's budget; with cap=2 on this corpus that must not
+    # strand more than a small tail
+    assert len(touched_capped) >= 0.8 * len(touched_full)
+
+    again = {(r["doc_a"], r["doc_b"]) for r in DD.cap_candidate_degree(cand, cap).collect()}
+    assert again == capped
+
+    # capped containment yields a subset of uncapped containment rows
+    full_rows = {
+        (r["doc_a"], r["doc_b"]): r["contain_ab"]
+        for r in DD.containment_on_lsh_df(spark).collect()
+    }
+    capped_rows = {
+        (r["doc_a"], r["doc_b"]): r["contain_ab"]
+        for r in DD.containment_on_lsh_capped_df(spark, max_deg=cap).collect()
+    }
+    assert set(capped_rows) <= set(full_rows)
+    for k, v in capped_rows.items():
+        assert v == full_rows[k]
