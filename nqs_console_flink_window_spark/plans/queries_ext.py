@@ -1472,3 +1472,79 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return DD.containment_on_lsh_df(spark)
+
+
+def _split_leakage_sql(d: str) -> str:
+    """Cross-split near-dup leakage report: LSH candidate pairs whose two
+    docs landed in different train/val/test splits — the measurable form of
+    the caveat on train_val_test_split (identical texts co-split by the
+    content hash, but NEAR-duplicates can still straddle; this query is the
+    audit you run to prove the dedup pass actually closed that gap).
+    Output: per ordered split pair, the straddling-pair count and its share
+    of all candidate pairs."""
+    cand = DD.minhash_lsh_pairs_sql(d)
+    return f"""
+WITH cand AS ({cand}),
+splits AS ({_split_sql(d)}),
+tagged AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b
+  FROM cand c
+  JOIN splits sa ON sa.doc_id = c.doc_a
+  JOIN splits sb ON sb.doc_id = c.doc_b
+)
+, grouped AS (
+  SELECT split_a, split_b, COUNT(*) AS n_pairs,
+    CASE WHEN split_a = split_b THEN 0 ELSE 1 END AS is_leak
+  FROM tagged GROUP BY split_a, split_b
+)
+-- share over the grouped rows (<= 9 of them), NOT a second pass over
+-- tagged: a scalar COUNT subquery would re-run the cand x splits joins
+-- under Spark's CTE inlining
+SELECT split_a, split_b, n_pairs, is_leak,
+  {X.fround("CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER ()", 6)} AS share
+FROM grouped
+"""
+
+
+@register(
+    "split_leakage_report",
+    sql=_split_leakage_sql(X.DUCK),
+    doc="Extension — cross-split near-dup leakage audit: LSH candidate "
+    "pairs straddling train/val/test splits, per split-pair counts and "
+    "shares (the measurable closure of train_val_test_split's near-dup "
+    "caveat — run after the dedup pass and demand is_leak rows ~ 0); "
+    "rides the staged MinHash parts; dedup+split families driver-gated "
+    "via dedup_clusters / training_sample",
+    tier=2,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    d = X.SPARK
+    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
+    view = "__leak_cand"
+    cand.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+WITH splits AS ({_split_sql(d)}),
+tagged AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b
+  FROM {view} c
+  JOIN splits sa ON sa.doc_id = c.doc_a
+  JOIN splits sb ON sb.doc_id = c.doc_b
+)
+, grouped AS (
+  SELECT split_a, split_b, COUNT(*) AS n_pairs,
+    CASE WHEN split_a = split_b THEN 0 ELSE 1 END AS is_leak
+  FROM tagged GROUP BY split_a, split_b
+)
+-- share over the grouped rows (<= 9 of them), NOT a second pass over
+-- tagged: a scalar COUNT subquery would re-run the cand x splits joins
+-- under Spark's CTE inlining
+SELECT split_a, split_b, n_pairs, is_leak,
+  {X.fround("CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER ()", 6)} AS share
+FROM grouped
+""")
+    finally:
+        spark.catalog.dropTempView(view)
