@@ -391,6 +391,11 @@ FROM (
             tt, tr = spark.sql(
                 f"SELECT CAST(SUM(is_target) AS BIGINT) AS tt, COUNT(*) AS tr FROM {fview}"
             ).first()
+            if not tr:
+                raise ValueError(
+                    "dsir_fit: reference corpus produced no features "
+                    "(empty docs?) — cannot fit a model"
+                )
         finally:
             spark.catalog.dropTempView(fview)
     finally:

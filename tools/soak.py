@@ -68,6 +68,9 @@ SOAK_QUERIES = [
     # onto LSH candidates — both candidate super-linear shapes; entropy and
     # BPE pairs are the cheap keyed-agg controls
     "dsir_importance", "containment_pairs", "token_entropy", "bpe_merge_pairs",
+    # staged in the second CTE sweep; in the list so a regression re-inflates
+    # their ratios visibly
+    "tfidf_keywords", "mixture_allocation", "split_leakage_report",
 ]
 
 
