@@ -65,3 +65,24 @@ def test_pack_assignment_matches_python_reference(n_toks) -> None:
             assert tot == L or w == last
         # windows are dense: every id up to the last exists
         assert set(by_window) == set(range(last + 1))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=8), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_fold_matches_python_on_random_words(spark, words, n_merges) -> None:
+    """Property: the aggregate-HOF merge fold and the pure-Python trainer
+    agree on arbitrary small vocabularies — including degenerate ones
+    (every word identical, overlapping pairs like 'aaaa')."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = SEL.bpe_train(spark, docs, n_merges=n_merges)
+    from collections import Counter
+
+    freqs = Counter(w for w in words if len(w) >= 2)
+    assert got == SEL.bpe_train_reference(dict(freqs), n_merges=n_merges)

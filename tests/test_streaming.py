@@ -964,3 +964,32 @@ def test_curation_stream_scores_filters_dedups(spark, tmp_path) -> None:
         .count()
         == 0
     )
+
+
+def test_curation_batch_replay_converges(spark, tmp_path) -> None:
+    """At-least-once replay of a curation batch (same batch, same
+    batch_id) reproduces identical survivors and scores — the same
+    exclude-own-batch index rule as the dedup ingest, now with the
+    score/filter stage in front."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model = SEL.dsir_fit(spark, docs)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+
+    J.curate_batch(spark, b0, 0, model, kept_dir, index_dir)
+    J.curate_batch(spark, b1, 1, model, kept_dir, index_dir)
+
+    def snap():
+        return sorted(
+            (r["doc_id"], r["quality"], r["log_weight"])
+            for r in spark.read.parquet(f"{kept_dir}/batch_id=1").collect()
+        )
+
+    first = snap()
+    assert first
+    J.curate_batch(spark, b1, 1, model, kept_dir, index_dir)  # replay
+    assert snap() == first
