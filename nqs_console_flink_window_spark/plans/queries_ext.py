@@ -1524,9 +1524,15 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
     view = "__leak_cand"
     cand.createOrReplaceTempView(view)
+    # splits staged too: the SQL references it on BOTH join sides, and the
+    # split hash reads the full text — unstaged, the corpus text would scan
+    # (and md5) twice; checkpointed it is a 2-column (doc_id, split) table
+    splits = spark.sql(_split_sql(d)).select("doc_id", "split").localCheckpoint()
+    sview = "__leak_splits"
+    splits.createOrReplaceTempView(sview)
     try:
         return spark.sql(f"""
-WITH splits AS ({_split_sql(d)}),
+WITH splits AS (SELECT doc_id, split FROM {sview}),
 tagged AS (
   SELECT LEAST(sa.split, sb.split) AS split_a,
          GREATEST(sa.split, sb.split) AS split_b
@@ -1548,3 +1554,4 @@ FROM grouped
 """)
     finally:
         spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(sview)
