@@ -104,6 +104,14 @@ WHERE i < {X.arr_size(d, "toks")}
 """
 
 
+def dsir_stats_sql(feats: str) -> str:
+    """Per-bucket target/raw counts over a feature stream (dialect-free)."""
+    return (
+        "SELECT b, CAST(SUM(is_target) AS BIGINT) AS ct, COUNT(*) AS cr "
+        f"FROM {feats} GROUP BY b"
+    )
+
+
 def dsir_from_feats_sql(
     d: str,
     feats: str,
@@ -128,12 +136,7 @@ def dsir_from_feats_sql(
     u = f"(CAST({X.md5_int(d, seed)} % 1048576 AS DOUBLE) + 0.5) / 1048576.0"
     gumbel = f"CAST(floor(-ln(-ln({u})) * 1.0E6 + 0.5) AS BIGINT)"
     return f"""
-stats AS (
-  SELECT b,
-    CAST(SUM(is_target) AS BIGINT) AS ct,
-    COUNT(*) AS cr
-  FROM {feats} GROUP BY b
-),
+stats AS ({dsir_stats_sql(feats)}),
 tot AS (
   SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
   FROM stats
@@ -183,16 +186,28 @@ def dsir_sql(d: str, table: str = "documents") -> str:
 
 
 def dsir_df(spark, table: str = "documents"):
-    """Engine form: checkpoint the feature stream once, then run the
-    scoring query over it (CTE-inlining guard — the SOAK round-4 lesson:
-    any multiply-referenced CTE re-runs its whole pipeline per reference
-    on Spark)."""
+    """Engine form: checkpoint the feature stream AND the 1024-row bucket
+    stats once each, then run the scoring query (CTE-inlining guard — the
+    SOAK round-4 lesson: any multiply-referenced CTE re-runs its whole
+    pipeline per reference on Spark; stats feeds both lr and the norm
+    scalar, feats feeds both stats and the per-doc sum)."""
     d = X.SPARK
     feats = spark.sql(dsir_feats_sql(d, table)).localCheckpoint()
     view = "__dsir_feats"
     feats.createOrReplaceTempView(view)
     try:
-        return spark.sql("WITH " + dsir_from_feats_sql(d, view))
+        stats = spark.sql(dsir_stats_sql(view)).localCheckpoint()
+        sview = "__dsir_stats"
+        stats.createOrReplaceTempView(sview)
+        try:
+            body = dsir_from_feats_sql(d, view)
+            body = body.replace(
+                f"stats AS ({dsir_stats_sql(view)})",
+                f"stats AS (SELECT b, ct, cr FROM {sview})",
+            )
+            return spark.sql("WITH " + body)
+        finally:
+            spark.catalog.dropTempView(sview)
     finally:
         spark.catalog.dropTempView(view)
 
