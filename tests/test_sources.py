@@ -246,3 +246,69 @@ def test_loader_absorbs_every_fixture_vintage(spark, tmp_path) -> None:
     want = results["us_ntz"]
     for name, got in results.items():
         assert got == want, (name, got, want)
+
+
+def test_decimal_vintage_aggregation_matches_duckdb_oracle(spark, tmp_path) -> None:
+    """Advisor round-3 caveat, closed with evidence: canonicalize_types
+    casts DECIMAL scan columns to DOUBLE, so Spark aggregates IEEE while a
+    DuckDB oracle reading the same parquet aggregates decimal-exact.  The
+    registry's quantized-sum discipline (qsum: floor(x*1e6+0.5) -> BIGINT
+    SUM) absorbs that: for any decimal(p,s<=6) value, x*1e6 is an integer
+    the double conversion perturbs by ~1e-13 relative — never enough to
+    cross a floor boundary offset by 0.5.  Assert the full aggregate is
+    bit-equal across engines on a decimal vintage with adversarial values
+    (many .x5 quantization-tie shapes)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    n = 2000
+    # adversarial: values ending in 5 at the last decimal place, plus big
+    # magnitudes, so any boundary slip would show up in the quantized sum
+    vals = [round((i * 7919 % 100000) + (i % 10) * 0.0005 + 0.25, 4) for i in range(n)]
+    d = tmp_path / "dec"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+            "value": pa.array([str(v) for v in vals]).cast(pa.decimal128(12, 4)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    qsum = "CAST(SUM(CAST(floor(value * 1.0E6 + 0.5) AS BIGINT)) AS BIGINT)"
+    got = {
+        (r["event_type"], r["q"])
+        for r in load_table(spark, str(d), "events")
+        .groupBy("event_type")
+        .agg(F.expr(f"{qsum} AS q"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (t, q)
+        for t, q in con.execute(
+            "SELECT event_type, "
+            "CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1.0E6 + 0.5) AS BIGINT)) AS BIGINT) "
+            f"FROM read_parquet('{d}/events.parquet') GROUP BY event_type"
+        ).fetchall()
+    }
+    assert got == want
+    # and the decimal-exact DuckDB path (no double cast) agrees too: scale 4
+    # values quantize identically whether the *1e6 happens in decimal or
+    # double arithmetic
+    exact = {
+        (t, q)
+        for t, q in con.execute(
+            "SELECT event_type, "
+            "CAST(SUM(CAST(value * 1000000 AS BIGINT)) AS BIGINT) "
+            f"FROM read_parquet('{d}/events.parquet') GROUP BY event_type"
+        ).fetchall()
+    }
+    assert got == exact
