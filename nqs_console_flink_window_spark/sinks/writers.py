@@ -158,3 +158,71 @@ def compact_partition(
     for f in inputs:
         Path(f).unlink(missing_ok=True)
     return len(_glob.glob(f"{part_path}/*.parquet"))
+
+
+COMPACTED_GEN = -1  # reserved batch_id for compacted history
+
+
+def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
+    """Small-file maintenance for batch_id-keyed landing tables (the dedup
+    index / curation output): merge every ``batch_id`` subpath in
+    ``[0, upto_batch_id)`` into the reserved ``batch_id=-1`` compacted
+    generation (folding any previous generation in), then delete the merged
+    subpaths.  One file per ~128 MB of merged data.
+
+    Correctness contract (couples to streaming/jobs._read_prior_batches):
+    - The ``batch_id < current`` exclusion rule keeps working unchanged —
+      the -1 generation is below every real batch id, so derived state
+      (index reads, token carries) sees identical rows before and after.
+    - ``upto_batch_id`` MUST be at or below the stream's committed
+      watermark: a batch the checkpoint might replay must keep owning its
+      subpath (a replay overwrites ``batch_id=N``; if N were already folded
+      into -1 the replay would double-count).  Passing the max batch id
+      that a RUNNING query has committed is safe; the simplest safe call
+      site is "while the stream is stopped, compact everything landed".
+    - Fresh-checkpoint restarts that intentionally re-ingest from batch 0
+      must reset the landing table too (same rule as before compaction —
+      re-owning subpaths cannot reclaim rows folded into -1).
+
+    Returns the number of files in the compacted generation.
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    inputs: list[str] = []
+    for sub in sorted(Path(base_dir).glob("batch_id=*")):
+        try:
+            bid = int(sub.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid == COMPACTED_GEN or 0 <= bid < upto_batch_id:
+            inputs.extend(sorted(str(p) for p in sub.glob("*.parquet")))
+    if not inputs:
+        return 0
+    df = spark.read.parquet(*inputs)  # snapshot: concurrent appends unseen
+    total_bytes = sum(Path(f).stat().st_size for f in inputs)
+    n_files = max(1, math.ceil(total_bytes / (128 * 1024 * 1024)))
+    gen_path = Path(base_dir) / f"batch_id={COMPACTED_GEN}"
+    tmp_path = f"{gen_path}__compact"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
+    stamp = _uuid.uuid4().hex[:8]
+    gen_path.mkdir(parents=True, exist_ok=True)
+    moved = []
+    for i, f in enumerate(sorted(Path(tmp_path).glob("*.parquet"))):
+        dest = gen_path / f"compact-{stamp}-{i:05d}.parquet"
+        f.rename(dest)
+        moved.append(dest)
+    shutil.rmtree(tmp_path)
+    # delete merged inputs only after the new generation is fully in place
+    # (crash between = at-least-once duplicates, repaired by the next pass)
+    for f in inputs:
+        if Path(f) not in moved:
+            Path(f).unlink(missing_ok=True)
+    for sub in sorted(Path(base_dir).glob("batch_id=*")):
+        try:
+            bid = int(sub.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if 0 <= bid < upto_batch_id and not any(sub.iterdir()):
+            sub.rmdir()
+    return len(_glob.glob(f"{gen_path}/*.parquet"))

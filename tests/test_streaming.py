@@ -993,3 +993,47 @@ def test_curation_batch_replay_converges(spark, tmp_path) -> None:
     assert first
     J.curate_batch(spark, b1, 1, model, kept_dir, index_dir)  # replay
     assert snap() == first
+
+
+def test_compact_batch_landings_preserves_derived_state(spark, tmp_path) -> None:
+    """Batch-landing compaction folds committed subpaths into the reserved
+    batch_id=-1 generation: rows identical before/after, file count drops,
+    _read_prior_batches sees the same derived state, and the next ingest
+    batch behaves exactly as it would have uncompacted."""
+    from nqs_console_flink_window_spark.sinks.writers import compact_batch_landings
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    J.ingest_dedup_batch(spark, parts[0], 0, kept_dir, index_dir)
+    J.ingest_dedup_batch(spark, parts[1], 1, kept_dir, index_dir)
+
+    def snap(d, upto):
+        df = J._read_prior_batches(spark, d, upto)
+        return sorted(tuple(r) for r in df.collect()) if df is not None else None
+
+    import glob
+
+    before_state = snap(index_dir, 2)
+    before_kept = snap(kept_dir, 2)
+    files_before = len(glob.glob(f"{index_dir}/batch_id=*/*.parquet"))
+
+    # both batches committed (stream stopped) -> compact everything < 2
+    n = compact_batch_landings(spark, index_dir, 2)
+    compact_batch_landings(spark, kept_dir, 2)
+    assert n >= 1
+    files_after = len(glob.glob(f"{index_dir}/batch_id=*/*.parquet"))
+    assert files_after < files_before
+    assert snap(index_dir, 2) == before_state
+    assert snap(kept_dir, 2) == before_kept
+
+    # next batch ingests against the compacted index identically: dedup
+    # decisions depend only on the derived state, which is unchanged
+    J.ingest_dedup_batch(spark, parts[2], 2, kept_dir, index_dir)
+    third = snap(kept_dir, 3)
+    assert third is not None and len(third) > len(before_kept)
+
+    # a second compaction folds the -1 generation plus batch 2 idempotently
+    compact_batch_landings(spark, index_dir, 3)
+    assert snap(index_dir, 3) == snap(index_dir, 3)
