@@ -223,6 +223,12 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
             bid = int(sub.name.split("=", 1)[1])
         except ValueError:
             continue
-        if 0 <= bid < upto_batch_id and not any(sub.iterdir()):
-            sub.rmdir()
+        if 0 <= bid < upto_batch_id:
+            # clear Spark write residue (_SUCCESS, .crc) so the emptied
+            # subpath actually disappears instead of lingering partitionless
+            leftovers = list(sub.iterdir())
+            if all(p.name == "_SUCCESS" or p.name.endswith(".crc") for p in leftovers):
+                for p in leftovers:
+                    p.unlink(missing_ok=True)
+                sub.rmdir()
     return len(_glob.glob(f"{gen_path}/*.parquet"))
