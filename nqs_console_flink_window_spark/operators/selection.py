@@ -77,15 +77,26 @@ def arr_at(d: str, arr: str, i: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def dsir_feats_sql(d: str, table: str = "documents", n_buckets: int = DSIR_BUCKETS) -> str:
+def dsir_feats_sql(
+    d: str,
+    table: str = "documents",
+    n_buckets: int = DSIR_BUCKETS,
+    target_pred: str | None = None,
+) -> str:
     """Hashed unigram+bigram feature stream: one row per feature occurrence,
     columns (doc_id, b, is_target).  Unigrams and bigrams of the lowercased
     whitespace tokenization, hashed into ``n_buckets`` buckets (DSIR §3.1's
-    hashed n-gram representation)."""
+    hashed n-gram representation).
+
+    ``target_pred`` defaults to ``DSIR_TARGET_PRED`` (fit-time: needs the
+    ``source`` column).  Pass ``"FALSE"`` for score-time feature streams —
+    target membership is a FIT-time concept, and scoring must not require
+    fit-only columns on the batch being scored."""
+    pred = DSIR_TARGET_PRED if target_pred is None else target_pred
     toks = X.split_tokens(d, "lower(text)")
     base = (
         f"(SELECT doc_id, {toks} AS toks, "
-        f"CASE WHEN {DSIR_TARGET_PRED} THEN 1 ELSE 0 END AS is_target "
+        f"CASE WHEN {pred} THEN 1 ELSE 0 END AS is_target "
         f"FROM {table})"
     )
     n = X.arr_size(d, "toks")
@@ -438,7 +449,9 @@ def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int]):
     view = "__dsir_score_docs"
     docs_df.createOrReplaceTempView(view)
     try:
-        feats = sess.sql(dsir_feats_sql(X.SPARK, view))
+        # score-time stream: target_pred FALSE so batches without the
+        # fit-only `source` column score fine
+        feats = sess.sql(dsir_feats_sql(X.SPARK, view, target_pred="FALSE"))
     finally:
         sess.catalog.dropTempView(view)
     return (

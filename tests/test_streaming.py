@@ -1037,3 +1037,30 @@ def test_compact_batch_landings_preserves_derived_state(spark, tmp_path) -> None
     # a second compaction folds the -1 generation plus batch 2 idempotently
     compact_batch_landings(spark, index_dir, 3)
     assert snap(index_dir, 3) == snap(index_dir, 3)
+
+
+def test_curation_handles_sourceless_batches_and_empty_filters(spark, tmp_path) -> None:
+    """Scoring must not require fit-only columns: a batch without `source`
+    scores against the model fine; and a batch where every doc fails the
+    filter lands an empty (but readable) subpath without corrupting the
+    index for the next batch."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model = SEL.dsir_fit(spark, docs)
+
+    no_source = docs.select("doc_id", "text", "lang", "n_chars")
+    scored = SEL.dsir_score(spark, no_source, model)
+    want = {r["doc_id"]: r["lw_micro"] for r in SEL.dsir_score(spark, docs, model).collect()}
+    got = {r["doc_id"]: r["lw_micro"] for r in scored.collect()}
+    assert got == want  # source is fit-time-only; scores identical without it
+
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    # impossible quality threshold: everything filtered out
+    J.curate_batch(spark, b0, 0, model, kept_dir, index_dir, min_quality=1e9)
+    assert spark.read.parquet(kept_dir).count() == 0
+    # next batch with a sane threshold proceeds normally on the empty index
+    J.curate_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, model, kept_dir, index_dir)
+    assert spark.read.parquet(f"{kept_dir}/batch_id=1").count() > 0
