@@ -468,10 +468,17 @@ def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int]):
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a symbol for embedding in a Spark SQL string literal: Spark
+    treats backslash as an escape inside literals (a bare ``\\`` is a parse
+    error or a silent escape), and ``'`` doubles."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 def _merge_fold_expr(syms_col: str, a: str, b: str) -> str:
     """One merge pass as an aggregate-HOF fold (shared by the trainer and
     the encoder so train/encode cannot drift)."""
-    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qa, qb = _sql_str(a), _sql_str(b)
     return (
         f"aggregate({syms_col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "

@@ -1115,3 +1115,17 @@ def test_cap_candidate_degree_bounds_and_preserves_connectivity(spark) -> None:
     assert set(capped_rows) <= set(full_rows)
     for k, v in capped_rows.items():
         assert v == full_rows[k]
+
+
+def test_bpe_fold_survives_sql_metacharacters(spark) -> None:
+    """Symbols containing backslashes and quotes round-trip through the
+    fold expression's SQL literals (backslash is an escape in Spark string
+    literals — unescaped it was a parse error)."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    text = r"a\b a\b a\b it's it's it's"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = SEL.bpe_train(spark, docs, n_merges=3)
+    assert merges == SEL.bpe_train_reference({r"a\b": 3, "it's": 3}, n_merges=3)
+    enc = SEL.bpe_encode(spark, docs, merges).collect()[0]
+    assert list(enc["subwords"]) == SEL.bpe_encode_reference(text, merges)
