@@ -1064,3 +1064,23 @@ def test_curation_handles_sourceless_batches_and_empty_filters(spark, tmp_path) 
     # next batch with a sane threshold proceeds normally on the empty index
     J.curate_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, model, kept_dir, index_dir)
     assert spark.read.parquet(f"{kept_dir}/batch_id=1").count() > 0
+
+
+def test_curate_cli_end_to_end(tmp_path) -> None:
+    """The lifecycle CLI runs green at smoke scale and reports a sane
+    funnel (subprocess: its own SparkSession, like a real invocation)."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "curate.py"), SMOKE_SF_DIR, str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=420, check=True,
+    )
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["docs_in"] == 500
+    assert 0 < report["docs_kept"] < report["docs_in"]
+    assert report["min_quality_enforced"] is True
+    assert report["compacted_files"] >= 1
