@@ -767,3 +767,89 @@ def containment_on_lsh_capped_df(
             ),
         )
     )
+
+
+def containment_estimate_sql(d: str, table: str = "documents") -> str:
+    """Signature-based containment ESTIMATION on LSH candidates — the
+    corpus-wide-affordable twin of ``containment_on_lsh_sql``, mirroring
+    the Jaccard estimator's scale story.  From the MinHash signature
+    Jaccard estimate j and the (already materialized) shingle-set sizes:
+
+        |A∩B| = j * (|A| + |B|) / (1 + j)      (identity from j = i/(a+b-i))
+        C(A,B) = |A∩B| / |A|
+
+    so estimated containment needs only the 8-slot signatures plus the
+    sizes table — NO per-pair shingle re-join (the 10x soak's 12x entry
+    becomes signature-table work).  Exact containment and the absolute
+    error ride beside it, same observable-estimator convention as
+    minhash_jaccard_estimate."""
+    cand = minhash_lsh_pairs_sql(d, table)
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(NUM_PERM)
+    )
+    est_j = f"CAST(({matches}) AS DOUBLE) / {NUM_PERM}.0"
+    return f"""
+WITH cand AS ({cand}),
+sig AS ({minhash_signatures_sql(d, table)}),
+sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b, {est_j} AS ej
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS both_n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b,
+  {X.fround("e.ej * (na.n + nb.n) / (1.0 + e.ej) / na.n", 6)} AS est_contain_ab,
+  {X.fround("CAST(COALESCE(i.both_n, 0) AS DOUBLE) / na.n", 6)} AS contain_ab,
+  {X.fround("ABS(e.ej * (na.n + nb.n) / (1.0 + e.ej) / na.n - CAST(COALESCE(i.both_n, 0) AS DOUBLE) / na.n)", 6)} AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes na ON e.doc_a = na.doc_id
+JOIN sizes nb ON e.doc_b = nb.doc_id
+"""
+
+
+def containment_estimate_df(spark, table: str = "documents"):
+    """Staged engine form of ``containment_estimate_sql`` (shared
+    checkpointed MinHash parts; exact-intersection audit column included —
+    in a pure production run you would project only the estimate and skip
+    the shingle join entirely)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dialect import fround
+
+    sh, sig, cand, sizes = _staged_minhash_parts(spark, table)
+    matches = sum(
+        F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
+        for k in range(NUM_PERM)
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", (matches.cast("double") / float(NUM_PERM)).alias("ej"))
+    )
+    inter = _staged_intersections(cand, sh)
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na_n"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_n"))
+    j = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("both0", F.coalesce(F.col("both_n"), F.lit(0)))
+    )
+    est_c = "ej * (na_n + nb_n) / (1.0 + ej) / na_n"
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.expr(fround(est_c, 6)).alias("est_contain_ab"),
+        F.expr(fround("CAST(both0 AS DOUBLE) / na_n", 6)).alias("contain_ab"),
+        F.expr(fround(f"ABS({est_c} - CAST(both0 AS DOUBLE) / na_n)", 6)).alias("abs_err"),
+    )

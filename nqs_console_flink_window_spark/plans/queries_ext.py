@@ -1555,3 +1555,20 @@ FROM grouped
     finally:
         spark.catalog.dropTempView(view)
         spark.catalog.dropTempView(sview)
+
+
+@register(
+    "containment_estimate",
+    sql=DD.containment_estimate_sql(X.DUCK),
+    doc="Extension — signature-based containment estimation on LSH "
+    "candidates: |A∩B| recovered from the MinHash Jaccard estimate via "
+    "i = j(|A|+|B|)/(1+j), so estimated containment needs only the 8-slot "
+    "signatures + sizes (no per-pair shingle re-join — the corpus-"
+    "affordable twin of containment_pairs, same convention as "
+    "minhash_jaccard_estimate); exact + abs error beside it as the audit; "
+    "dedup family driver-gated via ngram_jaccard_pairs / dedup_clusters",
+    tier=2,
+)
+def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return DD.containment_estimate_df(spark)
