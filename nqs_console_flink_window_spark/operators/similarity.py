@@ -630,3 +630,117 @@ FROM (
   FROM scored
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the ANN compression path.
+# Vectors are split into PQ_M subspaces; each subspace gets a PQ_K-centroid
+# codebook (seeded k-means on a bounded sample, like the IVF coarse
+# quantizer); a vector is stored as M small codes (here 8 bytes vs 256
+# bytes of float32 — 32x).  Search is ADC (asymmetric distance
+# computation): the query builds an M x K lookup table of subspace dots
+# once, and each candidate's estimated dot is M table gathers — no float
+# vector is ever read at query time.  At 100 TB the codes table IS the
+# searchable corpus; full vectors live cold, touched only by the optional
+# exact re-rank of the short list.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces
+PQ_K = 16      # centroids per subspace codebook
+PQ_SEED = 77
+_PQ_BOOKS: dict = {}
+
+
+def _pq_codebooks(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
+    """Fit (and cache) the M per-subspace codebooks on a bounded
+    deterministic sample.  Returns ndarray [M, K, dim/M]."""
+    key = (tuple(sorted(df.inputFiles())) or (id(df),), vec_col, PQ_M, PQ_K, PQ_SEED)
+    hit = _PQ_BOOKS.get(key)
+    if hit is not None:
+        return hit
+    n = df.count()
+    train = df
+    if n > IVF_TRAIN_SAMPLE:
+        train = df.sample(fraction=IVF_TRAIN_SAMPLE / n, seed=PQ_SEED)
+    mat = np.asarray(
+        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
+    )
+    dim = mat.shape[1]
+    assert dim % PQ_M == 0, f"dim {dim} not divisible by PQ_M {PQ_M}"
+    dsub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, dsub))
+    rng = np.random.RandomState(PQ_SEED)
+    for m in range(PQ_M):
+        sub = mat[:, m * dsub : (m + 1) * dsub]
+        # deterministic Lloyd's: k-means++-free seeded init on distinct rows
+        idx = rng.permutation(len(sub))[:PQ_K]
+        cent = sub[idx].copy()
+        for _ in range(20):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(PQ_K):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+        books[m] = cent
+    _PQ_BOOKS[key] = books
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the M-byte PQ code array to every vector (vectorized Arrow
+    batch: one numpy distance argmin per subspace per batch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = _pq_codebooks(df, vec_col)
+    dsub = books.shape[2]
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        out = np.empty((len(mat), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = mat[:, m * dsub : (m + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+            out[:, m] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return df.withColumn("pq_code", codes(F.col(vec_col)))
+
+
+def pq_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, rerank: int = 4
+) -> DataFrame:
+    """ADC top-k: build the query's M x K dot-product lookup table once,
+    estimate every candidate's dot as M gathers over its code array (pure
+    SQL element_at arithmetic — JVM-side, no Python per candidate), take
+    the top ``rerank * k`` by estimate, exact-cosine re-rank that short
+    list, return k.  Codes are computed here for the demo; at scale the
+    codes table is precomputed and the float column never scanned."""
+    books = _pq_codebooks(df)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dsub = books.shape[2]
+    lut = np.empty((PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[m] = books[m] @ q[m * dsub : (m + 1) * dsub]
+    # estimated dot = sum_m lut[m][code_m] as a literal CASE-free gather:
+    # per subspace, element_at over a literal array of the K table values
+    terms = []
+    for m in range(PQ_M):
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in lut[m]) + ")"
+        terms.append(f"element_at({arr}, element_at(pq_code, {m + 1}) + 1)")
+    est = " + ".join(terms)
+    coded = pq_encode(df)
+    short = (
+        coded.withColumn("est_dot", F.expr(est))
+        .orderBy(F.col("est_dot").desc(), F.col("vec_id"))
+        .limit(rerank * k)
+    )
+    q_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in query_vec) + ")"
+    return (
+        short.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .select("vec_id", "est_dot", "cosine")
+        .limit(k)
+    )

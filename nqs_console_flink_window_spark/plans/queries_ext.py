@@ -1572,3 +1572,20 @@ FROM grouped
 def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return DD.containment_estimate_df(spark)
+
+
+@register(
+    "ann_pq_topk",
+    sql=None,  # codebooks are k-means fits — no SQL twin (same class as ann_ivf_topk)
+    doc="Extension — product-quantization ANN (Jégou et al. 2011): per-"
+    "subspace seeded-k-means codebooks on a bounded sample, 8-byte codes "
+    "(32x vs float32), ADC search = one M x K query LUT + M JVM-side "
+    "element_at gathers per candidate (no float vector read at query "
+    "time), exact-cosine re-rank of the 4k short list; recall pytest-"
+    "gated (tests/test_extensions.py::test_pq_adc_recall_and_determinism)",
+    tier=2,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.pq_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)

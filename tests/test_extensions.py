@@ -1129,3 +1129,32 @@ def test_bpe_fold_survives_sql_metacharacters(spark) -> None:
     assert merges == SEL.bpe_train_reference({r"a\b": 3, "it's": 3}, n_merges=3)
     enc = SEL.bpe_encode(spark, docs, merges).collect()[0]
     assert list(enc["subwords"]) == SEL.bpe_encode_reference(text, merges)
+
+
+def test_pq_adc_recall_and_determinism(spark) -> None:
+    """Product quantization: the ADC short-list + exact re-rank recovers a
+    solid share of the exact top-10; codes are deterministic across calls;
+    the code array is PQ_M small ints (the 32x compression claim)."""
+    from nqs_console_flink_window_spark.operators import similarity as S
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    q_lit = "array(" + ", ".join(f"CAST({x!r} AS FLOAT)" for x in qvec) + ")"
+    brute = (
+        corpus.withColumn("cosine", F.expr(S.cosine_spark("embedding", q_lit)))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact_ids = {r.vec_id for r in brute.collect()}
+    pq_ids = {r.vec_id for r in S.pq_topk(corpus, qvec, k=10).collect()}
+    recall = len(exact_ids & pq_ids) / 10
+    assert recall >= 0.4, f"PQ recall@10 too low: {recall}"
+
+    c1 = {r["vec_id"]: list(r["pq_code"]) for r in S.pq_encode(corpus).collect()}
+    c2 = {r["vec_id"]: list(r["pq_code"]) for r in S.pq_encode(corpus).collect()}
+    assert c1 == c2
+    for code in c1.values():
+        assert len(code) == S.PQ_M
+        assert all(0 <= c < S.PQ_K for c in code)
