@@ -1581,8 +1581,9 @@ def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subspace seeded-k-means codebooks on a bounded sample, 8-byte codes "
     "(32x vs float32), ADC search = one M x K query LUT + M JVM-side "
     "element_at gathers per candidate (no float vector read at query "
-    "time), exact-cosine re-rank of the 4k short list; recall pytest-"
-    "gated (tests/test_extensions.py::test_pq_adc_recall_and_determinism)",
+    "time), exact-cosine re-rank of the 4k short list; ANN family "
+    "driver-gated via ann_topk / cosine_topk, recall pytest-gated "
+    "(tests/test_extensions.py::test_pq_adc_recall_and_determinism)",
     tier=2,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
