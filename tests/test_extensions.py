@@ -1158,3 +1158,26 @@ def test_pq_adc_recall_and_determinism(spark) -> None:
     for code in c1.values():
         assert len(code) == S.PQ_M
         assert all(0 <= c < S.PQ_K for c in code)
+
+
+def test_ivfpq_recall(spark) -> None:
+    """The IVF-PQ composition (cell routing + ADC + exact re-rank) keeps
+    useful recall while touching only nprobe cells' code arrays."""
+    from nqs_console_flink_window_spark.operators import similarity as S
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    q_lit = "array(" + ", ".join(f"CAST({x!r} AS FLOAT)" for x in qvec) + ")"
+    exact_ids = {
+        r.vec_id
+        for r in corpus.withColumn("cosine", F.expr(S.cosine_spark("embedding", q_lit)))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    got = S.ivfpq_topk(corpus, qvec, k=10).collect()
+    recall = len(exact_ids & {r.vec_id for r in got}) / 10
+    assert recall >= 0.3, f"IVF-PQ recall@10 too low: {recall}"
+    assert len(got) == 10
