@@ -1590,3 +1590,29 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.pq_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "doc_embeddings",
+    sql=TX.text_embed_sql(X.DUCK),
+    doc="Extension — model-free document embeddings via feature hashing + "
+    "signed random projection (Weinberger et al. 2009 hashing trick): "
+    "one token explode + one GROUP BY with 16 integer SUMs (SimHash's "
+    "one-pass shape), L2-normalized from exact integer sums — the bridge "
+    "that runs the vector family (cosine/ANN/SemDeDup) on the text corpus "
+    "without a model artifact; embedding family driver-gated via "
+    "cosine_topk / embedding_near_dup, text family via text_stats",
+    tier=2,
+)
+def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    # staged: the long-form union tail references normed 16 times (one per
+    # dimension) and Spark inlines CTEs — unstaged, the explode+aggregate
+    # pipeline would run 16x; the checkpointed normed is one row per doc
+    normed = spark.sql(TX.text_embed_normed_sql(X.SPARK)).localCheckpoint()
+    view = "__doc_emb_normed"
+    normed.createOrReplaceTempView(view)
+    try:
+        return spark.sql(TX.text_embed_union(view))
+    finally:
+        spark.catalog.dropTempView(view)

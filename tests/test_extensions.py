@@ -1181,3 +1181,31 @@ def test_ivfpq_recall(spark) -> None:
     recall = len(exact_ids & {r.vec_id for r in got}) / 10
     assert recall >= 0.3, f"IVF-PQ recall@10 too low: {recall}"
     assert len(got) == 10
+
+
+def test_doc_embeddings_semantics(spark) -> None:
+    """Hashed-projection embeddings: unit-norm per doc, and a near-dup pair
+    (one doc a light edit of another) lands materially closer in cosine
+    than an unrelated pair — the property the vector family needs."""
+    from nqs_console_flink_window_spark.operators import text as TX
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    neardup = base + "extra tail words"
+    other = "completely different content about spark shuffles and joins " * 8
+    spark.createDataFrame(
+        [(1, base.strip()), (2, neardup.strip()), (3, other.strip())],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    rows = spark.sql(TX.text_embed_sql(X.SPARK)).collect()
+    import math
+
+    vecs: dict[int, list[float]] = {}
+    for r in rows:
+        vecs.setdefault(r["doc_id"], [0.0] * TX.EMB_DIM)[r["j"]] = r["comp"]
+    for v in vecs.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3]) + 0.2
