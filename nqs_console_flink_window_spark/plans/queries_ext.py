@@ -1616,3 +1616,96 @@ def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(TX.text_embed_union(view))
     finally:
         spark.catalog.dropTempView(view)
+
+
+def _semantic_pairs_sql(d: str) -> str:
+    """Hashed-embedding cosine beside exact shingle Jaccard on the SAME
+    LSH candidate pairs: the lexical and (model-free) semantic similarity
+    signals of a pair in one row.  Cosine from the long-form embedding is
+    SUM(a.comp*b.comp) — both vectors are unit-norm by construction."""
+    cand = DD.minhash_lsh_pairs_sql(d)
+    emb = TX.text_embed_sql(d)
+    return f"""
+WITH cand AS ({cand}),
+emb AS ({emb}),
+sh AS ({DD.shingles_cte(d)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS both_n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+cosine AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(SUM(ea.comp * eb.comp) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN emb ea ON ea.doc_id = c.doc_a
+  JOIN emb eb ON eb.doc_id = c.doc_b AND eb.j = ea.j
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+  {X.fround("co.dot", 6)} AS cosine,
+  {X.fround("CAST(COALESCE(i.both_n, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.both_n, 0))", 6)} AS jaccard
+FROM cosine co
+LEFT JOIN inter i ON i.doc_a = co.doc_a AND i.doc_b = co.doc_b
+JOIN sizes na ON co.doc_a = na.doc_id
+JOIN sizes nb ON co.doc_b = nb.doc_id
+"""
+
+
+@register(
+    "semantic_pairs",
+    sql=_semantic_pairs_sql(X.DUCK),
+    doc="Extension — lexical + model-free-semantic similarity per LSH "
+    "candidate pair in one row: hashed-embedding cosine (unit-norm long "
+    "form, SUM of componentwise products) beside exact shingle Jaccard — "
+    "the two-signal view a dedup-policy decision wants; Spark side rides "
+    "the staged MinHash parts + staged embedding rows; dedup family "
+    "driver-gated via ngram_jaccard_pairs / embedding_near_dup",
+    tier=2,
+)
+def semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    sh, _sig, cand, sizes = DD._staged_minhash_parts(spark)
+    normed = spark.sql(TX.text_embed_normed_sql(X.SPARK)).localCheckpoint()
+    nview = "__sem_normed"
+    cview = "__sem_cand"
+    normed.createOrReplaceTempView(nview)
+    cand.createOrReplaceTempView(cview)
+    try:
+        emb = spark.sql(TX.text_embed_union(nview)).localCheckpoint()
+        eview = "__sem_emb"
+        emb.createOrReplaceTempView(eview)
+        try:
+            inter = DD._staged_intersections(cand, sh)
+            iview = "__sem_inter"
+            inter.createOrReplaceTempView(iview)
+            szview = "__sem_sizes"
+            sizes.createOrReplaceTempView(szview)
+            try:
+                return spark.sql(f"""
+WITH cosine AS (
+  SELECT c.doc_a, c.doc_b, CAST(SUM(ea.comp * eb.comp) AS DOUBLE) AS dot
+  FROM {cview} c
+  JOIN {eview} ea ON ea.doc_id = c.doc_a
+  JOIN {eview} eb ON eb.doc_id = c.doc_b AND eb.j = ea.j
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+  {X.fround("co.dot", 6)} AS cosine,
+  {X.fround("CAST(COALESCE(i.both_n, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.both_n, 0))", 6)} AS jaccard
+FROM cosine co
+LEFT JOIN {iview} i ON i.doc_a = co.doc_a AND i.doc_b = co.doc_b
+JOIN {szview} na ON co.doc_a = na.doc_id
+JOIN {szview} nb ON co.doc_b = nb.doc_id
+""")
+            finally:
+                spark.catalog.dropTempView(iview)
+                spark.catalog.dropTempView(szview)
+        finally:
+            spark.catalog.dropTempView(eview)
+    finally:
+        spark.catalog.dropTempView(nview)
+        spark.catalog.dropTempView(cview)
