@@ -71,6 +71,8 @@ SOAK_QUERIES = [
     # staged in the second CTE sweep; in the list so a regression re-inflates
     # their ratios visibly
     "tfidf_keywords", "mixture_allocation", "split_leakage_report",
+    # embedding bridge + two-signal pair view (joins at candidate grain)
+    "doc_embeddings", "semantic_pairs", "containment_estimate",
 ]
 
 
