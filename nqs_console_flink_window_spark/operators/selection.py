@@ -202,25 +202,17 @@ def dsir_df(spark, table: str = "documents"):
     SOAK round-4 lesson: any multiply-referenced CTE re-runs its whole
     pipeline per reference on Spark; stats feeds both lr and the norm
     scalar, feats feeds both stats and the per-doc sum)."""
+    from .staging import staged_views
+
     d = X.SPARK
-    feats = spark.sql(dsir_feats_sql(d, table)).localCheckpoint()
-    view = "__dsir_feats"
-    feats.createOrReplaceTempView(view)
-    try:
-        stats = spark.sql(dsir_stats_sql(view)).localCheckpoint()
-        sview = "__dsir_stats"
-        stats.createOrReplaceTempView(sview)
-        try:
-            body = dsir_from_feats_sql(d, view)
+    with staged_views(spark, feats=spark.sql(dsir_feats_sql(d, table))) as v1:
+        with staged_views(spark, stats=spark.sql(dsir_stats_sql(v1.feats))) as v2:
+            body = dsir_from_feats_sql(d, v1.feats)
             body = body.replace(
-                f"stats AS ({dsir_stats_sql(view)})",
-                f"stats AS (SELECT b, ct, cr FROM {sview})",
+                f"stats AS ({dsir_stats_sql(v1.feats)})",
+                f"stats AS (SELECT b, ct, cr FROM {v2.stats})",
             )
             return spark.sql("WITH " + body)
-        finally:
-            spark.catalog.dropTempView(sview)
-    finally:
-        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------------------
@@ -400,13 +392,15 @@ def dsir_fit(
     reference pool is ``DSIR_TARGET_PRED``; the returned list has exactly
     the buckets observed in the reference (absent buckets score 0 — both
     smoothed counts are 1 and the qlns cancel)."""
+    from .staging import staged_views
+
     view = "__dsir_fit_docs"
     ref_docs.createOrReplaceTempView(view)
     try:
-        feats = spark.sql(dsir_feats_sql(X.SPARK, view, n_buckets)).localCheckpoint()
-        fview = "__dsir_fit_feats"
-        feats.createOrReplaceTempView(fview)
-        try:
+        with staged_views(
+            spark, fit_feats=spark.sql(dsir_feats_sql(X.SPARK, view, n_buckets))
+        ) as sv:
+            fview = sv.fit_feats
             lr_rows = spark.sql(f"""
 SELECT b, {qln_micro("ct + 1")} - {qln_micro("cr + 1")} AS qlr
 FROM (
@@ -422,8 +416,6 @@ FROM (
                     "dsir_fit: reference corpus produced no features "
                     "(empty docs?) — cannot fit a model"
                 )
-        finally:
-            spark.catalog.dropTempView(fview)
     finally:
         spark.catalog.dropTempView(view)
     import math

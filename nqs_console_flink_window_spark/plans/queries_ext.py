@@ -1521,24 +1521,21 @@ FROM grouped
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     d = X.SPARK
+    from ..operators.staging import staged_views
+
     _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
-    view = "__leak_cand"
-    cand.createOrReplaceTempView(view)
     # splits staged too: the SQL references it on BOTH join sides, and the
     # split hash reads the full text — unstaged, the corpus text would scan
     # (and md5) twice; checkpointed it is a 2-column (doc_id, split) table
-    splits = spark.sql(_split_sql(d)).select("doc_id", "split").localCheckpoint()
-    sview = "__leak_splits"
-    splits.createOrReplaceTempView(sview)
-    try:
+    splits = spark.sql(_split_sql(d)).select("doc_id", "split")
+    with staged_views(spark, cand=cand, splits=splits) as v:
         return spark.sql(f"""
-WITH splits AS (SELECT doc_id, split FROM {sview}),
-tagged AS (
+WITH tagged AS (
   SELECT LEAST(sa.split, sb.split) AS split_a,
          GREATEST(sa.split, sb.split) AS split_b
-  FROM {view} c
-  JOIN splits sa ON sa.doc_id = c.doc_a
-  JOIN splits sb ON sb.doc_id = c.doc_b
+  FROM {v.cand} c
+  JOIN {v.splits} sa ON sa.doc_id = c.doc_a
+  JOIN {v.splits} sb ON sb.doc_id = c.doc_b
 )
 , grouped AS (
   SELECT split_a, split_b, COUNT(*) AS n_pairs,
@@ -1552,9 +1549,6 @@ SELECT split_a, split_b, n_pairs, is_leak,
   {X.fround("CAST(n_pairs AS DOUBLE) / SUM(n_pairs) OVER ()", 6)} AS share
 FROM grouped
 """)
-    finally:
-        spark.catalog.dropTempView(view)
-        spark.catalog.dropTempView(sview)
 
 
 @register(
@@ -1606,16 +1600,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
+    from ..operators.staging import staged_views
+
     # staged: the long-form union tail references normed 16 times (one per
     # dimension) and Spark inlines CTEs — unstaged, the explode+aggregate
     # pipeline would run 16x; the checkpointed normed is one row per doc
-    normed = spark.sql(TX.text_embed_normed_sql(X.SPARK)).localCheckpoint()
-    view = "__doc_emb_normed"
-    normed.createOrReplaceTempView(view)
-    try:
-        return spark.sql(TX.text_embed_union(view))
-    finally:
-        spark.catalog.dropTempView(view)
+    with staged_views(spark, normed=spark.sql(TX.text_embed_normed_sql(X.SPARK))) as v:
+        return spark.sql(TX.text_embed_union(v.normed))
 
 
 def _semantic_pairs_sql(d: str) -> str:
@@ -1667,45 +1658,28 @@ JOIN sizes nb ON co.doc_b = nb.doc_id
     tier=2,
 )
 def semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged_views
+
     register_temp_views(spark, sf_dir, ("documents",))
     sh, _sig, cand, sizes = DD._staged_minhash_parts(spark)
-    normed = spark.sql(TX.text_embed_normed_sql(X.SPARK)).localCheckpoint()
-    nview = "__sem_normed"
-    cview = "__sem_cand"
-    normed.createOrReplaceTempView(nview)
-    cand.createOrReplaceTempView(cview)
-    try:
-        emb = spark.sql(TX.text_embed_union(nview)).localCheckpoint()
-        eview = "__sem_emb"
-        emb.createOrReplaceTempView(eview)
-        try:
-            inter = DD._staged_intersections(cand, sh)
-            iview = "__sem_inter"
-            inter.createOrReplaceTempView(iview)
-            szview = "__sem_sizes"
-            sizes.createOrReplaceTempView(szview)
-            try:
-                return spark.sql(f"""
+    normed = spark.sql(TX.text_embed_normed_sql(X.SPARK))
+    with staged_views(spark, normed=normed, cand=cand) as v1:
+        emb = spark.sql(TX.text_embed_union(v1.normed))
+        inter = DD._staged_intersections(cand, sh)
+        with staged_views(spark, emb=emb, inter=inter, sizes=sizes) as v:
+            return spark.sql(f"""
 WITH cosine AS (
   SELECT c.doc_a, c.doc_b, CAST(SUM(ea.comp * eb.comp) AS DOUBLE) AS dot
-  FROM {cview} c
-  JOIN {eview} ea ON ea.doc_id = c.doc_a
-  JOIN {eview} eb ON eb.doc_id = c.doc_b AND eb.j = ea.j
+  FROM {v1.cand} c
+  JOIN {v.emb} ea ON ea.doc_id = c.doc_a
+  JOIN {v.emb} eb ON eb.doc_id = c.doc_b AND eb.j = ea.j
   GROUP BY 1, 2
 )
 SELECT co.doc_a, co.doc_b,
   {X.fround("co.dot", 6)} AS cosine,
   {X.fround("CAST(COALESCE(i.both_n, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.both_n, 0))", 6)} AS jaccard
 FROM cosine co
-LEFT JOIN {iview} i ON i.doc_a = co.doc_a AND i.doc_b = co.doc_b
-JOIN {szview} na ON co.doc_a = na.doc_id
-JOIN {szview} nb ON co.doc_b = nb.doc_id
+LEFT JOIN {v.inter} i ON i.doc_a = co.doc_a AND i.doc_b = co.doc_b
+JOIN {v.sizes} na ON co.doc_a = na.doc_id
+JOIN {v.sizes} nb ON co.doc_b = nb.doc_id
 """)
-            finally:
-                spark.catalog.dropTempView(iview)
-                spark.catalog.dropTempView(szview)
-        finally:
-            spark.catalog.dropTempView(eview)
-    finally:
-        spark.catalog.dropTempView(nview)
-        spark.catalog.dropTempView(cview)
