@@ -720,30 +720,28 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row CROSS JOIN (BNLJ) disappears from the plan.
     d = X.SPARK
     toks = X.split_tokens(d, "lower(text)")
+    from ..operators.staging import staged_views
+
     tf = spark.sql(
         f"SELECT doc_id, token, COUNT(*) AS tf FROM "
         f"(SELECT doc_id, {X.explode_tokens(d, toks)} AS token FROM documents) t "
         "GROUP BY doc_id, token"
-    ).localCheckpoint()
-    view = "__tfidf_tf"
-    tf.createOrReplaceTempView(view)
-    try:
+    )
+    with staged_views(spark, tf=tf) as v:
         return spark.sql(f"""
-WITH df AS (SELECT token, COUNT(*) AS df FROM {view} GROUP BY token),
+WITH df AS (SELECT token, COUNT(*) AS df FROM {v.tf} GROUP BY token),
 scored AS (
   SELECT tf.doc_id, tf.token, tf.tf, df.df,
     CAST(tf.tf AS DOUBLE) / df.df AS score,
     row_number() OVER (PARTITION BY tf.doc_id
                        ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
                                 tf.token) AS rnk
-  FROM {view} tf JOIN df ON tf.token = df.token
+  FROM {v.tf} tf JOIN df ON tf.token = df.token
 )
 SELECT s.doc_id, s.rnk, s.token, s.tf, s.df,
   {X.fround("s.score * (SELECT COUNT(*) FROM documents)", 6)} AS tfidf_score
 FROM scored s WHERE s.rnk <= 3
 """)
-    finally:
-        spark.catalog.dropTempView(view)
 
 
 def _mixture_sql(d: str) -> str:
@@ -811,13 +809,14 @@ def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~20-row staged view is free) and no BNLJ remains.
     d = X.SPARK
     tok = X.idiv(d, "SUM(CAST(n_chars AS BIGINT))", "4")
+    from ..operators.staging import staged_views
+
     per_src = spark.sql(
         f"SELECT source, CAST({tok} AS BIGINT) AS tokens "
         "FROM documents GROUP BY source"
-    ).localCheckpoint()
-    view = "__mixture_per_src"
-    per_src.createOrReplaceTempView(view)
-    try:
+    )
+    with staged_views(spark, per_src=per_src) as sv:
+        view = sv.per_src
         total = f"(SELECT CAST(SUM(tokens) AS BIGINT) FROM {view})"
         nsrc = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {view})"
         budget = X.idiv(d, total, "2")
@@ -843,8 +842,6 @@ SELECT f.source, f.tokens, f.alloc1 +
   CAST(f.budget AS BIGINT) AS budget
 FROM with_agg f
 """)
-    finally:
-        spark.catalog.dropTempView(view)
 
 
 from ..operators import sketches as SK  # noqa: E402
@@ -1180,13 +1177,14 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 1-row total rides a scalar subquery, not a CROSS JOIN (BNLJ).
     d = X.SPARK
     tok = X.explode_tokens(d, X.split_tokens(d, "lower(text)"))
+    from ..operators.staging import staged_views
+
     counts = spark.sql(
         f"SELECT token, COUNT(*) AS cnt FROM "
         f"(SELECT {tok} AS token FROM documents) t GROUP BY token"
-    ).localCheckpoint()
-    view = "__vocab_counts"
-    counts.createOrReplaceTempView(view)
-    try:
+    )
+    with staged_views(spark, counts=counts) as sv:
+        view = sv.counts
         return spark.sql(f"""
 WITH topk AS (SELECT token, cnt FROM {view} ORDER BY cnt DESC, token LIMIT 50),
 ranked AS (
@@ -1200,8 +1198,6 @@ SELECT token, cnt, rank,
   {X.fround(f"CAST(cum_cnt AS DOUBLE) / CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM {view}) AS DOUBLE)", 8)} AS cum_coverage
 FROM ranked
 """)
-    finally:
-        spark.catalog.dropTempView(view)
 
 
 def _score_drift_sql(d: str, n_buckets: int = 10) -> str:
@@ -1365,12 +1361,11 @@ def quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rest of the same SQL against the staged view.
     d = X.SPARK
     q = TX.quality_score_expr(d)
-    scored = spark.sql(
-        f"SELECT doc_id, {q} AS quality FROM documents"
-    ).localCheckpoint()
-    view = "__upsample_scored"
-    scored.createOrReplaceTempView(view)
-    try:
+    from ..operators.staging import staged_views
+
+    scored = spark.sql(f"SELECT doc_id, {q} AS quality FROM documents")
+    with staged_views(spark, scored=scored) as sv:
+        view = sv.scored
         frac_coin = X.md5_int(d, "'upsample:' || CAST(doc_id AS STRING)")
         ex = X.explode_range(
             d, "kept", "doc_id, quality, w, n_copies", "1", "n_copies", alias="copy_idx"
@@ -1393,8 +1388,6 @@ SELECT doc_id, {X.fround('quality', 4)} AS quality, {X.fround('w', 8)} AS weight
        n_copies, copy_idx
 FROM {ex} e
 """)
-    finally:
-        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------------------------------------
