@@ -1676,3 +1676,20 @@ LEFT JOIN {v.inter} i ON i.doc_a = co.doc_a AND i.doc_b = co.doc_b
 JOIN {v.sizes} na ON co.doc_a = na.doc_id
 JOIN {v.sizes} nb ON co.doc_b = nb.doc_id
 """)
+
+
+@register(
+    "ann_ivfpq_topk",
+    sql=None,  # k-means coarse + PQ codebooks — no SQL twin
+    doc="Extension — IVF-PQ composed ANN (the canonical production index "
+    "shape): coarse quantizer routes to nprobe cells, ADC scores only "
+    "those cells' 8-byte code arrays, exact-cosine re-rank of the short "
+    "list; raw-subvector (no-residual) simplification documented in "
+    "similarity.ivfpq_topk; ANN family driver-gated via ann_topk / "
+    "cosine_topk, recall pytest-gated (test_ivfpq_recall)",
+    tier=2,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivfpq_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
