@@ -702,11 +702,28 @@ CAND_MAX_DEGREE = 20
 
 
 def cap_candidate_degree(cand, max_deg: int = CAND_MAX_DEGREE):
-    """Keep at most ``max_deg`` candidates per doc (counting BOTH sides —
-    a doc_b-heavy hub is capped too): rank each edge within its doc_a and
-    doc_b partitions by deterministic pair-hash order and keep edges ranked
-    <= max_deg on both ends.  Two window passes over the edge list, keyed
-    shuffles only."""
+    """Bounded-degree candidate filter: rank each edge within its doc_a and
+    doc_b partitions by deterministic pair-hash order, keep edges ranked
+    <= max_deg on BOTH ends (a doc_b-heavy hub is capped too), and ALWAYS
+    keep each node's minimum-id-neighbor edge regardless of rank.
+
+    Guarantees (each pytest-asserted):
+    - TOTAL kept edges <= (max_deg + 1) * n_docs — every node contributes
+      at most max_deg double-capped edges as doc_a plus one exempted
+      min-edge — so pairwise-verification work is linear in the corpus,
+      never quadratic in a flood's duplicate count.  (The PER-NODE degree
+      of a flood's minimum is the flood size — it is the hub of the
+      exempted star — which is why the bound that matters is the total.)
+    - A duplicate CLIQUE stays ONE component: capping both endpoint
+      budgets alone can split it (measured — a 60-doc flood at cap 3 split
+      in two), but with the exemption every clique member keeps its edge
+      to the clique minimum, so connected components still merges the
+      whole flood through that star.  (General non-clique graphs keep
+      every node attached to its min neighbor — not a global-connectivity
+      proof, but the flood shape IS a clique.)
+
+    Three keyed passes over the edge list: two rank windows + one
+    min-neighbor aggregate."""
     from pyspark.sql import Window as W_
     from pyspark.sql import functions as F
 
@@ -714,6 +731,14 @@ def cap_candidate_degree(cand, max_deg: int = CAND_MAX_DEGREE):
         "conv(substr(md5(concat('deg:', CAST(doc_a AS STRING), ':', "
         "CAST(doc_b AS STRING))), 1, 15), 16, 10)"
     ).cast("long")
+    # min neighbor per node over the UNCAPPED graph (doc_a < doc_b, so a
+    # node's min neighbor is min(min doc_a over its doc_b edges, min doc_b
+    # over its doc_a edges) — for doc_b nodes the doc_a side suffices here:
+    # the exempted edge is (minNbr(x), x), whose doc_a IS the min neighbor)
+    min_nbr = (
+        cand.groupBy("doc_b").agg(F.min("doc_a").alias("__mn"))
+        .withColumnRenamed("doc_b", "__n")
+    )
     ranked = (
         cand.withColumn("__h", h)
         .withColumn(
@@ -728,10 +753,14 @@ def cap_candidate_degree(cand, max_deg: int = CAND_MAX_DEGREE):
                 W_.partitionBy("doc_b").orderBy(F.col("__h"), F.col("doc_a"))
             ),
         )
+        .join(min_nbr, F.col("doc_b") == F.col("__n"), "left")
     )
     return (
-        ranked.filter((F.col("__ra") <= max_deg) & (F.col("__rb") <= max_deg))
-        .drop("__h", "__ra", "__rb")
+        ranked.filter(
+            ((F.col("__ra") <= max_deg) & (F.col("__rb") <= max_deg))
+            | (F.col("doc_a") == F.col("__mn"))
+        )
+        .drop("__h", "__ra", "__rb", "__n", "__mn")
     )
 
 

@@ -1084,14 +1084,22 @@ def test_cap_candidate_degree_bounds_and_preserves_connectivity(spark) -> None:
 
     from collections import Counter
 
-    deg = Counter()
-    for a, b in capped:
-        deg[a] += 1
-        deg[b] += 1
-    # per-side bound: each doc appears <= cap times as doc_a and <= cap as doc_b
-    dega = Counter(a for a, _ in capped)
-    degb = Counter(b for _, b in capped)
-    assert max(dega.values()) <= cap and max(degb.values()) <= cap
+    # the bound that matters is TOTAL work: <= (cap + 1) edges per doc on
+    # average (each node contributes <= cap double-capped edges as doc_a
+    # plus at most one exempted min-edge); per-node degree is NOT bounded —
+    # a flood's minimum is the hub of the exempted star by design
+    n_docs = len({x for e in full for x in e})
+    assert len(capped) <= (cap + 1) * n_docs
+
+    # the double-capped (non-exempt) edges respect the per-side cap
+    min_nbr: dict[int, int] = {}
+    for a, b in full:
+        min_nbr[b] = min(min_nbr.get(b, a), a)
+    non_exempt = [(a, b) for a, b in capped if min_nbr.get(b) != a]
+    dega = Counter(a for a, _ in non_exempt)
+    degb = Counter(b for _, b in non_exempt)
+    if non_exempt:
+        assert max(dega.values()) <= cap and max(degb.values()) <= cap
 
     touched_full = {x for e in full for x in e}
     touched_capped = {x for e in capped for x in e}
@@ -1209,3 +1217,37 @@ def test_doc_embeddings_semantics(spark) -> None:
         return sum(x * y for x, y in zip(a, b))
 
     assert cos(vecs[1], vecs[2]) > cos(vecs[1], vecs[3]) + 0.2
+
+
+def test_degree_cap_flood_still_clusters_whole(spark) -> None:
+    """The motivating flood scenario: one document duplicated 60x (a
+    mirror/template flood).  Uncapped, the candidate edge count is
+    quadratic (~1770 pairs); capped at max_deg=3 it collapses to O(cap*n)
+    — yet connected components over the CAPPED edges still merges the
+    whole flood into ONE cluster (each doc keeps at least one edge into
+    the group)."""
+    from nqs_console_flink_window_spark.operators import dedup_cluster as DC
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    flood_text = "the same mirrored press release body repeated verbatim " * 6
+    rows = [(i, flood_text.strip()) for i in range(60)]
+    rows += [(100 + i, f"unique doc {i} " + "filler words here and there " * 5) for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
+    n_full = cand.count()
+    cap = 3
+    capped = DD.cap_candidate_degree(cand, cap)
+    n_capped = capped.count()
+    assert n_full >= 60 * 59 / 2  # quadratic flood edges
+    assert n_capped <= cap * 65   # bounded-degree collapse
+
+    fwd = capped.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.sql("SELECT doc_id AS id FROM documents")
+    comp = DC.connected_components(edges, nodes)
+    labels = {r["id"]: r["lbl"] for r in comp.collect()}
+    flood_labels = {labels[i] for i in range(60)}
+    assert len(flood_labels) == 1, f"flood split into {len(flood_labels)} clusters"
