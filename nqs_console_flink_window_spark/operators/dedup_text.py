@@ -882,3 +882,62 @@ def containment_estimate_df(spark, table: str = "documents"):
         F.expr(fround("CAST(both0 AS DOUBLE) / na_n", 6)).alias("contain_ab"),
         F.expr(fround(f"ABS({est_c} - CAST(both0 AS DOUBLE) / na_n)", 6)).alias("abs_err"),
     )
+
+
+def capped_cand_sql(d: str, cand: str, max_deg: int = CAND_MAX_DEGREE) -> str:
+    """SQL twin of ``cap_candidate_degree`` over a candidate relation
+    ``cand`` (columns doc_a, doc_b): pair-hash rank windows on both ends +
+    the min-neighbor exemption, as plain window SQL both engines run
+    identically."""
+    h = X.md5_int(
+        d, "'deg:' || CAST(doc_a AS STRING) || ':' || CAST(doc_b AS STRING)"
+    )
+    return f"""
+ranked AS (
+  SELECT doc_a, doc_b,
+    ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY {h}, doc_b) AS ra,
+    ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY {h}, doc_a) AS rb
+  FROM {cand}
+),
+min_nbr AS (
+  SELECT doc_b AS n, MIN(doc_a) AS mn FROM {cand} GROUP BY doc_b
+),
+capped AS (
+  SELECT r.doc_a, r.doc_b
+  FROM ranked r
+  LEFT JOIN min_nbr m ON m.n = r.doc_b
+  WHERE (r.ra <= {max_deg} AND r.rb <= {max_deg}) OR r.doc_a = m.mn
+)"""
+
+
+def containment_capped_sql(
+    d: str,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_deg: int = CAND_MAX_DEGREE,
+    table: str = "documents",
+) -> str:
+    """Oracle form of the degree-capped containment verifier: LSH
+    candidates -> SQL degree cap (``capped_cand_sql``) -> the same
+    directional-containment math as ``containment_on_lsh_sql``."""
+    cand = minhash_lsh_pairs_sql(d, table)
+    return f"""
+WITH cand AS ({cand}),
+{capped_cand_sql(d, "cand", max_deg).lstrip()},
+sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS both_n
+  FROM capped c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  {X.fround("CAST(both_n AS DOUBLE) / na.n", 6)} AS contain_ab,
+  {X.fround("CAST(both_n AS DOUBLE) / nb.n", 6)} AS contain_ba,
+  CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS contained_doc
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= {threshold!r}
+"""

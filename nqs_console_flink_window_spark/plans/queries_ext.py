@@ -1693,3 +1693,35 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SIM.ivfpq_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "containment_capped",
+    sql=DD.containment_capped_sql(X.DUCK),
+    doc="Extension — degree-capped containment verification as a fully "
+    "value-oracled query: the SQL twin of cap_candidate_degree (rank "
+    "windows both ends + min-neighbor exemption — total kept edges "
+    "<= (max_deg+1) x corpus, duplicate cliques provably stay one "
+    "component via the min-star) feeding the directional-containment "
+    "math; dedup family driver-gated via ngram_jaccard_pairs / "
+    "dedup_clusters",
+    tier=2,
+)
+def containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged_views
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    sh, _sig, cand, sizes = DD._staged_minhash_parts(spark)
+    capped = DD.cap_candidate_degree(cand)
+    inter = DD._staged_intersections(capped, sh)
+    with staged_views(spark, inter=inter, sizes=sizes) as v:
+        return spark.sql(f"""
+SELECT doc_a, doc_b,
+  {X.fround("CAST(both_n AS DOUBLE) / na.n", 6)} AS contain_ab,
+  {X.fround("CAST(both_n AS DOUBLE) / nb.n", 6)} AS contain_ba,
+  CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS contained_doc
+FROM {v.inter} i
+JOIN {v.sizes} na ON i.doc_a = na.doc_id
+JOIN {v.sizes} nb ON i.doc_b = nb.doc_id
+WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+""")
