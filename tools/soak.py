@@ -73,6 +73,9 @@ SOAK_QUERIES = [
     "tfidf_keywords", "mixture_allocation", "split_leakage_report",
     # embedding bridge + two-signal pair view (joins at candidate grain)
     "doc_embeddings", "semantic_pairs", "containment_estimate",
+    # the degree-capped verifier beside its uncapped twin: the bounded-work
+    # claim, measured on the flood-dense replica corpus
+    "containment_capped",
 ]
 
 
