@@ -941,3 +941,66 @@ JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
 WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= {threshold!r}
 """
+
+
+def containment_estimate_fast_sql(d: str, table: str = "documents") -> str:
+    """The production projection of ``containment_estimate_sql``: estimate
+    only, NO exact-intersection audit join — candidate pairs touch just the
+    8-slot signatures and the sizes table.  This is the form whose cost is
+    signature-table work at any duplicate density (the audit form's 10x
+    soak ratio is entirely its exact shingle join)."""
+    cand = minhash_lsh_pairs_sql(d, table)
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)" for k in range(NUM_PERM)
+    )
+    est_j = f"CAST(({matches}) AS DOUBLE) / {NUM_PERM}.0"
+    return f"""
+WITH cand AS ({cand}),
+sig AS ({minhash_signatures_sql(d, table)}),
+sh AS ({shingles_cte(d, table)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b, {est_j} AS ej
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+  {X.fround("e.ej * (na.n + nb.n) / (1.0 + e.ej) / na.n", 6)} AS est_contain_ab,
+  {X.fround("e.ej * (na.n + nb.n) / (1.0 + e.ej) / nb.n", 6)} AS est_contain_ba
+FROM est e
+JOIN sizes na ON e.doc_a = na.doc_id
+JOIN sizes nb ON e.doc_b = nb.doc_id
+"""
+
+
+def containment_estimate_fast_df(spark, table: str = "documents"):
+    """Staged engine form — signatures/candidates/sizes from the shared
+    checkpointed parts; no shingle re-join anywhere."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dialect import fround
+
+    _sh, sig, cand, sizes = _staged_minhash_parts(spark, table)
+    matches = sum(
+        F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
+        for k in range(NUM_PERM)
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sig.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", (matches.cast("double") / float(NUM_PERM)).alias("ej"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na_n"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb_n"))
+    e = "ej * (na_n + nb_n) / (1.0 + ej)"
+    return (
+        est.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(fround(f"{e} / na_n", 6)).alias("est_contain_ab"),
+            F.expr(fround(f"{e} / nb_n", 6)).alias("est_contain_ba"),
+        )
+    )

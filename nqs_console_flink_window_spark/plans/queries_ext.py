@@ -1725,3 +1725,19 @@ JOIN {v.sizes} na ON i.doc_a = na.doc_id
 JOIN {v.sizes} nb ON i.doc_b = nb.doc_id
 WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
 """)
+
+
+@register(
+    "containment_estimate_fast",
+    sql=DD.containment_estimate_fast_sql(X.DUCK),
+    doc="Extension — production projection of containment_estimate: "
+    "estimate only, no exact-intersection audit join — per candidate pair "
+    "the cost is two signature-row joins + one size lookup, flat in "
+    "duplicate density (the audit form's soak ratio was entirely its "
+    "exact shingle join); dedup family driver-gated via "
+    "ngram_jaccard_pairs / dedup_clusters",
+    tier=2,
+)
+def containment_estimate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return DD.containment_estimate_fast_df(spark)
