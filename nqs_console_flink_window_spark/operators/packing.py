@@ -74,17 +74,30 @@ def pack_sequences_sql(d: str, table: str = "documents", length: int = WINDOW_TO
 def pack_sequences_scalable(
     docs: DataFrame, length: int = WINDOW_TOKENS, partitions: int = 8
 ) -> DataFrame:
-    """Distributed prefix-sum form of ``pack_sequences_sql`` — identical
-    output, no global-order single-partition window.
+    """Distributed prefix-sum packing over a raw document table — identical
+    output to ``pack_sequences_sql``, no global-order single-partition window
+    on the data-proportional stream."""
+    return pack_sized_scalable(sized_docs(docs), length, partitions)
+
+
+def pack_sized_scalable(
+    sized_in: DataFrame, length: int = WINDOW_TOKENS, partitions: int = 8
+) -> DataFrame:
+    """Distributed prefix-sum form of ``pack_assignment_sql`` over any
+    ``(doc_id, n_toks)`` provider (n_toks > 0 rows only) — identical output,
+    no global-order single-partition window on the document stream.
 
     Stage 1: range-partition on doc_id so partition ranges are contiguous
     in the global order.  Stage 2: per-partition token cumsum (window
     PARTITION BY pid — runs parallel).  Stage 3: per-partition totals
     (<= ``partitions`` rows) get their own prefix sum and rejoin broadcast;
     global offset = partition prefix + local cumsum.  Stage 4: per-row
-    window-range explode (sequence), no shuffle."""
+    window-range explode (sequence), no shuffle.  The only single-partition
+    exchange in the plan carries the O(#partitions) totals rows, never the
+    corpus (asserted by the plan guard in tests/test_scale_patterns.py)."""
     sized = (
-        sized_docs(docs)
+        sized_in.select("doc_id", "n_toks")
+        .filter(F.col("n_toks") > 0)  # zero-token rows own no window slice
         .repartitionByRange(partitions, "doc_id")
         .withColumn("pid", F.spark_partition_id())
         # Checkpoint before fanning out to two consumers: RangePartitioner

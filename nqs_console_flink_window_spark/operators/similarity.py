@@ -382,14 +382,47 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.35
-# Cluster key = the concatenated bucket bits of the first SEMDEDUP_TABLES
-# SRP tables (SEMDEDUP_TABLES * LSH_PLANES bits -> 256 clusters at the
-# defaults).  The knob that keeps the in-cluster quadratic bounded: pick
-# tables such that corpus_size / 2^(tables*planes) stays at the target
-# cluster size (the paper's k ~ sqrt(N) guidance).  The first soak run
-# (SOAK.md) measured the 1-table version super-linear (16 clusters ->
-# n^2/16 pairs); 2 tables cut pair count ~16x.
-SEMDEDUP_TABLES = 2
+# Cluster key = the concatenated bucket bits of the first `t` SRP tables
+# (t * LSH_PLANES bits -> 16^t clusters).  t is DERIVED from the corpus
+# size so the expected cluster size stays at SEMDEDUP_TARGET_CLUSTER no
+# matter how much the corpus grows (the round-4 watch item: a constant t
+# means in-cluster pair work grows ~(n/16^t)^2 with the corpus).  The
+# derivation is integer-threshold comparisons (never log2 — cross-engine
+# 1-ulp drift could flip a ceil at the boundary), identical on the Spark
+# side (Python, from df.count()) and in the DuckDB oracle (CASE over
+# COUNT(*)).  The first soak run (SOAK.md) measured the 1-table version
+# super-linear (16 clusters -> n^2/16 pairs); the round-4 fix hand-set 2
+# tables; round 5 removed the hand-set knob.
+SEMDEDUP_TARGET_CLUSTER = 4
+# Cap below LSH_TABLES and at 7 so the concatenated key stays within INT32
+# (7 tables * 4 bits = 28 bits), keeping the registered `cluster` column
+# type stable across scales.
+SEMDEDUP_MAX_TABLES = min(7, LSH_TABLES)
+
+
+def semdedup_tables_for(n: int) -> int:
+    """Smallest t with n <= SEMDEDUP_TARGET_CLUSTER * 2^(t*LSH_PLANES),
+    clamped to [1, SEMDEDUP_MAX_TABLES] — expected cluster size stays at
+    the target as the corpus grows 16x per step."""
+    t = 1
+    while (
+        n > SEMDEDUP_TARGET_CLUSTER * (1 << (t * LSH_PLANES))
+        and t < SEMDEDUP_MAX_TABLES
+    ):
+        t += 1
+    return t
+
+
+def _semdedup_tables_case_sql(vec_table: str) -> str:
+    """The same derivation as a scalar SQL expression over COUNT(*)."""
+    whens = " ".join(
+        f"WHEN cnt <= {SEMDEDUP_TARGET_CLUSTER * (1 << (t * LSH_PLANES))} THEN {t}"
+        for t in range(1, SEMDEDUP_MAX_TABLES)
+    )
+    return (
+        f"(SELECT CASE {whens} ELSE {SEMDEDUP_MAX_TABLES} END "
+        f"FROM (SELECT COUNT(*) AS cnt FROM {vec_table}) z)"
+    )
 
 _Q = float(SRP_SCALE)
 # Quantized-integer cosine: q[i] = floor(x[i] * 2^20 + 0.5) exactly as the
@@ -492,14 +525,14 @@ def _clustered_quantized_duck_ctes(vec_table: str = "embeddings") -> str:
     hard-negatives oracles so the cluster-key encoding and quantization rule
     live in ONE place per engine: CTEs ``buckets``/``cl``/``c`` (vec_id,
     cluster, label, qe) and ``n`` (vec_id, nq)."""
-    cluster = " + ".join(
-        f"MAX(CASE WHEN tbl = {t} THEN bucket ELSE 0 END) * {1 << (t * LSH_PLANES)}"
-        for t in range(SEMDEDUP_TABLES)
-    )
+    nt = _semdedup_tables_case_sql(vec_table)
     return f"""buckets AS ({srp_buckets_duck_sql(vec_table)}),
 cl AS (
-  SELECT vec_id, CAST({cluster} AS INT) AS cluster
-  FROM buckets WHERE tbl < {SEMDEDUP_TABLES} GROUP BY vec_id
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN tbl < {nt}
+             THEN CAST(bucket AS BIGINT) << (tbl * {LSH_PLANES})
+             ELSE 0 END) AS INT) AS cluster
+  FROM buckets GROUP BY vec_id
 ),
 c AS (
   SELECT cl.vec_id, cl.cluster, e.label,
@@ -514,10 +547,13 @@ n AS (
 
 def _clustered_quantized(df: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Shared SemDeDup/hard-negatives prep: (vec_id, cluster, qe, nq
-    [, extras]), checkpointed (Arrow bucket UDF + quantization run once)."""
+    [, extras]), checkpointed (Arrow bucket UDF + quantization run once).
+    The SRP table count is derived from the corpus size (the count is a
+    metadata-cheap aggregate; the table is about to be scanned anyway)."""
+    tables = semdedup_tables_for(df.count())
     cluster = sum(
         (F.element_at("lsh_buckets", t + 1).cast("long") * (1 << (t * LSH_PLANES)))
-        for t in range(SEMDEDUP_TABLES)
+        for t in range(tables)
     )
     return (
         with_lsh_buckets(df)

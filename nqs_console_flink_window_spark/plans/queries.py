@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import FIXED_NOW_EPOCH
-from ..functions.score import dispatch_score_sql, record_score_sql
+from ..functions.score import (
+    dispatch_score_rank_sql,
+    dispatch_score_sql,
+    record_score_rank_sql,
+    record_score_sql,
+)
 from ..functions.timebuckets import add_time_buckets
 from ..operators import parse as P
 from ..operators.enrich import geo_chain, municipality_norm_sql
@@ -119,7 +124,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PING_MAP = {"rtt": "l_quantity * 10.0", "lost_rate": "l_discount"}
+# Oracle text = portable CASE chain; engine side = bit-identical rank/gather
+# form that whole-stage-codegens without the janino 64 KB overflow.
 _PING_SQL = record_score_sql("PING", _PING_MAP)
+_PING_SQL_ENGINE = record_score_rank_sql("PING", _PING_MAP)
 
 
 @register(
@@ -135,7 +143,7 @@ FROM lineitem
 )
 def score_ping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_orderkey", "l_linenumber", F.expr(_PING_SQL).alias("score"))
+    return li.select("l_orderkey", "l_linenumber", F.expr(_PING_SQL_ENGINE).alias("score"))
 
 
 _HTTP_MAP = {
@@ -145,6 +153,7 @@ _HTTP_MAP = {
     "avg_speed": "l_extendedprice / 100.0",
 }
 _HTTP_SQL = record_score_sql("HTTP", _HTTP_MAP)
+_HTTP_SQL_ENGINE = record_score_rank_sql("HTTP", _HTTP_MAP)
 
 
 @register(
@@ -159,7 +168,7 @@ FROM lineitem
 )
 def score_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_orderkey", "l_linenumber", F.expr(_HTTP_SQL).alias("score"))
+    return li.select("l_orderkey", "l_linenumber", F.expr(_HTTP_SQL_ENGINE).alias("score"))
 
 
 # Protocol dispatch over a stream-shaped table, with outlier coverage
@@ -181,6 +190,7 @@ _PROTO_EXPR = (
     "ELSE 'UNKNOWN' END"
 )
 _DISPATCH_SQL = dispatch_score_sql(_PROTO_EXPR, _DISPATCH_MAPS)
+_DISPATCH_SQL_ENGINE = dispatch_score_rank_sql(_PROTO_EXPR, _DISPATCH_MAPS)
 
 
 @register(
@@ -199,7 +209,7 @@ def score_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.expr(_PROTO_EXPR).alias("protocol"),
-        F.expr(_DISPATCH_SQL).alias("score"),
+        F.expr(_DISPATCH_SQL_ENGINE).alias("score"),
     )
 
 
@@ -448,4 +458,4 @@ def nqs_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
-    return fact_transform(ev, cust, _DISPATCH_SQL)
+    return fact_transform(ev, cust, _DISPATCH_SQL_ENGINE)

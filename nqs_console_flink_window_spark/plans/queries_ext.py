@@ -440,8 +440,16 @@ _ALL_PROTO_EXPR = (
 )
 
 from ..functions.score import dispatch_score_sql as _dss  # noqa: E402
+from ..functions.score import dispatch_score_rank_staged as _dss_staged  # noqa: E402
 
+# Oracle side: the portable CASE-chain text (DuckDB has no 64 KB codegen cap).
+# Engine side: the staged rank/gather form — bit-identical, metric exprs
+# hoisted into a first projection so no generated method crosses janino's
+# 64 KB cap even with all 14 protocol configs in one pass (functions/score.py).
 _ALL_PROTO_SCORE = _dss(_ALL_PROTO_EXPR, _ALL_PROTO_MAPS)
+_ALL_PROTO_HOISTED, _ALL_PROTO_SCORE_ENGINE = _dss_staged(
+    _ALL_PROTO_EXPR, _ALL_PROTO_MAPS
+)
 
 
 @register(
@@ -455,10 +463,15 @@ FROM events
 )
 def score_all_protocols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    hoisted = ev.select(
+        "event_id",
+        "user_id",
+        *[F.expr(e).alias(c) for c, e in _ALL_PROTO_HOISTED.items()],
+    )
+    return hoisted.select(
         "event_id",
         F.expr(_ALL_PROTO_EXPR).alias("protocol"),
-        F.expr(_ALL_PROTO_SCORE).alias("score"),
+        F.expr(_ALL_PROTO_SCORE_ENGINE).alias("score"),
     )
 
 
@@ -1058,24 +1071,28 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=PK.pack_sequences_sql(X.DUCK),
     doc="Extension — GPT-style sequence packing (concat-and-chunk): docs in "
     "doc_id order form one token stream, window w owns tokens [w*L,(w+1)*L); "
-    "output is the (doc, window) assignment table with slice bounds.  This "
-    "SQL form uses one global cumsum window (oracle-exact); the 100 TB "
-    "two-pass distributed-prefix-sum twin (pack_sequences_scalable) is "
-    "parity-tested in tests/test_extensions.py; corpus-assembly family "
-    "driver-gated via training_sample",
+    "output is the (doc, window) assignment table with slice bounds.  The "
+    "ENGINE side is the 100 TB two-pass distributed prefix-sum "
+    "(pack_sequences_scalable: per-partition cumsum + broadcast of the "
+    "O(#partitions) totals prefix — no single-partition window over the "
+    "corpus, plan-guarded); the oracle keeps the global-cumsum SQL, and the "
+    "two are bit-parity-tested in tests/test_extensions.py; corpus-assembly "
+    "family driver-gated via training_sample",
     tier=2,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(PK.pack_sequences_sql(X.SPARK))
+    docs = load_table(spark, sf_dir, "documents")
+    return PK.pack_sequences_scalable(docs)
 
 
 @register(
     "semdedup_prune",
     sql=SIM.semdedup_duck_sql(),
     doc="Extension — SemDeDup (Abbas et al. 2023): coarse angular clusters "
-    "(deterministic SRP buckets of the first SEMDEDUP_TABLES tables "
-    "concatenated — 256 clusters at the defaults) + in-cluster pairwise "
+    "(deterministic SRP buckets of the first t tables concatenated, with t "
+    "DERIVED from corpus size so expected cluster size stays at "
+    "SEMDEDUP_TARGET_CLUSTER — same integer-threshold rule in the Python "
+    "engine side and the oracle's COUNT(*) CASE) + in-cluster pairwise "
     "quantized-integer cosine (int64 dot over floor(x*2^20+0.5) vectors, "
     "per-vector precomputed norms) + greedy keep-min prune at tau=0.35; "
     "pairwise work is sum(cluster^2), never corpus^2; embedding-dedup "
@@ -1121,13 +1138,20 @@ def _corpus_to_windows_sql(d: str) -> str:
     doc="Extension — end-to-end corpus assembly composition: the "
     "training_sample pipeline (dedup -> quality -> cap -> sample) feeding "
     "sequence packing, one declarative plan from raw documents to the "
-    "(doc, context-window) assignment table; stages driver-gated via "
-    "training_sample, packing oracle-gated via pack_sequences",
+    "(doc, context-window) assignment table; the engine side packs the "
+    "sampled stream with the distributed prefix-sum (pack_sized_scalable — "
+    "no single-partition window over the corpus), the oracle keeps the "
+    "global-cumsum SQL; stages driver-gated via training_sample, packing "
+    "oracle-gated via pack_sequences",
     tier=2,
 )
 def corpus_to_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
-    return spark.sql(_corpus_to_windows_sql(X.SPARK))
+    smp = spark.sql(SMP.training_sample_sql(X.SPARK))
+    sized = smp.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_toks")
+    )
+    return PK.pack_sized_scalable(sized)
 
 
 def _vocab_topk_sql(d: str, k: int = 50) -> str:

@@ -632,6 +632,25 @@ def test_pack_sequences_scalable_matches_sql_form(spark) -> None:
     assert by_doc == n_toks
 
 
+def test_semdedup_table_count_scales_with_corpus() -> None:
+    """The SRP table count derives from corpus size (round-4 watch item:
+    a constant count makes in-cluster pair work quadratic in the corpus).
+    Expected cluster size n/16^t must stay <= target at every derived t,
+    and t must step up as the corpus grows 16x."""
+    c = SIM.SEMDEDUP_TARGET_CLUSTER
+    assert SIM.semdedup_tables_for(1) == 1
+    assert SIM.semdedup_tables_for(c * 16) == 1
+    assert SIM.semdedup_tables_for(c * 16 + 1) == 2
+    assert SIM.semdedup_tables_for(500) == 2  # fixture scale, = round-4 value
+    for n in (10, 1000, 10**6, 10**9, 10**12):
+        t = SIM.semdedup_tables_for(n)
+        assert 1 <= t <= SIM.SEMDEDUP_MAX_TABLES
+        if t < SIM.SEMDEDUP_MAX_TABLES:
+            assert n <= c * (1 << (t * SIM.LSH_PLANES))
+        if t > 1:  # minimal: one fewer table would overshoot the target
+            assert n > c * (1 << ((t - 1) * SIM.LSH_PLANES))
+
+
 def test_semdedup_prune_semantics(spark) -> None:
     """SemDeDup greedy keep-min: the lowest id of every cluster is kept, and
     a numpy recomputation of the prune rule (quantized-integer cosine, the
@@ -783,16 +802,16 @@ def test_hard_negatives_semantics(spark) -> None:
         )
         for r in emb.collect()
     }
-    # recompute clusters exactly as the operator does
+    # recompute clusters exactly as the operator does (incl. the
+    # corpus-size-derived SRP table count)
     signs = SIM._srp_signs(64).T
+    n_tables = SIM.semdedup_tables_for(len(meta))
 
     clusters: dict[int, list[int]] = {}
     for vid, (_lbl, q) in meta.items():
         bits = (q @ signs >= 0).reshape(SIM.LSH_TABLES, SIM.LSH_PLANES)
         ids = (bits * (2 ** np.arange(SIM.LSH_PLANES))).sum(axis=1)
-        cl = int(
-            sum(int(ids[t]) << (t * SIM.LSH_PLANES) for t in range(SIM.SEMDEDUP_TABLES))
-        )
+        cl = int(sum(int(ids[t]) << (t * SIM.LSH_PLANES) for t in range(n_tables)))
         clusters.setdefault(cl, []).append(vid)
 
     def qcos(a, b):

@@ -235,3 +235,41 @@ def test_ann_candidate_dedup_exchange_carries_only_ids(spark) -> None:
     for keys, out in aggs:
         assert "embedding" not in keys, plan
         assert "embedding" not in out, plan
+
+
+def test_packing_engine_plans_have_no_corpus_wide_global_window(spark) -> None:
+    """Round-4 weak-mark regression guard: the REGISTERED pack_sequences /
+    corpus_to_windows engine plans must use the distributed prefix-sum
+    (operators/packing.pack_sized_scalable), never a global-order cumsum over
+    the document stream.  Concretely: every Window ordered by doc_id must be
+    partitioned (by pid), and the only single-partition exchange allowed is
+    the one feeding the O(#partitions) totals prefix window (sum over ptot).
+    """
+    import re
+
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    for name in ("pack_sequences", "corpus_to_windows"):
+        plan = (
+            REGISTRY[name]
+            .spark(spark, SMOKE_SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for ln in plan.splitlines():
+            if "windowspecdefinition" not in ln:
+                continue
+            if re.search(r"windowspecdefinition\(doc_id", ln):
+                # global windows print only [orderSpec]; partitioned ones
+                # print [partitionCols], [orderSpec]
+                assert re.search(r"\], \[pid#\d+\], \[doc_id", ln), (
+                    f"{name}: corpus-wide global-order window:\n{ln}"
+                )
+        singles = plan.count("Exchange SinglePartition")
+        assert singles <= 1, f"{name}: {singles} single-partition exchanges"
+        if singles == 1:
+            assert "sum(ptot" in plan, (
+                f"{name}: single-partition exchange is not the totals prefix"
+            )
