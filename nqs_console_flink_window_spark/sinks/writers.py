@@ -163,6 +163,36 @@ def compact_partition(
 COMPACTED_GEN = -1  # reserved batch_id for compacted history
 
 
+def _repair_crashed_compaction(gen_path: Path) -> None:
+    """Settle any fold manifest left by a crashed compact_batch_landings.
+
+    A manifest is committed BEFORE any compacted file moves into the live
+    generation dir, and removed only after every folded input is deleted —
+    so its mere presence means the fold did not finish.  All listed new
+    files present -> the crash happened during input deletion: roll forward
+    (delete remaining inputs).  Any new file missing -> the crash happened
+    mid-rename: roll back (delete the partial new files; the inputs are
+    complete because deletion never starts before the rename finishes)."""
+    if not gen_path.is_dir():
+        return
+    import json as _json
+
+    for manifest in sorted(gen_path.glob("_compact-*.manifest.json")):
+        spec = _json.loads(manifest.read_text())
+        new_files = [gen_path / name for name in spec["new_files"]]
+        if all(p.exists() for p in new_files):
+            for f in spec["inputs"]:
+                if Path(f) not in new_files:
+                    Path(f).unlink(missing_ok=True)
+        else:
+            for p in new_files:
+                p.unlink(missing_ok=True)
+        manifest.unlink(missing_ok=True)
+    # half-committed manifests (tmp never renamed) are dead letters
+    for tmp in sorted(gen_path.glob(".compact-*.manifest.tmp")):
+        tmp.unlink(missing_ok=True)
+
+
 def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
     """Small-file maintenance for batch_id-keyed landing tables (the dedup
     index / curation output): merge every ``batch_id`` subpath in
@@ -184,10 +214,29 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
       must reset the landing table too (same rule as before compaction —
       re-owning subpaths cannot reclaim rows folded into -1).
 
+    Crash safety (the fold manifest): renaming the new generation in and
+    deleting the merged inputs cannot be one atomic step, so a BEFORE the
+    files move, a manifest listing the expected new files and every folded
+    input is committed (tmp-write + rename) into the generation dir.
+    ``_repair_crashed_compaction`` runs first on every pass and settles any
+    manifest it finds: if the listed new files are all present the previous
+    run got past the rename — roll FORWARD by deleting its listed inputs
+    (finishing the interrupted deletion); otherwise roll BACK by deleting
+    the partially-renamed new files (the inputs are still intact, since
+    deletion only ever starts after the rename completes).  Either way no
+    row is ever folded twice — without the manifest, a crash between rename
+    and unlink left rows in both the new generation and the original
+    subpaths, and the NEXT pass merged both copies, baking the duplicates
+    in permanently.
+
     Returns the number of files in the compacted generation.
     """
     import glob as _glob
+    import json as _json
     import uuid as _uuid
+
+    gen_path = Path(base_dir) / f"batch_id={COMPACTED_GEN}"
+    _repair_crashed_compaction(gen_path)
 
     inputs: list[str] = []
     for sub in sorted(Path(base_dir).glob("batch_id=*")):
@@ -202,22 +251,31 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
     df = spark.read.parquet(*inputs)  # snapshot: concurrent appends unseen
     total_bytes = sum(Path(f).stat().st_size for f in inputs)
     n_files = max(1, math.ceil(total_bytes / (128 * 1024 * 1024)))
-    gen_path = Path(base_dir) / f"batch_id={COMPACTED_GEN}"
     tmp_path = f"{gen_path}__compact"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
     stamp = _uuid.uuid4().hex[:8]
     gen_path.mkdir(parents=True, exist_ok=True)
+    staged = sorted(Path(tmp_path).glob("*.parquet"))
+    dests = [gen_path / f"compact-{stamp}-{i:05d}.parquet" for i in range(len(staged))]
+    # Commit point: manifest first (atomic rename), then move files in.
+    manifest = gen_path / f"_compact-{stamp}.manifest.json"
+    manifest_tmp = gen_path / f".compact-{stamp}.manifest.tmp"
+    manifest_tmp.write_text(
+        _json.dumps(
+            {"new_files": [d.name for d in dests], "inputs": inputs}
+        )
+    )
+    manifest_tmp.rename(manifest)
     moved = []
-    for i, f in enumerate(sorted(Path(tmp_path).glob("*.parquet"))):
-        dest = gen_path / f"compact-{stamp}-{i:05d}.parquet"
+    for f, dest in zip(staged, dests):
         f.rename(dest)
         moved.append(dest)
     shutil.rmtree(tmp_path)
     # delete merged inputs only after the new generation is fully in place
-    # (crash between = at-least-once duplicates, repaired by the next pass)
     for f in inputs:
         if Path(f) not in moved:
             Path(f).unlink(missing_ok=True)
+    manifest.unlink(missing_ok=True)  # fold complete
     for sub in sorted(Path(base_dir).glob("batch_id=*")):
         try:
             bid = int(sub.name.split("=", 1)[1])

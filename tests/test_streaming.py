@@ -1035,8 +1035,79 @@ def test_compact_batch_landings_preserves_derived_state(spark, tmp_path) -> None
     assert third is not None and len(third) > len(before_kept)
 
     # a second compaction folds the -1 generation plus batch 2 idempotently
+    before_second = snap(index_dir, 3)
     compact_batch_landings(spark, index_dir, 3)
-    assert snap(index_dir, 3) == snap(index_dir, 3)
+    assert snap(index_dir, 3) == before_second
+
+
+def test_compaction_crash_recovery_never_duplicates(spark, tmp_path) -> None:
+    """Fold-manifest crash safety: a compaction that dies (a) after moving
+    the new generation in but before deleting the merged inputs, or (b)
+    mid-rename with the manifest committed, must be settled by the next pass
+    with the landing table's rows EXACTLY as before — the pre-manifest
+    behavior permanently baked the (a) duplicates in on the next merge."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from nqs_console_flink_window_spark.sinks.writers import (
+        COMPACTED_GEN,
+        compact_batch_landings,
+    )
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    for i in range(2):
+        J.ingest_dedup_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == i), i, kept_dir, index_dir
+        )
+
+    def snap(d):
+        df = J._read_prior_batches(spark, d, 10)
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline = snap(index_dir)
+    gen = Path(index_dir) / f"batch_id={COMPACTED_GEN}"
+
+    # --- crash (a): new generation fully in place, inputs NOT deleted.
+    # Run a real compaction, then resurrect its inputs + manifest as if the
+    # process had died right before the deletion step.
+    inputs = sorted(
+        str(p)
+        for sub in Path(index_dir).glob("batch_id=*")
+        for p in sub.glob("*.parquet")
+    )
+    saved = {f: Path(f).read_bytes() for f in inputs}
+    compact_batch_landings(spark, index_dir, 10)
+    assert snap(index_dir) == baseline
+    new_files = sorted(p.name for p in gen.glob("compact-*.parquet"))
+    for f, blob in saved.items():  # resurrect the "undeleted" inputs
+        Path(f).parent.mkdir(parents=True, exist_ok=True)
+        Path(f).write_bytes(blob)
+    (gen / "_compact-deadbeef.manifest.json").write_text(
+        json.dumps({"new_files": new_files, "inputs": list(saved)})
+    )
+    # rows currently double-counted (crash window) — next pass must repair,
+    # not merge both copies
+    compact_batch_landings(spark, index_dir, 10)
+    assert snap(index_dir) == baseline
+    assert not list(gen.glob("_compact-*.manifest.json"))
+
+    # --- crash (b): manifest committed but renames incomplete -> roll back.
+    partial = gen / "compact-cafe0000-00000.parquet"
+    shutil.copyfile(next(iter(gen.glob("compact-*.parquet"))), partial)
+    (gen / "_compact-cafe0000.manifest.json").write_text(
+        json.dumps(
+            {
+                "new_files": [partial.name, "compact-cafe0000-00001.parquet"],
+                "inputs": [],
+            }
+        )
+    )
+    compact_batch_landings(spark, index_dir, 10)
+    assert not partial.exists()  # rolled back
+    assert snap(index_dir) == baseline
 
 
 def test_curation_handles_sourceless_batches_and_empty_filters(spark, tmp_path) -> None:
