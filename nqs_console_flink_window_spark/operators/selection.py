@@ -386,12 +386,15 @@ def bpe_train_reference(word_freqs: dict[str, int], n_merges: int = 8) -> list[t
 
 def dsir_fit(
     spark, ref_docs, n_buckets: int = DSIR_BUCKETS
-) -> tuple[list[tuple[int, int]], int]:
+) -> tuple[list[tuple[int, int]], int, int]:
     """Fit the DSIR bucket model on a reference corpus: returns
-    ([(bucket, qlr_micro)...], qnorm_micro).  Target membership inside the
-    reference pool is ``DSIR_TARGET_PRED``; the returned list has exactly
-    the buckets observed in the reference (absent buckets score 0 — both
-    smoothed counts are 1 and the qlns cancel)."""
+    ([(bucket, qlr_micro)...], qnorm_micro, n_buckets).  Target membership
+    inside the reference pool is ``DSIR_TARGET_PRED``; the returned list has
+    exactly the buckets observed in the reference (absent buckets score 0 —
+    both smoothed counts are 1 and the qlns cancel).  ``n_buckets`` rides in
+    the model so scoring hashes features into the SAME bucket space it was
+    fitted in — a non-default fit applied with the default at score time
+    silently produced wrong log-weights."""
     from .staging import staged_views
 
     view = "__dsir_fit_docs"
@@ -423,19 +426,21 @@ FROM (
     qnorm = math.floor(math.log(int(tr) + n_buckets) * 1e6 + 0.5) - math.floor(
         math.log(int(tt) + n_buckets) * 1e6 + 0.5
     )
-    return [(int(r["b"]), int(r["qlr"])) for r in lr_rows], qnorm
+    return [(int(r["b"]), int(r["qlr"])) for r in lr_rows], qnorm, n_buckets
 
 
-def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int]):
+def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int, int]):
     """Score documents against a fitted model: (doc_id, n_feats,
     lw_micro, log_weight).  The model arrives as plain Python values and is
-    rebuilt as a broadcast-joined 1024-row DataFrame inside whatever
+    rebuilt as a broadcast-joined n_buckets-row DataFrame inside whatever
     session ``docs_df`` belongs to (foreachBatch clones sessions; a
     DataFrame fitted on the main session cannot join a batch DataFrame).
-    Buckets unseen at fit time contribute 0 (Laplace counts 1/1)."""
+    Buckets unseen at fit time contribute 0 (Laplace counts 1/1).  The
+    score-time feature hash uses the model's OWN n_buckets (2-tuple models
+    from before the field existed default to DSIR_BUCKETS)."""
     from pyspark.sql import functions as F
 
-    lr_rows, qnorm = model
+    lr_rows, qnorm, n_buckets = model if len(model) == 3 else (*model, DSIR_BUCKETS)
     sess = docs_df.sparkSession
     lr = sess.createDataFrame(lr_rows or [(0, 0)], "b long, qlr long")
     view = "__dsir_score_docs"
@@ -443,7 +448,9 @@ def dsir_score(spark, docs_df, model: tuple[list[tuple[int, int]], int]):
     try:
         # score-time stream: target_pred FALSE so batches without the
         # fit-only `source` column score fine
-        feats = sess.sql(dsir_feats_sql(X.SPARK, view, target_pred="FALSE"))
+        feats = sess.sql(
+            dsir_feats_sql(X.SPARK, view, n_buckets, target_pred="FALSE")
+        )
     finally:
         sess.catalog.dropTempView(view)
     return (

@@ -689,9 +689,17 @@ _PQ_BOOKS: dict = {}
 
 def _pq_codebooks(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
     """Fit (and cache) the M per-subspace codebooks on a bounded
-    deterministic sample.  Returns ndarray [M, K, dim/M]."""
-    key = (tuple(sorted(df.inputFiles())) or (id(df),), vec_col, PQ_M, PQ_K, PQ_SEED)
-    hit = _PQ_BOOKS.get(key)
+    deterministic sample.  Returns ndarray [M, K, dim/M].
+
+    The cache key is the parquet file set — callers that pass a FILTERED
+    view of the same files (ivfpq_topk pre-fix) would collide with the
+    full-corpus fit, so ivfpq now fits on the full df and passes ``books``
+    explicitly; a df with no inputFiles (in-memory) is fit fresh, never
+    cached (an id(df) key can be reused by the allocator after GC and
+    would return codebooks fit on unrelated data)."""
+    files = tuple(sorted(df.inputFiles()))
+    key = (files, vec_col, PQ_M, PQ_K, PQ_SEED) if files else None
+    hit = _PQ_BOOKS.get(key) if key is not None else None
     if hit is not None:
         return hit
     n = df.count()
@@ -719,17 +727,23 @@ def _pq_codebooks(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
                 if mask.any():
                     cent[c] = sub[mask].mean(0)
         books[m] = cent
-    _PQ_BOOKS[key] = books
+    if key is not None:
+        _PQ_BOOKS[key] = books
     return books
 
 
-def pq_encode(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def pq_encode(
+    df: DataFrame, vec_col: str = "embedding", books: np.ndarray | None = None
+) -> DataFrame:
     """Attach the M-byte PQ code array to every vector (vectorized Arrow
-    batch: one numpy distance argmin per subspace per batch)."""
+    batch: one numpy distance argmin per subspace per batch).  ``books``
+    lets a caller encode a SUBSET of a corpus with codebooks fit on the
+    whole of it (ivfpq_topk)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    books = _pq_codebooks(df, vec_col)
+    if books is None:
+        books = _pq_codebooks(df, vec_col)
     dsub = books.shape[2]
 
     @pandas_udf("array<int>")
@@ -746,7 +760,11 @@ def pq_encode(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def pq_topk(
-    df: DataFrame, query_vec: list[float], k: int = 10, rerank: int = 4
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 4,
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC top-k: build the query's M x K dot-product lookup table once,
     estimate every candidate's dot as M gathers over its code array (pure
@@ -754,7 +772,8 @@ def pq_topk(
     the top ``rerank * k`` by estimate, exact-cosine re-rank that short
     list, return k.  Codes are computed here for the demo; at scale the
     codes table is precomputed and the float column never scanned."""
-    books = _pq_codebooks(df)
+    if books is None:
+        books = _pq_codebooks(df)
     q = np.asarray(query_vec, dtype=np.float64)
     dsub = books.shape[2]
     lut = np.empty((PQ_M, PQ_K))
@@ -767,7 +786,7 @@ def pq_topk(
         arr = "array(" + ", ".join(f"{float(x)!r}D" for x in lut[m]) + ")"
         terms.append(f"element_at({arr}, element_at(pq_code, {m + 1}) + 1)")
     est = " + ".join(terms)
-    coded = pq_encode(df)
+    coded = pq_encode(df, books=books)
     short = (
         coded.withColumn("est_dot", F.expr(est))
         .orderBy(F.col("est_dot").desc(), F.col("vec_id"))
@@ -796,6 +815,12 @@ def ivfpq_topk(
     codebook fit to the coarse quantizer for better accuracy at the same
     bits; the plumbing here is identical and the recall gate still
     passes)."""
+    # Codebooks fit on the FULL corpus, then passed down: the cell-filtered
+    # frame shares the full table's inputFiles, so letting pq_topk fit from
+    # it would poison (or be poisoned by) the full-corpus cache entry
+    # depending on call order — and canonical IVF-PQ trains its codebooks
+    # corpus-wide anyway.
+    books = _pq_codebooks(df)
     assigned, centers = ivf_assignments(df)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centers - q) ** 2).sum(1)
@@ -805,4 +830,5 @@ def ivfpq_topk(
         query_vec,
         k=k,
         rerank=rerank,
+        books=books,
     )

@@ -316,11 +316,36 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_topk_oracle_sql() -> str:
+    """Full-shape twin of _ann_topk_oracle_sql (same deterministic-SRP
+    bucket collision + exact-decimal cosine re-rank) carrying the operator's
+    complete output row (q_vec_id, vec_id, cosine, rn) — closes the round-4
+    'value-oracle ann_lsh_topk' item; the k-means ANN family stays rows-only
+    (no SQL twin for the quantizer)."""
+    return f"""
+WITH buckets AS ({SIM.srp_buckets_duck_sql("embeddings")}),
+qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+),
+cos AS ({SIM.cosine_duck_cte("embeddings", "vec_id = 0")})
+SELECT CAST(0 AS BIGINT) AS q_vec_id, vec_id, cosine, CAST(rn AS INT) AS rn
+FROM (
+  SELECT c.vec_id, c.cosine,
+         row_number() OVER (ORDER BY c.cosine DESC, c.vec_id) AS rn
+  FROM cos c JOIN cand USING (vec_id)
+) WHERE rn <= 10
+"""
+
+
 @register(
     "ann_lsh_topk",
-    sql=None,  # approximate by design; verified against brute force in tests
+    sql=_ann_lsh_topk_oracle_sql(),
     doc="Extension — multi-table random-hyperplane LSH ANN top-k "
-    "(pandas-UDF signatures, bucket equi-join, exact re-rank); driver-gated "
+    "(pandas-UDF signatures, bucket equi-join, exact re-rank), value-oracled "
+    "end-to-end via the deterministic integer SRP family; driver-gated "
     "via the merged ann_topk row",
     tier=2,
 )

@@ -984,6 +984,37 @@ def test_containment_catches_subset_docs(spark) -> None:
     assert not any(3 in (a, b) for (a, b) in pair)
 
 
+def test_dsir_score_uses_models_own_bucket_count(spark) -> None:
+    """A model fitted with a non-default n_buckets must be scored in the
+    same bucket space (regression: dsir_score used to hash score-time
+    features with the default 1024 regardless of the fit)."""
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    m = SEL.dsir_fit(spark, docs, n_buckets=64)
+    assert m[2] == 64
+    assert all(0 <= b < 64 for b, _ in m[0])
+    scored = {r["doc_id"]: r["lw_micro"] for r in SEL.dsir_score(spark, docs, m).collect()}
+    # self-scoring a pure-reference fit: is_target false at score time, so
+    # weights reflect the fit's target/reference ratios; the invariant that
+    # matters here is bucket-space agreement — recompute one doc's features
+    # in the 64-bucket space and check its qlr-sum matches.
+    lr = dict(m[0])
+    docs.createOrReplaceTempView("__b64_docs")
+    try:
+        from nqs_console_flink_window_spark.functions import dialect as X
+
+        f = spark.sql(
+            SEL.dsir_feats_sql(X.SPARK, "__b64_docs", 64, target_pred="FALSE")
+        ).collect()
+    finally:
+        spark.catalog.dropTempView("__b64_docs")
+    got: dict[int, int] = {}
+    for r in f:  # pure-Python recompute in the 64-bucket space
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + lr.get(r["b"], 0) + m[1]
+    assert scored == got
+
+
 def test_dsir_pure_python_recomputation(spark) -> None:
     """Third-implementation check (beyond Spark==DuckDB): recompute the DSIR
     importance log-weights from first principles in Python — tokenize, hash
