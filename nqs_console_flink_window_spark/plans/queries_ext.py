@@ -1558,7 +1558,6 @@ FROM grouped
     "caveat — run after the dedup pass and demand is_leak rows ~ 0); "
     "rides the staged MinHash parts; dedup+split families driver-gated "
     "via dedup_clusters / training_sample",
-    tier=2,
 )
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -1638,7 +1637,6 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that runs the vector family (cosine/ANN/SemDeDup) on the text corpus "
     "without a model artifact; embedding family driver-gated via "
     "cosine_topk / embedding_near_dup, text family via text_stats",
-    tier=2,
 )
 def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -1697,7 +1695,6 @@ JOIN sizes nb ON co.doc_b = nb.doc_id
     "the two-signal view a dedup-policy decision wants; Spark side rides "
     "the staged MinHash parts + staged embedding rows; dedup family "
     "driver-gated via ngram_jaccard_pairs / embedding_near_dup",
-    tier=2,
 )
 def semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.staging import staged_views
@@ -1785,7 +1782,6 @@ WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
     "duplicate density (the audit form's soak ratio was entirely its "
     "exact shingle join); dedup family driver-gated via "
     "ngram_jaccard_pairs / dedup_clusters",
-    tier=2,
 )
 def containment_estimate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))

@@ -665,7 +665,10 @@ WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
     "exists_subquery",
     sql=_EXISTS_SQL,
     doc="§2.10 — correlated scalar subquery + EXISTS semi-join "
-    "(decorrelated by Catalyst into aggregate + joins)",
+    "(decorrelated by Catalyst into aggregate + joins); driver-gated via "
+    "semi_anti-style EXISTS in exists_router and the window-function family "
+    "(percentiles / per_user_trend)",
+    tier=2,
 )
 def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.batch import register_temp_views
@@ -685,7 +688,10 @@ SELECT user_id % 10 AS user_bucket,
   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
 FROM events GROUP BY 1
 """,
-    doc="§2.10 — pivot (long->wide conditional aggregation)",
+    doc="§2.10 — pivot (long->wide conditional aggregation); driver-gated "
+    "via grouping_analytics / fanout_counts (same conditional-aggregation "
+    "surface)",
+    tier=2,
 )
 def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -711,7 +717,9 @@ SELECT 'without_orders' AS cohort, COUNT(*) AS cnt FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
     doc="§2.10 — left-semi / left-anti joins (the R1 router primitives, "
-    "standalone)",
+    "standalone); driver-gated via exists_router (the same semi/anti split "
+    "on the live streaming path)",
+    tier=2,
 )
 def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -796,9 +804,12 @@ JOIN nation sn ON s.s_nationkey = sn.n_nationkey
 WHERE cn.n_name < sn.n_name
 GROUP BY 1, 2, 3
 """,
-    doc="J1-J4/A6 — TPC-H-Q7-shaped two-sided nation volume: fact joined to "
+    doc="J1-J4/A6 — TPC-H-Q7-shaped two-sided nation volume (driver-gated via "
+    "revenue_by_region + enrich_events, the same dim-chain join + exact-sum "
+    "aggregation surface): fact joined to "
     "two independent dim chains (customer-side and supplier-side), yearly "
     "grouped revenue",
+    tier=2,
 )
 def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
