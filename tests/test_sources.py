@@ -6,7 +6,9 @@ normalize every vintage to the engine's canonical logical types."""
 from __future__ import annotations
 
 import datetime
+import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -312,3 +314,71 @@ def test_decimal_vintage_aggregation_matches_duckdb_oracle(spark, tmp_path) -> N
         ).fetchall()
     }
     assert got == exact
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NQS_KAFKA_BOOTSTRAP"),
+    reason="integration: set NQS_KAFKA_BOOTSTRAP=host:port (and have the "
+    "spark-sql-kafka-0-10 connector on the classpath) to round-trip a "
+    "micro-batch through a real broker",
+)
+def test_kafka_roundtrip_against_real_broker(spark, tmp_path) -> None:
+    """S1/S6 live-path closure: with a real broker reachable, one micro-batch
+    flows out through kafka_sink_writer's payload shaping and back in through
+    kafka_events_reader + parse_kafka_events, reproducing the fixture rows
+    exactly.  Uses the exact production builders — zero code changes, only
+    environment: NQS_KAFKA_BOOTSTRAP=host:port [NQS_KAFKA_TOPIC=name]."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nqs_console_flink_window_spark.sinks.writers import kafka_payload
+    from nqs_console_flink_window_spark.sources.batch import load_table
+    from nqs_console_flink_window_spark.sources.kafka import (
+        kafka_events_reader,
+        parse_kafka_events,
+    )
+
+    bootstrap = os.environ["NQS_KAFKA_BOOTSTRAP"]
+    host, _, port = bootstrap.partition(":")
+    topic = os.environ.get("NQS_KAFKA_TOPIC", f"nqs-it-{uuid.uuid4().hex[:8]}")
+
+    events = load_table(spark, SMOKE_SF_DIR, "events").limit(50)
+    want = {r["event_id"] for r in events.select("event_id").collect()}
+
+    # start the consumer FIRST (startingOffsets=latest in the production
+    # option map), then produce
+    parsed = parse_kafka_events(
+        kafka_events_reader(
+            spark, topic, host, port=port or 9092
+        ).load()
+    )
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", str(tmp_path / "in"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # one-shot batch produce through the same payload shaping the
+        # streaming writer uses
+        (
+            kafka_payload(events)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", f"{host}:{port or 9092}")
+            .option("topic", topic)
+            .save()
+        )
+        import time as _t
+
+        deadline = _t.time() + 60
+        got: set[int] = set()
+        while _t.time() < deadline and got != want:
+            q.processAllAvailable()
+            back = spark.read.schema(events.schema).parquet(str(tmp_path / "in"))
+            got = {r["event_id"] for r in back.select("event_id").collect()}
+            if got != want:
+                _t.sleep(2)
+    finally:
+        q.stop()
+    assert got == want

@@ -1,0 +1,103 @@
+"""ipdb-scale range-join measurement (round-5 verdict item: the J4 scale
+path should be MEASURED, not just plan-asserted).
+
+Builds a synthetic ipdb of ~1e7 non-overlapping IP ranges spanning the u32
+address space (the reference's IPHelper.java:35-66 lookup table at realistic
+cardinality — the fixture nation table has 25 ranges) plus a fact side of
+the events table replicated 10x with a pseudo-random ip column, both written
+to parquet so the join reads a real scan.  Runs
+operators/enrich.bucketed_range_join, asserts the physical plan is an EQUI
+join (no BroadcastNestedLoopJoin / CartesianProduct anywhere), and prints
+timings.
+
+Usage: python tools/range_join_scale.py [n_ranges] [replicas]
+Defaults: 10_000_000 ranges, 10x events.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nqs_console_flink_window_spark.operators.enrich import (  # noqa: E402
+    bucketed_range_join,
+)
+from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
+from nqs_console_flink_window_spark.sources.batch import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+U32 = 1 << 32
+# ~1e7 ranges spaced across u32 -> avg spacing ~429; widths 64..448 keep
+# ranges narrow vs the bucket width (the operator's stated design regime).
+WIDTH = 4096.0  # bucket width: each range overlaps 1-2 buckets
+
+
+def main() -> None:
+    n_ranges = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("range-join-scale")
+    tmp = tempfile.mkdtemp(prefix="rjscale-")
+    try:
+        spacing = U32 // n_ranges
+        ranges = spark.range(n_ranges).select(
+            (F.col("id") * spacing).alias("lo"),
+            (F.col("id") * spacing + 64 + (F.col("id") % 384)).alias("hi"),
+            F.col("id").alias("range_id"),
+        )
+        ranges.write.mode("overwrite").parquet(f"{tmp}/ranges")
+
+        ev = load_table(spark, BASE, "events").select("event_id")
+        rep = spark.range(replicas).select(F.col("id").alias("rep"))
+        facts = ev.crossJoin(F.broadcast(rep)).select(
+            (F.col("event_id") * replicas + F.col("rep")).alias("fact_id"),
+            # Knuth-hash the id into u32 so hits/misses mix realistically
+            (
+                ((F.col("event_id") * replicas + F.col("rep")) * F.lit(2654435761))
+                .cast("long") % F.lit(U32)
+            ).alias("ip"),
+        )
+        facts.write.mode("overwrite").parquet(f"{tmp}/facts")
+
+        def build():
+            # fresh read per run: repeated collects on one DataFrame reuse
+            # shuffle map outputs and would time only the final stage
+            r = spark.read.parquet(f"{tmp}/ranges")
+            f = spark.read.parquet(f"{tmp}/facts")
+            joined = bucketed_range_join(f, r, "ip", "lo", "hi", width=WIDTH)
+            return joined.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count("range_id").alias("matched"),
+            )
+
+        n_facts = spark.read.parquet(f"{tmp}/facts").count()
+        agg = build()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, "BNLJ in range join plan"
+        assert "CartesianProduct" not in plan, "cartesian in range join plan"
+
+        rows = agg.collect()[0]  # warm (also verifies the join executes)
+        times = []
+        for _ in range(3):
+            fresh = build()
+            t0 = time.time()
+            fresh.collect()
+            times.append(time.time() - t0)
+        print(
+            f"ranges={n_ranges} facts={n_facts} width={WIDTH} "
+            f"out_rows={rows['rows']} matched={rows['matched']} "
+            f"equi_join_plan=OK median_s={sorted(times)[1]:.2f}"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,8 @@ prints per-query wall times with the scale ratio.  A design with the right
 shuffle shape lands near Kx (or below, where fixed Spark overhead dominates
 at sf0.1); a super-linear ratio flags an accidental quadratic/broadcast-miss.
 
-Usage: python tools/soak.py [K] [--keep]    (default K=10)
+Usage: python tools/soak.py [K] [--keep] [--queries=a,b,c]
+(default K=10, full SOAK_QUERIES list)
 """
 
 from __future__ import annotations
@@ -124,9 +125,9 @@ def build_scaled_dir(spark, k: int, out: str) -> None:
         scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name in SOAK_QUERIES:
+    for name in queries:
         q = REGISTRY[name]
         t0 = time.time()
         q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -137,6 +138,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     keep = "--keep" in sys.argv
+    queries = SOAK_QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            queries = a.split("=", 1)[1].split(",")
     spark = get_spark("nqs-soak")
     out = tempfile.mkdtemp(prefix="nqs_soak_")
     t0 = time.time()
@@ -144,7 +149,7 @@ def main() -> None:
     build_s = round(time.time() - t0, 1)
 
     # warmup (codegen/JIT) at the small smoke dir, mirroring bench.py
-    for name in SOAK_QUERIES:
+    for name in queries:
         try:
             REGISTRY[name].spark(spark, "/root/testdata/sf0.001").write.mode(
                 "overwrite"
@@ -152,8 +157,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"warmup fail {name}: {e}", file=sys.stderr)
 
-    base = run_suite(spark, BASE)
-    scaled = run_suite(spark, out)
+    base = run_suite(spark, BASE, queries)
+    scaled = run_suite(spark, out, queries)
     report = {
         "k": k,
         "build_sec": build_s,
@@ -165,7 +170,7 @@ def main() -> None:
                 "scaled_sec": scaled[n],
                 "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
             }
-            for n in SOAK_QUERIES
+            for n in queries
         },
     }
     print(json.dumps(report))
