@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
 from ..streaming import jobs as J
-from .queries import _DISPATCH_SQL, _FACT_ORACLE
+from .queries import _DISPATCH_SQL_ENGINE, _FACT_ORACLE
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -122,7 +122,7 @@ def fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="nqs_stream_")
     out_dir, cp_dir = f"{work}/out", f"{work}/cp"
-    J.run_fact_stream(spark, sf_dir, out_dir, cp_dir, _DISPATCH_SQL)
+    J.run_fact_stream(spark, sf_dir, out_dir, cp_dir, _DISPATCH_SQL_ENGINE)
     # The work dir is left in place for the session's lifetime: the returned
     # DataFrame lazily re-reads it (deleting it after a cache() would break
     # recompute on eviction).  Checkpoint+output are a few MB under /tmp.
