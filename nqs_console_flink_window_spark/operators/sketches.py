@@ -235,3 +235,87 @@ SELECT probe_set, CAST(COUNT(*) AS BIGINT) AS n_probes,
   CAST(SUM(hit) AS BIGINT) AS n_positive
 FROM checked GROUP BY probe_set
 """
+
+
+# --------------------------------------------------------------------------
+# Histogram quantiles — the 100 TB percentile path
+# --------------------------------------------------------------------------
+#
+# `percentiles` (plans/queries_ops.py) is exact `percentile()` — per-key it
+# materializes and sorts the full value set, which at 100 TB is the one
+# aggregate you cannot afford.  The production pattern is a two-pass
+# fixed-bin histogram: pass 1 aggregates per-key (min, max, count); pass 2
+# buckets every value into HQ_BINS equal-width bins and reads the quantile
+# off the cumulative histogram (deterministic mid-bin rule, error bounded by
+# half a bin width: (max-min)/(2*HQ_BINS)).  State per key is <= HQ_BINS
+# longs — mergeable, bounded, shuffle keys = (key, bin), no sort anywhere.
+#
+# Everything is plain IEEE double arithmetic with identical expression trees
+# on both engines (floor/ceil/LEAST/GREATEST and a partitioned window over
+# <= HQ_BINS rows), so unlike engine-native approx_percentile (different
+# sketches, unmatchable results) this estimator is value-oracle-able: the
+# DuckDB twin runs the same text and hashes green.
+
+HQ_BINS = 4096
+HQ_QS = (("p50", "0.5E0"), ("p90", "0.9E0"), ("p99", "0.99E0"))
+
+
+def histogram_quantiles_sql(
+    d: str,
+    table: str = "events",
+    key: str = "event_type",
+    val: str = "value",
+    stats_src: str | None = None,
+) -> str:
+    """One SQL text both engines run.  ``stats_src`` lets the Spark side
+    substitute a STAGED pass-1 aggregate (Spark inlines multiply-referenced
+    CTEs — the stats subquery is referenced by both pass 2 and the final
+    select, which would re-scan the corpus); DuckDB materializes the CTE and
+    keeps the plain form."""
+    stats = stats_src or (
+        f"(SELECT {key} AS k, MIN({val}) AS mn, MAX({val}) AS mx, "
+        f"COUNT(*) AS n FROM {table} "
+        # NaN guard: Spark's MAX treats NaN as +inf while DuckDB skips it,
+        # and an ANSI CAST(floor(NaN)) would error — exclude on both engines
+        f"WHERE {val} IS NOT NULL AND NOT isnan(CAST({val} AS DOUBLE)) "
+        f"GROUP BY 1)"
+    )
+    # bin width / index: guarded for the degenerate single-value key
+    # (mx = mn -> every row bin 0, estimate = mn exactly)
+    width = f"((s.mx - s.mn) / {HQ_BINS}.0E0)"
+    bin_ix = (
+        f"(CASE WHEN s.mx = s.mn THEN 0 ELSE "
+        f"LEAST({HQ_BINS - 1}, GREATEST(0, "
+        f"CAST(floor((e.{val} - s.mn) / {width}) AS INT))) END)"
+    )
+    sels = ", ".join(
+        f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END) AS b_{name}"
+        for name, q in HQ_QS
+    )
+    outs = ", ".join(
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + (CAST(b_{name} AS DOUBLE) + 0.5E0) * ((mx - mn) / {HQ_BINS}.0E0) "
+        f"END AS {name}"
+        for name, _ in HQ_QS
+    )
+    return f"""
+WITH hist AS (
+  SELECT s.k, {bin_ix} AS b, COUNT(*) AS c
+  FROM {table} e JOIN {stats} s ON e.{key} = s.k
+  WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE))
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT k, b, SUM(c) OVER (
+    PARTITION BY k ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+sel AS (
+  SELECT c.k, s.mn, s.mx, s.n, {sels}
+  FROM cum c JOIN {stats} s ON c.k = s.k
+  GROUP BY c.k, s.mn, s.mx, s.n
+)
+SELECT k AS {key}, CAST(n AS BIGINT) AS n, {outs}
+FROM sel
+"""

@@ -651,6 +651,42 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import sketches as SK  # noqa: E402
+
+
+@register(
+    "histogram_quantiles",
+    sql=SK.histogram_quantiles_sql("duck"),
+    doc="A6/§2.10 at 100 TB — two-pass fixed-bin histogram quantiles "
+    "(p50/p90/p99 per key): pass 1 aggregates (min,max,count), pass 2 "
+    "buckets into 4096 equal-width bins and reads the quantile off the "
+    "cumulative histogram (mid-bin rule, error <= half a bin width — "
+    "pytest-bounded vs exact percentile).  No per-key sort, state <= 4096 "
+    "longs per key, mergeable — the scale path beside the exact-sort "
+    "`percentiles`; deterministic IEEE arithmetic, so unlike engine-native "
+    "approx_percentile sketches it is value-oracled; driver-gated via "
+    "percentiles (same A6 quantile surface)",
+    tier=2,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged_views
+    from ..sources.batch import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("events",))
+    # Stage pass 1: the stats aggregate is referenced by pass 2 AND the
+    # final select — Spark's CTE inlining would re-scan events per reference
+    stats = spark.sql(
+        "SELECT event_type AS k, MIN(value) AS mn, MAX(value) AS mx, "
+        "COUNT(*) AS n FROM events "
+        "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
+        "GROUP BY 1"
+    )
+    with staged_views(spark, hq_stats=stats) as sv:
+        return spark.sql(
+            SK.histogram_quantiles_sql("spark", stats_src=sv.hq_stats)
+        ).localCheckpoint()
+
+
 _EXISTS_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o

