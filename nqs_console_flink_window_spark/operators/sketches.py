@@ -319,3 +319,57 @@ sel AS (
 SELECT k AS {key}, CAST(n AS BIGINT) AS n, {outs}
 FROM sel
 """
+
+
+def fixed_domain_hist(
+    df, key: str, val: str, lo: float, hi: float, bins: int = HQ_BINS
+):
+    """Per-key fixed-domain histogram (k, b, c) — the MERGEABLE form: with
+    the domain fixed up front (no data-dependent min/max pass), per-batch
+    histograms merge by plain addition, so a stream can land one histogram
+    per micro-batch and a reader can SUM them into the exact global
+    histogram (streaming/jobs.run_quantile_stream).  Out-of-domain values
+    clamp into the edge bins."""
+    from pyspark.sql import functions as F
+
+    w = (hi - lo) / float(bins)
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(val) - F.lit(lo)) / F.lit(w)).cast("int"),
+        ),
+    )
+    return (
+        df.filter(F.col(val).isNotNull() & ~F.isnan(F.col(val).cast("double")))
+        .select(F.col(key).alias("k"), b.alias("b"))
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantiles_from_hist(hist, lo: float, hi: float, bins: int = HQ_BINS):
+    """Read p50/p90/p99 off a (k, b, c) histogram (merged or single-pass)
+    with the same mid-bin rank rule as histogram_quantiles_sql."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (hi - lo) / float(bins)
+    cum = hist.groupBy("k", "b").agg(F.sum("c").alias("c")).withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("k").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = cum.groupBy("k").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(totals), "k")
+    aggs = [F.max("n").cast("long").alias("n")]
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        sel = F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("b"))
+        )
+        aggs.append(
+            (F.lit(lo) + (sel.cast("double") + F.lit(0.5)) * F.lit(w)).alias(name)
+        )
+    return j.groupBy("k").agg(*aggs)

@@ -676,3 +676,73 @@ def run_curation_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile monitoring — the mergeable-histogram property used for
+# real: each micro-batch lands its own fixed-domain histogram (bounded: at
+# most keys x HQ_BINS rows per batch, whatever the batch size), and the
+# reader SUMs the landed histograms into the exact global histogram before
+# the quantile read-off.  The per-batch landing is the idempotent batch_id
+# subpath, so replays converge like every other landing in this module.
+# The fixed domain is the streaming trade: quantiles of a boundless stream
+# need the bin edges pinned up front (calibrate on a reference sample or
+# known metric range); out-of-domain values clamp to the edge bins.
+# ---------------------------------------------------------------------------
+
+
+def hist_batch(
+    bspark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    hist_dir: str,
+    key: str,
+    val: str,
+    lo: float,
+    hi: float,
+) -> None:
+    from ..operators import sketches as SK
+    from ..sinks import writers as W
+
+    hist = SK.fixed_domain_hist(batch_df, key, val, lo, hi)
+    W.idempotent_batch_write(hist, hist_dir, batch_id)
+
+
+def run_quantile_stream(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    hist_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_type",
+    val: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        hist_batch(batch_df.sparkSession, batch_df, batch_id, hist_dir,
+                   key, val, lo, hi)
+
+    q = (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merged_quantiles(
+    spark: SparkSession,
+    hist_dir: str,
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Exact merge of every landed per-batch histogram + quantile read-off
+    — identical to running the fixed-domain estimator over the whole table
+    in one batch pass (pytest-asserted bit-exact)."""
+    from ..operators import sketches as SK
+
+    hist = spark.read.parquet(hist_dir).select("k", "b", "c")
+    return SK.quantiles_from_hist(hist, lo, hi)
