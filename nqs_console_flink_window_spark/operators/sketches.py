@@ -373,3 +373,52 @@ def quantiles_from_hist(hist, lo: float, hi: float, bins: int = HQ_BINS):
             (F.lit(lo) + (sel.cast("double") + F.lit(0.5)) * F.lit(w)).alias(name)
         )
     return j.groupBy("k").agg(*aggs)
+
+
+def robust_outlier_bounds_sql(
+    d: str,
+    table: str = "events",
+    key: str = "event_type",
+    val: str = "value",
+    k: float = 3.0,
+    med_src: str | None = None,
+    dev_src: str | None = None,
+) -> str:
+    """Robust per-key outlier bounds — the data-cleaning pass run before
+    corpus statistics: center = histogram median, spread = histogram p90 of
+    absolute deviations (the quantile analogue of MAD — mean/stddev would
+    let the outliers define their own trim threshold).  Emits per key the
+    bounds [med - k*spread, med + k*spread] and kept/trimmed counts.
+
+    Everything rides histogram_quantiles_sql, so the whole thing is
+    sort-free, bounded-state, and deterministic IEEE on both engines
+    (value-oracled).  ``med_src``/``dev_src`` let the Spark side substitute
+    STAGED intermediates (each is referenced more than once — Spark's CTE
+    inlining would re-run the upstream histogram per reference)."""
+    med = med_src or f"(SELECT {key} AS mk, p50 AS med FROM ({histogram_quantiles_sql(d, table, key, val)}) mq)"
+    devs = (
+        f"(SELECT e.{key}, ABS(e.{val} - m.med) AS {val} "
+        f"FROM {table} e JOIN {med} m ON e.{key} = m.mk "
+        f"WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE)))"
+    )
+    dev = dev_src or (
+        f"(SELECT {key} AS dk, p90 AS spread "
+        f"FROM ({histogram_quantiles_sql(d, devs, key, val)}) dq)"
+    )
+    kf = f"{k!r}E0" if "e" not in repr(float(k)) else repr(float(k))
+    return f"""
+SELECT e.{key},
+  m.med - {kf} * s.spread AS lo_bound,
+  m.med + {kf} * s.spread AS hi_bound,
+  CAST(SUM(CASE WHEN e.{val} >= m.med - {kf} * s.spread
+                 AND e.{val} <= m.med + {kf} * s.spread
+            THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN e.{val} < m.med - {kf} * s.spread
+                 OR e.{val} > m.med + {kf} * s.spread
+            THEN 1 ELSE 0 END) AS BIGINT) AS trimmed
+FROM {table} e
+JOIN {med} m ON e.{key} = m.mk
+JOIN {dev} s ON e.{key} = s.dk
+WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE))
+GROUP BY 1, 2, 3
+"""

@@ -687,6 +687,58 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
 
 
+@register(
+    "robust_outlier_bounds",
+    sql=SK.robust_outlier_bounds_sql("duck"),
+    doc="Extension at 100 TB — robust per-key outlier bounds for corpus "
+    "cleaning: center = histogram median, spread = histogram p90 of "
+    "absolute deviations (the quantile analogue of MAD — mean/stddev would "
+    "let the outliers set their own trim threshold), bounds med +- "
+    "3*spread with kept/trimmed counts.  Composes histogram_quantiles "
+    "twice, so sort-free / bounded-state / deterministic-IEEE end-to-end "
+    "and value-oracled; driver-gated via percentiles + histogram family "
+    "(same A6 quantile surface)",
+    tier=2,
+)
+def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged_views
+    from ..sources.batch import register_temp_views
+
+    register_temp_views(spark, sf_dir, ("events",))
+    # Every intermediate below is referenced 2+ times downstream; stage each
+    # (Spark CTE inlining would re-run the whole upstream per reference).
+    med = histogram_quantiles(spark, sf_dir).select(
+        F.col("event_type").alias("mk"), F.col("p50").alias("med")
+    )
+    with staged_views(spark, rb_med=med) as sv1:
+        devs = spark.sql(
+            f"SELECT e.event_type, ABS(e.value - m.med) AS value "
+            f"FROM events e JOIN {sv1.rb_med} m ON e.event_type = m.mk "
+            f"WHERE e.value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))"
+        )
+        with staged_views(spark, rb_devs=devs) as sv2:
+            dstats = spark.sql(
+                f"SELECT event_type AS k, MIN(value) AS mn, MAX(value) AS mx, "
+                f"COUNT(*) AS n FROM {sv2.rb_devs} "
+                f"WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
+                f"GROUP BY 1"
+            )
+            with staged_views(spark, rb_dstats=dstats) as sv3:
+                dev = spark.sql(
+                    "SELECT event_type AS dk, p90 AS spread FROM ("
+                    + SK.histogram_quantiles_sql(
+                        "spark", table=sv2.rb_devs, stats_src=sv3.rb_dstats
+                    )
+                    + ") dq"
+                )
+                with staged_views(spark, rb_dev=dev) as sv4:
+                    return spark.sql(
+                        SK.robust_outlier_bounds_sql(
+                            "spark", med_src=sv1.rb_med, dev_src=sv4.rb_dev
+                        )
+                    ).localCheckpoint()
+
+
 _EXISTS_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
