@@ -230,7 +230,11 @@ def metric_term_rank_sql(m: Metric, x: str) -> str:
         if b.hi is None:
             continue
         e = b.hi
-        owner = next(bb for bb in m.bands if _band_contains(bb, e))
+        owner = next((bb for bb in m.bands if _band_contains(bb, e)), None)
+        if owner is None:
+            # both-exclusive shared edge: the edge VALUE belongs to no band
+            # (a gap point) — the rank form cannot encode that; CASE chain
+            return metric_term_sql(m, x)
         op = ">" if owner is b else ">="
         casts.append(f"CAST(({x}) {op} {_lit(e)} AS INT)")
     idx = "(" + " + ".join(casts) + ")" if casts else "0"
@@ -260,7 +264,11 @@ def metric_term_rank_sql(m: Metric, x: str) -> str:
         cond0 = f"(({x}) {'>=' if b0.lo_incl else '>'} {_lit(b0.lo)})"
     elems = [f"(CASE WHEN {cond0} THEN {val(b0)} ELSE {fallback} END)"]
     elems += [val(b) for b in bands[1:]]
-    return f"COALESCE(get(array({', '.join(elems)}), {idx}), {fallback})"
+    gather = f"COALESCE(get(array({', '.join(elems)}), {idx}), {fallback})"
+    # NULL guard lives HERE (exactly like metric_term_sql's first WHEN), so
+    # the rank form is a drop-in twin: without it, NULL x would rank to a
+    # NULL idx and COALESCE to the out-of-band fallback instead of 0.0.
+    return f"(CASE WHEN ({x}) IS NULL THEN 0.0 ELSE {gather} END)"
 
 
 def record_score_rank_sql(protocol: str, colmap: dict[str, str] | None = None) -> str:
@@ -276,14 +284,9 @@ def record_score_rank_sql(protocol: str, colmap: dict[str, str] | None = None) -
         if m.outlier
     ]
     any_outlier = " OR ".join(outliers) if outliers else "FALSE"
-    terms = []
-    for m in crit.metrics:
-        x = xs[m.name]
-        terms.append(
-            f"(CASE WHEN ({x}) IS NULL THEN 0.0 "
-            f"ELSE {metric_term_rank_sql(m, x)} END)"
-        )
-    total = " + ".join(terms)
+    total = " + ".join(
+        metric_term_rank_sql(m, xs[m.name]) for m in crit.metrics
+    )
     from .dialect import fround
 
     clamped = f"LEAST(GREATEST({total}, 0.0), 100.0)"

@@ -415,6 +415,8 @@ def semdedup_tables_for(n: int) -> int:
 
 def _semdedup_tables_case_sql(vec_table: str) -> str:
     """The same derivation as a scalar SQL expression over COUNT(*)."""
+    if SEMDEDUP_MAX_TABLES == 1:  # a zero-WHEN CASE would not parse
+        return "1"
     whens = " ".join(
         f"WHEN cnt <= {SEMDEDUP_TARGET_CLUSTER * (1 << (t * LSH_PLANES))} THEN {t}"
         for t in range(1, SEMDEDUP_MAX_TABLES)

@@ -333,15 +333,24 @@ def fixed_domain_hist(
     from pyspark.sql import functions as F
 
     w = (hi - lo) / float(bins)
-    b = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(val) - F.lit(lo)) / F.lit(w)).cast("int"),
-        ),
+    # Clamp in LONG space BEFORE the int cast: a far-out-of-domain value
+    # (or +inf) yields a floor() beyond int32 — casting first would wrap
+    # (or throw under ANSI) and land the value in the BOTTOM bin instead of
+    # the promised edge bin.  floor() of a double column is LONG already.
+    b = (
+        F.least(
+            F.lit(bins - 1).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.col(val) - F.lit(lo)) / F.lit(w)),
+            ),
+        )
+    ).cast("int")
+    fin = ~F.isnan(F.col(val).cast("double")) & (
+        F.abs(F.col(val).cast("double")) != float("inf")
     )
     return (
-        df.filter(F.col(val).isNotNull() & ~F.isnan(F.col(val).cast("double")))
+        df.filter(F.col(val).isNotNull() & fin)
         .select(F.col(key).alias("k"), b.alias("b"))
         .groupBy("k", "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -422,3 +431,64 @@ JOIN {dev} s ON e.{key} = s.dk
 WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE))
 GROUP BY 1, 2, 3
 """
+
+
+def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
+    """DataFrame form of :func:`histogram_quantiles_sql` — bit-identical
+    expression trees (the SQL fragments below are the oracle text minus the
+    table qualifiers), but composed as a plan so the registered query's
+    physical plan stays inspectable (a terminal localCheckpoint would
+    collapse it to Scan ExistingRDD and make every plan guard vacuous).
+    Only the bounded pass-1 stats aggregate (<= #keys rows) is checkpointed
+    — it feeds both pass 2 and the final select, and Spark would otherwise
+    re-run pass 1 per reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fin = f"{val} IS NOT NULL AND NOT isnan(CAST({val} AS DOUBLE))"
+    stats = (
+        df.filter(fin)
+        .groupBy(F.col(key).alias("k"))
+        .agg(
+            F.min(val).alias("mn"),
+            F.max(val).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    width = f"((mx - mn) / {HQ_BINS}.0E0)"
+    bin_ix = (
+        f"(CASE WHEN mx = mn THEN 0 ELSE "
+        f"LEAST({HQ_BINS - 1}, GREATEST(0, "
+        f"CAST(floor(({val} - mn) / {width}) AS INT))) END)"
+    )
+    hist = (
+        df.filter(fin)
+        .join(F.broadcast(stats), F.col(key) == F.col("k"))
+        .select("k", F.expr(bin_ix).alias("b"))
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("k").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sels = [
+        F.expr(f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END)").alias(f"b_{name}")
+        for name, q in HQ_QS
+    ]
+    sel = cum.join(F.broadcast(stats), "k").groupBy("k", "mn", "mx", "n").agg(*sels)
+    outs = [
+        F.expr(
+            f"CASE WHEN mx = mn THEN mn ELSE "
+            f"mn + (CAST(b_{name} AS DOUBLE) + 0.5E0) * ((mx - mn) / {HQ_BINS}.0E0) "
+            f"END"
+        ).alias(name)
+        for name, _ in HQ_QS
+    ]
+    return sel.select(
+        F.col("k").alias(key), F.col("n").cast("long").alias("n"), *outs
+    )

@@ -669,22 +669,8 @@ from ..operators import sketches as SK  # noqa: E402
     tier=2,
 )
 def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged_views
-    from ..sources.batch import register_temp_views
-
-    register_temp_views(spark, sf_dir, ("events",))
-    # Stage pass 1: the stats aggregate is referenced by pass 2 AND the
-    # final select — Spark's CTE inlining would re-scan events per reference
-    stats = spark.sql(
-        "SELECT event_type AS k, MIN(value) AS mn, MAX(value) AS mx, "
-        "COUNT(*) AS n FROM events "
-        "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
-        "GROUP BY 1"
-    )
-    with staged_views(spark, hq_stats=stats) as sv:
-        return spark.sql(
-            SK.histogram_quantiles_sql("spark", stats_src=sv.hq_stats)
-        ).localCheckpoint()
+    ev = load_table(spark, sf_dir, "events")
+    return SK.histogram_quantiles_df(ev)
 
 
 @register(
@@ -701,42 +687,45 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier=2,
 )
 def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged_views
-    from ..sources.batch import register_temp_views
-
-    register_temp_views(spark, sf_dir, ("events",))
-    # Every intermediate below is referenced 2+ times downstream; stage each
-    # (Spark CTE inlining would re-run the whole upstream per reference).
-    med = histogram_quantiles(spark, sf_dir).select(
-        F.col("event_type").alias("mk"), F.col("p50").alias("med")
+    ev = load_table(spark, sf_dir, "events")
+    fin = "value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))"
+    # Tiny per-key intermediates (median, spread) are checkpointed — each
+    # feeds 2+ downstream references; the final plan stays inspectable.
+    med = (
+        SK.histogram_quantiles_df(ev)
+        .select(F.col("event_type").alias("mk"), F.col("p50").alias("med"))
+        .localCheckpoint()
     )
-    with staged_views(spark, rb_med=med) as sv1:
-        devs = spark.sql(
-            f"SELECT e.event_type, ABS(e.value - m.med) AS value "
-            f"FROM events e JOIN {sv1.rb_med} m ON e.event_type = m.mk "
-            f"WHERE e.value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))"
-        )
-        with staged_views(spark, rb_devs=devs) as sv2:
-            dstats = spark.sql(
-                f"SELECT event_type AS k, MIN(value) AS mn, MAX(value) AS mx, "
-                f"COUNT(*) AS n FROM {sv2.rb_devs} "
-                f"WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) "
-                f"GROUP BY 1"
-            )
-            with staged_views(spark, rb_dstats=dstats) as sv3:
-                dev = spark.sql(
-                    "SELECT event_type AS dk, p90 AS spread FROM ("
-                    + SK.histogram_quantiles_sql(
-                        "spark", table=sv2.rb_devs, stats_src=sv3.rb_dstats
-                    )
-                    + ") dq"
-                )
-                with staged_views(spark, rb_dev=dev) as sv4:
-                    return spark.sql(
-                        SK.robust_outlier_bounds_sql(
-                            "spark", med_src=sv1.rb_med, dev_src=sv4.rb_dev
-                        )
-                    ).localCheckpoint()
+    devs = (
+        ev.filter(fin)
+        .join(F.broadcast(med), F.col("event_type") == F.col("mk"))
+        .select("event_type", F.expr("ABS(value - med)").alias("value"))
+    )
+    dev = (
+        SK.histogram_quantiles_df(devs)
+        .select(F.col("event_type").alias("dk"), F.col("p90").alias("spread"))
+        .localCheckpoint()
+    )
+    j = (
+        ev.filter(fin)
+        .join(F.broadcast(med), F.col("event_type") == F.col("mk"))
+        .join(F.broadcast(dev), F.col("event_type") == F.col("dk"))
+    )
+    k = "3.0E0"
+    return j.groupBy(
+        "event_type",
+        F.expr(f"med - {k} * spread").alias("lo_bound"),
+        F.expr(f"med + {k} * spread").alias("hi_bound"),
+    ).agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN value >= med - {k} * spread "
+            f"AND value <= med + {k} * spread THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("kept"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN value < med - {k} * spread "
+            f"OR value > med + {k} * spread THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("trimmed"),
+    )
 
 
 _EXISTS_SQL = """

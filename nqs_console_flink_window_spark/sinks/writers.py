@@ -16,6 +16,7 @@ ClickHouse semantics -> Spark:
 from __future__ import annotations
 
 import math
+import os
 import shutil
 from datetime import date, timedelta
 from pathlib import Path
@@ -178,7 +179,17 @@ def _repair_crashed_compaction(gen_path: Path) -> None:
     import json as _json
 
     for manifest in sorted(gen_path.glob("_compact-*.manifest.json")):
-        spec = _json.loads(manifest.read_text())
+        try:
+            spec = _json.loads(manifest.read_text())
+        except ValueError:
+            # Torn write (power loss can persist the rename but not the
+            # content).  The stamp in the filename still identifies the
+            # candidate new files; KEEP them — state is unknowable, and a
+            # one-time duplicate (repairable upstream by A5 dedup-on-read)
+            # beats deleting files whose inputs may already be gone.  The
+            # unlink un-wedges every future pass.
+            manifest.unlink(missing_ok=True)
+            continue
         new_files = [gen_path / name for name in spec["new_files"]]
         if all(p.exists() for p in new_files):
             for f in spec["inputs"]:
@@ -260,11 +271,12 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
     # Commit point: manifest first (atomic rename), then move files in.
     manifest = gen_path / f"_compact-{stamp}.manifest.json"
     manifest_tmp = gen_path / f".compact-{stamp}.manifest.tmp"
-    manifest_tmp.write_text(
-        _json.dumps(
-            {"new_files": [d.name for d in dests], "inputs": inputs}
+    with open(manifest_tmp, "w") as fh:
+        fh.write(
+            _json.dumps({"new_files": [d.name for d in dests], "inputs": inputs})
         )
-    )
+        fh.flush()
+        os.fsync(fh.fileno())  # content durable BEFORE the rename commits it
     manifest_tmp.rename(manifest)
     moved = []
     for f, dest in zip(staged, dests):

@@ -692,7 +692,6 @@ def run_curation_stream(
 
 
 def hist_batch(
-    bspark: SparkSession,
     batch_df: DataFrame,
     batch_id: int,
     hist_dir: str,
@@ -719,10 +718,9 @@ def run_quantile_stream(
     hi: float = 1000.0,
 ) -> None:
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count() == 0:
+        if batch_df.isEmpty():
             return
-        hist_batch(batch_df.sparkSession, batch_df, batch_id, hist_dir,
-                   key, val, lo, hi)
+        hist_batch(batch_df, batch_id, hist_dir, key, val, lo, hi)
 
     q = (
         events_stream.writeStream.foreachBatch(process)

@@ -212,9 +212,9 @@ def test_rank_form_bit_identical(spark) -> None:
     )
     case_sql = dispatch_score_sql(proto_expr, maps)
     rank_sql = dispatch_score_rank_sql(proto_expr, maps)
-    rows = [(i, float(v)) for i, v in enumerate(_edge_grid() * 15)]
+    vals = [float(v) for v in _edge_grid() * 15] + [None] * 30  # NULL rows too
     grid = spark.createDataFrame(
-        [(i, i % 15, v) for i, (_, v) in enumerate(rows)],
+        [(i, i % 15, v) for i, v in enumerate(vals)],
         "event_id long, user_id long, value double",
     )
     bad = (

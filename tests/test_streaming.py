@@ -1196,9 +1196,8 @@ def test_quantile_stream_merges_to_exact_batch_histogram(spark, tmp_path) -> Non
 
     # replay batch 0: same subpath overwritten, merged result unchanged
     first = spark.read.parquet(f"{hist_dir}/batch_id=0")
-    J.hist_batch(spark, raw.limit(0), 99, hist_dir, "event_type", "value", 0.0, 1000.0)
+    J.hist_batch(raw.limit(0), 99, hist_dir, "event_type", "value", 0.0, 1000.0)
     J.hist_batch(
-        spark,
         spark.read.parquet(src).limit(first.agg(F.sum("c")).first()[0]),
         0,
         hist_dir,

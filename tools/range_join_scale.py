@@ -35,8 +35,9 @@ from nqs_console_flink_window_spark.sources.batch import load_table  # noqa: E40
 
 BASE = "/root/testdata/sf0.1"
 U32 = 1 << 32
-# ~1e7 ranges spaced across u32 -> avg spacing ~429; widths 64..448 keep
-# ranges narrow vs the bucket width (the operator's stated design regime).
+# ~1e7 ranges spaced across u32 -> spacing ~429; widths 32..287 stay BELOW
+# the spacing (truly non-overlapping, as a CIDR table is) and narrow vs the
+# bucket width (the operator's stated design regime).
 WIDTH = 4096.0  # bucket width: each range overlaps 1-2 buckets
 
 
@@ -47,9 +48,10 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="rjscale-")
     try:
         spacing = U32 // n_ranges
+        width_mod = max(1, min(256, spacing - 32))  # hi - lo < spacing
         ranges = spark.range(n_ranges).select(
             (F.col("id") * spacing).alias("lo"),
-            (F.col("id") * spacing + 64 + (F.col("id") % 384)).alias("hi"),
+            (F.col("id") * spacing + 32 + (F.col("id") % width_mod)).alias("hi"),
             F.col("id").alias("range_id"),
         )
         ranges.write.mode("overwrite").parquet(f"{tmp}/ranges")
@@ -59,9 +61,10 @@ def main() -> None:
         facts = ev.crossJoin(F.broadcast(rep)).select(
             (F.col("event_id") * replicas + F.col("rep")).alias("fact_id"),
             # Knuth-hash the id into u32 so hits/misses mix realistically
-            (
-                ((F.col("event_id") * replicas + F.col("rep")) * F.lit(2654435761))
-                .cast("long") % F.lit(U32)
+            # (pmod: the long multiply can wrap negative for huge ids, and
+            # Spark's % keeps the dividend's sign)
+            F.expr(
+                f"pmod((event_id * {replicas} + rep) * 2654435761, {U32})"
             ).alias("ip"),
         )
         facts.write.mode("overwrite").parquet(f"{tmp}/facts")

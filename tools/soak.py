@@ -77,6 +77,9 @@ SOAK_QUERIES = [
     # the degree-capped verifier beside its uncapped twin: the bounded-work
     # claim, measured on the flood-dense replica corpus
     "containment_capped",
+    # round 5: the sort-free quantile family (bounded-state claim) and the
+    # production estimate-only containment projection
+    "histogram_quantiles", "robust_outlier_bounds", "containment_estimate_fast",
 ]
 
 
