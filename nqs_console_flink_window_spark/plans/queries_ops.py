@@ -660,8 +660,9 @@ from ..operators import sketches as SK  # noqa: E402
     doc="A6/§2.10 at 100 TB — two-pass fixed-bin histogram quantiles "
     "(p50/p90/p99 per key): pass 1 aggregates (min,max,count), pass 2 "
     "buckets into 4096 equal-width bins and reads the quantile off the "
-    "cumulative histogram (mid-bin rule, error <= half a bin width — "
-    "pytest-bounded vs exact percentile).  No per-key sort, state <= 4096 "
+    "cumulative histogram (mid-bin rule; the selected rank's order "
+    "statistic lies within half a bin width — pytest- and "
+    "hypothesis-bounded).  No per-key sort, state <= 4096 "
     "longs per key, mergeable — the scale path beside the exact-sort "
     "`percentiles`; deterministic IEEE arithmetic, so unlike engine-native "
     "approx_percentile sketches it is value-oracled; driver-gated via "
