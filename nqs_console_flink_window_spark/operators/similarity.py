@@ -834,3 +834,172 @@ def ivfpq_topk(
         rerank=rerank,
         books=books,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding dedup — the SEMANTIC twin of dedup_text.
+# incremental_dedup: each ingest batch dedups against the PERSISTED SRP
+# bucket index of prior survivors (plus itself), touching O(batch + index
+# collisions), never re-scanning history.  Candidates come from (tbl,
+# bucket) collisions over the deterministic integer SRP family; the verify
+# step is the same quantized-integer cosine as semdedup_prune, so the whole
+# flow (including the 2-batch composition query) is DuckDB-value-oracled.
+# The index is TWO tables — bucket rows (vec_id, tbl, bucket) and quantized
+# vectors (vec_id, qe, nq) — so vectors are stored once, not once per table.
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_prep(df: DataFrame) -> DataFrame:
+    """(vec_id, lsh_buckets, qe, nq), checkpointed — the Arrow bucket UDF
+    and quantization run once per batch, then feed 3+ consumers."""
+    return (
+        with_lsh_buckets(df)
+        .withColumn("qe", F.expr(_quantize_spark("embedding")))
+        .select(
+            "vec_id",
+            "lsh_buckets",
+            "qe",
+            F.expr(_qnorm_spark("qe")).alias("nq"),
+        )
+        .localCheckpoint()
+    )
+
+
+def incremental_embedding_dedup(
+    spark,
+    new_vecs: DataFrame,
+    index_buckets: DataFrame | None,
+    index_vecs: DataFrame | None,
+    tau: float = SEMDEDUP_TAU,
+):
+    """Dedup ``new_vecs`` against the persisted index (None for the first
+    batch) and within the batch (greedy keep-min: a vector drops iff an
+    index vector or a LOWER-id batch-mate shares an SRP bucket with
+    quantized cosine >= tau).  Returns ``(kept, kept_buckets, kept_qvecs)``
+    — append the latter two to the index to ingest the batch."""
+    prep = embedding_dedup_prep(new_vecs)
+    buckets = prep.select(
+        "vec_id", F.posexplode("lsh_buckets").alias("tbl", "bucket")
+    )
+    qvecs = prep.select("vec_id", "qe", "nq")
+    qa = qvecs.select(
+        F.col("vec_id").alias("a_id"), F.col("qe").alias("qa"), F.col("nq").alias("na")
+    )
+    qb = qvecs.select(
+        F.col("vec_id").alias("b_id"), F.col("qe").alias("qb"), F.col("nq").alias("nb")
+    )
+    dup = None
+    if index_buckets is not None:
+        cand = (
+            buckets.join(
+                index_buckets.select(
+                    F.col("vec_id").alias("a_id"), "tbl", "bucket"
+                ),
+                ["tbl", "bucket"],
+            )
+            .select(F.col("vec_id").alias("b_id"), "a_id")
+            .distinct()
+        )
+        iq = index_vecs.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("qe").alias("qa"),
+            F.col("nq").alias("na"),
+        )
+        dup = (
+            cand.join(iq, "a_id")
+            .join(qb, "b_id")
+            .filter(F.expr(_qcos_expr()) >= tau)
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    in_batch = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        )
+        .distinct()
+        .join(qa, "a_id")
+        .join(qb, "b_id")
+        .filter(F.expr(_qcos_expr()) >= tau)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    dup = in_batch if dup is None else dup.unionByName(in_batch).distinct()
+    kept = new_vecs.join(dup, "vec_id", "left_anti")
+    kept_ids = kept.select("vec_id")
+    kept_buckets = buckets.join(kept_ids, "vec_id", "left_semi")
+    kept_qvecs = qvecs.join(kept_ids, "vec_id", "left_semi")
+    return kept, kept_buckets, kept_qvecs
+
+
+def incremental_embedding_dedup_duck_sql(
+    split: int, tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings"
+) -> str:
+    """DuckDB twin of the 2-batch composition (batch 1 = vec_id < split):
+    same SRP buckets, same greedy keep-min rule, same quantized cosine."""
+    qcos = (
+        "CASE WHEN qn.na = 0 OR qn.nb = 0 THEN 0.0 ELSE "
+        "(floor((CAST(qn.dot AS DOUBLE) / (SQRT(CAST(qn.na AS DOUBLE)) * "
+        "SQRT(CAST(qn.nb AS DOUBLE)))) * 1.0E8 + 0.5) / 1.0E8) END"
+    )
+    return f"""
+WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
+q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_Q} + 0.5) AS BIGINT)) AS qe
+  FROM {vec_table}
+),
+n AS (
+  SELECT vec_id, CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nq
+  FROM q
+),
+colls AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+ex AS (
+  SELECT c.a_id, c.b_id, qa.qe AS qea, qb.qe AS qeb,
+         unnest(range(1, len(qa.qe) + 1)) AS i
+  FROM colls c
+  JOIN q qa ON qa.vec_id = c.a_id
+  JOIN q qb ON qb.vec_id = c.b_id
+),
+dots AS (
+  SELECT a_id, b_id, CAST(SUM(qea[i] * qeb[i]) AS BIGINT) AS dot
+  FROM ex GROUP BY 1, 2
+),
+qn AS (
+  SELECT d.a_id, d.b_id, d.dot, nla.nq AS na, nlb.nq AS nb
+  FROM dots d
+  JOIN n nla ON nla.vec_id = d.a_id
+  JOIN n nlb ON nlb.vec_id = d.b_id
+),
+sim AS (SELECT a_id, b_id FROM qn WHERE {qcos} >= {tau}),
+dup1 AS (
+  SELECT DISTINCT b_id AS vec_id FROM sim
+  WHERE a_id < {split} AND b_id < {split}
+),
+kept1 AS (
+  SELECT vec_id FROM {vec_table} WHERE vec_id < {split}
+  EXCEPT SELECT vec_id FROM dup1
+),
+dup2 AS (
+  SELECT DISTINCT s.b_id AS vec_id FROM sim s
+  WHERE s.b_id >= {split}
+    AND (s.a_id >= {split} OR s.a_id IN (SELECT vec_id FROM kept1))
+),
+kept2 AS (
+  SELECT vec_id FROM {vec_table} WHERE vec_id >= {split}
+  EXCEPT SELECT vec_id FROM dup2
+)
+SELECT vec_id, 1 AS batch FROM kept1
+UNION ALL
+SELECT vec_id, 2 AS batch FROM kept2
+"""

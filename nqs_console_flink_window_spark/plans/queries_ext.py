@@ -1032,6 +1032,33 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_SPLIT = 250
+
+
+@register(
+    "incremental_embedding_dedup_batches",
+    sql=SIM.incremental_embedding_dedup_duck_sql(_EMB_SPLIT),
+    doc="Extension — ingest-time incremental SEMANTIC dedup "
+    "(operators/similarity.py:incremental_embedding_dedup): batch 2 dedups "
+    "against the persisted SRP bucket index + quantized vectors of batch "
+    "1's survivors plus itself — O(batch + index collisions), vectors "
+    "stored once (bucket rows and qvecs are separate index tables); greedy "
+    "keep-min verify via the semdedup quantized-integer cosine, so the "
+    "whole 2-batch flow is value-oracled; embedding-dedup family "
+    "driver-gated via semantic_pairs / dedup_clusters",
+    tier=2,
+)
+def incremental_embedding_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") < _EMB_SPLIT)
+    b2 = emb.filter(F.col("vec_id") >= _EMB_SPLIT)
+    kept1, bk1, qv1 = SIM.incremental_embedding_dedup(spark, b1, None, None)
+    kept2, _, _ = SIM.incremental_embedding_dedup(spark, b2, bk1, qv1)
+    return kept1.select("vec_id", F.lit(1).alias("batch")).unionByName(
+        kept2.select("vec_id", F.lit(2).alias("batch"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic train/val/test split — content-hash assignment, stable
 # across runs, machines, and partitionings (never rand(): a re-run must

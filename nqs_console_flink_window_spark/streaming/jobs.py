@@ -744,3 +744,56 @@ def merged_quantiles(
 
     hist = spark.read.parquet(hist_dir).select("k", "b", "c")
     return SK.quantiles_from_hist(hist, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic (embedding) dedup — the SRP-bucket twin of the MinHash
+# ingest gate above: each micro-batch dedups against the persisted index of
+# prior survivors, with the index split into bucket rows and quantized
+# vectors so vectors are stored once, not once per SRP table.
+# ---------------------------------------------------------------------------
+
+
+def ingest_embedding_dedup_batch(
+    bspark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    kept_dir: str,
+    index_dir: str,
+) -> None:
+    """One micro-batch's semantic ingest: dedup against the bucket/vector
+    index, land survivors + their index rows under the batch_id subpath.
+    Replay-convergent (idempotent subpaths, exclude-own-batch index read)."""
+    from ..operators import similarity as SIM
+
+    idx_b = _read_prior_batches(bspark, f"{index_dir}/buckets", batch_id)
+    idx_v = _read_prior_batches(bspark, f"{index_dir}/vectors", batch_id)
+    kept, kept_buckets, kept_qvecs = SIM.incremental_embedding_dedup(
+        bspark, batch_df, idx_b, idx_v
+    )
+    W.idempotent_batch_write(kept, kept_dir, batch_id)
+    W.idempotent_batch_write(kept_buckets, f"{index_dir}/buckets", batch_id)
+    W.idempotent_batch_write(kept_qvecs, f"{index_dir}/vectors", batch_id)
+
+
+def run_embedding_dedup_stream(
+    spark: SparkSession,
+    vecs_stream: DataFrame,
+    kept_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_embedding_dedup_batch(
+            batch_df.sparkSession, batch_df, batch_id, kept_dir, index_dir
+        )
+
+    q = (
+        vecs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1211,3 +1211,58 @@ def test_quantile_stream_merges_to_exact_batch_histogram(spark, tmp_path) -> Non
     # the untouched batches
     again = J.merged_quantiles(spark, hist_dir, 0.0, 1000.0)
     assert again.count() == len(batch)
+
+
+def test_embedding_dedup_stream_matches_batch_composition(spark, tmp_path) -> None:
+    """Streaming semantic ingest == the batch composition: feeding the
+    embeddings in vec_id-ordered micro-batches through
+    run_embedding_dedup_stream must keep exactly the vectors the sequential
+    incremental_embedding_dedup composition keeps, and a replay of a batch
+    must not change the landed survivors."""
+    from nqs_console_flink_window_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cut1, cut2 = n // 3, 2 * (n // 3)
+
+    # batch composition (sequential, same batch boundaries)
+    b1 = emb.filter(F.col("vec_id") < cut1)
+    b2 = emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))
+    b3 = emb.filter(F.col("vec_id") >= cut2)
+    k1, bk1, qv1 = SIM.incremental_embedding_dedup(spark, b1, None, None)
+    k2, bk2, qv2 = SIM.incremental_embedding_dedup(spark, b2, bk1, qv1)
+    k3, _, _ = SIM.incremental_embedding_dedup(
+        spark, b3, bk1.unionByName(bk2), qv1.unionByName(qv2)
+    )
+    want = {
+        r["vec_id"] for df in (k1, k2, k3) for r in df.select("vec_id").collect()
+    }
+
+    # stream the same three ranges as files in order
+    src = str(tmp_path / "src")
+    for i, part in enumerate((b1, b2, b3)):
+        part.coalesce(1).write.mode("append").parquet(src)
+    # one file per part dir was appended in order; stream 1 file per trigger
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    J.run_embedding_dedup_stream(
+        spark, stream, kept_dir, index_dir, str(tmp_path / "cp")
+    )
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(kept_dir).select("vec_id").collect()
+    }
+    assert got == want
+
+    # replay batch 1 (same content, same id): landed survivors unchanged
+    J.ingest_embedding_dedup_batch(spark, b2, 1, kept_dir, index_dir)
+    again = {
+        r["vec_id"]
+        for r in spark.read.parquet(kept_dir).select("vec_id").collect()
+    }
+    assert again == got
