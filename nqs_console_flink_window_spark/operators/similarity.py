@@ -846,7 +846,21 @@ def ivfpq_topk(
 # flow (including the 2-batch composition query) is DuckDB-value-oracled.
 # The index is TWO tables — bucket rows (vec_id, tbl, bucket) and quantized
 # vectors (vec_id, qe, nq) — so vectors are stored once, not once per table.
+#
+# Bounded in-batch candidates (the 10x-soak lesson, 13.45x -> linear): a
+# dup-dense batch makes same-bucket PAIRS quadratic in the duplicate
+# multiplicity, so within the batch each vector verifies against only its
+# EMB_DEDUP_NEIGHBORS nearest-LOWER bucket-mates — generated with LAG over
+# (tbl, bucket ORDER BY vec_id), so the quadratic pair set is never even
+# materialized; total pairs <= LSH_TABLES * K per vector.  For exact-copy
+# floods the nearest predecessor IS a copy, so detection holds; a near-dup
+# hiding behind K closer-id bucket-mates in every table can be missed (the
+# same bounded-work trade as the text family's capped degree, documented).
+# The index side stays uncapped: it holds only SURVIVORS, so its bucket
+# sizes are dedup-bounded by construction.
 # ---------------------------------------------------------------------------
+
+EMB_DEDUP_NEIGHBORS = 4
 
 
 def embedding_dedup_prep(df: DataFrame) -> DataFrame:
@@ -912,19 +926,28 @@ def incremental_embedding_dedup(
             .select(F.col("b_id").alias("vec_id"))
             .distinct()
         )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    in_batch = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("tbl", "bucket").orderBy("vec_id")
+    lagged = buckets.select(
+        F.col("vec_id").alias("b_id"),
+        *[
+            F.lag("vec_id", i).over(w).alias(f"_a{i}")
+            for i in range(1, EMB_DEDUP_NEIGHBORS + 1)
+        ],
+    )
+    cand_pairs = (
+        lagged.select(
+            "b_id",
+            F.explode(
+                F.array(*[f"_a{i}" for i in range(1, EMB_DEDUP_NEIGHBORS + 1)])
+            ).alias("a_id"),
         )
-        .select(
-            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
-        )
+        .filter(F.col("a_id").isNotNull())
         .distinct()
-        .join(qa, "a_id")
+    )
+    in_batch = (
+        cand_pairs.join(qa, "a_id")
         .join(qb, "b_id")
         .filter(F.expr(_qcos_expr()) >= tau)
         .select(F.col("b_id").alias("vec_id"))
@@ -942,7 +965,24 @@ def incremental_embedding_dedup_duck_sql(
     split: int, tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings"
 ) -> str:
     """DuckDB twin of the 2-batch composition (batch 1 = vec_id < split):
-    same SRP buckets, same greedy keep-min rule, same quantized cosine."""
+    same SRP buckets, same bounded LAG candidates within each batch, same
+    uncapped survivor-index collisions across batches, same greedy keep-min
+    rule and quantized cosine."""
+    K = EMB_DEDUP_NEIGHBORS
+    lags = ", ".join(f"lag(vec_id, {i}) OVER w AS a{i}" for i in range(1, K + 1))
+    arr = "[" + ", ".join(f"a{i}" for i in range(1, K + 1)) + "]"
+
+    def lag_colls(pred: str) -> str:
+        return f"""(
+  SELECT DISTINCT b_id, a_id FROM (
+    SELECT b_id, unnest({arr}) AS a_id FROM (
+      SELECT vec_id AS b_id, {lags}
+      FROM buckets WHERE {pred}
+      WINDOW w AS (PARTITION BY tbl, bucket ORDER BY vec_id)
+    ) l
+  ) u WHERE a_id IS NOT NULL
+)"""
+
     qcos = (
         "CASE WHEN qn.na = 0 OR qn.nb = 0 THEN 0.0 ELSE "
         "(floor((CAST(qn.dot AS DOUBLE) / (SQRT(CAST(qn.na AS DOUBLE)) * "
@@ -960,9 +1000,14 @@ n AS (
   FROM q
 ),
 colls AS (
-  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  SELECT b_id, a_id FROM {lag_colls(f"vec_id < {split}")} c1
+  UNION
+  SELECT b_id, a_id FROM {lag_colls(f"vec_id >= {split}")} c2
+  UNION
+  SELECT DISTINCT b.vec_id AS b_id, a.vec_id AS a_id
   FROM buckets a JOIN buckets b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < {split} AND b.vec_id >= {split}
 ),
 ex AS (
   SELECT c.a_id, c.b_id, qa.qe AS qea, qb.qe AS qeb,
