@@ -2,10 +2,19 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction run as Arrow-batched
-``mapInPandas`` stages.  The actual codecs are NOT available in this
-container, so the decode kernel is a clearly-marked deterministic stub —
-the Spark-side plumbing (schemas, batch iteration, partition sizing,
-column pruning before the Python stage) is real and tested.
+``mapInPandas`` stages.  Decode dispatches on the payload's magic bytes:
+
+- **WAV (RIFF/WAVE, PCM16)** — REAL decode via the stdlib ``wave`` module:
+  frames -> int16 samples -> audio features (RMS energy, zero-crossing
+  rate, mean |amplitude|, duration...).  No external codec needed.
+- **PPM (P6)** — REAL decode by parsing the netpbm header + raw RGB
+  triples in pure Python: per-channel means/variance + luma stats.
+- anything else (JPEG/PNG/MP4...) needs libs NOT in this container — the
+  clearly-marked deterministic byte-histogram stub stands in; swapping it
+  for a real codec touches ``_decode_stub`` only.
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing,
+column pruning before the Python stage) is identical for all three paths.
 
 Scale notes (100 TB of media): binary payloads dominate partition size —
 ``spark.sql.files.maxPartitionBytes`` should be sized so one Arrow batch of
@@ -68,6 +77,100 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pad(feats: list[float]) -> list[float]:
+    return (feats + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+def decode_wav_features(payload: bytes) -> list[float]:
+    """REAL audio decode, stdlib-only: PCM16 WAV -> fixed-dim features
+    [n_channels, sample_rate/1e5, n_frames/1e6, duration_s, rms/32768,
+    mean|x|/32768, zero_crossing_rate, peak/32768, 0...]."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"only PCM16 supported, got sampwidth={sw}")
+    n = len(raw) // 2
+    xs = struct.unpack(f"<{n}h", raw[: 2 * n])
+    if not xs:
+        return _pad([float(nch), rate / 1e5, 0.0, 0.0])
+    rms = (sum(x * x for x in xs) / n) ** 0.5
+    mean_abs = sum(abs(x) for x in xs) / n
+    zc = sum(
+        1 for i in range(1, n) if (xs[i - 1] < 0) != (xs[i] < 0)
+    ) / max(n - 1, 1)
+    peak = max(abs(x) for x in xs)
+    return _pad(
+        [
+            float(nch),
+            rate / 1e5,
+            nframes / 1e6,
+            nframes / rate if rate else 0.0,
+            rms / 32768.0,
+            mean_abs / 32768.0,
+            zc,
+            peak / 32768.0,
+        ]
+    )
+
+
+def decode_ppm_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure Python: binary netpbm (P6) -> per-channel
+    mean/STD + luma stats [width/1e4, height/1e4, maxval/255, r_mean,
+    g_mean, b_mean, luma_mean, luma_var, 0...] (means normalized by
+    maxval)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    npx = width * height
+    raster = payload[pos : pos + 3 * npx]
+    if len(raster) < 3 * npx:
+        raise ValueError("truncated raster")
+    rs, gs, bs = raster[0::3], raster[1::3], raster[2::3]
+    mv = float(maxval) or 1.0
+    rm, gm, bm = (sum(c) / npx / mv for c in (rs, gs, bs))
+    lumas = [
+        (0.299 * r + 0.587 * g + 0.114 * b) / mv
+        for r, g, b in zip(rs, gs, bs)
+    ]
+    lm = sum(lumas) / npx
+    lv = sum((x - lm) ** 2 for x in lumas) / npx
+    return _pad(
+        [width / 1e4, height / 1e4, maxval / 255.0, rm, gm, bm, lm, lv]
+    )
+
+
+def decode_features(payload: bytes) -> list[float]:
+    """Magic-byte dispatch: real decoders where stdlib suffices, the
+    deterministic stub otherwise (so the oracle-checked byte-histogram
+    behavior of the fixture corpus is unchanged)."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_features(payload)
+    if payload and payload[:2] == b"P6":
+        return decode_ppm_features(payload)
+    return _decode_stub(payload)
+
+
 def _decode_stub(payload: bytes) -> list[float]:
     """STUB: real image/audio decode is unavailable in this container
     (no PIL/ffmpeg).  Deterministic fake: fixed-dim byte-histogram feature.
@@ -89,7 +192,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
+            feats = [decode_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
