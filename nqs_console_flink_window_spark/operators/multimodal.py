@@ -163,11 +163,22 @@ def decode_ppm_features(payload: bytes) -> list[float]:
 def decode_features(payload: bytes) -> list[float]:
     """Magic-byte dispatch: real decoders where stdlib suffices, the
     deterministic stub otherwise (so the oracle-checked byte-histogram
-    behavior of the fixture corpus is unchanged)."""
-    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav_features(payload)
-    if payload and payload[:2] == b"P6":
-        return decode_ppm_features(payload)
+    behavior of the fixture corpus is unchanged).  A payload that merely
+    LOOKS like a known format (a text document starting with 'P6 ', a
+    truncated RIFF header, a non-PCM16 WAV) must not kill the Spark stage:
+    any real-decoder failure falls back to the stub, which never raises on
+    bytes — the dispatch only ever upgrades well-formed payloads."""
+    try:
+        if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav_features(payload)
+        if (
+            payload
+            and payload[:2] == b"P6"
+            and payload[2:3].isspace()
+        ):
+            return decode_ppm_features(payload)
+    except Exception:  # malformed/unsupported media -> stub features
+        pass
     return _decode_stub(payload)
 
 

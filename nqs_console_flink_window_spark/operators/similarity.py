@@ -880,7 +880,6 @@ def embedding_dedup_prep(df: DataFrame) -> DataFrame:
 
 
 def incremental_embedding_dedup(
-    spark,
     new_vecs: DataFrame,
     index_buckets: DataFrame | None,
     index_vecs: DataFrame | None,
@@ -902,6 +901,11 @@ def incremental_embedding_dedup(
     qb = qvecs.select(
         F.col("vec_id").alias("b_id"), F.col("qe").alias("qb"), F.col("nq").alias("nb")
     )
+    if index_buckets is None or index_vecs is None:
+        # A half-written index (crash between the buckets and vectors
+        # landings of an uncommitted batch) must read as ABSENT, not wedge
+        # the replay: the replayed batch overwrites both subpaths anyway.
+        index_buckets = index_vecs = None
     dup = None
     if index_buckets is not None:
         cand = (
@@ -953,7 +957,11 @@ def incremental_embedding_dedup(
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
-    dup = in_batch if dup is None else dup.unionByName(in_batch).distinct()
+    # checkpoint: the verify work (collision joins + cosine filters) feeds
+    # three returned frames; without this each landing re-runs it
+    dup = (
+        in_batch if dup is None else dup.unionByName(in_batch).distinct()
+    ).localCheckpoint()
     kept = new_vecs.join(dup, "vec_id", "left_anti")
     kept_ids = kept.select("vec_id")
     kept_buckets = buckets.join(kept_ids, "vec_id", "left_semi")

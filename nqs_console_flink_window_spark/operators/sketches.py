@@ -260,6 +260,43 @@ HQ_BINS = 4096
 HQ_QS = (("p50", "0.5E0"), ("p90", "0.9E0"), ("p99", "0.99E0"))
 
 
+
+def hq_finite(val: str) -> str:
+    """Portable finiteness predicate (both engines): excludes NULL, NaN and
+    +-inf in one expression — abs(NaN) < inf and abs(+-inf) < inf are both
+    false.  Non-finite values carry no orderable position, so the estimator
+    EXCLUDES them (documented contract; also avoids the ANSI
+    CAST(floor(NaN/inf)) error and Spark-vs-DuckDB NaN MAX divergence)."""
+    return (
+        f"{val} IS NOT NULL AND "
+        f"ABS(CAST({val} AS DOUBLE)) < CAST('Infinity' AS DOUBLE)"
+    )
+
+
+def hq_bin_ix(val: str, mn: str = "s.mn", mx: str = "s.mx") -> str:
+    """Bin index fragment — the ONE definition both the SQL oracle text and
+    the DataFrame engine plan compile (degenerate single-value key -> bin
+    0)."""
+    width = f"(({mx} - {mn}) / {HQ_BINS}.0E0)"
+    return (
+        f"(CASE WHEN {mx} = {mn} THEN 0 ELSE "
+        f"LEAST({HQ_BINS - 1}, GREATEST(0, "
+        f"CAST(floor(({val} - {mn}) / {width}) AS INT))) END)"
+    )
+
+
+def hq_sel_fragment(name: str, q: str) -> str:
+    return f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END) AS b_{name}"
+
+
+def hq_out_fragment(name: str) -> str:
+    return (
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + (CAST(b_{name} AS DOUBLE) + 0.5E0) * ((mx - mn) / {HQ_BINS}.0E0) "
+        f"END"
+    )
+
+
 def histogram_quantiles_sql(
     d: str,
     table: str = "events",
@@ -275,34 +312,17 @@ def histogram_quantiles_sql(
     stats = stats_src or (
         f"(SELECT {key} AS k, MIN({val}) AS mn, MAX({val}) AS mx, "
         f"COUNT(*) AS n FROM {table} "
-        # NaN guard: Spark's MAX treats NaN as +inf while DuckDB skips it,
-        # and an ANSI CAST(floor(NaN)) would error — exclude on both engines
-        f"WHERE {val} IS NOT NULL AND NOT isnan(CAST({val} AS DOUBLE)) "
+        f"WHERE {hq_finite(val)} "
         f"GROUP BY 1)"
     )
-    # bin width / index: guarded for the degenerate single-value key
-    # (mx = mn -> every row bin 0, estimate = mn exactly)
-    width = f"((s.mx - s.mn) / {HQ_BINS}.0E0)"
-    bin_ix = (
-        f"(CASE WHEN s.mx = s.mn THEN 0 ELSE "
-        f"LEAST({HQ_BINS - 1}, GREATEST(0, "
-        f"CAST(floor((e.{val} - s.mn) / {width}) AS INT))) END)"
-    )
-    sels = ", ".join(
-        f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END) AS b_{name}"
-        for name, q in HQ_QS
-    )
-    outs = ", ".join(
-        f"CASE WHEN mx = mn THEN mn ELSE "
-        f"mn + (CAST(b_{name} AS DOUBLE) + 0.5E0) * ((mx - mn) / {HQ_BINS}.0E0) "
-        f"END AS {name}"
-        for name, _ in HQ_QS
-    )
+    bin_ix = hq_bin_ix(f"e.{val}")
+    sels = ", ".join(hq_sel_fragment(name, q) for name, q in HQ_QS)
+    outs = ", ".join(f"{hq_out_fragment(name)} AS {name}" for name, _ in HQ_QS)
     return f"""
 WITH hist AS (
   SELECT s.k, {bin_ix} AS b, COUNT(*) AS c
   FROM {table} e JOIN {stats} s ON e.{key} = s.k
-  WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE))
+  WHERE {hq_finite(f"e.{val}")}
   GROUP BY 1, 2
 ),
 cum AS (
@@ -328,8 +348,10 @@ def fixed_domain_hist(
     the domain fixed up front (no data-dependent min/max pass), per-batch
     histograms merge by plain addition, so a stream can land one histogram
     per micro-batch and a reader can SUM them into the exact global
-    histogram (streaming/jobs.run_quantile_stream).  Out-of-domain values
-    clamp into the edge bins."""
+    histogram (streaming/jobs.run_quantile_stream).  Out-of-domain FINITE
+    values clamp into the edge bins; non-finite values (NULL/NaN/+-inf) are
+    excluded, same contract as the data-dependent estimator
+    (:func:`hq_finite`)."""
     from pyspark.sql import functions as F
 
     w = (hi - lo) / float(bins)
@@ -346,11 +368,8 @@ def fixed_domain_hist(
             ),
         )
     ).cast("int")
-    fin = ~F.isnan(F.col(val).cast("double")) & (
-        F.abs(F.col(val).cast("double")) != float("inf")
-    )
     return (
-        df.filter(F.col(val).isNotNull() & fin)
+        df.filter(F.expr(hq_finite(val)))
         .select(F.col(key).alias("k"), b.alias("b"))
         .groupBy("k", "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -408,7 +427,7 @@ def robust_outlier_bounds_sql(
     devs = (
         f"(SELECT e.{key}, ABS(e.{val} - m.med) AS {val} "
         f"FROM {table} e JOIN {med} m ON e.{key} = m.mk "
-        f"WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE)))"
+        f"WHERE {hq_finite(f'e.{val}')})"
     )
     dev = dev_src or (
         f"(SELECT {key} AS dk, p90 AS spread "
@@ -428,7 +447,7 @@ SELECT e.{key},
 FROM {table} e
 JOIN {med} m ON e.{key} = m.mk
 JOIN {dev} s ON e.{key} = s.dk
-WHERE e.{val} IS NOT NULL AND NOT isnan(CAST(e.{val} AS DOUBLE))
+WHERE {hq_finite(f"e.{val}")}
 GROUP BY 1, 2, 3
 """
 
@@ -445,7 +464,7 @@ def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    fin = f"{val} IS NOT NULL AND NOT isnan(CAST({val} AS DOUBLE))"
+    fin = hq_finite(val)
     stats = (
         df.filter(fin)
         .groupBy(F.col(key).alias("k"))
@@ -456,12 +475,7 @@ def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
         )
         .localCheckpoint()
     )
-    width = f"((mx - mn) / {HQ_BINS}.0E0)"
-    bin_ix = (
-        f"(CASE WHEN mx = mn THEN 0 ELSE "
-        f"LEAST({HQ_BINS - 1}, GREATEST(0, "
-        f"CAST(floor(({val} - mn) / {width}) AS INT))) END)"
-    )
+    bin_ix = hq_bin_ix(val, mn="mn", mx="mx")
     hist = (
         df.filter(fin)
         .join(F.broadcast(stats), F.col(key) == F.col("k"))
@@ -477,18 +491,11 @@ def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
         ),
     )
     sels = [
-        F.expr(f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END)").alias(f"b_{name}")
+        F.expr(hq_sel_fragment(name, q).split(" AS ")[0]).alias(f"b_{name}")
         for name, q in HQ_QS
     ]
     sel = cum.join(F.broadcast(stats), "k").groupBy("k", "mn", "mx", "n").agg(*sels)
-    outs = [
-        F.expr(
-            f"CASE WHEN mx = mn THEN mn ELSE "
-            f"mn + (CAST(b_{name} AS DOUBLE) + 0.5E0) * ((mx - mn) / {HQ_BINS}.0E0) "
-            f"END"
-        ).alias(name)
-        for name, _ in HQ_QS
-    ]
+    outs = [F.expr(hq_out_fragment(name)).alias(name) for name, _ in HQ_QS]
     return sel.select(
         F.col("k").alias(key), F.col("n").cast("long").alias("n"), *outs
     )

@@ -1052,8 +1052,8 @@ def incremental_embedding_dedup_batches(spark: SparkSession, sf_dir: str) -> Dat
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     b1 = emb.filter(F.col("vec_id") < _EMB_SPLIT)
     b2 = emb.filter(F.col("vec_id") >= _EMB_SPLIT)
-    kept1, bk1, qv1 = SIM.incremental_embedding_dedup(spark, b1, None, None)
-    kept2, _, _ = SIM.incremental_embedding_dedup(spark, b2, bk1, qv1)
+    kept1, bk1, qv1 = SIM.incremental_embedding_dedup(b1, None, None)
+    kept2, _, _ = SIM.incremental_embedding_dedup(b2, bk1, qv1)
     return kept1.select("vec_id", F.lit(1).alias("batch")).unionByName(
         kept2.select("vec_id", F.lit(2).alias("batch"))
     )

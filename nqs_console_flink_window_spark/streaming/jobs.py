@@ -687,7 +687,9 @@ def run_curation_stream(
 # subpath, so replays converge like every other landing in this module.
 # The fixed domain is the streaming trade: quantiles of a boundless stream
 # need the bin edges pinned up front (calibrate on a reference sample or
-# known metric range); out-of-domain values clamp to the edge bins.
+# known metric range); out-of-domain FINITE values clamp to the edge bins,
+# non-finite values are excluded (sketches.hq_finite, same contract as the
+# batch estimator).
 # ---------------------------------------------------------------------------
 
 
@@ -769,11 +771,15 @@ def ingest_embedding_dedup_batch(
     idx_b = _read_prior_batches(bspark, f"{index_dir}/buckets", batch_id)
     idx_v = _read_prior_batches(bspark, f"{index_dir}/vectors", batch_id)
     kept, kept_buckets, kept_qvecs = SIM.incremental_embedding_dedup(
-        bspark, batch_df, idx_b, idx_v
+        batch_df, idx_b, idx_v
     )
     W.idempotent_batch_write(kept, kept_dir, batch_id)
-    W.idempotent_batch_write(kept_buckets, f"{index_dir}/buckets", batch_id)
+    # vectors BEFORE buckets: a crash between the two leaves vectors-only,
+    # which the next read treats as an absent index for the replayed batch
+    # (the operator requires BOTH sides); buckets-first would strand a
+    # bucket row whose vector never landed
     W.idempotent_batch_write(kept_qvecs, f"{index_dir}/vectors", batch_id)
+    W.idempotent_batch_write(kept_buckets, f"{index_dir}/buckets", batch_id)
 
 
 def run_embedding_dedup_stream(

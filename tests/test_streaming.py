@@ -1229,19 +1229,28 @@ def test_embedding_dedup_stream_matches_batch_composition(spark, tmp_path) -> No
     b1 = emb.filter(F.col("vec_id") < cut1)
     b2 = emb.filter((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))
     b3 = emb.filter(F.col("vec_id") >= cut2)
-    k1, bk1, qv1 = SIM.incremental_embedding_dedup(spark, b1, None, None)
-    k2, bk2, qv2 = SIM.incremental_embedding_dedup(spark, b2, bk1, qv1)
+    k1, bk1, qv1 = SIM.incremental_embedding_dedup(b1, None, None)
+    k2, bk2, qv2 = SIM.incremental_embedding_dedup(b2, bk1, qv1)
     k3, _, _ = SIM.incremental_embedding_dedup(
-        spark, b3, bk1.unionByName(bk2), qv1.unionByName(qv2)
+        b3, bk1.unionByName(bk2), qv1.unionByName(qv2)
     )
     want = {
         r["vec_id"] for df in (k1, k2, k3) for r in df.select("vec_id").collect()
     }
 
-    # stream the same three ranges as files in order
+    # stream the same three ranges as files in order; FileStreamSource
+    # orders by modification time, so stamp strictly increasing mtimes
+    # explicitly (same-ms appends on tmpfs could otherwise tie and flip
+    # batch order, and the greedy keep-min rule is order-dependent)
+    import glob as _glob
+    import os as _os
+
     src = str(tmp_path / "src")
     for i, part in enumerate((b1, b2, b3)):
+        before = set(_glob.glob(f"{src}/*.parquet"))
         part.coalesce(1).write.mode("append").parquet(src)
+        for f in set(_glob.glob(f"{src}/*.parquet")) - before:
+            _os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
     # one file per part dir was appended in order; stream 1 file per trigger
     stream = (
         spark.readStream.schema(emb.schema)
