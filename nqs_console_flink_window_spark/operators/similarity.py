@@ -317,6 +317,45 @@ def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding") -> Non
     ).write.mode("overwrite").parquet(f"{path}.centroids")
 
 
+def ivf_index_append(
+    spark, path: str, new_vecs: DataFrame, vec_col: str = "embedding"
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to cells with the
+    PERSISTED centroids (no re-fit — the production contract: the coarse
+    quantizer is a build-time artifact, ingest only routes into it) and
+    append them to the cell-partitioned parquet.  Assignment is the same
+    nearest-centroid-by-squared-L2 rule KMeans.transform applies, computed
+    as one numpy matmul per Arrow batch against the <= IVF_CLUSTERS
+    broadcast centroids; appended files join their cell's partition, so
+    nprobe partition pruning keeps holding without touching old files.
+    Re-clustering (when drift makes cells lopsided) is build_ivf_index
+    again — an offline rebuild, exactly like production ANN systems."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(
+        (
+            (r["cell"], r["centroid"])
+            for r in spark.read.parquet(f"{path}.centroids").collect()
+        )
+    )
+    cells = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
+    centers = np.asarray([v for _, v in cent_rows], dtype=np.float64)
+    c_sq = (centers**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c) — ||x||^2 is constant
+        # per row; ties resolve to the lowest cell id (argmin order)
+        d = c_sq[None, :] - 2.0 * (mat @ centers.T)
+        return pd.Series(cells[d.argmin(axis=1)].astype("int32"))
+
+    new_vecs.withColumn("cell", assign(F.col(vec_col))).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+
+
 def ivf_topk_indexed(
     spark, path: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:

@@ -1351,3 +1351,63 @@ def test_degree_cap_flood_still_clusters_whole(spark) -> None:
     labels = {r["id"]: r["lbl"] for r in comp.collect()}
     flood_labels = {labels[i] for i in range(60)}
     assert len(flood_labels) == 1, f"flood split into {len(flood_labels)} clusters"
+
+
+def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
+    """Incremental IVF maintenance: vectors appended with the persisted
+    centroids (no re-fit) get exactly the assignment the original quantizer
+    would give them, a query for an appended vector finds it, and nprobe
+    partition pruning still holds over the grown index."""
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    extra = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(base, path)
+    SIM.ivf_index_append(spark, path, extra)
+
+    # appended assignment == the fitted quantizer's own transform
+    model, _ = SIM._ivf_model(base, "embedding")
+    from pyspark.ml.functions import array_to_vector
+
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in model.transform(
+            extra.withColumn("__v", array_to_vector(F.col("embedding")))
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(path)
+        .join(extra.select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    }
+    assert got == want
+
+    # a query for an appended vector's own embedding returns it at rank 1
+    qvec = [float(x) for x in extra.orderBy("vec_id").first()["embedding"]]
+    qid = extra.orderBy("vec_id").first()["vec_id"]
+    top = SIM.ivf_topk_indexed(spark, path, qvec, k=3)
+    assert top.first()["vec_id"] == qid
+    # nprobe pruning still holds over the grown index: PartitionFilters on
+    # cell, and results confined to the probed cells (same check as
+    # test_ivf_persisted_index_prunes_partitions — inputFiles() reports the
+    # unpruned listing, the plan's PartitionFilters is the real evidence)
+    import contextlib
+    import io
+
+    import numpy as np
+
+    cent = {
+        r["cell"]: np.asarray(r["centroid"])
+        for r in spark.read.parquet(f"{path}.centroids").collect()
+    }
+    qa = np.asarray(qvec)
+    d2 = {c: float(((v - qa) ** 2).sum()) for c, v in cent.items()}
+    probe = sorted(d2, key=d2.get)[: SIM.IVF_NPROBE]
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert {r["cell"] for r in top.collect()} <= set(probe)
