@@ -499,3 +499,155 @@ def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
     return sel.select(
         F.col("k").alias(key), F.col("n").cast("long").alias("n"), *outs
     )
+
+
+PSI_BINS = 64  # coarse on purpose: Laplace +1 smoothing stays mild
+
+
+def psi_bin_expr(val: str, lo: float = 0.0, hi: float = 1000.0) -> str:
+    """Fixed-domain PSI bin index (shared by the SQL text and the staged
+    Spark hist builder)."""
+    w = (hi - lo) / float(PSI_BINS)
+    return (
+        f"LEAST({PSI_BINS - 1}, GREATEST(0, "
+        f"CAST(floor(({val} - {lo!r}E0) / {w!r}E0) AS INT)))"
+    )
+
+
+def psi_term_sql() -> str:
+    """One smoothed PSI term in exact nano-units over (ca, cb, na, nb)
+    columns — the single definition the SQL oracle text and the DataFrame
+    engine plan both compile."""
+    from .selection import qln_micro
+
+    lnp = f"({qln_micro('ca + 1')} - {qln_micro(f'na + {PSI_BINS}')})"
+    lnq = f"({qln_micro('cb + 1')} - {qln_micro(f'nb + {PSI_BINS}')})"
+    p = f"(CAST(ca + 1 AS DOUBLE) / CAST(na + {PSI_BINS} AS DOUBLE))"
+    q = f"(CAST(cb + 1 AS DOUBLE) / CAST(nb + {PSI_BINS} AS DOUBLE))"
+    return (
+        f"CAST(floor(({p} - {q}) * (CAST({lnp} - {lnq} AS DOUBLE) / 1.0E6) "
+        f"* 1.0E9 + 0.5) AS BIGINT)"
+    )
+
+
+def psi_drift_df(
+    df,
+    key: str = "event_type",
+    val: str = "value",
+    cohort: str = "user_id % 2",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+):
+    """DataFrame twin of :func:`psi_drift_sql` for the Spark engine side:
+    the bounded histogram (<= keys x 2 x PSI_BINS rows) is checkpointed
+    (it feeds three consumers and CTE inlining would re-scan the corpus),
+    the read-off stays a visible plan (no terminal checkpoint; the spine is
+    a generator explode, not a cross join, so no BNLJ appears)."""
+    from pyspark.sql import functions as F
+
+    hist = (
+        df.filter(F.expr(hq_finite(val)))
+        .select(
+            F.col(key).alias("k"),
+            F.expr(f"CAST({cohort} AS INT)").alias("cohort"),
+            F.expr(psi_bin_expr(val, lo, hi)).alias("b"),
+        )
+        .groupBy("k", "cohort", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    spine = (
+        hist.select("k")
+        .distinct()
+        .select("k", F.expr(f"explode(sequence(0, {PSI_BINS - 1}))").alias("b"))
+        .select("k", F.col("b").cast("int").alias("b"))
+    )
+    joined = (
+        spine.join(hist, ["k", "b"], "left")
+        .groupBy("k", "b")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == 0, F.col("c"))), F.lit(0)
+            ).alias("ca"),
+            F.coalesce(
+                F.max(F.when(F.col("cohort") == 1, F.col("c"))), F.lit(0)
+            ).alias("cb"),
+        )
+    )
+    tot = hist.groupBy("k").agg(
+        F.expr("CAST(SUM(CASE WHEN cohort = 0 THEN c ELSE 0 END) AS BIGINT)").alias("na"),
+        F.expr("CAST(SUM(CASE WHEN cohort = 1 THEN c ELSE 0 END) AS BIGINT)").alias("nb"),
+    )
+    return (
+        joined.join(F.broadcast(tot), "k")
+        .groupBy(F.col("k").alias(key), "na", "nb")
+        .agg(F.expr(f"CAST(SUM({psi_term_sql()}) AS BIGINT)").alias("psi_nano"))
+        .select(key, F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "psi_nano")
+    )
+
+
+def psi_drift_sql(
+    d: str,
+    table: str = "events",
+    key: str = "event_type",
+    val: str = "value",
+    cohort: str = "user_id % 2",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    hist_src: str | None = None,
+) -> str:
+    """Population Stability Index between two cohorts per key — the
+    distribution-drift monitor the mergeable histograms exist to feed
+    (monitor a stream by landing per-batch histograms and comparing windows
+    of them; here the cohorts are two deterministic populations of the same
+    table so the whole computation is value-oracled).
+
+    PSI = sum_bins (p_i - q_i) * (ln p_i - ln q_i), with +1 Laplace
+    smoothing on every bin count (PSI is undefined on empty bins) over a
+    FIXED [lo, hi) domain.  Cross-engine exactness: ln runs ONLY at integer
+    arguments and is quantized to micro-nats (selection.qln_micro absorbs
+    the engines' 1-ulp ln drift), and ln p_i - ln q_i decomposes to
+    (qln(c_p) - qln(n_p)) - (qln(c_q) - qln(n_q)); the remaining arithmetic
+    is identical-tree IEEE doubles.  Rule of thumb: PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 drifted."""
+    from .selection import qln_micro
+
+    bin_ix = psi_bin_expr(f"e.{val}", lo, hi)
+    # smoothed counts per (key, cohort, bin); the bins spine guarantees all
+    # PSI_BINS rows per key/cohort so the +1 smoothing covers empty bins
+    qsum_term = psi_term_sql()
+    # hist is referenced 3x below (keys, tot, joined): the Spark engine
+    # side therefore runs psi_drift_df (hist checkpointed, read-off composed
+    # as a plan); DuckDB materializes the CTE and keeps this plain text.
+    hist = hist_src or f"""(
+  SELECT k, cohort, b, COUNT(*) AS c FROM (
+    SELECT e.{key} AS k, CAST({cohort} AS INT) AS cohort, {bin_ix} AS b
+    FROM {table} e
+    WHERE {hq_finite(f"e.{val}")}
+  ) f GROUP BY 1, 2, 3
+)"""
+    return f"""
+WITH hist AS (SELECT * FROM {hist}),
+keys AS (SELECT DISTINCT k FROM hist),
+spine AS (
+  SELECT k, s.b FROM keys
+  CROSS JOIN (SELECT CAST(i AS INT) AS b FROM {("(SELECT unnest(range(" + str(PSI_BINS) + ")) AS i)") if d == "duck" else ("(SELECT explode(sequence(0, " + str(PSI_BINS - 1) + ")) AS i)")} z) s
+),
+tot AS (
+  SELECT k,
+    CAST(SUM(CASE WHEN cohort = 0 THEN c ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN cohort = 1 THEN c ELSE 0 END) AS BIGINT) AS nb
+  FROM hist GROUP BY k
+),
+joined AS (
+  SELECT sp.k, sp.b,
+    COALESCE(MAX(CASE WHEN h.cohort = 0 THEN h.c END), 0) AS ca,
+    COALESCE(MAX(CASE WHEN h.cohort = 1 THEN h.c END), 0) AS cb
+  FROM spine sp LEFT JOIN hist h ON h.k = sp.k AND h.b = sp.b
+  GROUP BY sp.k, sp.b
+)
+SELECT j.k AS {key}, t.na AS n_a, t.nb AS n_b,
+  CAST(SUM({qsum_term}) AS BIGINT) AS psi_nano
+FROM joined j JOIN tot t ON j.k = t.k
+GROUP BY j.k, t.na, t.nb
+"""

@@ -729,6 +729,24 @@ def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "psi_drift",
+    sql=SK.psi_drift_sql("duck"),
+    doc="Extension at 100 TB — Population Stability Index between two "
+    "deterministic cohorts per key over fixed-domain histograms (+1 "
+    "Laplace smoothing, 64 bins): the drift monitor the mergeable "
+    "histogram landings feed in production.  ln only at integer args, "
+    "quantized to micro-nats (qln_micro), PSI accumulated as exact BIGINT "
+    "nano-units — value-oracled; driver-gated via percentiles + "
+    "histogram family (same distribution-stats surface)",
+    tier=2,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return SK.psi_drift_df(ev)
+
+
+
 _EXISTS_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
