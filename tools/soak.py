@@ -80,7 +80,7 @@ SOAK_QUERIES = [
     # round 5: the sort-free quantile family (bounded-state claim) and the
     # production estimate-only containment projection
     "histogram_quantiles", "robust_outlier_bounds", "containment_estimate_fast",
-    "incremental_embedding_dedup_batches",
+    "incremental_embedding_dedup_batches", "psi_drift",
 ]
 
 
