@@ -323,10 +323,13 @@ def ivf_index_append(
     """Incremental index maintenance: assign NEW vectors to cells with the
     PERSISTED centroids (no re-fit — the production contract: the coarse
     quantizer is a build-time artifact, ingest only routes into it) and
-    append them to the cell-partitioned parquet.  Assignment is the same
-    nearest-centroid-by-squared-L2 rule KMeans.transform applies, computed
-    as one numpy matmul per Arrow batch against the <= IVF_CLUSTERS
-    broadcast centroids; appended files join their cell's partition, so
+    append them to the cell-partitioned parquet.  Assignment is the
+    nearest-centroid-by-squared-L2 rule, computed as one numpy matmul per
+    Arrow batch against the <= IVF_CLUSTERS broadcast centroids (a vector
+    numerically equidistant between two centroids can tie-break differently
+    than MLlib's guarded fastSquaredDistance — both are valid nearest
+    cells; everywhere else the assignments agree); appended files join
+    their cell's partition, so
     nprobe partition pruning keeps holding without touching old files.
     Re-clustering (when drift makes cells lopsided) is build_ivf_index
     again — an offline rebuild, exactly like production ANN systems."""

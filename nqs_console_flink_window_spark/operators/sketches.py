@@ -286,7 +286,10 @@ def hq_bin_ix(val: str, mn: str = "s.mn", mx: str = "s.mx") -> str:
 
 
 def hq_sel_fragment(name: str, q: str) -> str:
-    return f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END) AS b_{name}"
+    """Bare quantile-rank selection expression (no alias — callers attach
+    their own, so the DataFrame side never has to parse the string back
+    apart)."""
+    return f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END)"
 
 
 def hq_out_fragment(name: str) -> str:
@@ -316,7 +319,9 @@ def histogram_quantiles_sql(
         f"GROUP BY 1)"
     )
     bin_ix = hq_bin_ix(f"e.{val}")
-    sels = ", ".join(hq_sel_fragment(name, q) for name, q in HQ_QS)
+    sels = ", ".join(
+        f"{hq_sel_fragment(name, q)} AS b_{name}" for name, q in HQ_QS
+    )
     outs = ", ".join(f"{hq_out_fragment(name)} AS {name}" for name, _ in HQ_QS)
     return f"""
 WITH hist AS (
@@ -491,8 +496,7 @@ def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
         ),
     )
     sels = [
-        F.expr(hq_sel_fragment(name, q).split(" AS ")[0]).alias(f"b_{name}")
-        for name, q in HQ_QS
+        F.expr(hq_sel_fragment(name, q)).alias(f"b_{name}") for name, q in HQ_QS
     ]
     sel = cum.join(F.broadcast(stats), "k").groupBy("k", "mn", "mx", "n").agg(*sels)
     outs = [F.expr(hq_out_fragment(name)).alias(name) for name, _ in HQ_QS]
@@ -504,14 +508,24 @@ def histogram_quantiles_df(df, key: str = "event_type", val: str = "value"):
 PSI_BINS = 64  # coarse on purpose: Laplace +1 smoothing stays mild
 
 
+def _dlit(v: float) -> str:
+    """Double literal that parses as DOUBLE on both engines: plain decimal
+    reprs need an E0 suffix (Spark parses bare decimals as DECIMAL), but
+    reprs already in scientific notation must NOT get a second exponent."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "E0"
+
+
 def psi_bin_expr(val: str, lo: float = 0.0, hi: float = 1000.0) -> str:
     """Fixed-domain PSI bin index (shared by the SQL text and the staged
-    Spark hist builder)."""
+    Spark hist builder).  The clamp happens on the DOUBLE ratio BEFORE
+    floor/cast: a finite far-out-of-domain value (|v| ~ 1e10+) would
+    otherwise overflow the INT32 cast on both engines — the drift monitor
+    must clamp drifted data into the edge bins, not die on it."""
     w = (hi - lo) / float(PSI_BINS)
-    return (
-        f"LEAST({PSI_BINS - 1}, GREATEST(0, "
-        f"CAST(floor(({val} - {lo!r}E0) / {w!r}E0) AS INT)))"
-    )
+    ratio = f"(({val} - {_dlit(lo)}) / {_dlit(w)})"
+    clamped = f"LEAST({_dlit(PSI_BINS - 1)}, GREATEST(0.0E0, {ratio}))"
+    return f"CAST(floor({clamped}) AS INT)"
 
 
 def psi_term_sql() -> str:

@@ -1365,8 +1365,13 @@ def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
     SIM.build_ivf_index(base, path)
     SIM.ivf_index_append(spark, path, extra)
 
-    # appended assignment == the fitted quantizer's own transform
-    model, _ = SIM._ivf_model(base, "embedding")
+    # appended assignment matches the fitted quantizer's own transform —
+    # modulo boundary ties, where the matmul form and MLlib's guarded
+    # fastSquaredDistance may round the argmin differently: any mismatch
+    # must be numerically equidistant between the two candidate centroids
+    import numpy as np
+
+    model, centers = SIM._ivf_model(base, "embedding")
     from pyspark.ml.functions import array_to_vector
 
     want = {
@@ -1381,7 +1386,16 @@ def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
         .join(extra.select("vec_id"), "vec_id", "left_semi")
         .collect()
     }
-    assert got == want
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in extra.collect()}
+    assert set(got) == set(want)
+    for vid, cell in got.items():
+        if cell != want[vid]:
+            d_got = ((vecs[vid] - centers[cell]) ** 2).sum()
+            d_want = ((vecs[vid] - centers[want[vid]]) ** 2).sum()
+            assert abs(d_got - d_want) <= 1e-9 * max(d_got, d_want, 1e-30), (
+                vid, cell, want[vid], d_got, d_want,
+            )
 
     # a query for an appended vector's own embedding returns it at rank 1
     qvec = [float(x) for x in extra.orderBy("vec_id").first()["embedding"]]
