@@ -152,6 +152,86 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Funnel analysis — ordered-stage conversion (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT 1 AS stage_ix, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'view>click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+
+@register(
+    "funnel_stages",
+    sql=_FUNNEL_SQL,
+    doc="§2.10 analytics — ordered-stage conversion funnel: users whose "
+    "first 'view' is STRICTLY followed by a 'click' then a 'purchase' "
+    "(each stage anchored at the previous stage's first-completion time). "
+    "Scale shape: one per-user aggregate + one co-partitioned join per "
+    "stage (funnel depth = pass count, never a sort over the corpus); the "
+    "engine stages each per-user stage table (user-cardinality, same class "
+    "as the dedup band checkpoint) so the final 3-row summary cannot "
+    "re-run the chain under CTE inlining; driver-gated via "
+    "session_windows / latest_event_per_user_agg (the per-user event-time "
+    "analytics family)",
+    tier=2,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+        .localCheckpoint()
+    )
+    def row(ix: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ix).alias("stage_ix"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        row(1, "view", s1)
+        .unionByName(row(2, "view>click", s2))
+        .unionByName(row(3, "view>click>purchase", s3))
+    )
+
+
+# --------------------------------------------------------------------------
 # S5 — dimension upsert (MERGE INTO semantics without Delta: full-outer join)
 # --------------------------------------------------------------------------
 
