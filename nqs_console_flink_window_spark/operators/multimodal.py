@@ -160,19 +160,35 @@ def decode_ppm_features(payload: bytes) -> list[float]:
     )
 
 
-def decode_features(payload: bytes) -> list[float]:
-    """Magic-byte dispatch: real decoders where stdlib suffices, the
+def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
+    """Typed dispatch: real decoders where stdlib suffices, the
     deterministic stub otherwise (so the oracle-checked byte-histogram
-    behavior of the fixture corpus is unchanged).  A payload that merely
-    LOOKS like a known format (a text document starting with 'P6 ', a
-    truncated RIFF header, a non-PCM16 WAV) must not kill the Spark stage:
-    any real-decoder failure falls back to the stub, which never raises on
-    bytes — the dispatch only ever upgrades well-formed payloads."""
+    behavior of the fixture corpus is unchanged).
+
+    The declared ``mime`` gates the real decoders: only ``audio/*`` may
+    take the WAV path and only ``image/*`` the PPM path — a text payload
+    that coincidentally starts with 'P6 ' or a RIFF header under an
+    ``application/octet-stream`` declaration stays on the stub, keeping
+    the value oracle (which always recomputes the stub histogram for the
+    fixture corpus) exact.  Magic bytes are still checked WITHIN the gated
+    branch, and a malformed/unsupported payload (truncated RIFF, non-PCM16
+    WAV) must not kill the Spark stage: any real-decoder failure falls
+    back to the stub, which never raises on bytes.  ``mime=None``
+    (untyped direct call) preserves the magic-byte-only sniff for ad-hoc
+    use."""
+    audio_ok = mime is None or mime.startswith("audio/")
+    image_ok = mime is None or mime.startswith("image/")
     try:
-        if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if (
+            audio_ok
+            and payload
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+        ):
             return decode_wav_features(payload)
         if (
-            payload
+            image_ok
+            and payload
             and payload[:2] == b"P6"
             and payload[2:3].isspace()
         ):
@@ -199,11 +215,16 @@ def _decode_stub(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    Column pruning: only (media_id, payload) cross the Arrow boundary."""
+    Column pruning: only (media_id, payload, meta.mime) cross the Arrow
+    boundary — the mime string gates the real-decoder dispatch (see
+    ``decode_features``), everything else in ``meta`` stays JVM-side."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_features(p) for p in pdf["payload"]]
+            feats = [
+                decode_features(p, m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -212,7 +233,9 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+    return media.select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    ).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def resize(media: DataFrame, target_bytes: int = 256) -> DataFrame:

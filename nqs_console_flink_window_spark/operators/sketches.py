@@ -276,12 +276,18 @@ def hq_finite(val: str) -> str:
 def hq_bin_ix(val: str, mn: str = "s.mn", mx: str = "s.mx") -> str:
     """Bin index fragment — the ONE definition both the SQL oracle text and
     the DataFrame engine plan compile (degenerate single-value key -> bin
-    0)."""
+    0).  The clamp happens on the DOUBLE ratio BEFORE floor/cast (same
+    discipline as psi_bin_expr): with finite values near +-1.7e308 the
+    span mx-mn overflows to +inf, the ratio goes NaN, and DuckDB would
+    error on CAST(NaN AS INT) while Spark yields 0 — clamping first lands
+    both engines on bin HQ_BINS-1 (NaN sorts above everything in both, so
+    GREATEST keeps it and LEAST replaces it with the top-bin literal)."""
     width = f"(({mx} - {mn}) / {HQ_BINS}.0E0)"
+    ratio = f"(({val} - {mn}) / {width})"
+    clamped = f"LEAST({HQ_BINS - 1}.0E0, GREATEST(0.0E0, {ratio}))"
     return (
         f"(CASE WHEN {mx} = {mn} THEN 0 ELSE "
-        f"LEAST({HQ_BINS - 1}, GREATEST(0, "
-        f"CAST(floor(({val} - {mn}) / {width}) AS INT))) END)"
+        f"CAST(floor({clamped}) AS INT) END)"
     )
 
 

@@ -689,7 +689,10 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    fin = "value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))"
+    # Same finiteness contract as the oracle SQL (hq_finite): NULL, NaN AND
+    # +-inf are all excluded — an isnan()-only filter would keep +-inf rows
+    # engine-side and silently diverge kept/trimmed counts from the oracle.
+    fin = SK.hq_finite("value")
     # Tiny per-key intermediates (median, spread) are checkpointed — each
     # feeds 2+ downstream references; the final plan stays inspectable.
     med = (

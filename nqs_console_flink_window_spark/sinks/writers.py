@@ -173,21 +173,37 @@ def _repair_crashed_compaction(gen_path: Path) -> None:
     files present -> the crash happened during input deletion: roll forward
     (delete remaining inputs).  Any new file missing -> the crash happened
     mid-rename: roll back (delete the partial new files; the inputs are
-    complete because deletion never starts before the rename finishes)."""
+    complete because deletion never starts before the rename finishes).
+    A torn (unparseable) or empty-new_files manifest also rolls BACK —
+    content durability is fsynced before the rename, so a torn manifest
+    proves the fold never got past its commit point and the inputs are
+    whole; keeping the candidates would bake in duplicates on the next
+    fold, and trusting an empty list would delete inputs with no
+    replacement."""
     if not gen_path.is_dir():
         return
     import json as _json
 
     for manifest in sorted(gen_path.glob("_compact-*.manifest.json")):
+        stamp = manifest.name[len("_compact-") : -len(".manifest.json")]
         try:
             spec = _json.loads(manifest.read_text())
         except ValueError:
-            # Torn write (power loss can persist the rename but not the
-            # content).  The stamp in the filename still identifies the
-            # candidate new files; KEEP them — state is unknowable, and a
-            # one-time duplicate (repairable upstream by A5 dedup-on-read)
-            # beats deleting files whose inputs may already be gone.  The
-            # unlink un-wedges every future pass.
+            spec = None
+        if spec is None or not spec.get("new_files"):
+            # Torn write, or a manifest committed with an empty new_files
+            # list (invalid by construction — the fold always stages >=1
+            # file).  Both mean the content fsync never completed or the
+            # writer was broken, and the fsync-before-rename discipline
+            # guarantees nothing AFTER the manifest commit ran — the
+            # inputs are intact.  Roll BACK: delete the stamp's candidate
+            # new files (stamp-matched only, so prior-generation inputs
+            # living in this dir are never touched) and keep the inputs.
+            # Rolling FORWARD here would fold the new generation next to
+            # its surviving inputs (permanent duplication), or — for the
+            # empty-list case — delete every input with no replacement.
+            for p in gen_path.glob(f"compact-{stamp}-*.parquet"):
+                p.unlink(missing_ok=True)
             manifest.unlink(missing_ok=True)
             continue
         new_files = [gen_path / name for name in spec["new_files"]]

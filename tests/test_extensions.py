@@ -106,19 +106,28 @@ def test_multimodal_real_wav_and_ppm_decode_through_arrow(spark) -> None:
     wav = buf.getvalue()
     ppm = b"P6\n# c\n3 2\n255\n" + bytes(range(18))
     blob = b"not a media file"
-    rows = [(1, wav), (2, ppm), (3, blob)]
-    media = spark.createDataFrame(rows, "media_id long, payload binary").select(
+    # real decoders are gated on the DECLARED mime (audio/*, image/*); a
+    # payload that merely looks like P6 under octet-stream must stub
+    rows = [
+        (1, wav, "audio/wav"),
+        (2, ppm, "image/x-portable-pixmap"),
+        (3, blob, "application/octet-stream"),
+        (4, ppm, "application/octet-stream"),  # coincidental-parse guard
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string"
+    ).select(
         "media_id",
         "payload",
         F.struct(
-            F.lit("application/octet-stream").alias("mime"),
+            F.col("mime").alias("mime"),
             F.lit(0).cast("int").alias("width"),
             F.lit(0).cast("int").alias("height"),
             F.octet_length("payload").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
     got = {r.media_id: list(r.feature) for r in MM.extract_features(media).collect()}
-    want = {mid: MM.decode_features(p) for mid, p in rows}
+    want = {mid: MM.decode_features(p, m) for mid, p, m in rows}
     for mid, feats in want.items():
         assert len(got[mid]) == MM.FEATURE_DIM
         # feature column is float32; local recompute is float64
@@ -132,6 +141,11 @@ def test_multimodal_real_wav_and_ppm_decode_through_arrow(spark) -> None:
     assert ppmf[2] == 1.0 and 0.0 < ppmf[6] < 1.0
     # unknown payload: still the normalized byte histogram
     assert abs(sum(got[3]) - 1.0) < 1e-6
+    # P6 bytes declared octet-stream: mime gate keeps the stub path (the
+    # fixture oracle always recomputes the stub, so coincidental parses
+    # would hash-mismatch) — histogram, not image stats
+    assert abs(sum(got[4]) - 1.0) < 1e-6
+    assert got[4] != got[2]
 
 
 def test_multimodal_metadata_prunes_before_python(spark) -> None:

@@ -1109,6 +1109,35 @@ def test_compaction_crash_recovery_never_duplicates(spark, tmp_path) -> None:
     assert not partial.exists()  # rolled back
     assert snap(index_dir) == baseline
 
+    # --- crash (c): TORN manifest (content never made it to disk).  The
+    # fsync-before-rename discipline means nothing after the commit ran —
+    # inputs are whole — so the repair must roll BACK: delete the stamp's
+    # candidate files, keep everything else.  The old keep-the-candidates
+    # behavior duplicated every input row on the next fold.
+    torn_candidate = gen / "compact-beef0001-00000.parquet"
+    shutil.copyfile(next(iter(gen.glob("compact-*.parquet"))), torn_candidate)
+    (gen / "_compact-beef0001.manifest.json").write_text('{"new_files": [')
+    compact_batch_landings(spark, index_dir, 10)
+    assert not torn_candidate.exists()  # rolled back, not kept
+    assert not list(gen.glob("_compact-*.manifest.json"))
+    assert snap(index_dir) == baseline
+
+    # --- crash (d): parseable manifest with an EMPTY new_files list is
+    # invalid by construction (the fold always stages >=1 file).  all([])
+    # is True, so the old code rolled FORWARD and deleted every listed
+    # input with no replacement — data loss.  Must roll back instead.
+    survivors = sorted(str(p) for p in gen.glob("compact-*.parquet"))
+    assert survivors
+    (gen / "_compact-beef0002.manifest.json").write_text(
+        json.dumps({"new_files": [], "inputs": survivors})
+    )
+    # a roll-forward here would delete every survivor with no replacement
+    # (all([]) is True) — the subsequent fold would then see zero inputs
+    # and the landing table's rows would be gone
+    compact_batch_landings(spark, index_dir, 10)
+    assert not list(gen.glob("_compact-*.manifest.json"))
+    assert snap(index_dir) == baseline
+
 
 def test_curation_handles_sourceless_batches_and_empty_filters(spark, tmp_path) -> None:
     """Scoring must not require fit-only columns: a batch without `source`
