@@ -267,51 +267,133 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEAR_DUP_DUCK = """
-WITH ex AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-         a.embedding AS ea, b.embedding AS eb,
+NEAR_DUP_NEIGHBORS = 8
+
+
+def _near_dup_duck_sql() -> str:
+    """SRP-bucketed near-dup oracle: the exact DuckDB twin of the engine's
+    candidate generation — same deterministic integer SRP buckets
+    (srp_buckets_duck_sql), same LAG-bounded nearest-lower neighbors per
+    (label, tbl, bucket), same exact-decimal cosine + 1e-8 rounding."""
+    k = NEAR_DUP_NEIGHBORS
+    lags = ", ".join(f"lag(vec_id, {i}) OVER w AS a{i}" for i in range(1, k + 1))
+    arr = ", ".join(f"a{i}" for i in range(1, k + 1))
+    return f"""
+WITH buckets AS ({SIM.srp_buckets_duck_sql("embeddings")}),
+lb AS (
+  SELECT b.vec_id, e.label, b.tbl, b.bucket
+  FROM buckets b JOIN embeddings e USING (vec_id)
+),
+lagged AS (
+  SELECT vec_id AS vec_b, label, {lags}
+  FROM lb
+  WINDOW w AS (PARTITION BY label, tbl, bucket ORDER BY vec_id)
+),
+cand AS (
+  SELECT DISTINCT va AS vec_a, vec_b, label FROM (
+    SELECT unnest([{arr}]) AS va, vec_b, label FROM lagged
+  ) WHERE va IS NOT NULL
+),
+norms AS (
+  SELECT vec_id,
+    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+             AS DECIMAL(30,15))) AS DOUBLE) AS nrm
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+  GROUP BY 1
+),
+ex AS (
+  SELECT c.vec_a, c.vec_b, c.label, a.embedding AS ea, b.embedding AS eb,
          unnest(range(1, len(a.embedding) + 1)) AS i
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_a
+  JOIN embeddings b ON b.vec_id = c.vec_b
 ),
 pairs AS (
   SELECT vec_a, vec_b, label,
-    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot,
-    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na,
-    CAST(SUM(CAST(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb
+    CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dot
   FROM ex
   GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT p.vec_a, p.vec_b, p.label,
+    CASE WHEN na.nrm = 0.0 OR nb.nrm = 0.0 THEN 0.0
+         ELSE (floor((p.dot / (SQRT(na.nrm) * SQRT(nb.nrm))) * 100000000.0 + 0.5)
+               / 100000000.0) END AS cosine
+  FROM pairs p
+  JOIN norms na ON na.vec_id = p.vec_a
+  JOIN norms nb ON nb.vec_id = p.vec_b
 )
-SELECT vec_a, vec_b, label,
-  (floor((dot / (SQRT(na) * SQRT(nb))) * 100000000.0 + 0.5) / 100000000.0) AS cosine
-FROM pairs
-WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.35
+SELECT vec_a, vec_b, label, cosine FROM scored WHERE cosine >= 0.35
 """
 
 
 @register(
     "embedding_near_dup",
-    sql=_NEAR_DUP_DUCK,
-    doc="Extension — embedding-cosine near-dup pairs >= 0.35 with label "
-    "blocking (the blocked-pairs pattern that replaces all-pairs at scale)",
+    sql=_near_dup_duck_sql(),
+    doc="Extension — embedding-cosine near-dup pairs >= 0.35 from SRP-LSH "
+    "bucket candidates with label blocking.  Candidates are LAG-bounded "
+    "(each vector verifies only its NEAR_DUP_NEIGHBORS nearest-lower "
+    "bucket-mates per (label, tbl, bucket), the incremental_embedding_dedup "
+    "pattern), so total pairs <= LSH_TABLES * K per vector — the previous "
+    "within-label self-join was the registry's last all-pairs-shaped plan "
+    "and went quadratic in any dominant label's size.  A near-dup hiding "
+    "behind K closer-id bucket-mates in every table can be missed "
+    "(documented bounded-work trade, same as the text family's capped "
+    "degree); the oracle mirrors the candidate rule exactly so the result "
+    "is deterministic cross-engine",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = NEAR_DUP_NEIGHBORS
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label"),
-        F.col("embedding").alias("ea"),
+    buckets = SIM.with_lsh_buckets(emb).select(
+        "vec_id", "label", F.posexplode("lsh_buckets").alias("tbl", "bucket")
     )
-    b = emb.select(
+    w = Window.partitionBy("label", "tbl", "bucket").orderBy("vec_id")
+    lagged = buckets.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("eb"),
+        "label",
+        *[F.lag("vec_id", i).over(w).alias(f"_a{i}") for i in range(1, k + 1)],
     )
-    pairs = a.join(b, (a["label"] == b["label_b"]) & (a["vec_a"] < b["vec_b"]))
-    cos = F.expr(SIM.cosine_spark("ea", "eb"))
+    # distinct over bare id pairs only — the embeddings re-attach after, so
+    # the exchange never carries two float arrays per candidate row
+    cand = (
+        lagged.select(
+            "vec_b",
+            "label",
+            F.explode(
+                F.array(*[f"_a{i}" for i in range(1, k + 1)])
+            ).alias("vec_a"),
+        )
+        .filter(F.col("vec_a").isNotNull())
+        .select("vec_a", "vec_b", "label")
+        .distinct()
+    )
+    # Norms are computed ONCE per vector (O(n) decimal aggregates) and
+    # joined in — cosine_spark would recompute dot(a,a)/dot(b,b) per PAIR,
+    # tripling the dominant HOF cost at |pairs| >> n.  Values are identical:
+    # the norm is the same exact decimal sum either way.
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.expr(SIM.dot_spark("embedding", "embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.expr(SIM.dot_spark("embedding", "embedding")).alias("nb"),
+    )
+    cos = F.expr(
+        "CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE "
+        + X.fround(f"{SIM.dot_spark('ea', 'eb')} / (SQRT(na) * SQRT(nb))", 8)
+        + " END"
+    )
     return (
-        pairs.select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
 

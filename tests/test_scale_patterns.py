@@ -273,3 +273,32 @@ def test_packing_engine_plans_have_no_corpus_wide_global_window(spark) -> None:
             assert "sum(ptot" in plan, (
                 f"{name}: single-partition exchange is not the totals prefix"
             )
+
+
+def test_embedding_near_dup_is_bucketed_not_all_pairs(spark) -> None:
+    """Round-5 weak-mark regression guard: embedding_near_dup was the
+    registry's last all-pairs-shaped plan (embeddings self-joined on label
+    equality — quadratic in a dominant label's size).  The rebucketed form
+    must (a) never join on label (candidates come from SRP buckets, label
+    is blocking metadata carried alongside), (b) generate candidates with
+    the LAG-bounded window (pairs <= LSH_TABLES * K per vector), and (c)
+    distinct on bare id pairs only — no embedding array through the
+    candidate exchange."""
+    import re
+
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["embedding_near_dup"].spark(spark, SMOKE_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Join" in ln:
+            # physical join lines list only their equi keys in brackets;
+            # label as a key would mean the all-pairs self-join is back
+            assert "label" not in ln, f"label-keyed join:\n{ln}"
+    assert "windowspecdefinition" in plan and "lag(" in plan, plan
+
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for keys, out in re.findall(r"Aggregate \[([^\]]*)\], \[([^\]]*)\]", opt):
+        assert "embedding" not in keys, opt
+        assert "ea#" not in keys and "eb#" not in keys, opt
