@@ -160,6 +160,98 @@ def decode_ppm_features(payload: bytes) -> list[float]:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: PNG (8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced) -> the same feature layout as the PPM path
+    [width/1e4, height/1e4, maxdepth(=1.0), r_mean, g_mean, b_mean,
+    luma_mean, luma_var, 0...].  zlib inflate + the 5 scanline filters
+    (None/Sub/Up/Average/Paeth); alpha ignored; grayscale broadcast to all
+    three channels.  Unsupported shapes (16-bit, palette, Adam7) raise —
+    the dispatch falls back to the stub."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a png")
+    pos, width, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        pos += 12 + ln  # chunk header + data + crc
+        if ctype == b"IHDR":
+            width, height, bitd, colort, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if bitd != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colort)
+    if channels is None:
+        raise ValueError(f"unsupported color type {colort}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("raster size mismatch")
+    recon = bytearray()
+    prev = bytearray(stride)
+    bpp = channels
+    for y in range(height):
+        base = y * (stride + 1)
+        f = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad scanline filter {f}")
+        recon += row
+        prev = row
+    npx = width * height
+    if channels == 1:
+        rs = gs = bs = recon
+    elif channels == 2:
+        rs = gs = bs = recon[0::2]
+    elif channels == 3:
+        rs, gs, bs = recon[0::3], recon[1::3], recon[2::3]
+    else:
+        rs, gs, bs = recon[0::4], recon[1::4], recon[2::4]
+    rm, gm, bm = (sum(c) / npx / 255.0 for c in (rs, gs, bs))
+    lumas = [
+        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        for r, g, b in zip(rs, gs, bs)
+    ]
+    lm = sum(lumas) / npx
+    lv = sum((x - lm) ** 2 for x in lumas) / npx
+    return _pad([width / 1e4, height / 1e4, 1.0, rm, gm, bm, lm, lv])
+
+
 def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
     """Typed dispatch: real decoders where stdlib suffices, the
     deterministic stub otherwise (so the oracle-checked byte-histogram
@@ -193,6 +285,8 @@ def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
             and payload[2:3].isspace()
         ):
             return decode_ppm_features(payload)
+        if image_ok and payload and payload[:8] == _PNG_MAGIC:
+            return decode_png_features(payload)
     except Exception:  # malformed/unsupported media -> stub features
         pass
     return _decode_stub(payload)

@@ -242,26 +242,67 @@ def ann_topk(df: DataFrame, query_df: DataFrame, k: int = 10) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN (coarse k-means quantizer; Spark MLlib, deterministic seed)
+# IVF ANN (coarse k-means quantizer; seeded numpy Lloyd's on a canonically
+# ordered bounded sample — fully reproducible outside Spark, so the ANN
+# family is value-oracled by a Python recompute in tools/check_oracle)
 # ---------------------------------------------------------------------------
 
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 IVF_SEED = 42
 IVF_TRAIN_SAMPLE = 100_000  # quantizer never trains on more vectors than this
+IVF_ITERS = 20
 
-# Quantizer cache: (semantic key) -> (model, centers).  Training is a
+
+def lloyd_fit(mat: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
+    """Deterministic Lloyd's k-means: seeded init on sample rows, 20 rounds
+    of vectorized assign/mean.  THE quantizer-fit definition — the IVF
+    coarse quantizer, the PQ codebooks, and the check_oracle Python twin
+    all call this on a canonically ordered (vec_id ASC) float64 matrix, so
+    centroids are bit-identical everywhere (numpy reductions on the same
+    rows in the same order).  Empty cells keep their previous centroid."""
+    idx = rng.permutation(len(mat))[:k]
+    cent = mat[idx].copy()
+    for _ in range(IVF_ITERS):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = mat[mask].mean(0)
+    return cent
+
+
+def _train_matrix(df: DataFrame, vec_col: str) -> np.ndarray:
+    """Bounded deterministic training sample as a float64 matrix in
+    canonical vec_id order.  Over-budget corpora keep the IVF_TRAIN_SAMPLE
+    rows with the smallest md5(vec_id) — a hash-ordered top-N (distributed
+    heap, no full shuffle) that any engine can reproduce exactly, unlike
+    partition-seeded Bernoulli sampling."""
+    n = df.count()
+    train = df
+    if n > IVF_TRAIN_SAMPLE:
+        train = df.orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        ).limit(IVF_TRAIN_SAMPLE)
+    rows = train.select("vec_id", vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+
+# Quantizer cache: (semantic key) -> centers ndarray.  Training is a
 # build-the-index step, not a per-query step — repeated queries against the
 # same corpus reuse the persisted centroids, exactly like a stored IVF index.
 _IVF_MODELS: dict = {}
 
 
-def _ivf_model(df: DataFrame, vec_col: str):
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+def _ivf_centers(df: DataFrame, vec_col: str) -> np.ndarray:
+    # row count in the key: a FILTERED view shares the full table's
+    # inputFiles, so a files-only key would hand the corpus-fit centers to
+    # a subset (or vice versa) depending on call order
     key = (
         tuple(sorted(df.inputFiles())) or (id(df),),
+        df.count(),
         vec_col,
         IVF_CLUSTERS,
         IVF_SEED,
@@ -269,18 +310,29 @@ def _ivf_model(df: DataFrame, vec_col: str):
     hit = _IVF_MODELS.get(key)
     if hit is not None:
         return hit
-    n = df.count()
-    train = df
-    if n > IVF_TRAIN_SAMPLE:
-        # deterministic bounded sample: the quantizer sees <= IVF_TRAIN_SAMPLE
-        # vectors no matter the corpus size
-        train = df.sample(fraction=IVF_TRAIN_SAMPLE / n, seed=IVF_SEED)
-    withvec = train.withColumn("__v", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=IVF_CLUSTERS, seed=IVF_SEED, featuresCol="__v", predictionCol="cell")
-    model = km.fit(withvec)
-    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
-    _IVF_MODELS[key] = (model, centers)
-    return model, centers
+    mat = _train_matrix(df, vec_col)
+    centers = lloyd_fit(mat, IVF_CLUSTERS, np.random.RandomState(IVF_SEED))
+    _IVF_MODELS[key] = centers
+    return centers
+
+
+def assign_cells_udf(centers: np.ndarray):
+    """Nearest-centroid pandas UDF over <= IVF_CLUSTERS broadcast centroids
+    — THE assignment rule (also the index-append router and the oracle
+    twin): argmin over ||c||^2 - 2 x.c (||x||^2 constant per row), ties to
+    the lowest cell id (argmin order)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c_sq = (centers**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        d = c_sq[None, :] - 2.0 * (mat @ centers.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign
 
 
 def ivf_assignments(df: DataFrame, vec_col: str = "embedding"):
@@ -292,11 +344,8 @@ def ivf_assignments(df: DataFrame, vec_col: str = "embedding"):
     100 TB the corpus is then *stored* partitioned by cell, so a query scans
     only nprobe/k of the data.
     """
-    from pyspark.ml.functions import array_to_vector
-
-    model, centers = _ivf_model(df, vec_col)
-    withvec = df.withColumn("__v", array_to_vector(F.col(vec_col)))
-    assigned = model.transform(withvec).drop("__v")
+    centers = _ivf_centers(df, vec_col)
+    assigned = df.withColumn("cell", assign_cells_udf(centers)(F.col(vec_col)))
     return assigned, centers
 
 
@@ -323,40 +372,28 @@ def ivf_index_append(
     """Incremental index maintenance: assign NEW vectors to cells with the
     PERSISTED centroids (no re-fit — the production contract: the coarse
     quantizer is a build-time artifact, ingest only routes into it) and
-    append them to the cell-partitioned parquet.  Assignment is the
-    nearest-centroid-by-squared-L2 rule, computed as one numpy matmul per
-    Arrow batch against the <= IVF_CLUSTERS broadcast centroids (a vector
-    numerically equidistant between two centroids can tie-break differently
-    than MLlib's guarded fastSquaredDistance — both are valid nearest
-    cells; everywhere else the assignments agree); appended files join
-    their cell's partition, so
+    append them to the cell-partitioned parquet.  Routing is the SAME
+    assign_cells_udf rule every other IVF path uses (one numpy matmul per
+    Arrow batch against the <= IVF_CLUSTERS broadcast centroids, ties to
+    the lowest cell id), so appended vectors land exactly where a full
+    rebuild would put them; appended files join their cell's partition, so
     nprobe partition pruning keeps holding without touching old files.
     Re-clustering (when drift makes cells lopsided) is build_ivf_index
     again — an offline rebuild, exactly like production ANN systems."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     cent_rows = sorted(
         (
             (r["cell"], r["centroid"])
             for r in spark.read.parquet(f"{path}.centroids").collect()
         )
     )
-    cells = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
+    # persisted cells are the contiguous 0..k-1 range build_ivf_index wrote;
+    # sorting restores centroid row order so argmin index == cell id
+    assert [c for c, _ in cent_rows] == list(range(len(cent_rows)))
     centers = np.asarray([v for _, v in cent_rows], dtype=np.float64)
-    c_sq = (centers**2).sum(axis=1)
 
-    @pandas_udf("int")
-    def assign(v: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c) — ||x||^2 is constant
-        # per row; ties resolve to the lowest cell id (argmin order)
-        d = c_sq[None, :] - 2.0 * (mat @ centers.T)
-        return pd.Series(cells[d.argmin(axis=1)].astype("int32"))
-
-    new_vecs.withColumn("cell", assign(F.col(vec_col))).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(path)
+    new_vecs.withColumn(
+        "cell", assign_cells_udf(centers)(F.col(vec_col))
+    ).write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivf_topk_indexed(
@@ -742,35 +779,22 @@ def _pq_codebooks(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
     cached (an id(df) key can be reused by the allocator after GC and
     would return codebooks fit on unrelated data)."""
     files = tuple(sorted(df.inputFiles()))
-    key = (files, vec_col, PQ_M, PQ_K, PQ_SEED) if files else None
+    # row count in the key for the same filtered-view reason as _ivf_centers
+    key = (files, df.count(), vec_col, PQ_M, PQ_K, PQ_SEED) if files else None
     hit = _PQ_BOOKS.get(key) if key is not None else None
     if hit is not None:
         return hit
-    n = df.count()
-    train = df
-    if n > IVF_TRAIN_SAMPLE:
-        train = df.sample(fraction=IVF_TRAIN_SAMPLE / n, seed=PQ_SEED)
-    mat = np.asarray(
-        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
-    )
+    # canonical vec_id-ordered sample + shared lloyd_fit: the Python oracle
+    # reproduces the codebooks bit-for-bit (the ONE rng is shared across
+    # subspaces sequentially — the oracle must fit m=0..M-1 in order)
+    mat = _train_matrix(df, vec_col)
     dim = mat.shape[1]
     assert dim % PQ_M == 0, f"dim {dim} not divisible by PQ_M {PQ_M}"
     dsub = dim // PQ_M
     books = np.empty((PQ_M, PQ_K, dsub))
     rng = np.random.RandomState(PQ_SEED)
     for m in range(PQ_M):
-        sub = mat[:, m * dsub : (m + 1) * dsub]
-        # deterministic Lloyd's: k-means++-free seeded init on distinct rows
-        idx = rng.permutation(len(sub))[:PQ_K]
-        cent = sub[idx].copy()
-        for _ in range(20):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for c in range(PQ_K):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(0)
-        books[m] = cent
+        books[m] = lloyd_fit(mat[:, m * dsub : (m + 1) * dsub], PQ_K, rng)
     if key is not None:
         _PQ_BOOKS[key] = books
     return books

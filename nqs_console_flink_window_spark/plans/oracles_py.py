@@ -1,0 +1,179 @@
+"""Python value oracles for the seeded k-means ANN family.
+
+``ann_ivf_topk`` / ``ann_pq_topk`` / ``ann_ivfpq_topk`` were the registry's
+last substantive rows-only queries: a k-means quantizer has no SQL twin.
+But the quantizer IS deterministic — seeded numpy Lloyd's on a canonically
+vec_id-ordered bounded sample (operators/similarity.lloyd_fit) — so a local
+Python recompute reproduces centroids, codebooks, cell routing, ADC
+estimates and the exact-decimal cosine re-rank bit-for-bit, and
+tools/check_oracle.py can value-check the full output row.
+
+What this checks and what it shares: the fit (``lloyd_fit``) and its
+constants are imported from the operator module — the fit itself is
+pytest-gated (recall/determinism), not cross-checked here.  Everything the
+Spark ENGINE adds on top is recomputed independently and verified exactly:
+parquet loading, the Arrow assignment/encode kernels, probe-cell routing,
+the JVM element_at ADC gathers, the DECIMAL(30,15) cosine path, ordering
+and limits.  Same standard as ann_lsh_topk's SQL twin (which shares the
+md5-sign SPEC with the engine by construction).
+
+Cross-engine float discipline:
+- Spark casts DOUBLE -> DECIMAL(30,15) through the double's shortest
+  decimal repr (BigDecimal.valueOf semantics) with HALF_UP; the twin is
+  ``Decimal(repr(v)).quantize(1e-15, ROUND_HALF_UP)`` — Python repr is the
+  same shortest round-trip string.
+- The ADC estimate sums 8 float64 lookup terms left-associatively (the SQL
+  ``t1 + t2 + ...`` parse); the twin adds in the same order.
+- All matrices are float64 built from the parquet float32 values (exact
+  widening), rows in vec_id order — the same canonical order
+  ``similarity._train_matrix`` collects.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+from ..operators import similarity as SIM
+
+_Q15 = Decimal(1).scaleb(-15)
+
+
+def _load(con) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64, matrix float64) for the whole embeddings table,
+    vec_id ascending."""
+    df = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchdf()
+    ids = df["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in df["embedding"]]
+    )
+    return ids, mat
+
+
+def _corpus_and_query(con):
+    ids, mat = _load(con)
+    qmask = ids == 0
+    q = mat[qmask][0]
+    return ids[~qmask], mat[~qmask], q
+
+
+def _train_rows(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Twin of similarity._train_matrix's bounded sample: over budget,
+    keep the IVF_TRAIN_SAMPLE rows with the smallest (md5(str(vec_id)),
+    vec_id), then restore vec_id order."""
+    if len(ids) <= SIM.IVF_TRAIN_SAMPLE:
+        return mat
+    keys = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[: SIM.IVF_TRAIN_SAMPLE]
+    keep = sorted(keys, key=lambda i: ids[i])
+    return mat[keep]
+
+
+def _dec_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Twin of similarity.dot_spark: each float64 product rounded HALF_UP
+    to 15 decimals via its shortest repr, exact decimal sum, cast back to
+    double."""
+    s = Decimal(0)
+    for x, y in zip(a, b):
+        s += Decimal(repr(x * y)).quantize(_Q15, rounding=ROUND_HALF_UP)
+    return float(s)
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """Twin of similarity.cosine_spark (incl. the fround-8 half-up)."""
+    na = _dec_dot(a, a)
+    nb = _dec_dot(b, b)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    c = _dec_dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    return math.floor(c * 1.0e8 + 0.5) / 1.0e8
+
+
+def _ivf_cells(ids, mat, q):
+    """(cells per corpus row, probe-cell set) with the engine's exact
+    formulas: lloyd_fit centers, argmin over ||c||^2 - 2 x.c, probe =
+    np.argsort(centroid d2)[:nprobe]."""
+    centers = SIM.lloyd_fit(
+        _train_rows(ids, mat), SIM.IVF_CLUSTERS, np.random.RandomState(SIM.IVF_SEED)
+    )
+    c_sq = (centers**2).sum(axis=1)
+    d = c_sq[None, :] - 2.0 * (mat @ centers.T)
+    cells = d.argmin(axis=1)
+    qd2 = ((centers - q) ** 2).sum(axis=1)
+    probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
+    return cells, probe
+
+
+def ann_ivf_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
+    ids, mat, q = _corpus_and_query(con)
+    cells, probe = _ivf_cells(ids, mat, q)
+    rows = [
+        (int(ids[i]), int(cells[i]), _cosine(mat[i], q))
+        for i in range(len(ids))
+        if int(cells[i]) in probe
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(rows[:10], columns=["vec_id", "cell", "cosine"])
+
+
+def _pq_books(ids, mat):
+    dim = mat.shape[1]
+    dsub = dim // SIM.PQ_M
+    tm = _train_rows(ids, mat)
+    rng = np.random.RandomState(SIM.PQ_SEED)  # ONE rng, subspaces in order
+    books = np.empty((SIM.PQ_M, SIM.PQ_K, dsub))
+    for m in range(SIM.PQ_M):
+        books[m] = SIM.lloyd_fit(tm[:, m * dsub : (m + 1) * dsub], SIM.PQ_K, rng)
+    return books, dsub
+
+
+def _pq_rows(ids, mat, q, books, dsub, k=10, rerank=4):
+    """Twin of similarity.pq_topk over (ids, mat): codes -> left-assoc ADC
+    estimate -> top rerank*k by (est desc, vec_id) -> exact-cosine top k."""
+    n = len(ids)
+    codes = np.empty((n, SIM.PQ_M), dtype=np.int64)
+    for m in range(SIM.PQ_M):
+        sub = mat[:, m * dsub : (m + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d2.argmin(1)
+    lut = np.empty((SIM.PQ_M, SIM.PQ_K))
+    for m in range(SIM.PQ_M):
+        lut[m] = books[m] @ q[m * dsub : (m + 1) * dsub]
+    est = []
+    for i in range(n):
+        acc = float(lut[0][codes[i, 0]])
+        for m in range(1, SIM.PQ_M):
+            acc = acc + float(lut[m][codes[i, m]])
+        est.append(acc)
+    short = sorted(range(n), key=lambda i: (-est[i], ids[i]))[: rerank * k]
+    rows = [(int(ids[i]), est[i], _cosine(mat[i], q)) for i in short]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:k]
+
+
+def ann_pq_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
+    ids, mat, q = _corpus_and_query(con)
+    books, dsub = _pq_books(ids, mat)
+    return pd.DataFrame(
+        _pq_rows(ids, mat, q, books, dsub),
+        columns=["vec_id", "est_dot", "cosine"],
+    )
+
+
+def ann_ivfpq_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
+    ids, mat, q = _corpus_and_query(con)
+    books, dsub = _pq_books(ids, mat)  # codebooks fit corpus-wide
+    cells, probe = _ivf_cells(ids, mat, q)
+    keep = [i for i in range(len(ids)) if int(cells[i]) in probe]
+    return pd.DataFrame(
+        _pq_rows(ids[keep], mat[keep], q, books, dsub),
+        columns=["vec_id", "est_dot", "cosine"],
+    )

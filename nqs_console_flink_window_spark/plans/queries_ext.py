@@ -16,6 +16,7 @@ from ..operators import packing as PK
 from ..operators import sampling as SMP
 from ..operators import similarity as SIM
 from ..operators import text as TX
+from . import oracles_py as ORC
 from ..sources.batch import load_table, register_temp_views
 from .registry import register
 
@@ -452,7 +453,10 @@ SELECT doc_id,
 FROM documents
 """,
     doc="Extension — opaque binary payload + typed metadata columns "
-    "(byte length, content digest); decode kernels are mapInPandas stages",
+    "(byte length, content digest); decode kernels are mapInPandas "
+    "stages; driver-gated via multimodal_features (the binary-column "
+    "family's decode path on the driver surface)",
+    tier=2,
 )
 def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -499,10 +503,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    sql=None,  # approximate by design; recall vs brute force in tests
-    doc="Extension — IVF ANN: coarse k-means quantizer (seeded), nprobe "
-    "nearest cells scanned, exact cosine re-rank (the partition-pruning "
-    "scale path: a query touches nprobe/k of the corpus); driver-gated via "
+    sql=None,  # no SQL twin for the k-means fit — value-oracled in Python
+    oracle_py=ORC.ann_ivf_topk_oracle,
+    doc="Extension — IVF ANN: coarse k-means quantizer (seeded numpy "
+    "Lloyd's on a canonical bounded sample), nprobe nearest cells scanned, "
+    "exact cosine re-rank (the partition-pruning scale path: a query "
+    "touches nprobe/k of the corpus); value-oracled by the deterministic "
+    "Python recompute in plans/oracles_py (check_oracle), driver-gated via "
     "the merged ann_topk row",
     tier=2,
 )
@@ -675,6 +682,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "training_sample",
     sql=SMP.training_sample_sql(X.DUCK),
+    headline=True,  # LLM-family bench coverage since round 6
     doc="Extension — C4-style corpus assembly in one pipeline: exact dedup "
     "(ROW_NUMBER over md5(text)) -> own-language quality filter -> per-source "
     "cap (max N docs per source by quality) -> deterministic stratified "
@@ -1126,9 +1134,8 @@ _EMB_SPLIT = 250
     "1's survivors plus itself — O(batch + index collisions), vectors "
     "stored once (bucket rows and qvecs are separate index tables); greedy "
     "keep-min verify via the semdedup quantized-integer cosine, so the "
-    "whole 2-batch flow is value-oracled; embedding-dedup family "
-    "driver-gated via semantic_pairs / dedup_clusters",
-    tier=2,
+    "whole 2-batch flow is value-oracled (tier-1 since round 6 — the "
+    "embedding-dedup family's driver-visible row)",
 )
 def incremental_embedding_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1222,6 +1229,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semdedup_prune",
     sql=SIM.semdedup_duck_sql(),
+    headline=True,  # LLM-family bench coverage since round 6
     doc="Extension — SemDeDup (Abbas et al. 2023): coarse angular clusters "
     "(deterministic SRP buckets of the first t tables concatenated, with t "
     "DERIVED from corpus size so expected cluster size stays at "
@@ -1720,7 +1728,8 @@ def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_pq_topk",
-    sql=None,  # codebooks are k-means fits — no SQL twin (same class as ann_ivf_topk)
+    sql=None,  # k-means codebooks have no SQL twin — value-oracled in Python
+    oracle_py=ORC.ann_pq_topk_oracle,
     doc="Extension — product-quantization ANN (Jégou et al. 2011): per-"
     "subspace seeded-k-means codebooks on a bounded sample, 8-byte codes "
     "(32x vs float32), ADC search = one M x K query LUT + M JVM-side "
@@ -1802,8 +1811,11 @@ JOIN sizes nb ON co.doc_b = nb.doc_id
     "candidate pair in one row: hashed-embedding cosine (unit-norm long "
     "form, SUM of componentwise products) beside exact shingle Jaccard — "
     "the two-signal view a dedup-policy decision wants; Spark side rides "
-    "the staged MinHash parts + staged embedding rows; dedup family "
-    "driver-gated via ngram_jaccard_pairs / embedding_near_dup",
+    "the staged MinHash parts + staged embedding rows; driver-gated via "
+    "ngram_jaccard_pairs / embedding_near_dup / doc_embeddings / "
+    "incremental_embedding_dedup_batches (every constituent signal is on "
+    "the driver surface)",
+    tier=2,
 )
 def semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.staging import staged_views
@@ -1835,7 +1847,8 @@ JOIN {v.sizes} nb ON co.doc_b = nb.doc_id
 
 @register(
     "ann_ivfpq_topk",
-    sql=None,  # k-means coarse + PQ codebooks — no SQL twin
+    sql=None,  # k-means coarse + PQ codebooks — value-oracled in Python
+    oracle_py=ORC.ann_ivfpq_topk_oracle,
     doc="Extension — IVF-PQ composed ANN (the canonical production index "
     "shape): coarse quantizer routes to nprobe cells, ADC scores only "
     "those cells' 8-byte code arrays, exact-cosine re-rank of the short "
@@ -1885,6 +1898,7 @@ WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
 @register(
     "containment_estimate_fast",
     sql=DD.containment_estimate_fast_sql(X.DUCK),
+    headline=True,  # LLM-family bench coverage since round 6
     doc="Extension — production projection of containment_estimate: "
     "estimate only, no exact-intersection audit join — per candidate pair "
     "the cost is two signature-row joins + one size lookup, flat in "

@@ -188,10 +188,7 @@ SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM s3)
     "stage (funnel depth = pass count, never a sort over the corpus); the "
     "engine stages each per-user stage table (user-cardinality, same class "
     "as the dedup band checkpoint) so the final 3-row summary cannot "
-    "re-run the chain under CTE inlining; driver-gated via "
-    "session_windows / latest_event_per_user_agg (the per-user event-time "
-    "analytics family)",
-    tier=2,
+    "re-run the chain under CTE inlining (tier-1 since round 6)",
 )
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")

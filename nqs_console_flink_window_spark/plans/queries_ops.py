@@ -447,15 +447,42 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    sql=None,  # HLL sketch result is engine-specific; rows-only check
-    doc="A6 — approx_count_distinct (HLL); no SQL oracle by design; "
-    "driver-gated alongside distinct_counts, error-bound-vs-exact in pytest",
+    # The raw HLL estimate is engine-specific (DuckDB's sketch differs), so
+    # the oracled row carries the exact count plus the CLAIM the estimate
+    # makes — |approx - exact| <= 4 * rsd * exact (4 sigma at rsd=0.01).
+    # Spark's HLL is hash-deterministic, so a drift past the bound is a
+    # real defect and fails the hash match (engine false vs oracle TRUE).
+    sql="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_within_4rsd
+FROM events GROUP BY 1
+""",
+    doc="A6 — approx_count_distinct (HLL) with its error contract value-"
+    "oracled: exact distinct hash-checked, the estimate checked against "
+    "the 4-sigma rsd bound (previously the registry's last rows-only "
+    "query); driver-gated alongside distinct_counts",
     tier=2,
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(
+                    F.col("approx").cast("double")
+                    - F.col("n_users_exact").cast("double")
+                )
+                <= 0.04 * F.col("n_users_exact").cast("double")
+            ).alias("approx_within_4rsd"),
+        )
     )
 
 
@@ -584,7 +611,10 @@ FROM events GROUP BY event_type
 """,
     doc="Skew playbook — two-phase salted aggregation over a hot key "
     "(keyBy(taskTypeName) shape, ConsoleTaskDataMain.java:81); result "
-    "identical to the direct groupBy (long partials per salt, decimal merge)",
+    "identical to the direct groupBy (long partials per salt, decimal "
+    "merge); driver-gated via revenue_by_region (same two-level salted "
+    "exact-sum engine on the driver surface)",
+    tier=2,
 )
 def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_sum_count
@@ -641,7 +671,10 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     doc="A6/§2.10 — exact interpolated percentiles per key (the latency-"
-    "quantile OLAP the reference delegates to ClickHouse)",
+    "quantile OLAP the reference delegates to ClickHouse); driver-gated "
+    "via histogram_quantiles (the same A6 quantile surface, now the "
+    "driver-visible scale form)",
+    tier=2,
 )
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -657,6 +690,7 @@ from ..operators import sketches as SK  # noqa: E402
 @register(
     "histogram_quantiles",
     sql=SK.histogram_quantiles_sql("duck"),
+    headline=True,  # LLM-family bench coverage since round 6
     doc="A6/§2.10 at 100 TB — two-pass fixed-bin histogram quantiles "
     "(p50/p90/p99 per key): pass 1 aggregates (min,max,count), pass 2 "
     "buckets into 4096 equal-width bins and reads the quantile off the "
@@ -665,9 +699,8 @@ from ..operators import sketches as SK  # noqa: E402
     "hypothesis-bounded).  No per-key sort, state <= 4096 "
     "longs per key, mergeable — the scale path beside the exact-sort "
     "`percentiles`; deterministic IEEE arithmetic, so unlike engine-native "
-    "approx_percentile sketches it is value-oracled; driver-gated via "
-    "percentiles (same A6 quantile surface)",
-    tier=2,
+    "approx_percentile sketches it is value-oracled (tier-1 since round "
+    "6; the exact-sort `percentiles` form is the tier-2 twin)",
 )
 def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -683,9 +716,7 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "let the outliers set their own trim threshold), bounds med +- "
     "3*spread with kept/trimmed counts.  Composes histogram_quantiles "
     "twice, so sort-free / bounded-state / deterministic-IEEE end-to-end "
-    "and value-oracled; driver-gated via percentiles + histogram family "
-    "(same A6 quantile surface)",
-    tier=2,
+    "and value-oracled (tier-1 since round 6)",
 )
 def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -740,9 +771,7 @@ def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Laplace smoothing, 64 bins): the drift monitor the mergeable "
     "histogram landings feed in production.  ln only at integer args, "
     "quantized to micro-nats (qln_micro), PSI accumulated as exact BIGINT "
-    "nano-units — value-oracled; driver-gated via percentiles + "
-    "histogram family (same distribution-stats surface)",
-    tier=2,
+    "nano-units — value-oracled (tier-1 since round 6)",
 )
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -847,7 +876,10 @@ LEFT JOIN nation n
 """,
     doc="J4 — geo overwrite-if-present precedence: ip-geo result wins over "
     "task-host default (coalesce(geo.province, task.host_province); "
-    "IPHelper applied at AbstractDataParser.java:90-95)",
+    "IPHelper applied at AbstractDataParser.java:90-95); driver-gated via "
+    "enrich_events (the J4 chain incl. coalesce precedence on the driver "
+    "surface)",
+    tier=2,
 )
 def geo_coalesce_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

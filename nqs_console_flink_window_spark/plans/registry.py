@@ -41,6 +41,12 @@ class Query:
     doc: str = ""
     headline: bool = False  # benchmarked by bench.py at sf0.1
     tier: int = 1  # 1 = driver-visible (queries()); 2 = local-gate only
+    # Python value oracle for queries no SQL engine can express (seeded
+    # k-means quantizers): (duckdb_con, sf_dir) -> pandas DataFrame with the
+    # exact expected result.  tools/check_oracle.py uses it when ``sql`` is
+    # None, upgrading the query from rows-only to value-checked; the driver
+    # (which consumes only oracle_sql()) still records its weaker check.
+    oracle_py: Callable | None = None
 
 
 # The driver's correctness gate checks only the FIRST 50 entries of
@@ -60,10 +66,17 @@ def register(
     doc: str = "",
     headline: bool = False,
     tier: int = 1,
+    oracle_py: Callable | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
         REGISTRY[name] = Query(
-            name=name, spark=fn, sql=sql, doc=doc, headline=headline, tier=tier
+            name=name,
+            spark=fn,
+            sql=sql,
+            doc=doc,
+            headline=headline,
+            tier=tier,
+            oracle_py=oracle_py,
         )
         return fn
 

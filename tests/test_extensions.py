@@ -256,10 +256,10 @@ def test_ivf_quantizer_cached_across_calls(spark) -> None:
     dim = len(emb.select("embedding").first()[0])
     SIM.ivf_topk(emb, [0.1] * dim, k=5)
     assert len(SIM._IVF_MODELS) == 1
-    model_id = id(next(iter(SIM._IVF_MODELS.values()))[0])
+    centers_id = id(next(iter(SIM._IVF_MODELS.values())))
     SIM.ivf_topk(emb, [0.9] * dim, k=5)
     assert len(SIM._IVF_MODELS) == 1
-    assert id(next(iter(SIM._IVF_MODELS.values()))[0]) == model_id
+    assert id(next(iter(SIM._IVF_MODELS.values()))) == centers_id
 
 
 def test_connected_components_multi_hop_chain(spark) -> None:
@@ -1379,19 +1379,14 @@ def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
     SIM.build_ivf_index(base, path)
     SIM.ivf_index_append(spark, path, extra)
 
-    # appended assignment matches the fitted quantizer's own transform —
-    # modulo boundary ties, where the matmul form and MLlib's guarded
-    # fastSquaredDistance may round the argmin differently: any mismatch
-    # must be numerically equidistant between the two candidate centroids
-    import numpy as np
-
-    model, centers = SIM._ivf_model(base, "embedding")
-    from pyspark.ml.functions import array_to_vector
-
+    # appended assignment matches the original quantizer exactly — the
+    # router and ivf_assignments now share ONE rule (assign_cells_udf), so
+    # no tie tolerance is needed: identical floats, identical argmin
+    centers = SIM._ivf_centers(base, "embedding")
     want = {
         r["vec_id"]: r["cell"]
-        for r in model.transform(
-            extra.withColumn("__v", array_to_vector(F.col("embedding")))
+        for r in extra.withColumn(
+            "cell", SIM.assign_cells_udf(centers)(F.col("embedding"))
         ).collect()
     }
     got = {
@@ -1400,16 +1395,7 @@ def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
         .join(extra.select("vec_id"), "vec_id", "left_semi")
         .collect()
     }
-    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
-            for r in extra.collect()}
-    assert set(got) == set(want)
-    for vid, cell in got.items():
-        if cell != want[vid]:
-            d_got = ((vecs[vid] - centers[cell]) ** 2).sum()
-            d_want = ((vecs[vid] - centers[want[vid]]) ** 2).sum()
-            assert abs(d_got - d_want) <= 1e-9 * max(d_got, d_want, 1e-30), (
-                vid, cell, want[vid], d_got, d_want,
-            )
+    assert got == want
 
     # a query for an appended vector's own embedding returns it at rank 1
     qvec = [float(x) for x in extra.orderBy("vec_id").first()["embedding"]]
@@ -1439,3 +1425,133 @@ def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert {r["cell"] for r in top.collect()} <= set(probe)
+
+
+def _png_encode(pixels, channels, filters):
+    """Minimal test-side PNG writer: one explicit filter type per scanline
+    (applied FORWARD, so the decoder must invert all five), 8-bit."""
+    import struct
+    import zlib
+
+    height = len(pixels)
+    width = len(pixels[0]) // channels
+    colort = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = bytes(width * channels)
+    bpp = channels
+    for y, rowpix in enumerate(pixels):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        row = bytes(rowpix)
+        enc = bytearray(row)
+        if f == 1:
+            for i in range(len(row) - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(len(row)):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        raw += enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colort, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_png_decode_all_filters(spark) -> None:
+    """The stdlib PNG decoder recovers exact pixel stats through every
+    scanline filter (None/Sub/Up/Average/Paeth), for RGB, RGBA (alpha
+    ignored) and grayscale; unsupported shapes fall back to the stub; and
+    the decode runs through the same Arrow mapInPandas plumbing."""
+    import random
+
+    rng = random.Random(7)
+    w, h = 6, 10
+    cases = {}
+    for mid, ch in ((1, 3), (2, 4), (3, 1)):
+        pixels = [
+            [rng.randrange(256) for _ in range(w * ch)] for _ in range(h)
+        ]
+        cases[mid] = (ch, pixels, _png_encode(pixels, ch, [0, 1, 2, 3, 4]))
+
+    def expect(ch, pixels):
+        flat = [b for row in pixels for b in row]
+        if ch == 1:
+            rs = gs = bs = flat
+        elif ch == 4:
+            rs, gs, bs = flat[0::4], flat[1::4], flat[2::4]
+        else:
+            rs, gs, bs = flat[0::3], flat[1::3], flat[2::3]
+        npx = w * h
+        rm, gm, bm = (sum(c) / npx / 255.0 for c in (rs, gs, bs))
+        lumas = [
+            (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            for r, g, b in zip(rs, gs, bs)
+        ]
+        lm = sum(lumas) / npx
+        lv = sum((x - lm) ** 2 for x in lumas) / npx
+        return [w / 1e4, h / 1e4, 1.0, rm, gm, bm, lm, lv]
+
+    for mid, (ch, pixels, png) in cases.items():
+        got = MM.decode_features(png, "image/png")
+        want = expect(ch, pixels)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), (mid, got)
+        assert got[8:] == [0.0] * (MM.FEATURE_DIM - 8)
+
+    # interlaced/16-bit/palette shapes and octet-stream declarations stub
+    import struct as _s
+    import zlib as _z
+
+    bad_ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", len(bad_ihdr)) + b"IHDR" + bad_ihdr
+        + _s.pack(">I", _z.crc32(b"IHDR" + bad_ihdr))
+    )
+    assert abs(sum(MM.decode_features(bad, "image/png")) - 1.0) < 1e-6
+    png3 = cases[1][2]
+    assert abs(sum(MM.decode_features(png3, "application/octet-stream")) - 1.0) < 1e-6
+
+    # through the Arrow plumbing
+    rows = [(mid, c[2], "image/png") for mid, c in cases.items()]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string"
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("mime").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    arrow = {r.media_id: list(r.feature) for r in MM.extract_features(media).collect()}
+    for mid, (ch, pixels, png) in cases.items():
+        local = MM.decode_features(png, "image/png")
+        assert all(abs(a - b) < 1e-6 for a, b in zip(arrow[mid], local)), mid

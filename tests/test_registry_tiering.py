@@ -58,16 +58,76 @@ def test_tier2_oracle_parity(spark, name) -> None:
 
 
 def test_approx_distinct_error_bound(spark) -> None:
-    """approx_count_distinct (no SQL oracle by design) stays within a loose
-    relative error of the exact distinct count."""
+    """The oracled approx_distinct row carries the exact count and the HLL
+    error claim; the claim must hold (and match the exact query) here too."""
     exact = {
         r["event_type"]: r["n_users"]
         for r in REGISTRY["distinct_counts"].spark(spark, SMOKE_SF_DIR).collect()
     }
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["approx_distinct"].spark(spark, SMOKE_SF_DIR).collect()
-    }
-    assert set(exact) == set(approx)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+    rows = REGISTRY["approx_distinct"].spark(spark, SMOKE_SF_DIR).collect()
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["n_users_exact"] == exact[r["event_type"]]
+        assert r["approx_within_4rsd"] is True, r
+
+
+_WITH_PY_ORACLE = sorted(
+    name for name, q in REGISTRY.items() if q.sql is None and q.oracle_py
+)
+
+
+def test_python_oracle_coverage_is_total() -> None:
+    """Every registered query is value-checkable: an SQL twin, or a Python
+    oracle for the k-means ANN family (no rows-only queries remain)."""
+    unoracled = [
+        name for name, q in REGISTRY.items() if q.sql is None and not q.oracle_py
+    ]
+    assert unoracled == [], unoracled
+    assert _WITH_PY_ORACLE == ["ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"]
+
+
+@pytest.mark.parametrize("name", _WITH_PY_ORACLE)
+def test_python_oracle_parity(spark, name) -> None:
+    """The seeded-quantizer ANN queries match their deterministic Python
+    recompute EXACTLY (same standard as the SQL twins: zero float diff) —
+    the quantizer fit, cell routing, ADC estimates, decimal cosine, ordering
+    and limits all reproduce outside Spark."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from check_oracle import compare
+
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SMOKE_SF_DIR).toPandas()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SMOKE_SF_DIR}/{t}.parquet')"
+        )
+    ddf = q.oracle_py(con, SMOKE_SF_DIR)
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_coverage_doc_counts_match_registry() -> None:
+    """COVERAGE.md's audit-trail counts regenerate from the registry — the
+    round-5 verdict caught the prose drifting from the commit messages.
+    The doc carries one machine-readable line; this test recomputes it."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(
+        r"\*\*Counts \(auto-checked\):\*\* registry=(\d+) tier1=(\d+) "
+        r"sql_oracled=(\d+) python_oracled=(\d+) rows_only=(\d+)",
+        text,
+    )
+    assert m, "COVERAGE.md is missing the auto-checked counts line"
+    want = (
+        len(REGISTRY),
+        len(driver_registry()),
+        sum(1 for q in REGISTRY.values() if q.sql is not None),
+        sum(1 for q in REGISTRY.values() if q.sql is None and q.oracle_py),
+        sum(1 for q in REGISTRY.values() if q.sql is None and not q.oracle_py),
+    )
+    assert tuple(int(g) for g in m.groups()) == want, (m.groups(), want)

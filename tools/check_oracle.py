@@ -145,13 +145,16 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
-        if q.sql is None:
+        if q.sql is None and q.oracle_py is None:
             print(f"okNA {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            ddf = con.execute(q.sql).fetchdf()
+            if q.sql is not None:
+                ddf = con.execute(q.sql).fetchdf()
+            else:
+                ddf = q.oracle_py(con, sf_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
         problems = compare(name, sdf, ddf)
