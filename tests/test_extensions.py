@@ -1555,3 +1555,44 @@ def test_multimodal_png_decode_all_filters(spark) -> None:
     for mid, (ch, pixels, png) in cases.items():
         local = MM.decode_features(png, "image/png")
         assert all(abs(a - b) < 1e-6 for a, b in zip(arrow[mid], local)), mid
+
+
+def test_bpe_train_batched_matches_reference_and_cuts_rounds(spark) -> None:
+    """The batched BPE trainer (k non-conflicting top pairs folded per
+    round) learns the same schedule as its pure-Python twin, degenerates to
+    the strict-greedy schedule at batch=1, and spends n_merges/batch rounds
+    (the job-count knob for 32k-merge production builds)."""
+    from collections import Counter
+
+    from nqs_console_flink_window_spark.operators import selection as SEL
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(60)
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split(" "):
+            if len(w) >= 2:
+                freqs[w] += 1
+
+    got = SEL.bpe_train_batched(spark, docs, n_merges=8, batch=4)
+    assert got == SEL.bpe_train_batched_reference(dict(freqs), n_merges=8, batch=4)
+    assert len(got) == 8
+    assert SEL.bpe_train_batched.last_rounds == 2  # 8 merges / batch 4
+
+    # batch=1 degenerates to the strict greedy schedule
+    solo = SEL.bpe_train_batched(spark, docs, n_merges=4, batch=1)
+    assert solo == SEL.bpe_train(spark, docs, n_merges=4)
+
+    # conflict rule: 'abab...' corpus — (a,b) is round-1 top; any batch-mate
+    # touching a or b must be deferred, so chained 'ab' merges land in
+    # LATER rounds exactly like the reference
+    chain = spark.createDataFrame(
+        [(1, "abab abab abab ab xy xy xy")], "doc_id long, text string"
+    )
+    freqs2 = {"abab": 3, "ab": 1, "xy": 3}
+    got2 = SEL.bpe_train_batched(spark, chain, n_merges=3, batch=3)
+    assert got2 == SEL.bpe_train_batched_reference(freqs2, n_merges=3, batch=3)
+    # the chained (ab,ab) merge conflicts with round 1's (a,b) winner, so
+    # despite batch=3 covering all 3 merges a second round was required —
+    # the conflict rule deferred it rather than fold it on a stale count
+    assert ("ab", "ab", 3) in got2
+    assert SEL.bpe_train_batched.last_rounds >= 2
