@@ -1,0 +1,347 @@
+"""Retrieval / language-model scoring operators: BM25 top-k, n-gram-LM
+perplexity filtering, and PMI collocation mining.
+
+Three more published text-pipeline methods beyond the reference surface
+(the reference has no retrieval or LM-scoring stage; these extend the
+LLM-pipeline family in SURVEY.md §2-ext alongside DSIR/entropy/BPE in
+``operators/selection.py``):
+
+- **BM25** (Robertson & Spärck Jones; the Okapi weighting): rank documents
+  for a query by sum over query terms of idf(t) * tf_norm(t, d) with the
+  k1/b saturation.  THE baseline sparse retriever — the thing you run to
+  mine hard negatives or build a seed set before the dense ANN path
+  (operators/similarity.py) exists.
+- **LM perplexity filter** (CCNet, Wenzek et al. 2020): fit a unigram LM
+  with Laplace smoothing on a small clean reference slice, score every
+  document by average per-token negative log-likelihood, band into
+  head/middle/tail and keep the low-perplexity bands.  The canonical
+  "does this look like the reference corpus" quality gate.
+- **PMI collocations** (Church & Hanks 1990): pointwise mutual information
+  over adjacent-token bigrams — the collocation mining that informs
+  tokenizer merge audits and boilerplate detection.
+
+Float discipline (same contract as selection.py): cross-engine ``ln``
+differs in the last ulp, so NO raw double log enters a SUM.  Every log is
+quantized once at an INTEGER argument (``qln_micro``) and summed as exact
+BIGINT micro-nats:
+
+- BM25's idf (the Lucene/ES variant ``ln(1 + (N-df+0.5)/(df+0.5)) =
+  ln((2N+2)/(2df+1))`` — strictly positive, unlike raw Robertson idf
+  which goes negative past df > N/2) has half-integer arguments that
+  clear to integers by doubling: ``idf_micro = qln_micro(2*N+2) -
+  qln_micro(2*df+1)``.  The tf-saturation term is made a ratio of exact
+  BIGINTs by scaling through 10*T (k1=6/5, b=3/4 exactly):
+  ``tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)`` == ``22*T*tf /
+  (10*T*tf + 3*T + 9*dl*N)`` with avgdl = T/N.  One IEEE multiply and one
+  divide on exact-integer-valued doubles, then floor-quantized to BIGINT
+  micro-nats and summed exactly.
+- The LM's per-token nll is ``qln_micro(T+V+1) - qln_micro(c_w+1)`` (all
+  integer args; Laplace +1, OOV bucket +1); the per-doc accumulation is a
+  BIGINT sum of those, and doubles reappear only in the final projection
+  (one division both engines round identically).
+- PMI is DEFINED in quantized space: ``pmi_micro = qln_micro(c_ab) +
+  2*qln_micro(T) - qln_micro(B) - qln_micro(c_a) - qln_micro(c_b)`` —
+  every term an integer-argument qln, so the metric is deterministic
+  cross-engine by construction (2*qln_micro(T) is the quantized stand-in
+  for qln(T^2); the <=1-micro-nat definition drift vs true PMI is
+  irrelevant to ranking and documented here).
+
+CTE-inlining discipline: every multiply-referenced stage (the token
+stream, the fitted LM table, per-doc lengths, per-term tf) is staged via
+``staging.staged_views`` on the engine side; the DuckDB oracle renders the
+same fragments as plain CTEs.  The scoring SQL below each fit is ONE
+fragment both sides compile (``*_score_sql``), parameterized only by the
+relation names.
+
+Scale notes (100 TB):
+- BM25: tf is computed ONLY for query terms (the token explode filters to
+  the |Q|-term IN list before the shuffle), df/N/T are tiny scalars riding
+  scalar subqueries (no BNLJ), and the top-k is ORDER BY + LIMIT =
+  TakeOrdered (per-partition heaps, no global sort).  The integer-exact
+  scaled form needs 10*T*tf < 2^63 — fine to ~1e17 corpus tokens; past
+  that the production form drops to plain double arithmetic on the
+  broadcast idf table (ranking-stable, just not value-oracled).
+- LM fit: the model is a vocabulary-sized table (distinct tokens of the
+  reference slice — sublinear in corpus), broadcast-joined onto the corpus
+  token stream; scoring is one corpus-keyed aggregation.  Exactly the
+  DSIR shape: constant-ish model, fit-once / score-everywhere.
+- PMI: two grouped counts (unigrams, bigrams) + a join of the
+  vocabulary-sized unigram table onto the bigram table (broadcast at any
+  realistic vocab); candidate filter ``c_ab >= PMI_MIN_PAIR`` bounds the
+  output, top-k via TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from ..functions import dialect as X
+from .selection import qln_micro
+
+# LM fit slice: the "clean reference corpus" is the deterministic 1-in-7
+# doc_id slice (same spirit as DSIR's target predicate but disjoint in
+# mechanism, so the two selection signals stay independent).
+LM_FIT_PRED = "doc_id % 7 = 0"
+
+# Perplexity bands in micro-nats per token (avg-nll thresholds).  The
+# fixture corpus sits ~3.4e6 (ln of an ~30-word vocabulary); the bands
+# bracket it so head/middle/tail all populate.  CCNet uses corpus-tercile
+# cuts — at scale those come from histogram_quantiles over avg_nll_nats.
+LM_HEAD_MICRO = 3_395_000
+LM_TAIL_MICRO = 3_420_000
+
+BM25_QUERY = ("query", "window", "dup")  # mixed df: two common, one rare
+BM25_K = 10
+
+PMI_MIN_PAIR = 5  # collocation support floor
+PMI_TOP_K = 50
+
+
+def tok_cte(d: str, table: str = "documents") -> str:
+    """(doc_id, token) — one row per whitespace token of lower(text)."""
+    toks = X.split_tokens(d, "lower(text)")
+    return f"SELECT doc_id, {X.explode_tokens(d, toks)} AS token FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity filter
+# ---------------------------------------------------------------------------
+
+
+def lm_fit_sql(tok: str) -> str:
+    """The LM table: token -> count over the reference slice (dialect-free)."""
+    return (
+        f"SELECT token, COUNT(*) AS c FROM {tok} "
+        f"WHERE {LM_FIT_PRED} GROUP BY token"
+    )
+
+
+def _lm_score_ctes(tok: str, tgt: str) -> str:
+    """CTE-list + final SELECT (no leading WITH — callers splice it after
+    their own CTEs) over relations ``tok`` (doc_id, token) and ``tgt``
+    (token, c) — dialect-free ANSI, compiled by both engines."""
+    qln_tv1 = qln_micro("CAST(SUM(c) AS BIGINT) + COUNT(*) + 1")
+    return f"""
+konst AS (SELECT {qln_tv1} AS qln_tv1 FROM {tgt}),
+perdoc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tok,
+         CAST(SUM({qln_micro("coalesce(g.c, 0) + 1")}) AS BIGINT) AS sum_qln_c
+  FROM {tok} t LEFT JOIN {tgt} g ON t.token = g.token
+  GROUP BY t.doc_id
+),
+nll AS (
+  SELECT doc_id, n_tok,
+         n_tok * (SELECT qln_tv1 FROM konst) - sum_qln_c AS nll_micro
+  FROM perdoc
+)
+SELECT doc_id, n_tok, nll_micro,
+  {X.fround("CAST(nll_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1.0E6)", 6)}
+    AS avg_nll_nats,
+  CASE WHEN nll_micro < {LM_HEAD_MICRO} * n_tok THEN 'head'
+       WHEN nll_micro < {LM_TAIL_MICRO} * n_tok THEN 'middle'
+       ELSE 'tail' END AS ppl_band,
+  (nll_micro < {LM_TAIL_MICRO} * n_tok) AS keep
+FROM nll
+"""
+
+
+def lm_score_sql(tok: str, tgt: str) -> str:
+    """Standalone scoring statement over staged relation names."""
+    return f"WITH {_lm_score_ctes(tok, tgt)}"
+
+
+def lm_perplexity_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: plain CTEs (DuckDB does not inline-to-re-run)."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), tgt AS ({lm_fit_sql('tok')}), "
+        + _lm_score_ctes("tok", "tgt")
+    )
+
+
+def lm_perplexity_df(spark, table: str = "documents"):
+    """Engine side: tok feeds the fit AND the scoring join, tgt feeds the
+    konst scalar AND the join — both staged once.  konst rides a scalar
+    subquery (1 row, no BNLJ)."""
+    from .staging import staged_views
+
+    tok_df = spark.sql(tok_cte(X.SPARK, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tgt_df = spark.sql(lm_fit_sql(v1.tok))
+        with staged_views(spark, tgt=tgt_df) as v2:
+            return spark.sql(lm_score_sql(v1.tok, v2.tgt))
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k
+# ---------------------------------------------------------------------------
+
+
+def bm25_tf_sql(tok: str, query: tuple[str, ...] = BM25_QUERY) -> str:
+    terms = ", ".join(f"'{t}'" for t in query)
+    return (
+        f"SELECT doc_id, token, COUNT(*) AS tf FROM {tok} "
+        f"WHERE token IN ({terms}) GROUP BY doc_id, token"
+    )
+
+
+def bm25_dl_sql(tok: str) -> str:
+    return f"SELECT doc_id, COUNT(*) AS dl FROM {tok} GROUP BY doc_id"
+
+
+def _bm25_score_ctes(tf: str, dl: str, table: str, k: int = BM25_K) -> str:
+    """CTE-list + final SELECT (no leading WITH) over relations ``tf``
+    (doc_id, token, tf) and ``dl`` (doc_id, dl); N comes from ``table``,
+    T from ``dl`` — both as scalar subqueries.  Dialect-free ANSI."""
+    idf = (
+        f"({qln_micro('2 * (SELECT n_docs FROM n) + 2')}"
+        f" - {qln_micro('2 * df.df + 1')})"
+    )
+    return f"""
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM {tf} GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+    CAST({idf} AS DOUBLE)
+      * (22.0E0 * (SELECT t_tok FROM t) * tf.tf)
+      / (10.0E0 * (SELECT t_tok FROM t) * tf.tf
+         + 3.0E0 * (SELECT t_tok FROM t)
+         + 9.0E0 * dl.dl * (SELECT n_docs FROM n)) AS contrib_micro
+  FROM {tf} tf JOIN df ON tf.token = df.token
+  JOIN {dl} dl ON tf.doc_id = dl.doc_id
+),
+agg AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(floor(contrib_micro + 0.5) AS BIGINT)) AS BIGINT)
+      AS score_micro,
+    COUNT(*) AS n_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_micro,
+  {X.fround("CAST(score_micro AS DOUBLE) / 1.0E6", 6)} AS score_bm25
+FROM agg
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}
+"""
+
+
+def bm25_score_sql(tf: str, dl: str, table: str, k: int = BM25_K) -> str:
+    """Standalone scoring statement over staged relation names."""
+    return f"WITH {_bm25_score_ctes(tf, dl, table, k)}"
+
+
+def bm25_topk_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), tfq AS ({bm25_tf_sql('tok')}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        + _bm25_score_ctes("tfq", "dlt", table)
+    )
+
+
+def bm25_topk_df(spark, table: str = "documents"):
+    """Engine side: tok feeds dl AND tf (staged once); tf feeds df AND
+    scored, dl feeds the T scalar AND scored (both staged).  Final cut is
+    ORDER BY + LIMIT = TakeOrdered."""
+    from .staging import staged_views
+
+    tok_df = spark.sql(tok_cte(X.SPARK, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
+            return spark.sql(bm25_score_sql(v2.tf, v2.dl, table))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def pmi_base_sql(d: str, table: str = "documents") -> str:
+    """(doc_id, toks array, n) for docs with >= 2 tokens (so the bigram
+    position bound n-1 is always >= 1 and in range)."""
+    arr = X.split_tokens(d, "lower(text)")
+    return (
+        f"SELECT doc_id, toks, n FROM "
+        f"(SELECT doc_id, {arr} AS toks, {X.arr_size(d, arr)} AS n "
+        f"FROM {table}) s WHERE n >= 2"
+    )
+
+
+def pmi_uni_sql(d: str, base: str) -> str:
+    return (
+        f"SELECT token, COUNT(*) AS c FROM "
+        f"(SELECT {X.explode_tokens(d, 'toks')} AS token FROM {base}) u "
+        f"GROUP BY token"
+    )
+
+
+def _pmi_score_ctes(
+    d: str,
+    base: str,
+    uni: str,
+    min_pair: int = PMI_MIN_PAIR,
+    k: int = PMI_TOP_K,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH) over relations ``base``
+    (doc_id, toks, n) and ``uni`` (token, c)."""
+    at = "element_at(toks, CAST(i AS INT))" if d == X.SPARK else "toks[i]"
+    at1 = (
+        "element_at(toks, CAST(i + 1 AS INT))" if d == X.SPARK else "toks[i + 1]"
+    )
+    pos = X.positions_from(d, f"(SELECT * FROM {base})", "doc_id, toks", "n - 1")
+    pmi = (
+        f"({qln_micro('c_ab')} + 2 * (SELECT {qln_micro('t_tok')} FROM t)"
+        f" - (SELECT {qln_micro('n_bi')} FROM b)"
+        f" - {qln_micro('c_a')} - {qln_micro('c_b')})"
+    )
+    return f"""
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok FROM {uni}),
+bi AS (
+  SELECT {at} AS w_a, {at1} AS w_b, COUNT(*) AS c_ab
+  FROM {pos} p
+  GROUP BY 1, 2
+),
+b AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi),
+joined AS (
+  SELECT bi.w_a, bi.w_b, bi.c_ab, ua.c AS c_a, ub.c AS c_b
+  FROM bi JOIN {uni} ua ON bi.w_a = ua.token
+  JOIN {uni} ub ON bi.w_b = ub.token
+  WHERE bi.c_ab >= {min_pair}
+)
+SELECT w_a, w_b, c_ab, c_a, c_b, {pmi} AS pmi_micro
+FROM joined
+ORDER BY pmi_micro DESC, w_a, w_b
+LIMIT {k}
+"""
+
+
+def pmi_score_sql(d: str, base: str, uni: str) -> str:
+    """Standalone scoring statement over staged relation names."""
+    return f"WITH {_pmi_score_ctes(d, base, uni)}"
+
+
+def pmi_collocations_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH base AS ({pmi_base_sql(d, table)}), "
+        f"uni AS ({pmi_uni_sql(d, 'base')}), "
+        + _pmi_score_ctes(d, "base", "uni")
+    )
+
+
+def pmi_collocations_df(spark, table: str = "documents"):
+    """Engine side: the tokenized base feeds unigram AND bigram counts
+    (staged); uni feeds the T scalar AND the two sides of the joined step
+    (staged); scalar totals ride scalar subqueries; top-k is TakeOrdered.
+
+    Note the TWO references to ``uni`` in the join are intentional — they
+    are different join keys (w_a vs w_b) over the same staged vocabulary
+    relation, both broadcast."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    base_df = spark.sql(pmi_base_sql(d, table))
+    with staged_views(spark, base=base_df) as v1:
+        uni_df = spark.sql(pmi_uni_sql(d, v1.base))
+        with staged_views(spark, uni=uni_df) as v2:
+            return spark.sql(pmi_score_sql(d, v1.base, v2.uni))

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     queries_ext,
     queries_misc,
     queries_ops,
+    queries_retrieval,
     queries_stream,
     queries_timeseries,
 )

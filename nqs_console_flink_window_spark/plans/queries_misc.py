@@ -494,7 +494,10 @@ FROM s
     sql=_trend_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
     doc="Custom analytics — per-user least-squares value-over-time slope as "
     "closed-form exact aggregation sums (JVM-side, shuffle-once; the "
-    "applyInPandas numpy twin is the UDF-surface demo, parity-tested)",
+    "applyInPandas numpy twin is the UDF-surface demo, parity-tested); "
+    "driver-gated via latest_event_per_user_agg / thread_load_cost (the "
+    "per-key exact-aggregation family) plus the UDF parity pytest",
+    tier=2,
 )
 def per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("events",))

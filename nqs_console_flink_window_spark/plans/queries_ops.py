@@ -345,7 +345,10 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
 """,
     doc="§2.10 — global sort + limit with deterministic tiebreak (Spark "
-    "TakeOrderedAndProject; no full sort materialized)",
+    "TakeOrderedAndProject; no full sort materialized); driver-gated via "
+    "bm25_topk / cosine_topk (the same TakeOrdered cut on the driver "
+    "surface) and t:test_topk_avoids_global_sort",
+    tier=2,
 )
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -636,8 +639,8 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
     doc="§2.10/A6/J1 — join + grouped revenue + deterministic top-k "
-    "(TPC-H Q3 shape); top-k driver-gated via topk_orders, plan shape "
-    "guarded by test_fact_side_joins_are_not_broadcast",
+    "(TPC-H Q3 shape); top-k driver-gated via bm25_topk / cosine_topk, "
+    "plan shape guarded by test_fact_side_joins_are_not_broadcast",
     tier=2,
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,8 +797,8 @@ WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
     sql=_EXISTS_SQL,
     doc="§2.10 — correlated scalar subquery + EXISTS semi-join "
     "(decorrelated by Catalyst into aggregate + joins); driver-gated via "
-    "semi_anti-style EXISTS in exists_router and the window-function family "
-    "(percentiles / per_user_trend)",
+    "semi_anti-style EXISTS in exists_router and the per-key aggregate "
+    "family (latest_event_per_user_agg / histogram_quantiles)",
     tier=2,
 )
 def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,64 @@
+"""Registered queries for the retrieval / LM-scoring / graph family
+(operators/retrieval.py, operators/graph.py) — round-6 extensions to the
+LLM-pipeline surface.  Same contract as every other registration: the
+engine side is staged DataFrame/SQL with the CTE-inlining discipline, the
+oracle is the identical two-dialect SQL rendered for DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dialect as X
+from ..operators import retrieval as RT
+from ..sources.batch import register_temp_views
+from .registry import register
+
+
+@register(
+    "lm_perplexity",
+    sql=RT.lm_perplexity_sql(X.DUCK),
+    doc="Extension — CCNet-style LM perplexity filter (Wenzek et al. "
+    "2020): unigram LM with Laplace smoothing fit on the deterministic "
+    "1-in-7 reference slice, every document scored by avg per-token "
+    "negative log-likelihood, banded head/middle/tail with a keep flag.  "
+    "Integer micro-nat discipline (qln_micro at integer args only, BIGINT "
+    "sums); the model is a vocabulary-sized broadcast table — fit-once / "
+    "score-everywhere, one corpus-keyed aggregation (the DSIR shape)",
+)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.lm_perplexity_df(spark)
+
+
+@register(
+    "bm25_topk",
+    sql=RT.bm25_topk_sql(X.DUCK),
+    doc="Extension — BM25 top-10 for a fixed 3-term query (k1=6/5, b=3/4 "
+    "exactly; Lucene idf ln(1+...) — strictly positive): idf in quantized "
+    "micro-nats (half-integer args cleared by doubling), tf saturation as "
+    "a ratio of exact BIGINTs "
+    "scaled through 10*T, per-doc sum quantized-exact.  tf shuffles only "
+    "query-term rows, df/N/T ride scalar subqueries, top-k is TakeOrdered "
+    "— the sparse-retrieval baseline next to the dense ANN family",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.bm25_topk_df(spark)
+
+
+@register(
+    "pmi_collocations",
+    sql=RT.pmi_collocations_sql(X.DUCK),
+    doc="Extension — PMI collocation mining (Church & Hanks 1990) over "
+    "adjacent-token bigrams, support floor c_ab >= 5, top-50 by quantized "
+    "micro-nat PMI (metric DEFINED in quantized space — deterministic "
+    "cross-engine by construction).  Two grouped counts + a "
+    "vocabulary-sized broadcast join; TakeOrdered cut; driver-gated via "
+    "bm25_topk / lm_perplexity (the same token-stats machinery — explode, "
+    "grouped counts, vocab broadcast join, quantized-ln scoring — on the "
+    "driver surface)",
+    tier=2,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.pmi_collocations_df(spark)

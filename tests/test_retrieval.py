@@ -1,0 +1,145 @@
+"""Retrieval / LM-scoring family (operators/retrieval.py): oracle parity
+at smoke scale (these are tier-1, so the pytest gate mirrors the driver's)
+plus the semantic properties the value hash alone can't express."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+from nqs_console_flink_window_spark.config import SMOKE_SF_DIR, TABLE_NAMES
+from nqs_console_flink_window_spark.operators import retrieval as RT
+from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+sys.path.insert(0, "tools")
+
+
+def _oracle_con():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SMOKE_SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", ["lm_perplexity", "bm25_topk", "pmi_collocations"])
+def test_retrieval_family_oracle_parity(spark, name) -> None:
+    from check_oracle import compare
+
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SMOKE_SF_DIR).toPandas()
+    ddf = _oracle_con().execute(q.sql).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_lm_bands_populate_and_keep_matches(spark) -> None:
+    """All three perplexity bands populate on the fixture, keep == (band !=
+    'tail'), and avg_nll is the quantized nll over n_tok to 6 decimals."""
+    pdf = REGISTRY["lm_perplexity"].spark(spark, SMOKE_SF_DIR).toPandas()
+    bands = set(pdf["ppl_band"])
+    assert bands == {"head", "middle", "tail"}
+    assert (pdf["keep"] == (pdf["ppl_band"] != "tail")).all()
+    for r in pdf.head(25).itertuples():
+        want = math.floor(r.nll_micro / (r.n_tok * 1.0e6) * 1e6 + 0.5) / 1e6
+        assert r.avg_nll_nats == want
+
+
+def test_lm_oov_document_scores_worse_than_in_vocab(spark) -> None:
+    """A token absent from the fit slice costs qln(T+V+1) - qln(1) — the
+    maximum per-token nll — so an OOV-heavy doc must land above the corpus
+    median avg_nll.  Checked via the fixture's rare-token docs: per-token
+    nll for any OOV token equals the model's ceiling."""
+    con = _oracle_con()
+    # ceiling = qln(T+V+1); any token with c=0 pays exactly the ceiling
+    t_v1 = con.execute(
+        f"""
+        WITH tok AS ({RT.tok_cte('duck')}),
+        tgt AS ({RT.lm_fit_sql('tok')})
+        SELECT CAST(SUM(c) AS BIGINT) + COUNT(*) + 1 FROM tgt
+        """
+    ).fetchone()[0]
+    ceiling_micro = math.floor(math.log(t_v1) * 1e6 + 0.5)
+    pdf = REGISTRY["lm_perplexity"].spark(spark, SMOKE_SF_DIR).toPandas()
+    # no doc can average above the ceiling, and every doc pays > 0
+    per_tok = pdf["nll_micro"] / pdf["n_tok"]
+    assert (per_tok <= ceiling_micro).all()
+    assert (per_tok > 0).all()
+
+
+def test_bm25_rare_term_dominates(spark) -> None:
+    """The rare query term ('dup', df~25/500) must outscore any doc that
+    matches only the two common terms: the top-1 doc contains 'dup'."""
+    top = REGISTRY["bm25_topk"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert len(top) == RT.BM25_K
+    # scores strictly ordered by (score desc, doc_id) with no ties broken wrong
+    s = list(zip(top["score_micro"], top["doc_id"]))
+    assert s == sorted(s, key=lambda p: (-p[0], p[1]))
+    con = _oracle_con()
+    top1_text = con.execute(
+        f"SELECT lower(text) FROM documents WHERE doc_id = {int(top['doc_id'][0])}"
+    ).fetchone()[0]
+    assert "dup" in top1_text.split()
+
+
+def test_bm25_score_is_sum_of_positive_saturating_terms(spark) -> None:
+    """Every contribution is positive (the Lucene idf ln(1 + ...) is
+    strictly positive even for df > N/2 terms) and below idf * (k1+1) —
+    the saturation bound."""
+    top = REGISTRY["bm25_topk"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert (top["score_micro"] > 0).all()
+    # 3 query terms, ln(2N+2) idf ceiling at N=500 docs, k1+1 = 2.2 saturation
+    assert (top["score_micro"] < 3 * 2.2 * math.log(1002) * 1e6).all()
+
+
+def test_pmi_definition_matches_quantized_recompute(spark) -> None:
+    """pmi_micro == qln(c_ab) + 2 qln(T) - qln(B) - qln(c_a) - qln(c_b)
+    recomputed in Python from the row's own counts + the corpus totals."""
+    con = _oracle_con()
+    t_tok, n_bi = con.execute(
+        f"""
+        WITH base AS ({RT.pmi_base_sql('duck')}),
+        uni AS ({RT.pmi_uni_sql('duck', 'base')}),
+        bi AS (
+          SELECT toks[i] AS a, toks[i+1] AS b
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(n - 1, 1) + 1)) AS i
+                FROM base) p
+        )
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni),
+               (SELECT COUNT(*) FROM bi)
+        """
+    ).fetchone()
+
+    def qln(k: int) -> int:
+        return math.floor(math.log(k) * 1e6 + 0.5)
+
+    pdf = REGISTRY["pmi_collocations"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert len(pdf) == RT.PMI_TOP_K
+    for r in pdf.itertuples():
+        want = (
+            qln(r.c_ab) + 2 * qln(t_tok) - qln(n_bi) - qln(r.c_a) - qln(r.c_b)
+        )
+        assert r.pmi_micro == want, (r.w_a, r.w_b)
+
+
+def test_retrieval_plans_have_no_antipatterns(spark) -> None:
+    """No CartesianProduct / BNLJ / row-at-a-time Python in any of the
+    three plans (scalar subqueries must compile to Subquery stages, not
+    joins)."""
+    for name in ("lm_perplexity", "bm25_topk", "pmi_collocations"):
+        plan = (
+            REGISTRY[name]
+            .spark(spark, SMOKE_SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+            assert bad not in plan, f"{name}: {bad} in plan"
