@@ -1004,3 +1004,98 @@ def containment_estimate_fast_df(spark, table: str = "documents"):
             F.expr(fround(f"{e} / nb_n", 6)).alias("est_contain_ba"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicated-span detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the k-gram approximation)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_WORDS = 8  # sliding k-gram width (stride 1 — runs need exactness)
+DUP_SPAN_MIN_TOKENS = 16  # a duplicated span this long flags the doc
+assert DUP_SPAN_MIN_TOKENS > DUP_SPAN_WORDS - 1  # keeps the flag NULL-safe
+
+
+def dup_span_grams_sql(d: str, table: str = "documents", k: int = DUP_SPAN_WORDS) -> str:
+    """(doc_id, i, gram_h): every stride-1 word k-gram position.  Unlike
+    ``span_dedup``'s disjoint segments (the C4 line-level rewrite), the
+    sliding window is what lets consecutive duplicated positions reconstruct
+    SPAN length — the Lee-et-al substring granularity."""
+    from .decontaminate import gram_at
+
+    toks = X.split_tokens(d, "lower(text)")
+    sub = f"(SELECT doc_id, {toks} AS toks FROM {table})"
+    sized = (
+        f"(SELECT doc_id, toks, {X.arr_size(d, 'toks')} AS nt FROM {sub} t "
+        f"WHERE {X.arr_size(d, 'toks')} >= {k})"
+    )
+    pos = X.positions_from(d, sized, "doc_id, toks", f"nt - {k - 1}")
+    return (
+        f"SELECT doc_id, i, {X.md5_int(d, gram_at(d, 'toks', 'i', k))} AS gram_h "
+        f"FROM {pos} p"
+    )
+
+
+def dup_span_flag_sql(g: str) -> str:
+    """(doc_id, i, dup): a position is duplicated when its gram occurs >= 2
+    times GLOBALLY (covers cross-doc duplication and within-doc repeats in
+    one rule).  Dialect-free; ``g`` may be a staged view (engine) or a CTE
+    name (oracle) — the double reference is safe on both."""
+    return (
+        f"SELECT g.doc_id, g.i, (c.n_occ >= 2) AS dup FROM {g} g "
+        f"JOIN (SELECT gram_h, COUNT(*) AS n_occ FROM {g} GROUP BY gram_h) c "
+        f"ON g.gram_h = c.gram_h"
+    )
+
+
+def _dup_span_score_ctes(flag: str, k: int = DUP_SPAN_WORDS) -> str:
+    """CTE-list + final SELECT (no leading WITH): gaps-and-islands over the
+    duplicated positions — island id = i - row_number() per doc, longest
+    island + k-1 = the longest duplicated SPAN in tokens.  Window functions
+    partition by doc_id only (per-doc bounded state, never a corpus sort)."""
+    return f"""
+isl AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM {flag} WHERE dup
+),
+runs AS (SELECT doc_id, island, COUNT(*) AS run_len FROM isl GROUP BY doc_id, island),
+longest AS (SELECT doc_id, MAX(run_len) AS max_run FROM runs GROUP BY doc_id),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM {flag} GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, p.n_dup,
+  CAST(COALESCE(l.max_run, 0) AS BIGINT) AS max_run,
+  CAST(CASE WHEN l.max_run IS NULL THEN 0 ELSE l.max_run + {k - 1} END AS BIGINT)
+    AS dup_span_tokens,
+  {X.fround("CAST(p.n_dup AS DOUBLE) / p.n_grams", 6)} AS dup_frac,
+  (CAST(COALESCE(l.max_run, 0) AS BIGINT) + {k - 1} >= {DUP_SPAN_MIN_TOKENS})
+    AS has_long_dup
+FROM perdoc p LEFT JOIN longest l ON p.doc_id = l.doc_id
+"""
+
+
+def dup_spans_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH g AS ({dup_span_grams_sql(d, table)}), "
+        f"flag AS ({dup_span_flag_sql('g')}), "
+        + _dup_span_score_ctes("flag")
+    )
+
+
+def dup_spans_df(spark, table: str = "documents"):
+    """Engine side: the gram table feeds the global occurrence count AND the
+    per-position flag join (staged once); the flag table feeds the island
+    chain AND the per-doc totals (staged once).  The only corpus-scale
+    shuffle is the gram groupBy (token-stream class, same as tf/minhash);
+    everything after is per-doc bounded."""
+    from .staging import staged_views
+
+    g_df = spark.sql(dup_span_grams_sql(X.SPARK, table))
+    with staged_views(spark, g=g_df) as v1:
+        flag_df = spark.sql(dup_span_flag_sql(v1.g))
+        with staged_views(spark, flag=flag_df) as v2:
+            return spark.sql(f"WITH {_dup_span_score_ctes(v2.flag)}")

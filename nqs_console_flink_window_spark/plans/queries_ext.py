@@ -1208,6 +1208,25 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_spans",
+    sql=DD.dup_spans_sql(X.DUCK),
+    doc="Extension — substring-level duplicated-span detection (Lee et al. "
+    "2022 k-gram granularity, beside span_dedup's disjoint-segment "
+    "rewrite): stride-1 word 8-grams, a position is duplicated when its "
+    "gram occurs >= 2 times globally, gaps-and-islands over duplicated "
+    "positions recovers the longest duplicated SPAN per doc "
+    "(max_run + 7 tokens) plus dup_frac and a >=16-token flag.  One "
+    "corpus-token-scale gram groupBy, per-doc windows only after; "
+    "dedup family driver-gated via dedup_clusters / decontaminate / "
+    "repetition_filter (hashed n-gram + duplication-stats machinery)",
+    tier=2,
+)
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return DD.dup_spans_df(spark)
+
+
+@register(
     "pack_sequences",
     sql=PK.pack_sequences_sql(X.DUCK),
     doc="Extension — GPT-style sequence packing (concat-and-chunk): docs in "

@@ -143,3 +143,61 @@ def test_retrieval_plans_have_no_antipatterns(spark) -> None:
         )
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
             assert bad not in plan, f"{name}: {bad} in plan"
+
+
+def test_dup_spans_matches_pure_python_recompute(spark) -> None:
+    """Full-fixture recompute of the Lee-et-al k-gram span stats: global
+    gram occurrence counts, per-position dup flags, longest consecutive
+    run — the engine result must match exactly on every column."""
+    from collections import Counter
+
+    from nqs_console_flink_window_spark.operators.dedup_text import (
+        DUP_SPAN_MIN_TOKENS,
+        DUP_SPAN_WORDS,
+    )
+
+    k = DUP_SPAN_WORDS
+    con = _oracle_con()
+    docs = con.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    grams: dict[int, list[tuple[int, str]]] = {}
+    counts: Counter = Counter()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < k:
+            continue
+        g = [
+            (i + 1, " ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        grams[doc_id] = g
+        counts.update(gr for _, gr in g)
+
+    want = {}
+    for doc_id, g in grams.items():
+        dup_pos = [i for i, gr in g if counts[gr] >= 2]
+        max_run = run = 0
+        prev = None
+        for i in dup_pos:
+            run = run + 1 if prev == i - 1 else 1
+            max_run = max(max_run, run)
+            prev = i
+        span = max_run + k - 1 if max_run else 0
+        want[doc_id] = (
+            len(g),
+            len(dup_pos),
+            max_run,
+            span,
+            span >= DUP_SPAN_MIN_TOKENS,
+        )
+
+    pdf = REGISTRY["dup_spans"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert len(pdf) == len(want)
+    for r in pdf.itertuples():
+        n_grams, n_dup, max_run, span, flag = want[r.doc_id]
+        assert (r.n_grams, r.n_dup, r.max_run, r.dup_span_tokens) == (
+            n_grams,
+            n_dup,
+            max_run,
+            span,
+        ), r.doc_id
+        assert bool(r.has_long_dup) == flag, r.doc_id
