@@ -1,0 +1,130 @@
+"""Iterative graph analytics over the near-dup candidate graph: PageRank.
+
+PageRank (Brin & Page 1998) over the symmetrized MinHash-LSH candidate
+graph ranks duplicate-cluster centrality — the signal a dedup policy uses
+to pick cluster REPRESENTATIVES (keep the most-connected copy) instead of
+the arbitrary keep-min rule, and the classic example of an iterative
+fixed-point computation that SQL alone cannot express but a driver loop of
+declarative steps can.
+
+Integer fixed-point discipline: float PageRank sums are partition-order
+dependent, so ranks live in exact BIGINT pico-units (1e12 = total mass 1):
+
+- ``r0(v)     = 1e12 DIV N``
+- ``contrib(u->v) = (17 * r(u)) DIV (20 * outdeg(u))``   (damping 17/20)
+- ``r'(v)     = (15e10 DIV N) + SUM(contrib)``           ((1-d)/N teleport)
+
+Every operation is exact integer arithmetic (``X.idiv`` — Spark ``DIV`` ==
+DuckDB ``//``), so five iterations produce bit-identical ranks on any
+engine and any partitioning.  Two documented simplifications vs textbook
+PageRank: per-step floor quantization (loses < 1 pico-unit per edge per
+step), and dangling mass is dropped, not redistributed — nodes without
+out-edges (isolated docs) hold exactly the teleport rank; totals therefore
+sum to < 1e12.  Both choices are deterministic and shared by the oracle.
+
+Scale notes (100 TB): each iteration is ONE groupBy(dst) shuffle over the
+edge set plus a broadcast-ineligible but key-partitioned join of the rank
+vector (node-cardinality) — the standard Pregel-on-a-relational-engine
+shape.  The edge set is the LSH candidate graph: bounded by the band
+machinery (and further by cap_candidate_degree when flood-shaped), never
+corpus x corpus.  The iteration count is a fixed constant (driver loop,
+localCheckpoint per step keeps lineage flat); the oracle unrolls the same
+five steps as CTEs.
+"""
+
+from __future__ import annotations
+
+from ..functions import dialect as X
+from .dedup_text import minhash_lsh_pairs_sql
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # pico-units: total teleport+link mass of 1.0
+PR_TELEPORT = PR_SCALE * 3 // 20  # (1 - 17/20) * scale, exact
+
+
+def pr_edges_sql(cand: str) -> str:
+    """Symmetrize the (doc_a < doc_b) candidate pairs into directed edges."""
+    return (
+        f"SELECT doc_a AS src, doc_b AS dst FROM {cand} "
+        f"UNION ALL SELECT doc_b AS src, doc_a AS dst FROM {cand}"
+    )
+
+
+def pr_deg_sql(edges: str) -> str:
+    return f"SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM {edges} GROUP BY src"
+
+
+def pr_init_sql(d: str, nodes: str) -> str:
+    n = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {nodes})"
+    return (
+        f"SELECT doc_id, {X.idiv(d, str(PR_SCALE), n)} AS r FROM {nodes}"
+    )
+
+
+def pr_iter_sql(d: str, nodes: str, edges: str, deg: str, r: str) -> str:
+    """One PageRank step over relations (all may be staged views or CTE
+    names): r'(v) = teleport/N + sum over in-edges of the damped share."""
+    n = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {nodes})"
+    share = X.idiv(d, "17 * r.r", "20 * g.outdeg")
+    return f"""
+SELECT v.doc_id,
+  {X.idiv(d, str(PR_TELEPORT), n)} + CAST(COALESCE(c.m, 0) AS BIGINT) AS r
+FROM {nodes} v
+LEFT JOIN (
+  SELECT e.dst AS doc_id, CAST(SUM({share}) AS BIGINT) AS m
+  FROM {edges} e
+  JOIN {r} r ON r.doc_id = e.src
+  JOIN {deg} g ON g.src = e.src
+  GROUP BY e.dst
+) c ON v.doc_id = c.doc_id
+"""
+
+
+def pr_final_sql(r: str) -> str:
+    return (
+        f"SELECT doc_id, r AS rank_pico, "
+        f"{X.fround('CAST(r AS DOUBLE) / 1.0E12', 9)} AS rank FROM {r}"
+    )
+
+
+def pagerank_sql(d: str, table: str = "documents", iters: int = PR_ITERS) -> str:
+    """Oracle form: the five iterations unrolled as CTEs over the same
+    fragments the engine loop runs."""
+    nodes = f"(SELECT doc_id FROM {table})"
+    parts = [
+        f"cand AS ({minhash_lsh_pairs_sql(d, table)})",
+        f"edges AS ({pr_edges_sql('cand')})",
+        f"deg AS ({pr_deg_sql('edges')})",
+        f"r0 AS ({pr_init_sql(d, nodes)})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS ({pr_iter_sql(d, nodes, 'edges', 'deg', f'r{i - 1}')})"
+        )
+    return f"WITH {', '.join(parts)} {pr_final_sql(f'r{iters}')}"
+
+
+def pagerank_df(spark, table: str = "documents", iters: int = PR_ITERS):
+    """Engine side: candidate pairs, edges, degrees and the node list are
+    staged once (each is referenced every iteration); the rank vector is
+    checkpointed per step by the staging wrapper, so lineage stays flat and
+    the returned plan is one real iteration step (inspectable — never a
+    bare Scan ExistingRDD)."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    cand = spark.sql(minhash_lsh_pairs_sql(d, table))
+    with staged_views(spark, cand=cand) as v0:
+        edges = spark.sql(pr_edges_sql(v0.cand))
+        with staged_views(spark, edges=edges) as v1:
+            deg = spark.sql(pr_deg_sql(v1.edges))
+            nodes = spark.sql(f"SELECT doc_id FROM {table}")
+            with staged_views(spark, deg=deg, nodes=nodes) as v2:
+                r = spark.sql(pr_init_sql(d, v2.nodes))
+                for _ in range(iters):
+                    with staged_views(spark, r=r) as v3:
+                        r = spark.sql(
+                            pr_iter_sql(d, v2.nodes, v1.edges, v2.deg, v3.r)
+                        )
+                with staged_views(spark, r=r, checkpoint=False) as v4:
+                    return spark.sql(pr_final_sql(v4.r))

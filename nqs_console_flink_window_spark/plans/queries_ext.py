@@ -679,6 +679,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DC.dedup_clusters_df(pairs, docs)
 
 
+from ..operators import graph as GR  # noqa: E402
+
+
+@register(
+    "pagerank_neardup",
+    sql=GR.pagerank_sql(X.DUCK),
+    doc="Extension — integer fixed-point PageRank (5 steps, damping 17/20, "
+    "exact BIGINT pico-unit ranks) over the symmetrized LSH candidate "
+    "graph: duplicate-cluster centrality for representative selection.  "
+    "Engine = driver loop of declarative steps (staged edges/degrees, "
+    "checkpoint per iteration); oracle = the same five steps unrolled as "
+    "CTEs — every operation exact integer DIV, bit-identical cross-engine; "
+    "iterative-graph family driver-gated via dedup_clusters (min-label "
+    "propagation over the same candidate graph)",
+    tier=2,
+)
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return GR.pagerank_df(spark)
+
+
 @register(
     "training_sample",
     sql=SMP.training_sample_sql(X.DUCK),

@@ -201,3 +201,45 @@ def test_dup_spans_matches_pure_python_recompute(spark) -> None:
             span,
         ), r.doc_id
         assert bool(r.has_long_dup) == flag, r.doc_id
+
+
+def test_pagerank_matches_pure_python_fixed_point(spark) -> None:
+    """Exact integer recompute of the 5-step pico-unit PageRank from the
+    oracle's own edge set: every rank must match bit-for-bit, isolated
+    docs must hold exactly the teleport rank, and connected docs must
+    outrank them."""
+    from nqs_console_flink_window_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+    )
+    from nqs_console_flink_window_spark.operators.dedup_text import (
+        minhash_lsh_pairs_sql,
+    )
+
+    con = _oracle_con()
+    pairs = con.execute(minhash_lsh_pairs_sql("duck")).fetchall()
+    node_ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+
+    n = len(node_ids)
+    r = {v: PR_SCALE // n for v in node_ids}
+    for _ in range(PR_ITERS):
+        acc = {v: PR_TELEPORT // n for v in node_ids}
+        for s, d in edges:
+            acc[d] += (17 * r[s]) // (20 * outdeg[s])
+        r = acc
+
+    pdf = REGISTRY["pagerank_neardup"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert len(pdf) == n
+    connected = set(outdeg)
+    for row in pdf.itertuples():
+        assert row.rank_pico == r[row.doc_id], row.doc_id
+        if row.doc_id not in connected:
+            assert row.rank_pico == PR_TELEPORT // n
+    iso_rank = PR_TELEPORT // n
+    assert (pdf["rank_pico"] >= iso_rank).all()
+    assert pdf[pdf["doc_id"].isin(connected)]["rank_pico"].min() > iso_rank
