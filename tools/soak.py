@@ -81,6 +81,12 @@ SOAK_QUERIES = [
     # production estimate-only containment projection
     "histogram_quantiles", "robust_outlier_bounds", "containment_estimate_fast",
     "incremental_embedding_dedup_batches", "psi_drift",
+    # round 6: token-stats family (tf/gram-groupBy class — the linear
+    # controls), the rebucketized near-dup pairs, and the two pair-grain
+    # graph ops whose cost rides the LSH edge set (k^2-inflated by the
+    # exact-copy replica fixture, same interpretation as dedup_clusters)
+    "lm_perplexity", "bm25_topk", "pmi_collocations", "dup_spans",
+    "embedding_near_dup", "pagerank_neardup",
 ]
 
 
