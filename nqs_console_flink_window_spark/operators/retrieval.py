@@ -345,3 +345,77 @@ def pmi_collocations_df(spark, table: str = "documents"):
         uni_df = spark.sql(pmi_uni_sql(d, v1.base))
         with staged_views(spark, uni=uni_df) as v2:
             return spark.sql(pmi_score_sql(d, v1.base, v2.uni))
+
+
+# ---------------------------------------------------------------------------
+# Fit-once / score-everywhere LM model (the DSIR artifact pattern, for the
+# streaming curation gate)
+# ---------------------------------------------------------------------------
+
+
+def lm_model_fit(spark, ref_docs) -> tuple[list[tuple[str, int]], int]:
+    """Fit the unigram LM on a reference corpus (the CALLER slices —
+    unlike ``lm_fit_sql``, no 1-in-7 predicate is applied here): returns
+    ``([(token, count)...], qln_tv1_micro)`` as plain Python values, the
+    persist-and-broadcast artifact shape.  The collect is vocabulary-sized
+    (distinct tokens of the reference slice — sublinear in corpus, the
+    same bounded-model contract as ``dsir_fit``'s 1024 rows)."""
+    import math
+
+    view = "__lm_fit_docs"
+    ref_docs.createOrReplaceTempView(view)
+    try:
+        rows = spark.sql(
+            f"SELECT token, COUNT(*) AS c FROM ({tok_cte(X.SPARK, view)}) t "
+            f"GROUP BY token"
+        ).collect()
+    finally:
+        spark.catalog.dropTempView(view)
+    if not rows:
+        raise ValueError("lm_model_fit: reference corpus has no tokens")
+    t_tok = sum(int(r["c"]) for r in rows)
+    qln_tv1 = math.floor(math.log(t_tok + len(rows) + 1) * 1e6 + 0.5)
+    return [(r["token"], int(r["c"])) for r in rows], qln_tv1
+
+
+def lm_model_score(docs_df, model: tuple[list[tuple[str, int]], int]):
+    """Score documents against a fitted LM: (doc_id, n_tok, nll_micro,
+    avg_nll_nats).  The model arrives as plain Python values and is rebuilt
+    as a broadcast vocabulary table inside whatever session ``docs_df``
+    belongs to (foreachBatch clones sessions — same rule as
+    ``dsir_score``).  The per-token nll is the SAME fragment
+    ``lm_score_sql`` compiles — qln_micro(T+V+1) - qln_micro(c+1), OOV
+    pays the ceiling — so the streaming gate scores bit-identically to the
+    batch query when fit on the same slice."""
+    from pyspark.sql import functions as F
+
+    rows, qln_tv1 = model
+    sess = docs_df.sparkSession
+    lm = sess.createDataFrame(rows, "token string, c long")
+    view = "__lm_score_docs"
+    docs_df.createOrReplaceTempView(view)
+    try:
+        toks = sess.sql(tok_cte(X.SPARK, view))
+    finally:
+        sess.catalog.dropTempView(view)
+    return (
+        toks.join(F.broadcast(lm), "token", "left")
+        .withColumn(
+            "qln_c1", F.expr(qln_micro("coalesce(c, 0) + 1"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.count(F.lit(1)) * F.lit(qln_tv1) - F.sum("qln_c1"))
+            .cast("long")
+            .alias("nll_micro"),
+        )
+        .withColumn(
+            "avg_nll_nats",
+            F.expr(
+                X.fround(
+                    "CAST(nll_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1.0E6)", 6
+                )
+            ),
+        )
+    )

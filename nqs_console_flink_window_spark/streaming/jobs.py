@@ -611,13 +611,19 @@ def curate_batch(
     index_dir: str,
     min_quality: float = 10.0,
     min_logw: float = -10.0,
+    lm_model: tuple[list[tuple[str, int]], int] | None = None,
+    max_nll_micro_per_tok: int | None = None,
 ) -> None:
     """One micro-batch's curation: DSIR-score against the fixed model,
-    quality-score, filter on both, then index-backed dedup.  The model
-    crosses into the cloned batch session as plain Python values
-    (``dsir_score`` rebuilds the 1024-row broadcast side in-session).
-    Replay-convergent for the same reason as ``ingest_dedup_batch``: both
-    landings are idempotent batch_id subpaths."""
+    quality-score, optionally LM-perplexity-score (round 6 — the CCNet
+    gate beside the DSIR gate), filter on all, then index-backed dedup.
+    Both models cross into the cloned batch session as plain Python values
+    (``dsir_score`` rebuilds the 1024-row broadcast side in-session;
+    ``lm_model_score`` the vocabulary-sized LM table).  The perplexity cut
+    is the exact integer rule ``nll_micro < threshold * n_tok`` — no
+    float division in the predicate.  Replay-convergent for the same
+    reason as ``ingest_dedup_batch``: all landings are idempotent batch_id
+    subpaths."""
     from ..functions import dialect as X
     from ..operators import selection as SEL
     from ..operators import text as TX
@@ -634,9 +640,27 @@ def curate_batch(
             & (F.col("log_weight") >= F.lit(min_logw))
         )
     )
+    extra_cols = []
+    if lm_model is not None:
+        from ..operators import retrieval as RT
+
+        thr = (
+            max_nll_micro_per_tok
+            if max_nll_micro_per_tok is not None
+            else RT.LM_TAIL_MICRO
+        )
+        ppl = RT.lm_model_score(passed.select("doc_id", "text"), lm_model).select(
+            "doc_id", "n_tok", "nll_micro", "avg_nll_nats"
+        )
+        passed = (
+            passed.join(ppl, "doc_id")
+            .filter(F.col("nll_micro") < F.lit(thr) * F.col("n_tok"))
+            .drop("n_tok", "nll_micro")
+        )
+        extra_cols = ["avg_nll_nats"]
     ingest_dedup_batch(
         bspark,
-        passed.select(*batch_df.columns, "quality", "log_weight"),
+        passed.select(*batch_df.columns, "quality", "log_weight", *extra_cols),
         batch_id,
         kept_dir,
         index_dir,
@@ -652,6 +676,8 @@ def run_curation_stream(
     checkpoint_dir: str,
     min_quality: float = 10.0,
     min_logw: float = -10.0,
+    lm_model: tuple[list[tuple[str, int]], int] | None = None,
+    max_nll_micro_per_tok: int | None = None,
 ) -> None:
     """Streaming runner for the curation gate (availableNow in tests;
     a production job would run a processing-time trigger)."""
@@ -667,6 +693,8 @@ def run_curation_stream(
             index_dir,
             min_quality,
             min_logw,
+            lm_model,
+            max_nll_micro_per_tok,
         )
 
     q = (

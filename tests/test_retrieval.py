@@ -243,3 +243,23 @@ def test_pagerank_matches_pure_python_fixed_point(spark) -> None:
     iso_rank = PR_TELEPORT // n
     assert (pdf["rank_pico"] >= iso_rank).all()
     assert pdf[pdf["doc_id"].isin(connected)]["rank_pico"].min() > iso_rank
+
+
+def test_lm_model_score_matches_registered_query(spark) -> None:
+    """The fit-once/broadcast-score LM artifact path (lm_model_fit on the
+    1-in-7 slice + lm_model_score) reproduces the registered lm_perplexity
+    query's n_tok / nll_micro / avg_nll_nats bit-for-bit — the streaming
+    gate scores exactly like the batch query."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model = RT.lm_model_fit(spark, docs.filter("doc_id % 7 = 0"))
+    got = {
+        r["doc_id"]: (r["n_tok"], r["nll_micro"], r["avg_nll_nats"])
+        for r in RT.lm_model_score(docs, model).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tok"], r["nll_micro"], r["avg_nll_nats"])
+        for r in REGISTRY["lm_perplexity"].spark(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got == want

@@ -1304,3 +1304,57 @@ def test_embedding_dedup_stream_matches_batch_composition(spark, tmp_path) -> No
         for r in spark.read.parquet(kept_dir).select("vec_id").collect()
     }
     assert again == got
+
+
+def test_curation_stream_with_lm_gate(spark, tmp_path) -> None:
+    """Round 6: the curation gate composed with the CCNet perplexity cut.
+    The LM model is fitted once on the 1-in-7 reference slice (so scores
+    coincide with the registered lm_perplexity query), streamed in as
+    plain Python values, and applied as the exact integer rule
+    nll_micro < thr * n_tok.  Checks: (a) every landed doc carries the
+    batch query's avg_nll and satisfies the cut; (b) no doc failing the
+    cut landed, even if it passed quality and DSIR."""
+    from nqs_console_flink_window_spark.operators import retrieval as RT
+    from nqs_console_flink_window_spark.operators import selection as SEL
+    from nqs_console_flink_window_spark.plans import all as _all  # noqa: F401
+    from nqs_console_flink_window_spark.plans.registry import REGISTRY
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model = SEL.dsir_fit(spark, docs)
+    lm_model = RT.lm_model_fit(spark, docs.filter("doc_id % 7 = 0"))
+
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    thr = RT.LM_TAIL_MICRO
+    J.run_curation_stream(
+        spark, stream, model, kept_dir, str(tmp_path / "index"),
+        str(tmp_path / "cp"), min_quality=0.0, min_logw=-100.0,
+        lm_model=lm_model, max_nll_micro_per_tok=thr,
+    )
+
+    kept = spark.read.parquet(kept_dir)
+    rows = kept.collect()
+    assert rows, "curation stream landed nothing"
+    batch = {
+        r["doc_id"]: (r["n_tok"], r["nll_micro"], r["avg_nll_nats"])
+        for r in REGISTRY["lm_perplexity"].spark(spark, SMOKE_SF_DIR).collect()
+    }
+    kept_ids = set()
+    for r in rows:
+        n_tok, nll, avg = batch[r["doc_id"]]
+        assert r["avg_nll_nats"] == avg, r["doc_id"]
+        assert nll < thr * n_tok, r["doc_id"]
+        kept_ids.add(r["doc_id"])
+    # (b) with quality/DSIR thresholds disabled, the only drop reasons are
+    # the perplexity cut and dedup — so every tail-band doc must be absent
+    tail_ids = {d for d, (n, nll, _) in batch.items() if nll >= thr * n}
+    assert tail_ids, "fixture should have tail-band docs"
+    assert not (tail_ids & kept_ids)
