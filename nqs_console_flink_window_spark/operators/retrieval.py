@@ -186,17 +186,28 @@ def bm25_dl_sql(tok: str) -> str:
     return f"SELECT doc_id, COUNT(*) AS dl FROM {tok} GROUP BY doc_id"
 
 
-def _bm25_score_ctes(tf: str, dl: str, table: str, k: int = BM25_K) -> str:
+def _bm25_score_ctes(
+    tf: str,
+    dl: str,
+    table: str | None = None,
+    k: int = BM25_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
     """CTE-list + final SELECT (no leading WITH) over relations ``tf``
     (doc_id, token, tf) and ``dl`` (doc_id, dl); N comes from ``table``,
-    T from ``dl`` — both as scalar subqueries.  Dialect-free ANSI."""
+    T from ``dl`` — both as scalar subqueries — unless ``n_body``/
+    ``t_body`` override them (the indexed path inlines the sidecar stats
+    as literals).  Dialect-free ANSI."""
+    n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
+    t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
     idf = (
         f"({qln_micro('2 * (SELECT n_docs FROM n) + 2')}"
         f" - {qln_micro('2 * df.df + 1')})"
     )
     return f"""
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
-t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}),
+n AS ({n_body}),
+t AS ({t_body}),
 df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM {tf} GROUP BY token),
 scored AS (
   SELECT tf.doc_id,
@@ -419,3 +430,99 @@ def lm_model_score(docs_df, model: tuple[list[tuple[str, int]], int]):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index (the 100 TB sparse-retrieval shape — the
+# BM25 twin of similarity.build_ivf_index's cell-partitioned parquet)
+# ---------------------------------------------------------------------------
+
+TEXT_INDEX_BUCKETS = 64  # token-hash partition count (raw-token partitionBy
+# would mint |vocab| directories; hash buckets keep the layout bounded)
+
+
+def _token_bucket(token: str) -> int:
+    """Python twin of the engine's bucket rule (md5_int % buckets) — the
+    query router must compute the same buckets the writer partitioned by."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % TEXT_INDEX_BUCKETS
+
+
+def build_text_index(spark, docs_df, path: str) -> None:
+    """Materialize the inverted index: postings (token, doc_id, tf)
+    written partitioned by ``tbucket`` = md5_int(token) % 64, plus two
+    sidecars — ``<path>.doclen`` (doc_id, dl) and ``<path>.stats``
+    (n_docs, t_tok, 1 row).
+
+    This is the storage shape the online ``bm25_topk`` only approximates:
+    once postings are *stored* token-bucketed, a query's term filter is
+    partition pruning at the file-listing level — Spark never opens,
+    reads, or schedules the other buckets' files — and tf/dl/N/T are all
+    precomputed, so query cost is |Q| bucket scans + one small join, with
+    no pass over the corpus text at all."""
+    from .staging import staged_views
+
+    view = "__text_index_docs"
+    docs_df.createOrReplaceTempView(view)
+    try:
+        tok_df = spark.sql(tok_cte(X.SPARK, view))
+    finally:
+        spark.catalog.dropTempView(view)
+    with staged_views(spark, tok=tok_df) as v:
+        postings = spark.sql(
+            f"SELECT doc_id, token, COUNT(*) AS tf, "
+            f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket "
+            f"FROM {v.tok} GROUP BY doc_id, token"
+        )
+        postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
+        dl = spark.sql(bm25_dl_sql(v.tok))
+        dl.write.mode("overwrite").parquet(f"{path}.doclen")
+        stats = spark.sql(
+            f"SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            f"CAST(COUNT(*) AS BIGINT) AS t_tok FROM {v.tok}"
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_K,
+):
+    """BM25 against a persisted inverted index: route the query terms to
+    their buckets (partition pruning — check the scan's PartitionFilters),
+    read only those postings, join the doc-length sidecar, inline the
+    1-row stats sidecar as literals (no scalar-subquery stages), and run
+    the SAME scoring fragment as the online form — results are
+    bit-identical to ``bm25_topk`` by construction (parity-tested).
+
+    Caveat shared with every BM25-over-frozen-index system: N/T/df and
+    the postings reflect the corpus at build time; ingest appends re-run
+    ``build_text_index`` (or the stats drift, exactly like a Lucene
+    segment awaiting merge)."""
+    from pyspark.sql import functions as F
+
+    from .staging import staged_views
+
+    buckets = sorted({_token_bucket(t) for t in query})
+    srow = spark.read.parquet(f"{path}.stats").collect()[0]
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(list(query)))
+        .select("doc_id", "token", "tf")
+    )
+    dl = spark.read.parquet(f"{path}.doclen")
+    with staged_views(spark, tf=post, dl=dl, checkpoint=False) as v:
+        return spark.sql(
+            "WITH "
+            + _bm25_score_ctes(
+                v.tf,
+                v.dl,
+                k=k,
+                n_body=f"SELECT CAST({int(srow['n_docs'])} AS BIGINT) AS n_docs",
+                t_body=f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok",
+            )
+        )

@@ -263,3 +263,49 @@ def test_lm_model_score_matches_registered_query(spark) -> None:
         for r in REGISTRY["lm_perplexity"].spark(spark, SMOKE_SF_DIR).collect()
     }
     assert got == want
+
+
+def test_bm25_indexed_matches_online_and_prunes_partitions(spark, tmp_path) -> None:
+    """The persisted inverted index (token-bucket-partitioned postings +
+    doclen/stats sidecars) returns the online bm25_topk result
+    bit-for-bit, and the postings scan prunes to the query terms' buckets
+    (PartitionFilters on tbucket — the file-listing-level guarantee that a
+    100 TB corpus costs |Q| bucket scans per query)."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    idx = str(tmp_path / "textidx")
+    RT.build_text_index(spark, docs, idx)
+
+    indexed = RT.bm25_topk_indexed(spark, idx)
+    online = REGISTRY["bm25_topk"].spark(spark, SMOKE_SF_DIR)
+    got = [tuple(r) for r in indexed.collect()]
+    want = [tuple(r) for r in online.collect()]
+    assert got == want
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "tbucket" in frag, frag
+    # the router computed the same buckets the writer partitioned by:
+    # only the query terms' bucket values appear in the filter
+    for b in sorted({RT._token_bucket(t) for t in RT.BM25_QUERY}):
+        assert str(b) in frag, (b, frag)
+
+
+def test_text_index_sidecars_are_consistent(spark, tmp_path) -> None:
+    """stats row == aggregates of the postings/doclen sidecars (an index
+    whose sidecars disagree scores garbage silently)."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    idx = str(tmp_path / "textidx")
+    RT.build_text_index(spark, docs, idx)
+    post = spark.read.parquet(idx)
+    dl = spark.read.parquet(f"{idx}.doclen")
+    srow = spark.read.parquet(f"{idx}.stats").collect()[0]
+    assert srow["n_docs"] == dl.count() == post.select("doc_id").distinct().count()
+    import pyspark.sql.functions as F
+
+    assert srow["t_tok"] == dl.agg(F.sum("dl")).first()[0]
+    assert srow["t_tok"] == post.agg(F.sum("tf")).first()[0]
