@@ -114,10 +114,9 @@ def lm_fit_sql(tok: str) -> str:
     )
 
 
-def _lm_score_ctes(tok: str, tgt: str) -> str:
-    """CTE-list + final SELECT (no leading WITH — callers splice it after
-    their own CTEs) over relations ``tok`` (doc_id, token) and ``tgt``
-    (token, c) — dialect-free ANSI, compiled by both engines."""
+def _lm_nll_ctes(tok: str, tgt: str) -> str:
+    """konst/perdoc/nll CTE-list (no final SELECT) over relations ``tok``
+    (doc_id, token) and ``tgt`` (token, c) — dialect-free ANSI."""
     qln_tv1 = qln_micro("CAST(SUM(c) AS BIGINT) + COUNT(*) + 1")
     return f"""
 konst AS (SELECT {qln_tv1} AS qln_tv1 FROM {tgt}),
@@ -131,9 +130,21 @@ nll AS (
   SELECT doc_id, n_tok,
          n_tok * (SELECT qln_tv1 FROM konst) - sum_qln_c AS nll_micro
   FROM perdoc
+)"""
+
+
+_LM_AVG = X.fround(
+    "CAST(nll_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1.0E6)", 6
 )
+
+
+def _lm_score_ctes(tok: str, tgt: str) -> str:
+    """CTE-list + final SELECT (no leading WITH — callers splice it after
+    their own CTEs) over relations ``tok`` (doc_id, token) and ``tgt``
+    (token, c) — dialect-free ANSI, compiled by both engines."""
+    return f"""{_lm_nll_ctes(tok, tgt)}
 SELECT doc_id, n_tok, nll_micro,
-  {X.fround("CAST(nll_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1.0E6)", 6)}
+  {_LM_AVG}
     AS avg_nll_nats,
   CASE WHEN nll_micro < {LM_HEAD_MICRO} * n_tok THEN 'head'
        WHEN nll_micro < {LM_TAIL_MICRO} * n_tok THEN 'middle'
@@ -526,3 +537,117 @@ def bm25_topk_indexed(
                 t_body=f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok",
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-tercile perplexity banding (CCNet's actual cut rule: the paper
+# bands by corpus terciles, not fixed thresholds — here derived from the
+# histogram-quantile machinery, closing the module-docstring note)
+# ---------------------------------------------------------------------------
+
+
+def _lm_scores_ctes(tok: str, tgt: str) -> str:
+    """..., scores CTE-list: per-doc (doc_id, avg_nll_nats).  avg values
+    are always finite (ratios of bounded integers), so no hq_finite filter
+    is needed and stats covers the corpus exactly."""
+    return f"""{_lm_nll_ctes(tok, tgt)},
+scores AS (SELECT doc_id, {_LM_AVG} AS avg_nll_nats FROM nll)"""
+
+
+def lm_stats_sql(scores: str) -> str:
+    return (
+        f"SELECT MIN(avg_nll_nats) AS mn, MAX(avg_nll_nats) AS mx, "
+        f"COUNT(*) AS n FROM {scores}"
+    )
+
+
+def _lm_tercile_cut_ctes(scores: str, stats: str) -> str:
+    """hist/cum/cuts CTE-list (no leading WITH, no final SELECT) over
+    relations ``scores`` (doc_id, avg_nll_nats) and ``stats`` (mn, mx, n —
+    1 row, referenced via scalar subqueries so no 1-row join enters the
+    plan).  Reuses the histogram-quantile fragments verbatim: hq_bin_ix
+    for binning, hq_sel_fragment for the rank rule.  The cum window is
+    global but over <= HQ_BINS rows (same bounded-window class as the
+    registered histogram_quantiles)."""
+    from . import sketches as SK
+
+    mn, mx = f"(SELECT mn FROM {stats})", f"(SELECT mx FROM {stats})"
+    n = f"(SELECT n FROM {stats})"
+    bin_ix = SK.hq_bin_ix("e.avg_nll_nats", mn, mx)
+    sel1 = SK.hq_sel_fragment("t1", "(1.0E0/3.0E0)").replace(" n)", f" {n})")
+    sel2 = SK.hq_sel_fragment("t2", "(2.0E0/3.0E0)").replace(" n)", f" {n})")
+    return f"""
+hist AS (SELECT {bin_ix} AS b, COUNT(*) AS c FROM {scores} e GROUP BY 1),
+cum AS (
+  SELECT b, SUM(c) OVER (
+    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+cuts AS (SELECT {sel1} AS b_t1, {sel2} AS b_t2 FROM cum)"""
+
+
+def _lm_tercile_vals_select(stats: str) -> str:
+    """1-row SELECT of the tercile cut VALUES (t1, t2) from the ``cuts``
+    relation — the mid-bin read-off is hq_out_fragment, THE one
+    definition."""
+    from . import sketches as SK
+
+    mn, mx = f"(SELECT mn FROM {stats})", f"(SELECT mx FROM {stats})"
+    return (
+        f"SELECT {SK.hq_out_fragment('t1', mn, mx)} AS t1, "
+        f"{SK.hq_out_fragment('t2', mn, mx)} AS t2 FROM cuts"
+    )
+
+
+def _lm_tercile_band_sql(scores: str, vals: str) -> str:
+    """Final banding over relations ``scores`` and ``vals`` (1 row; scalar
+    subqueries — no 1-row join)."""
+    t1, t2 = f"(SELECT t1 FROM {vals})", f"(SELECT t2 FROM {vals})"
+    return f"""
+SELECT s.doc_id, s.avg_nll_nats,
+  {t1} AS tercile_low, {t2} AS tercile_high,
+  CASE WHEN s.avg_nll_nats <= {t1} THEN 'head'
+       WHEN s.avg_nll_nats <= {t2} THEN 'middle'
+       ELSE 'tail' END AS ppl_band
+FROM {scores} s
+"""
+
+
+def lm_ppl_terciles_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the whole chain flattened into one WITH list."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), tgt AS ({lm_fit_sql('tok')}), "
+        + _lm_scores_ctes("tok", "tgt")
+        + f", stats AS ({lm_stats_sql('scores')}), "
+        + _lm_tercile_cut_ctes("scores", "stats").lstrip()
+        + f", vals AS ({_lm_tercile_vals_select('stats')}) "
+        + _lm_tercile_band_sql("scores", "vals")
+    )
+
+
+def lm_ppl_terciles_df(spark, table: str = "documents"):
+    """Engine side: scores / stats / vals are each staged (every one is
+    multiply referenced — scores by stats+hist+band, stats by the bin/cut
+    scalar subqueries, vals by the three band references; un-staged, CTE
+    inlining would re-run the whole LM chain per reference)."""
+    from .staging import staged_views
+
+    tok_df = spark.sql(tok_cte(X.SPARK, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tgt_df = spark.sql(lm_fit_sql(v1.tok))
+        with staged_views(spark, tgt=tgt_df) as v2:
+            scores_df = spark.sql(
+                f"WITH {_lm_scores_ctes(v1.tok, v2.tgt).lstrip()} "
+                f"SELECT doc_id, avg_nll_nats FROM scores"
+            )
+            with staged_views(spark, scores=scores_df) as v3:
+                stats_df = spark.sql(lm_stats_sql(v3.scores))
+                with staged_views(spark, stats=stats_df) as v4:
+                    vals_df = spark.sql(
+                        f"WITH {_lm_tercile_cut_ctes(v3.scores, v4.stats).lstrip()} "
+                        f"{_lm_tercile_vals_select(v4.stats)}"
+                    )
+                    with staged_views(spark, vals=vals_df) as v5:
+                        return spark.sql(
+                            _lm_tercile_band_sql(v3.scores, v5.vals)
+                        )

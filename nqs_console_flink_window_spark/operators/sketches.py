@@ -298,10 +298,14 @@ def hq_sel_fragment(name: str, q: str) -> str:
     return f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END)"
 
 
-def hq_out_fragment(name: str) -> str:
+def hq_out_fragment(name: str, mn: str = "mn", mx: str = "mx") -> str:
+    """Mid-bin value read-off.  ``mn``/``mx`` default to the in-scope
+    column names; callers without them in scope (the tercile composition)
+    pass scalar-subquery expressions — the rule itself stays THE one
+    definition."""
     return (
-        f"CASE WHEN mx = mn THEN mn ELSE "
-        f"mn + (CAST(b_{name} AS DOUBLE) + 0.5E0) * ((mx - mn) / {HQ_BINS}.0E0) "
+        f"CASE WHEN {mx} = {mn} THEN {mn} ELSE "
+        f"{mn} + (CAST(b_{name} AS DOUBLE) + 0.5E0) * (({mx} - {mn}) / {HQ_BINS}.0E0) "
         f"END"
     )
 

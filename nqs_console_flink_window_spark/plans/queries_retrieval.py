@@ -62,3 +62,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return RT.pmi_collocations_df(spark)
+
+
+@register(
+    "lm_ppl_terciles",
+    sql=RT.lm_ppl_terciles_sql(X.DUCK),
+    doc="Extension — CCNet's ACTUAL banding rule: perplexity bands from "
+    "corpus TERCILES (not fixed thresholds), with the cuts derived from "
+    "the histogram-quantile machinery (hq_bin_ix / hq_sel_fragment / "
+    "hq_out_fragment reused verbatim over the per-doc avg_nll scores; "
+    "<=4096-row bounded cum window, scalar-subquery stats — no 1-row "
+    "joins).  Engine stages scores/stats/vals against CTE re-runs; "
+    "driver-gated via lm_perplexity + histogram_quantiles (the two "
+    "composed tier-1 surfaces)",
+    tier=2,
+)
+def lm_ppl_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.lm_ppl_terciles_df(spark)

@@ -309,3 +309,28 @@ def test_text_index_sidecars_are_consistent(spark, tmp_path) -> None:
 
     assert srow["t_tok"] == dl.agg(F.sum("dl")).first()[0]
     assert srow["t_tok"] == post.agg(F.sum("tf")).first()[0]
+
+
+def test_lm_terciles_partition_corpus_in_thirds(spark) -> None:
+    """The tercile bands split the corpus into near-equal thirds (the
+    histogram cut can only drift by ties within one bin — half-bin rule),
+    cuts are shared constants on every row, and banding is consistent
+    with the cut values."""
+    pdf = REGISTRY["lm_ppl_terciles"].spark(spark, SMOKE_SF_DIR).toPandas()
+    n = len(pdf)
+    counts = pdf["ppl_band"].value_counts().to_dict()
+    assert set(counts) == {"head", "middle", "tail"}
+    for band, c in counts.items():
+        assert abs(c - n / 3) <= max(4, 0.05 * n), (band, c)
+    assert pdf["tercile_low"].nunique() == 1
+    assert pdf["tercile_high"].nunique() == 1
+    t1 = pdf["tercile_low"][0]
+    t2 = pdf["tercile_high"][0]
+    assert t1 <= t2
+    for r in pdf.itertuples():
+        want = (
+            "head"
+            if r.avg_nll_nats <= t1
+            else ("middle" if r.avg_nll_nats <= t2 else "tail")
+        )
+        assert r.ppl_band == want, r.doc_id
