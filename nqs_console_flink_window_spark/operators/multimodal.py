@@ -9,9 +9,14 @@ metadata struct; decode / feature-extraction run as Arrow-batched
   rate, mean |amplitude|, duration...).  No external codec needed.
 - **PPM (P6)** — REAL decode by parsing the netpbm header + raw RGB
   triples in pure Python: per-channel means/variance + luma stats.
-- anything else (JPEG/PNG/MP4...) needs libs NOT in this container — the
-  clearly-marked deterministic byte-histogram stub stands in; swapping it
-  for a real codec touches ``_decode_stub`` only.
+- **PNG** (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced) — REAL decode:
+  zlib inflate + all 5 scanline filters.
+- **BMP** (24-bit uncompressed) and **GIF** (87a/89a, non-interlaced,
+  LZW) — REAL decodes, pure stdlib.
+- anything else (JPEG/MP3/MP4... — genuinely codec-bound: entropy coding
+  + DCT/psychoacoustics need real codec libs, NOT in this container) —
+  the clearly-marked deterministic byte-histogram stub stands in;
+  swapping it for a real codec touches ``_decode_stub`` only.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
 column pruning before the Python stage) is identical for all three paths.
@@ -252,6 +257,151 @@ def decode_png_features(payload: bytes) -> list[float]:
     return _pad([width / 1e4, height / 1e4, 1.0, rm, gm, bm, lm, lv])
 
 
+def _image_stats(rs, gs, bs, width: int, height: int, maxdepth: float = 1.0) -> list[float]:
+    """Shared feature layout of every image decoder: [w/1e4, h/1e4,
+    maxdepth, r_mean, g_mean, b_mean, luma_mean, luma_var, 0...] over
+    0-255 channel sequences."""
+    npx = width * height
+    rm, gm, bm = (sum(c) / npx / 255.0 for c in (rs, gs, bs))
+    lumas = [
+        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        for r, g, b in zip(rs, gs, bs)
+    ]
+    lm = sum(lumas) / npx
+    lv = sum((x - lm) ** 2 for x in lumas) / npx
+    return _pad([width / 1e4, height / 1e4, maxdepth, rm, gm, bm, lm, lv])
+
+
+def decode_bmp_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: BMP (24-bit uncompressed,
+    BITMAPINFOHEADER) -> the shared image feature layout.  Rows are
+    4-byte-padded BGR, bottom-up when height > 0 (top-down when negative)
+    — row order doesn't change the stats, only the raster walk.  Other
+    depths/compressions raise -> stub."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a bmp")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed supported")
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(payload) < data_off + stride * height:
+        raise ValueError("truncated raster")
+    rs, gs, bs = [], [], []
+    for y in range(height):
+        row = payload[data_off + y * stride : data_off + y * stride + width * 3]
+        bs.extend(row[0::3])
+        gs.extend(row[1::3])
+        rs.extend(row[2::3])
+    return _image_stats(rs, gs, bs, width, height)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable-width codes LSB-first, CLEAR resets the
+    dictionary, code width grows when the dict fills (capped at 12 bits)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code, prev = fresh(), min_code_size + 1, end + 1, None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: GIF87a/89a (non-interlaced, first
+    frame, global or local color table) -> the shared image feature
+    layout.  Walks extensions, inflates the frame's LZW index stream and
+    maps it through the active palette.  Interlaced frames raise ->
+    stub."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, width, height, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            table = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 ** ((ipacked & 0x07) + 1)
+                table = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced gif unsupported")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(data))[: width * height]
+            if len(idx) < width * height or not table:
+                raise ValueError("short frame")
+            rs = [table[3 * i] for i in idx]
+            gs = [table[3 * i + 1] for i in idx]
+            bs = [table[3 * i + 2] for i in idx]
+            return _image_stats(rs, gs, bs, width, height)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad block 0x{block:02x}")
+    raise ValueError("no image frame")
+
+
 def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
     """Typed dispatch: real decoders where stdlib suffices, the
     deterministic stub otherwise (so the oracle-checked byte-histogram
@@ -287,6 +437,10 @@ def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
             return decode_ppm_features(payload)
         if image_ok and payload and payload[:8] == _PNG_MAGIC:
             return decode_png_features(payload)
+        if image_ok and payload and payload[:2] == b"BM":
+            return decode_bmp_features(payload)
+        if image_ok and payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_features(payload)
     except Exception:  # malformed/unsupported media -> stub features
         pass
     return _decode_stub(payload)

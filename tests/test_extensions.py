@@ -1596,3 +1596,170 @@ def test_bpe_train_batched_matches_reference_and_cuts_rounds(spark) -> None:
     # the conflict rule deferred it rather than fold it on a stale count
     assert ("ab", "ab", 3) in got2
     assert SEL.bpe_train_batched.last_rounds >= 2
+
+
+def _gif_lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+    """Independent GIF-LZW compressor for the decoder test: standard
+    dictionary build, variable-width LSB-first packing, leading CLEAR and
+    trailing END."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, width = end + 1, min_code_size + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # width grows when the entry JUST ADDED lands at index 2^width
+            # (the decoder grows when its next slot reaches 2^width — one
+            # code later in the stream, which is exactly one entry earlier
+            # in table time; see decode's rule)
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        buf = (sym,)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_encode(indices: list[int], palette: list[tuple[int, int, int]], w: int, h: int) -> bytes:
+    import struct
+
+    bits = max(2, (len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (n - len(palette))
+    lzw = _gif_lzw_encode(bits, indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([bits]) + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def _bmp_encode(rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
+    """24-bit uncompressed BMP from top-down RGB rows (stored bottom-up)."""
+    import struct
+
+    h, w = len(rows_rgb), len(rows_rgb[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for row in reversed(rows_rgb):
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + bytes(raster)
+    )
+
+
+def test_multimodal_bmp_and_gif_decode(spark) -> None:
+    """The stdlib BMP and GIF decoders recover exact pixel stats — BMP
+    against a spec-built fixture, GIF against BOTH an independent LZW
+    compressor round-trip AND a canonical real-world artifact (the 1x1
+    transparent GIF) — with mime gating and stub fallback intact."""
+    import base64
+    import random
+
+    # real-world anchor: the ubiquitous 1x1 transparent GIF, pixel (0,0,0)
+    gif1 = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    f = MM.decode_features(gif1, "image/gif")
+    assert f[:8] == [1e-4, 1e-4, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+    rng = random.Random(11)
+    w, h = 7, 5
+    palette = [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(16)]
+    idx = [rng.randrange(16) for _ in range(w * h)]
+    gif = _gif_encode(idx, palette, w, h)
+    rows = [[palette[idx[y * w + x]] for x in range(w)] for y in range(h)]
+    bmp = _bmp_encode(rows)
+
+    def expect():
+        rs = [palette[i][0] for i in idx]
+        gs = [palette[i][1] for i in idx]
+        bs = [palette[i][2] for i in idx]
+        npx = w * h
+        rm, gm, bm = (sum(c) / npx / 255.0 for c in (rs, gs, bs))
+        lumas = [
+            (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            for r, g, b in zip(rs, gs, bs)
+        ]
+        lm = sum(lumas) / npx
+        lv = sum((x - lm) ** 2 for x in lumas) / npx
+        return [w / 1e4, h / 1e4, 1.0, rm, gm, bm, lm, lv]
+
+    want = expect()
+    for payload, mime in ((gif, "image/gif"), (bmp, "image/bmp")):
+        got = MM.decode_features(payload, mime)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), mime
+        # octet-stream declaration stays on the stub (histogram sums to 1)
+        stub = MM.decode_features(payload, "application/octet-stream")
+        assert abs(sum(stub) - 1.0) < 1e-6
+
+    # interlaced GIF falls back to the stub (flag bit 0x40 in the image
+    # descriptor packed byte — flip it in the encoded fixture)
+    desc = gif.index(b"\x2c")
+    bad = gif[: desc + 9] + bytes([gif[desc + 9] | 0x40]) + gif[desc + 10 :]
+    assert abs(sum(MM.decode_features(bad, "image/gif")) - 1.0) < 1e-6
+
+    # through the Arrow plumbing
+    media = spark.createDataFrame(
+        [(1, gif, "image/gif"), (2, bmp, "image/bmp")],
+        "media_id long, payload binary, mime string",
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("mime").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    arrow = {r.media_id: list(r.feature) for r in MM.extract_features(media).collect()}
+    for mid in (1, 2):
+        assert all(abs(a - b) < 1e-6 for a, b in zip(arrow[mid], want)), mid
+
+
+def test_gif_lzw_roundtrip_through_width_growth() -> None:
+    """The LZW pair (independent test encoder vs product decoder) stays in
+    sync across every code-width growth up to the 4096-entry cap."""
+    import random
+
+    for seed, n, ncol in ((1, 4000, 4), (2, 20000, 8), (3, 60000, 2)):
+        rng = random.Random(seed)
+        mcs = max(2, (ncol - 1).bit_length())
+        idx = [rng.randrange(ncol) for _ in range(n)]
+        assert MM._gif_lzw_decode(mcs, _gif_lzw_encode(mcs, idx)) == idx

@@ -86,7 +86,7 @@ SOAK_QUERIES = [
     # graph ops whose cost rides the LSH edge set (k^2-inflated by the
     # exact-copy replica fixture, same interpretation as dedup_clusters)
     "lm_perplexity", "bm25_topk", "pmi_collocations", "dup_spans",
-    "embedding_near_dup", "pagerank_neardup",
+    "embedding_near_dup", "pagerank_neardup", "lm_ppl_terciles",
 ]
 
 
