@@ -2,10 +2,12 @@
 
     python tools/curate.py [sf_dir] [out_dir]
 
-1. FIT    — DSIR bucket model on the reference corpus (constant-size).
+1. FIT    — DSIR bucket model on the reference corpus (constant-size)
+            + unigram LM on the clean 1-in-7 slice (vocabulary-size).
 2. CURATE — stream the corpus through the ingest gate in micro-batches:
-            DSIR score vs the fixed model + quality score -> threshold
-            filter -> index-backed incremental dedup -> idempotent landing.
+            DSIR score vs the fixed model + quality score + CCNet LM
+            perplexity cut -> threshold filters -> index-backed
+            incremental dedup -> idempotent landing.
 3. COMPACT— fold the committed batch subpaths into one generation
             (small-file maintenance).
 4. REPORT — one JSON line: docs in/kept, drop reasons, score spread,
@@ -26,6 +28,7 @@ sys.path.insert(0, str(_REPO))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from nqs_console_flink_window_spark.operators import retrieval as RT  # noqa: E402
 from nqs_console_flink_window_spark.operators import selection as SEL  # noqa: E402
 from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
 from nqs_console_flink_window_spark.sinks.writers import compact_batch_landings  # noqa: E402
@@ -45,6 +48,7 @@ def main() -> None:
     n_in = docs.count()
 
     model = SEL.dsir_fit(spark, docs)
+    lm_model = RT.lm_model_fit(spark, docs.filter("doc_id % 7 = 0"))
 
     src = f"{out}/src"
     docs.withColumn("part", F.col("doc_id") % 4).write.partitionBy("part").mode(
@@ -56,7 +60,7 @@ def main() -> None:
     kept_dir, index_dir = f"{out}/kept", f"{out}/index"
     J.run_curation_stream(
         spark, stream, model, kept_dir, index_dir, f"{out}/cp",
-        min_quality=MIN_QUALITY, min_logw=MIN_LOGW,
+        min_quality=MIN_QUALITY, min_logw=MIN_LOGW, lm_model=lm_model,
     )
 
     landed = spark.read.parquet(kept_dir)
@@ -70,6 +74,7 @@ def main() -> None:
         F.min("log_weight").alias("lw_min"),
         F.max("log_weight").alias("lw_max"),
         F.min("quality").alias("q_min"),
+        F.max("avg_nll_nats").alias("nll_max"),
     ).first()
     print(
         json.dumps(
@@ -81,6 +86,7 @@ def main() -> None:
                 "kept_pct": round(100.0 * stats["n_kept"] / n_in, 2),
                 "log_weight_range": [round(stats["lw_min"], 4), round(stats["lw_max"], 4)],
                 "min_quality_enforced": stats["q_min"] >= MIN_QUALITY,
+                "max_avg_nll_kept": round(stats["nll_max"], 4),
                 "compacted_files": n_files,
             }
         )
