@@ -104,16 +104,19 @@ def pagerank_sql(d: str, table: str = "documents", iters: int = PR_ITERS) -> str
     return f"WITH {', '.join(parts)} {pr_final_sql(f'r{iters}')}"
 
 
-def pagerank_df(spark, table: str = "documents", iters: int = PR_ITERS):
+def pagerank_df(spark, table: str = "documents", iters: int = PR_ITERS, cand=None):
     """Engine side: candidate pairs, edges, degrees and the node list are
     staged once (each is referenced every iteration); the rank vector is
     checkpointed per step by the staging wrapper, so lineage stays flat and
     the returned plan is one real iteration step (inspectable — never a
-    bare Scan ExistingRDD)."""
+    bare Scan ExistingRDD).  ``cand`` lets a composed caller share an
+    already-staged candidate-pair DataFrame instead of recomputing the
+    MinHash chain."""
     from .staging import staged_views
 
     d = X.SPARK
-    cand = spark.sql(minhash_lsh_pairs_sql(d, table))
+    if cand is None:
+        cand = spark.sql(minhash_lsh_pairs_sql(d, table))
     with staged_views(spark, cand=cand) as v0:
         edges = spark.sql(pr_edges_sql(v0.cand))
         with staged_views(spark, edges=edges) as v1:
@@ -128,3 +131,70 @@ def pagerank_df(spark, table: str = "documents", iters: int = PR_ITERS):
                         )
                 with staged_views(spark, r=r, checkpoint=False) as v4:
                     return spark.sql(pr_final_sql(v4.r))
+
+
+def cluster_representatives_sql(d: str, table: str = "documents") -> str:
+    """Oracle for the composed representative-selection query: connected
+    components (recursive min-label CTE, dedup_cluster's oracle rule) and
+    the 5-step PageRank share ONE candidate-pair CTE; the representative
+    of each cluster is its highest-centrality member (rank desc, doc_id
+    asc tiebreak)."""
+    from .dedup_text import minhash_lsh_pairs_sql as pairs_sql
+
+    nodes = f"(SELECT doc_id FROM {table})"
+    iters = [
+        f"r{i} AS ({pr_iter_sql(d, nodes, 'edges', 'deg', f'r{i - 1}')})"
+        for i in range(1, PR_ITERS + 1)
+    ]
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql(d, table)}),
+edges AS ({pr_edges_sql('pairs')}),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+deg AS ({pr_deg_sql('edges')}),
+r0 AS ({pr_init_sql(d, nodes)}),
+{', '.join(iters)},
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, r.r AS rank_pico,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY r.r DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN r{PR_ITERS} r ON r.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, rank_pico AS rep_rank_pico,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+def cluster_representatives_df(spark, table: str = "documents"):
+    """Engine side of the composition: ONE staged candidate-pair stage
+    feeds both the min-label-propagation components and the PageRank loop
+    (the policy upgrade pagerank's docstring promises — keep the
+    most-connected copy, not the arbitrary min id); the per-cluster
+    window is bounded by duplicate-group size."""
+    from . import dedup_cluster as DC
+    from . import dedup_text as DD
+    from .staging import staged_views
+
+    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark, table)
+    docs = spark.table(table)
+    clusters = DC.dedup_clusters_df(pairs, docs).select("doc_id", "cluster_id")
+    ranks = pagerank_df(spark, table, cand=pairs).select("doc_id", "rank_pico")
+    with staged_views(spark, clusters=clusters, ranks=ranks) as v:
+        return spark.sql(f"""
+WITH ranked AS (
+  SELECT c.cluster_id, c.doc_id, r.rank_pico,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY r.rank_pico DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM {v.clusters} c JOIN {v.ranks} r ON r.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, rank_pico AS rep_rank_pico,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""")

@@ -1949,3 +1949,20 @@ WHERE CAST(both_n AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
 def containment_estimate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return DD.containment_estimate_fast_df(spark)
+
+
+@register(
+    "cluster_representatives",
+    sql=GR.cluster_representatives_sql(X.DUCK),
+    doc="Extension — dedup-policy composition: the representative of each "
+    "near-dup cluster is its highest-PageRank member (connected components "
+    "x centrality over ONE shared candidate-pair stage; rank desc, doc_id "
+    "tiebreak; per-cluster window bounded by duplicate-group size).  The "
+    "policy upgrade over keep-min: retain the most-connected copy.  "
+    "Driver-gated via dedup_clusters (components) + the dedup family "
+    "tier-1 rows; pagerank itself value-oracled as pagerank_neardup",
+    tier=2,
+)
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return GR.cluster_representatives_df(spark)

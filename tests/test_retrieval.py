@@ -334,3 +334,39 @@ def test_lm_terciles_partition_corpus_in_thirds(spark) -> None:
             else ("middle" if r.avg_nll_nats <= t2 else "tail")
         )
         assert r.ppl_band == want, r.doc_id
+
+
+def test_cluster_representatives_semantics(spark) -> None:
+    """Every cluster yields exactly one representative, the representative
+    belongs to that cluster, and no member of the cluster outranks it
+    (rank desc, doc_id tiebreak)."""
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+    from nqs_console_flink_window_spark.operators import graph as GR
+    from nqs_console_flink_window_spark.operators import dedup_cluster as DC
+    from nqs_console_flink_window_spark.operators import dedup_text as DD
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    reps = {
+        r["cluster_id"]: (r["rep_doc_id"], r["rep_rank_pico"], r["n_members"])
+        for r in REGISTRY["cluster_representatives"].spark(spark, SMOKE_SF_DIR).collect()
+    }
+    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DC.dedup_clusters_df(pairs, spark.table("documents")).collect()
+    }
+    ranks = {
+        r["doc_id"]: r["rank_pico"]
+        for r in GR.pagerank_df(spark).collect()
+    }
+    assert set(reps) == set(clusters.values())
+    from collections import Counter
+
+    sizes = Counter(clusters.values())
+    for cid, (rep, rep_rank, n) in reps.items():
+        assert clusters[rep] == cid
+        assert n == sizes[cid]
+        assert ranks[rep] == rep_rank
+        for doc, c in clusters.items():
+            if c == cid:
+                assert (ranks[doc], -doc) <= (rep_rank, -rep), (cid, doc)
