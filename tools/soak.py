@@ -87,6 +87,7 @@ SOAK_QUERIES = [
     # exact-copy replica fixture, same interpretation as dedup_clusters)
     "lm_perplexity", "bm25_topk", "pmi_collocations", "dup_spans",
     "embedding_near_dup", "pagerank_neardup", "lm_ppl_terciles",
+    "cluster_representatives",
 ]
 
 
