@@ -92,20 +92,25 @@ def connected_components(
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
-def dedup_clusters_df(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def dedup_clusters_df(
+    pairs: DataFrame, docs: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, is_canonical) for every document;
-    cluster_id = min doc_id in the component, canonical = that minimum."""
+    cluster_id = min doc_id in the component, canonical = that minimum.
+    ``edges`` lets a composed caller (cluster_representatives) pass an
+    already-checkpointed symmetrized edge set shared with PageRank."""
     from pyspark.sql.window import Window
 
     # Materialize the edge set ONCE: every propagation round joins against
     # edges, and without this checkpoint each round's lazy plan replays the
     # entire upstream MinHash -> banding -> candidate-join pipeline (round-4
     # profile: ~80% of the query's wall time was that recomputation).
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint()
-    )
+    if edges is None:
+        edges = (
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+            .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+            .localCheckpoint()
+        )
     nodes = docs.select(F.col("doc_id").alias("id"))
     comp = connected_components(edges, nodes)
     return (

@@ -104,33 +104,41 @@ def pagerank_sql(d: str, table: str = "documents", iters: int = PR_ITERS) -> str
     return f"WITH {', '.join(parts)} {pr_final_sql(f'r{iters}')}"
 
 
-def pagerank_df(spark, table: str = "documents", iters: int = PR_ITERS, cand=None):
+def pagerank_df(
+    spark,
+    table: str = "documents",
+    iters: int = PR_ITERS,
+    edges=None,
+    edges_staged: bool = False,
+):
     """Engine side: candidate pairs, edges, degrees and the node list are
     staged once (each is referenced every iteration); the rank vector is
     checkpointed per step by the staging wrapper, so lineage stays flat and
     the returned plan is one real iteration step (inspectable — never a
-    bare Scan ExistingRDD).  ``cand`` lets a composed caller share an
-    already-staged candidate-pair DataFrame instead of recomputing the
-    MinHash chain."""
+    bare Scan ExistingRDD).  ``edges`` lets a composed caller
+    (cluster_representatives) pass the symmetrized edge set it already
+    built; ``edges_staged=True`` marks it as checkpointed so it is not
+    re-materialized."""
     from .staging import staged_views
 
     d = X.SPARK
-    if cand is None:
+    if edges is None:
         cand = spark.sql(minhash_lsh_pairs_sql(d, table))
-    with staged_views(spark, cand=cand) as v0:
-        edges = spark.sql(pr_edges_sql(v0.cand))
-        with staged_views(spark, edges=edges) as v1:
-            deg = spark.sql(pr_deg_sql(v1.edges))
-            nodes = spark.sql(f"SELECT doc_id FROM {table}")
-            with staged_views(spark, deg=deg, nodes=nodes) as v2:
-                r = spark.sql(pr_init_sql(d, v2.nodes))
-                for _ in range(iters):
-                    with staged_views(spark, r=r) as v3:
-                        r = spark.sql(
-                            pr_iter_sql(d, v2.nodes, v1.edges, v2.deg, v3.r)
-                        )
-                with staged_views(spark, r=r, checkpoint=False) as v4:
-                    return spark.sql(pr_final_sql(v4.r))
+        with staged_views(spark, cand=cand) as v0:
+            edges = spark.sql(pr_edges_sql(v0.cand)).localCheckpoint()
+        edges_staged = True
+    with staged_views(spark, edges=edges, checkpoint=not edges_staged) as v1:
+        deg = spark.sql(pr_deg_sql(v1.edges))
+        nodes = spark.sql(f"SELECT doc_id FROM {table}")
+        with staged_views(spark, deg=deg, nodes=nodes) as v2:
+            r = spark.sql(pr_init_sql(d, v2.nodes))
+            for _ in range(iters):
+                with staged_views(spark, r=r) as v3:
+                    r = spark.sql(
+                        pr_iter_sql(d, v2.nodes, v1.edges, v2.deg, v3.r)
+                    )
+            with staged_views(spark, r=r, checkpoint=False) as v4:
+                return spark.sql(pr_final_sql(v4.r))
 
 
 def cluster_representatives_sql(d: str, table: str = "documents") -> str:
@@ -183,8 +191,20 @@ def cluster_representatives_df(spark, table: str = "documents"):
 
     _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark, table)
     docs = spark.table(table)
-    clusters = DC.dedup_clusters_df(pairs, docs).select("doc_id", "cluster_id")
-    ranks = pagerank_df(spark, table, cand=pairs).select("doc_id", "rank_pico")
+    # the symmetrized edge set is built and checkpointed ONCE and shared by
+    # both halves (components join it every propagation round, PageRank
+    # every iteration)
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
+    )
+    clusters = DC.dedup_clusters_df(pairs, docs, edges=edges).select(
+        "doc_id", "cluster_id"
+    )
+    ranks = pagerank_df(spark, table, edges=edges, edges_staged=True).select(
+        "doc_id", "rank_pico"
+    )
     with staged_views(spark, clusters=clusters, ranks=ranks) as v:
         return spark.sql(f"""
 WITH ranked AS (

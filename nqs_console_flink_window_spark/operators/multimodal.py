@@ -238,7 +238,6 @@ def decode_png_features(payload: bytes) -> list[float]:
             raise ValueError(f"bad scanline filter {f}")
         recon += row
         prev = row
-    npx = width * height
     if channels == 1:
         rs = gs = bs = recon
     elif channels == 2:
@@ -247,14 +246,7 @@ def decode_png_features(payload: bytes) -> list[float]:
         rs, gs, bs = recon[0::3], recon[1::3], recon[2::3]
     else:
         rs, gs, bs = recon[0::4], recon[1::4], recon[2::4]
-    rm, gm, bm = (sum(c) / npx / 255.0 for c in (rs, gs, bs))
-    lumas = [
-        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-        for r, g, b in zip(rs, gs, bs)
-    ]
-    lm = sum(lumas) / npx
-    lv = sum((x - lm) ** 2 for x in lumas) / npx
-    return _pad([width / 1e4, height / 1e4, 1.0, rm, gm, bm, lm, lv])
+    return _image_stats(rs, gs, bs, width, height)
 
 
 def _image_stats(rs, gs, bs, width: int, height: int, maxdepth: float = 1.0) -> list[float]:
@@ -288,6 +280,11 @@ def decode_bmp_features(payload: bytes) -> list[float]:
     (compression,) = struct.unpack("<I", payload[30:34])
     if bpp != 24 or compression != 0:
         raise ValueError("only 24-bit uncompressed supported")
+    # a negative width is malformed (only height encodes direction); without
+    # this check the negative stride slides past the truncation guard and
+    # emits garbage stats instead of falling back to the stub
+    if width <= 0 or height == 0:
+        raise ValueError("bad dimensions")
     height = abs(height)
     stride = ((width * 3 + 3) // 4) * 4
     if len(payload) < data_off + stride * height:

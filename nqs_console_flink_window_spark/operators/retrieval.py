@@ -489,8 +489,13 @@ def build_text_index(spark, docs_df, path: str) -> None:
         postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
         dl = spark.sql(bm25_dl_sql(v.tok))
         dl.write.mode("overwrite").parquet(f"{path}.doclen")
+        # n_docs counts the DOCS TABLE (the same N the online form's
+        # scalar subquery reads) — a distinct-doc count over the token
+        # stream would undercount by every zero-token document and shift
+        # the idf of every query term away from bm25_topk's
+        n_docs = docs_df.count()
         stats = spark.sql(
-            f"SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+            f"SELECT CAST({int(n_docs)} AS BIGINT) AS n_docs, "
             f"CAST(COUNT(*) AS BIGINT) AS t_tok FROM {v.tok}"
         )
         stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
@@ -574,8 +579,8 @@ def _lm_tercile_cut_ctes(scores: str, stats: str) -> str:
     mn, mx = f"(SELECT mn FROM {stats})", f"(SELECT mx FROM {stats})"
     n = f"(SELECT n FROM {stats})"
     bin_ix = SK.hq_bin_ix("e.avg_nll_nats", mn, mx)
-    sel1 = SK.hq_sel_fragment("t1", "(1.0E0/3.0E0)").replace(" n)", f" {n})")
-    sel2 = SK.hq_sel_fragment("t2", "(2.0E0/3.0E0)").replace(" n)", f" {n})")
+    sel1 = SK.hq_sel_fragment("t1", "(1.0E0/3.0E0)", n)
+    sel2 = SK.hq_sel_fragment("t2", "(2.0E0/3.0E0)", n)
     return f"""
 hist AS (SELECT {bin_ix} AS b, COUNT(*) AS c FROM {scores} e GROUP BY 1),
 cum AS (

@@ -291,11 +291,13 @@ def hq_bin_ix(val: str, mn: str = "s.mn", mx: str = "s.mx") -> str:
     )
 
 
-def hq_sel_fragment(name: str, q: str) -> str:
+def hq_sel_fragment(name: str, q: str, n: str = "n") -> str:
     """Bare quantile-rank selection expression (no alias — callers attach
     their own, so the DataFrame side never has to parse the string back
-    apart)."""
-    return f"MIN(CASE WHEN cum >= ceil({q} * n) THEN b END)"
+    apart).  ``n`` defaults to the in-scope count column; callers without
+    it in scope (the tercile composition) pass a scalar-subquery
+    expression — same parameterization as hq_out_fragment."""
+    return f"MIN(CASE WHEN cum >= ceil({q} * {n}) THEN b END)"
 
 
 def hq_out_fragment(name: str, mn: str = "mn", mx: str = "mx") -> str:

@@ -253,7 +253,7 @@ def test_lm_model_score_matches_registered_query(spark) -> None:
     from nqs_console_flink_window_spark.sources.batch import load_table
 
     docs = load_table(spark, SMOKE_SF_DIR, "documents")
-    model = RT.lm_model_fit(spark, docs.filter("doc_id % 7 = 0"))
+    model = RT.lm_model_fit(spark, docs.filter(RT.LM_FIT_PRED))
     got = {
         r["doc_id"]: (r["n_tok"], r["nll_micro"], r["avg_nll_nats"])
         for r in RT.lm_model_score(docs, model).collect()

@@ -1321,7 +1321,7 @@ def test_curation_stream_with_lm_gate(spark, tmp_path) -> None:
 
     docs = load_table(spark, SMOKE_SF_DIR, "documents")
     model = SEL.dsir_fit(spark, docs)
-    lm_model = RT.lm_model_fit(spark, docs.filter("doc_id % 7 = 0"))
+    lm_model = RT.lm_model_fit(spark, docs.filter(RT.LM_FIT_PRED))
 
     src = str(tmp_path / "src")
     docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(

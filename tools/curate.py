@@ -48,7 +48,7 @@ def main() -> None:
     n_in = docs.count()
 
     model = SEL.dsir_fit(spark, docs)
-    lm_model = RT.lm_model_fit(spark, docs.filter("doc_id % 7 = 0"))
+    lm_model = RT.lm_model_fit(spark, docs.filter(RT.LM_FIT_PRED))
 
     src = f"{out}/src"
     docs.withColumn("part", F.col("doc_id") % 4).write.partitionBy("part").mode(
