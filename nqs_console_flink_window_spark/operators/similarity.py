@@ -1122,3 +1122,80 @@ SELECT vec_id, 1 AS batch FROM kept1
 UNION ALL
 SELECT vec_id, 2 AS batch FROM kept2
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (deterministic sign matrix)
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # target dim; sqrt(16) = 4 is IEEE-exact, so the final scaling
+# divide (int dot / (SRP_SCALE * 4)) is a pure exponent shift — the
+# projected components are bit-identical cross-engine with NO rounding rule
+
+
+def _jl_sign(j: int, d: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[:15]
+    return 1 if int(h, 16) % 2 == 1 else -1
+
+
+def _jl_signs(dim: int) -> np.ndarray:
+    """±1 sign matrix, shape (JL_K, dim), from the md5 family — the same
+    derivation rule as the SRP planes but a disjoint namespace ('jl:')."""
+    return np.asarray(
+        [[_jl_sign(j, d) for d in range(dim)] for j in range(JL_K)],
+        dtype=np.int64,
+    )
+
+
+def jl_project(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Deterministic JL sign projection (Achlioptas 2003 ±1 variant):
+    y_j = sum_d s(j,d) * v_d / sqrt(JL_K), quantized-integer-exact.
+
+    The kernel is the with_lsh_buckets shape — one Arrow batch = one
+    (n, dim) @ (dim, JL_K) int64 matmul over broadcast signs; float32 ->
+    float64 widening, *2^20 quantization and the integer dot are exact,
+    and the one division is by SRP_SCALE * sqrt(16) = 2^22 (exact), so
+    components reproduce bit-for-bit in any engine.  Adds ``jl`` as
+    array<double> length JL_K; distances contract with the JL guarantee
+    at distortion ~sqrt(2/k) (pytest-bounded).  At 100 TB this is the
+    embedding-compression map stage: 64 float32 -> 16 float64 (or cast
+    back to float32 for 8x), no shuffle anywhere."""
+    signs = _jl_signs(dim).T  # (dim, JL_K)
+
+    @F.pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        q = np.floor(mat * float(SRP_SCALE) + 0.5).astype(np.int64)
+        y = (q @ signs).astype(np.float64) / (float(SRP_SCALE) * 4.0)
+        return pd.Series(list(y))
+
+    return df.withColumn("jl", project(F.col(vec_col)))
+
+
+def jl_project_duck_sql(vec_table: str = "embeddings", dim: int = 64) -> str:
+    """DuckDB twin in long form (vec_id, j, comp) — the value-hash gate
+    canonicalizes scalars only, so the array is exploded for comparison."""
+    from ..functions import dialect as X
+
+    sign = X.md5_int(
+        X.DUCK,
+        "'jl:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)",
+    )
+    return f"""
+SELECT vec_id, j,
+       CAST(SUM(q * s) AS DOUBLE) / {float(SRP_SCALE * 4)} AS comp
+FROM (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {float(SRP_SCALE)} + 0.5)
+              AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding, unnest(range({dim})) AS d FROM {vec_table})
+) qv
+JOIN (
+  SELECT j, d, (CASE WHEN {sign} % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM (SELECT unnest(range({JL_K})) AS j)
+  CROSS JOIN (SELECT unnest(range({dim})) AS d)
+) pl USING (d)
+GROUP BY vec_id, j
+"""

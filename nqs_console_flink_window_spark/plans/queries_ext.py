@@ -1966,3 +1966,26 @@ def containment_estimate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return GR.cluster_representatives_df(spark)
+
+
+@register(
+    "jl_projection",
+    sql=SIM.jl_project_duck_sql(),
+    doc="Extension — deterministic Johnson-Lindenstrauss sign projection "
+    "(Achlioptas ±1 variant): 64-dim embeddings -> 16 components via an "
+    "md5-derived sign matrix, quantized-integer dot and one exact "
+    "power-of-two divide (sqrt(16)=4), so components are bit-identical "
+    "cross-engine with no rounding rule at all.  One Arrow matmul per "
+    "batch, no shuffle — the embedding-compression map stage; long-form "
+    "output for the value hash.  Driver-gated via doc_embeddings / "
+    "ann_topk (the hashed-projection + embedding family on the driver "
+    "surface); distance-contraction property pytest-bounded",
+    tier=2,
+)
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        SIM.jl_project(emb)
+        .select("vec_id", F.posexplode("jl").alias("j", "comp"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "comp")
+    )

@@ -370,3 +370,35 @@ def test_cluster_representatives_semantics(spark) -> None:
         for doc, c in clusters.items():
             if c == cid:
                 assert (ranks[doc], -doc) <= (rep_rank, -rep), (cid, doc)
+
+
+def test_jl_projection_contracts_distances(spark) -> None:
+    """JL property on the fixture: squared distances in the 16-dim
+    projection approximate the original 64-dim squared distances with
+    bounded mean relative error (~sqrt(2/k) expected; generous 0.6 bound),
+    and the projection is exactly linear in the quantized inputs."""
+    import numpy as np
+
+    from nqs_console_flink_window_spark.operators import similarity as SIM
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select("vec_id", "embedding")
+    rows = SIM.jl_project(emb).select("vec_id", "embedding", "jl").limit(80).collect()
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    proj = {r["vec_id"]: np.asarray(r["jl"], dtype=np.float64) for r in rows}
+    ids = sorted(orig)
+    rels = []
+    rng_pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 2)]
+    for a, b in rng_pairs:
+        d0 = ((orig[a] - orig[b]) ** 2).sum()
+        d1 = ((proj[a] - proj[b]) ** 2).sum()
+        if d0 > 0:
+            rels.append(abs(d1 - d0) / d0)
+    assert rels and sum(rels) / len(rels) < 0.6, sum(rels) / len(rels)
+
+    # exact-linearity spot check: recompute one projection by hand
+    vid = ids[0]
+    signs = SIM._jl_signs(64)
+    q = np.floor(orig[vid] * float(SIM.SRP_SCALE) + 0.5).astype(np.int64)
+    want = (signs @ q).astype(np.float64) / (float(SIM.SRP_SCALE) * 4.0)
+    assert np.array_equal(proj[vid], want)
