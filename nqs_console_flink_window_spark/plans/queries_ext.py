@@ -1959,7 +1959,7 @@ def containment_estimate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x centrality over ONE shared candidate-pair stage; rank desc, doc_id "
     "tiebreak; per-cluster window bounded by duplicate-group size).  The "
     "policy upgrade over keep-min: retain the most-connected copy.  "
-    "Driver-gated via dedup_clusters (components) + the dedup family "
+    "driver-gated via dedup_clusters (components) + the dedup family "
     "tier-1 rows; pagerank itself value-oracled as pagerank_neardup",
     tier=2,
 )
@@ -1977,7 +1977,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "power-of-two divide (sqrt(16)=4), so components are bit-identical "
     "cross-engine with no rounding rule at all.  One Arrow matmul per "
     "batch, no shuffle — the embedding-compression map stage; long-form "
-    "output for the value hash.  Driver-gated via doc_embeddings / "
+    "output for the value hash.  driver-gated via doc_embeddings / "
     "ann_topk (the hashed-projection + embedding family on the driver "
     "surface); distance-contraction property pytest-bounded",
     tier=2,
