@@ -259,7 +259,12 @@ def bm25_topk_sql(d: str, table: str = "documents") -> str:
     )
 
 
-def bm25_topk_df(spark, table: str = "documents"):
+def bm25_topk_df(
+    spark,
+    table: str = "documents",
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_K,
+):
     """Engine side: tok feeds dl AND tf (staged once); tf feeds df AND
     scored, dl feeds the T scalar AND scored (both staged).  Final cut is
     ORDER BY + LIMIT = TakeOrdered."""
@@ -267,10 +272,10 @@ def bm25_topk_df(spark, table: str = "documents"):
 
     tok_df = spark.sql(tok_cte(X.SPARK, table))
     with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok))
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, query))
         dl_df = spark.sql(bm25_dl_sql(v1.tok))
         with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
-            return spark.sql(bm25_score_sql(v2.tf, v2.dl, table))
+            return spark.sql(bm25_score_sql(v2.tf, v2.dl, table, k))
 
 
 # ---------------------------------------------------------------------------
