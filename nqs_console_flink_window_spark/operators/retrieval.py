@@ -661,3 +661,47 @@ def lm_ppl_terciles_df(spark, table: str = "documents"):
                         return spark.sql(
                             _lm_tercile_band_sql(v3.scores, v5.vals)
                         )
+
+
+def text_index_append(spark, path: str, new_docs) -> None:
+    """Incremental index maintenance (the ``ivf_index_append`` analogue):
+    tokenize ONLY the new docs, append their postings into the same
+    token-hash buckets (appended files join their bucket's partition, so
+    term-routing partition pruning keeps holding without touching old
+    files) and their lengths into the doclen sidecar, then rebuild the
+    1-row stats sidecar FROM the doclen sidecar.
+
+    The stats rebuild makes the append replay-convergent: doclen is
+    append-only and stats is a pure function of it, so a torn or stale
+    stats overwrite is repaired by any later append.  N is rebuilt as the
+    doclen row count, which equals total docs ingested for every doc with
+    non-NULL text (whitespace split always yields >= 1 token, so every
+    such doc lands one dl row) — the same N ``build_text_index`` takes
+    from the docs table; NULL-text docs are outside the contract on both
+    paths (they produce no tokens anywhere, online form included)."""
+    from pyspark.sql import functions as F
+
+    from .staging import staged_views
+
+    view = "__text_index_append_docs"
+    new_docs.createOrReplaceTempView(view)
+    try:
+        tok_df = spark.sql(tok_cte(X.SPARK, view))
+    finally:
+        spark.catalog.dropTempView(view)
+    with staged_views(spark, tok=tok_df) as v:
+        postings = spark.sql(
+            f"SELECT doc_id, token, COUNT(*) AS tf, "
+            f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket "
+            f"FROM {v.tok} GROUP BY doc_id, token"
+        )
+        postings.write.mode("append").partitionBy("tbucket").parquet(path)
+        spark.sql(bm25_dl_sql(v.tok)).write.mode("append").parquet(
+            f"{path}.doclen"
+        )
+    dl = spark.read.parquet(f"{path}.doclen")
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tok"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")

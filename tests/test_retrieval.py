@@ -402,3 +402,48 @@ def test_jl_projection_contracts_distances(spark) -> None:
     q = np.floor(orig[vid] * float(SIM.SRP_SCALE) + 0.5).astype(np.int64)
     want = (signs @ q).astype(np.float64) / (float(SIM.SRP_SCALE) * 4.0)
     assert np.array_equal(proj[vid], want)
+
+
+def test_text_index_append_matches_full_rebuild(spark, tmp_path) -> None:
+    """Build the index on half the corpus, append the other half: the
+    indexed BM25 equals both the full-rebuild index AND the online form
+    bit-for-bit, partition pruning still holds over the grown index, and
+    re-running the stats rebuild converges (replay safety)."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+
+    grown = str(tmp_path / "grown")
+    RT.build_text_index(spark, first, grown)
+    RT.text_index_append(spark, grown, second)
+
+    online = [tuple(r) for r in REGISTRY["bm25_topk"].spark(spark, SMOKE_SF_DIR).collect()]
+    via_grown = [tuple(r) for r in RT.bm25_topk_indexed(spark, grown).collect()]
+    assert via_grown == online
+
+    full = str(tmp_path / "full")
+    RT.build_text_index(spark, docs, full)
+    via_full = [tuple(r) for r in RT.bm25_topk_indexed(spark, full).collect()]
+    assert via_full == online
+
+    plan = (
+        RT.bm25_topk_indexed(spark, grown)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+
+    # replay the stats rebuild alone (the tail of a crashed append): same row
+    import pyspark.sql.functions as F
+
+    dl = spark.read.parquet(f"{grown}.doclen")
+    dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tok"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{grown}.stats")
+    assert [tuple(r) for r in RT.bm25_topk_indexed(spark, grown).collect()] == online
