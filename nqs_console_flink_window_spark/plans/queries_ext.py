@@ -1519,7 +1519,7 @@ def _quality_upsample_sql(d: str, target_copies: int = 600) -> str:
 WITH scored AS (
   SELECT doc_id, {q} AS quality FROM documents
 ),
-z AS (SELECT SUM(quality * quality) AS zz FROM scored),
+z AS (SELECT CAST(SUM(CAST(quality * quality AS DECIMAL(30,15))) AS DOUBLE) AS zz FROM scored),
 weighted AS (
   -- scalar subquery, not CROSS JOIN z: Spark plans the 1-row join as a
   -- BroadcastNestedLoopJoin (flagged by the fleet-wide plan guard), but a
@@ -1579,7 +1579,9 @@ def quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(f"""
 WITH weighted AS (
   SELECT doc_id, quality,
-    600.0 * quality * quality / (SELECT SUM(quality * quality) FROM {view}) AS w
+    600.0 * quality * quality
+      / (SELECT CAST(SUM(CAST(quality * quality AS DECIMAL(30,15))) AS DOUBLE)
+         FROM {view}) AS w
   FROM {view}
 ),
 counted AS (
@@ -1811,7 +1813,12 @@ def _semantic_pairs_sql(d: str) -> str:
     """Hashed-embedding cosine beside exact shingle Jaccard on the SAME
     LSH candidate pairs: the lexical and (model-free) semantic similarity
     signals of a pair in one row.  Cosine from the long-form embedding is
-    SUM(a.comp*b.comp) — both vectors are unit-norm by construction."""
+    the dot product of the unit-norm vectors — accumulated through
+    DECIMAL(30,15) per product (the similarity-family exact-sum pattern):
+    a raw double SUM is association-order-dependent and the sf0.1 corpus
+    produced one pair whose dot landed exactly on an fround(6) half-up
+    tie, flipping the 6th decimal between engines (round-6 regression
+    caught by the three-scale gate)."""
     cand = DD.minhash_lsh_pairs_sql(d)
     emb = TX.text_embed_sql(d)
     return f"""
@@ -1828,7 +1835,7 @@ inter AS (
 ),
 cosine AS (
   SELECT c.doc_a, c.doc_b,
-    CAST(SUM(ea.comp * eb.comp) AS DOUBLE) AS dot
+    CAST(SUM(CAST(ea.comp * eb.comp AS DECIMAL(30,15))) AS DOUBLE) AS dot
   FROM cand c
   JOIN emb ea ON ea.doc_id = c.doc_a
   JOIN emb eb ON eb.doc_id = c.doc_b AND eb.j = ea.j
@@ -1869,7 +1876,10 @@ def semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         with staged_views(spark, emb=emb, inter=inter, sizes=sizes) as v:
             return spark.sql(f"""
 WITH cosine AS (
-  SELECT c.doc_a, c.doc_b, CAST(SUM(ea.comp * eb.comp) AS DOUBLE) AS dot
+  -- DECIMAL(30,15) accumulation: the exact-sum pattern (a raw double SUM
+  -- hit an fround tie at sf0.1 — see _semantic_pairs_sql docstring)
+  SELECT c.doc_a, c.doc_b,
+    CAST(SUM(CAST(ea.comp * eb.comp AS DECIMAL(30,15))) AS DOUBLE) AS dot
   FROM {v1.cand} c
   JOIN {v.emb} ea ON ea.doc_id = c.doc_a
   JOIN {v.emb} eb ON eb.doc_id = c.doc_b AND eb.j = ea.j
