@@ -380,29 +380,57 @@ def pmi_collocations_df(spark, table: str = "documents"):
 # ---------------------------------------------------------------------------
 
 
-def lm_model_fit(spark, ref_docs) -> tuple[list[tuple[str, int]], int]:
+LM_MODEL_MAX_VOCAB = 65_536  # hard bound on rows crossing the driver in
+# lm_model_fit — CCNet itself caps its LM vocabulary; a Heaps-law vocab of
+# an unbounded reference slice does NOT fit a driver at 100 TB
+
+
+def lm_model_fit(
+    spark, ref_docs, max_vocab: int = LM_MODEL_MAX_VOCAB
+) -> tuple[list[tuple[str, int]], int]:
     """Fit the unigram LM on a reference corpus (the CALLER slices —
     unlike ``lm_fit_sql``, no 1-in-7 predicate is applied here): returns
     ``([(token, count)...], qln_tv1_micro)`` as plain Python values, the
-    persist-and-broadcast artifact shape.  The collect is vocabulary-sized
-    (distinct tokens of the reference slice — sublinear in corpus, the
-    same bounded-model contract as ``dsir_fit``'s 1024 rows)."""
+    persist-and-broadcast artifact shape.
+
+    The driver crossing is HARD-BOUNDED at ``max_vocab`` rows: the
+    distinct-token counts are cut to the top-``max_vocab`` by
+    ``(count DESC, token)`` via ORDER BY + LIMIT — TakeOrdered
+    (per-partition heaps over the already-aggregated vocabulary relation,
+    no global sort), so the collect never exceeds the cap no matter how
+    large the reference slice's vocabulary grows (Heaps' law says it DOES
+    grow with the slice — a fixed cap, not "vocabulary-sized", is the
+    contract that survives 100 TB).  CCNet-faithful: the paper's LM caps
+    its vocabulary too.  When the cap binds, the model is the unigram LM
+    of the TRUNCATED count table — T = sum of kept counts, V = kept vocab
+    size — and every dropped-tail token scores as OOV at the Laplace
+    ceiling ``qln(T+V+1) - qln(0+1)``, the bucket that already exists; no
+    new math rule.  When the cap does not bind the fit is bit-identical
+    to the uncapped form (kept == full vocabulary)."""
     import math
+
+    from pyspark.sql import functions as F
 
     view = "__lm_fit_docs"
     ref_docs.createOrReplaceTempView(view)
     try:
-        rows = spark.sql(
-            f"SELECT token, COUNT(*) AS c FROM ({tok_cte(X.SPARK, view)}) t "
-            f"GROUP BY token"
-        ).collect()
+        rows = (
+            spark.sql(
+                f"SELECT token, COUNT(*) AS c FROM ({tok_cte(X.SPARK, view)}) t "
+                f"GROUP BY token"
+            )
+            .orderBy(F.desc("c"), "token")
+            .limit(max_vocab)
+            .collect()
+        )
     finally:
         spark.catalog.dropTempView(view)
     if not rows:
         raise ValueError("lm_model_fit: reference corpus has no tokens")
-    t_tok = sum(int(r["c"]) for r in rows)
-    qln_tv1 = math.floor(math.log(t_tok + len(rows) + 1) * 1e6 + 0.5)
-    return [(r["token"], int(r["c"])) for r in rows], qln_tv1
+    kept = [(r["token"], int(r["c"])) for r in rows]
+    t_tok = sum(c for _, c in kept)
+    qln_tv1 = math.floor(math.log(t_tok + len(kept) + 1) * 1e6 + 0.5)
+    return kept, qln_tv1
 
 
 def lm_model_score(docs_df, model: tuple[list[tuple[str, int]], int]):
@@ -465,6 +493,20 @@ def _token_bucket(token: str) -> int:
     return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % TEXT_INDEX_BUCKETS
 
 
+def _assert_no_null_text(docs_df, where: str) -> None:
+    """Enforce the index contract: NULL-text docs would land no doclen row,
+    so an append's stats rebuild (N = doclen row count) would silently
+    shift N away from build-time's docs-table count — changing every idf.
+    Cheap: one limit(1) probe, short-circuits at the first partition with
+    a hit."""
+    if docs_df.filter("text IS NULL").limit(1).count() > 0:
+        raise ValueError(
+            f"{where}: NULL-text docs are outside the text-index contract "
+            "(they produce no tokens and no doclen row, so the append-time "
+            "stats rebuild would drift N) — filter them out before indexing"
+        )
+
+
 def build_text_index(spark, docs_df, path: str) -> None:
     """Materialize the inverted index: postings (token, doc_id, tf)
     written partitioned by ``tbucket`` = md5_int(token) % 64, plus two
@@ -479,6 +521,7 @@ def build_text_index(spark, docs_df, path: str) -> None:
     no pass over the corpus text at all."""
     from .staging import staged_views
 
+    _assert_no_null_text(docs_df, "build_text_index")
     view = "__text_index_docs"
     docs_df.createOrReplaceTempView(view)
     try:
@@ -678,11 +721,14 @@ def text_index_append(spark, path: str, new_docs) -> None:
     non-NULL text (whitespace split always yields >= 1 token, so every
     such doc lands one dl row) — the same N ``build_text_index`` takes
     from the docs table; NULL-text docs are outside the contract on both
-    paths (they produce no tokens anywhere, online form included)."""
+    paths (they produce no tokens anywhere, online form included) — and
+    the contract is now ENFORCED by ``_assert_no_null_text`` at build and
+    append time, so N cannot silently drift."""
     from pyspark.sql import functions as F
 
     from .staging import staged_views
 
+    _assert_no_null_text(new_docs, "text_index_append")
     view = "__text_index_append_docs"
     new_docs.createOrReplaceTempView(view)
     try:

@@ -442,10 +442,13 @@ def bpe_train_batched_reference(
                 counts[(syms[i], syms[i + 1])] = (
                     counts.get((syms[i], syms[i + 1]), 0) + f
                 )
+        # the top-(batch*4) truncation IS part of the spec: the Spark side
+        # only fetches that window, so the twin must rank-then-truncate
+        # identically or a conflict-heavy round could pick different merges
         ranked = sorted(
             ((a, b, c) for (a, b), c in counts.items()),
             key=lambda t: (-t[2], t[0], t[1]),
-        )
+        )[: batch * 4]
         chosen = _pick_nonconflicting(ranked, min(batch, n_merges - len(merges)))
         if not chosen:
             break

@@ -299,9 +299,16 @@ _IVF_MODELS: dict = {}
 def _ivf_centers(df: DataFrame, vec_col: str) -> np.ndarray:
     # row count in the key: a FILTERED view shares the full table's
     # inputFiles, so a files-only key would hand the corpus-fit centers to
-    # a subset (or vice versa) depending on call order
+    # a subset (or vice versa) depending on call order.  In-memory inputs
+    # (createDataFrame — no inputFiles) get NO cache entry at all: id(df)
+    # is recyclable after GC, so keying on it can hand centroids fit on
+    # unrelated data to a later DataFrame (same refusal as _pq_codebooks)
+    files = tuple(sorted(df.inputFiles()))
+    if not files:
+        mat = _train_matrix(df, vec_col)
+        return lloyd_fit(mat, IVF_CLUSTERS, np.random.RandomState(IVF_SEED))
     key = (
-        tuple(sorted(df.inputFiles())) or (id(df),),
+        files,
         df.count(),
         vec_col,
         IVF_CLUSTERS,

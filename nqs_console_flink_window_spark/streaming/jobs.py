@@ -652,9 +652,16 @@ def curate_batch(
         ppl = RT.lm_model_score(passed.select("doc_id", "text"), lm_model).select(
             "doc_id", "n_tok", "nll_micro", "avg_nll_nats"
         )
+        # LEFT join + explicit predicate: a doc that produced no tokens
+        # (NULL text) carries no score row — policy is unscoreable=REJECT,
+        # and the rejection is an explicit, countable predicate
+        # (nll_micro IS NOT NULL) rather than a silent inner-join drop
         passed = (
-            passed.join(ppl, "doc_id")
-            .filter(F.col("nll_micro") < F.lit(thr) * F.col("n_tok"))
+            passed.join(ppl, "doc_id", "left")
+            .filter(
+                F.col("nll_micro").isNotNull()
+                & (F.col("nll_micro") < F.lit(thr) * F.col("n_tok"))
+            )
             .drop("n_tok", "nll_micro")
         )
         extra_cols = ["avg_nll_nats"]

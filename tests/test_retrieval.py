@@ -265,6 +265,50 @@ def test_lm_model_score_matches_registered_query(spark) -> None:
     assert got == want
 
 
+def test_lm_model_fit_cap_binds_and_oov_absorbs_tail(spark) -> None:
+    """When the max_vocab cap binds, lm_model_fit keeps exactly the
+    top-cap tokens by (count DESC, token), T/V are the KEPT totals, and a
+    dropped-tail token scores as OOV at the Laplace ceiling qln(T+V+1) —
+    the bucket that already exists, so the capped model needs no new math
+    rule.  This is the hard bound on rows crossing the driver (a Heaps-law
+    vocabulary of a 100 TB reference slice does not fit a driver)."""
+    ref = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb bb cc cc dd")], "doc_id long, text string"
+    )
+    model = RT.lm_model_fit(spark, ref, max_vocab=2)
+    rows, qln_tv1 = model
+    assert rows == [("aa", 4), ("bb", 3)]  # top-2 by count; cc/dd dropped
+    assert qln_tv1 == math.floor(math.log(4 + 3 + 2 + 1) * 1e6 + 0.5)
+    # a doc made of dropped-tail tokens pays exactly the OOV ceiling
+    tail_doc = spark.createDataFrame(
+        [(9, "cc dd cc")], "doc_id long, text string"
+    )
+    got = RT.lm_model_score(tail_doc, model).collect()[0]
+    assert got["n_tok"] == 3
+    assert got["nll_micro"] == 3 * qln_tv1
+    # uncapped fit on the same slice keeps the full vocabulary
+    full_rows, _ = RT.lm_model_fit(spark, ref)
+    assert sorted(full_rows) == [("aa", 4), ("bb", 3), ("cc", 2), ("dd", 1)]
+
+
+def test_text_index_rejects_null_text(spark, tmp_path) -> None:
+    """NULL-text docs land no doclen row, so an append's stats rebuild
+    would silently shift N (and every idf) away from the build-time docs
+    count — the contract is enforced with a ValueError on both paths."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    bad = spark.createDataFrame(
+        [(10_001, None)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "textidx_null")
+    with pytest.raises(ValueError, match="NULL-text"):
+        RT.build_text_index(spark, docs.select("doc_id", "text").union(bad), idx)
+    RT.build_text_index(spark, docs, idx)
+    with pytest.raises(ValueError, match="NULL-text"):
+        RT.text_index_append(spark, idx, bad)
+
+
 def test_bm25_indexed_matches_online_and_prunes_partitions(spark, tmp_path) -> None:
     """The persisted inverted index (token-bucket-partitioned postings +
     doclen/stats sidecars) returns the online bm25_topk result
