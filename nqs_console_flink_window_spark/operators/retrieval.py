@@ -197,6 +197,27 @@ def bm25_dl_sql(tok: str) -> str:
     return f"SELECT doc_id, COUNT(*) AS dl FROM {tok} GROUP BY doc_id"
 
 
+def _bm25_contrib_expr() -> str:
+    """THE per-(doc, term) BM25 contribution — one definition shared by the
+    single-query, multi-query, and indexed forms so the scoring math cannot
+    drift between them.  Expects relations aliased ``tf`` (doc_id, token,
+    tf), ``df`` (token, df), ``dl`` (doc_id, dl) and 1-row CTEs ``n``
+    (n_docs) / ``t`` (t_tok) in scope; idf in quantized micro-nats
+    (half-integer args cleared by doubling), tf saturation as a ratio of
+    exact BIGINTs scaled through 10*T (k1=6/5, b=3/4)."""
+    idf = (
+        f"({qln_micro('2 * (SELECT n_docs FROM n) + 2')}"
+        f" - {qln_micro('2 * df.df + 1')})"
+    )
+    return (
+        f"CAST({idf} AS DOUBLE)\n"
+        f"      * (22.0E0 * (SELECT t_tok FROM t) * tf.tf)\n"
+        f"      / (10.0E0 * (SELECT t_tok FROM t) * tf.tf\n"
+        f"         + 3.0E0 * (SELECT t_tok FROM t)\n"
+        f"         + 9.0E0 * dl.dl * (SELECT n_docs FROM n))"
+    )
+
+
 def _bm25_score_ctes(
     tf: str,
     dl: str,
@@ -212,21 +233,13 @@ def _bm25_score_ctes(
     as literals).  Dialect-free ANSI."""
     n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
     t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
-    idf = (
-        f"({qln_micro('2 * (SELECT n_docs FROM n) + 2')}"
-        f" - {qln_micro('2 * df.df + 1')})"
-    )
     return f"""
 n AS ({n_body}),
 t AS ({t_body}),
 df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM {tf} GROUP BY token),
 scored AS (
   SELECT tf.doc_id,
-    CAST({idf} AS DOUBLE)
-      * (22.0E0 * (SELECT t_tok FROM t) * tf.tf)
-      / (10.0E0 * (SELECT t_tok FROM t) * tf.tf
-         + 3.0E0 * (SELECT t_tok FROM t)
-         + 9.0E0 * dl.dl * (SELECT n_docs FROM n)) AS contrib_micro
+    {_bm25_contrib_expr()} AS contrib_micro
   FROM {tf} tf JOIN df ON tf.token = df.token
   JOIN {dl} dl ON tf.doc_id = dl.doc_id
 ),
@@ -276,6 +289,133 @@ def bm25_topk_df(
         dl_df = spark.sql(bm25_dl_sql(v1.tok))
         with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
             return spark.sql(bm25_score_sql(v2.tf, v2.dl, table, k))
+
+
+# ---------------------------------------------------------------------------
+# Multi-query BM25 — the production retrieval shape.  A real retrieval user
+# scores a TABLE of queries, not one literal (hard-negative mining for a
+# training set runs millions): queries arrive as (query_id, term) rows,
+# broadcast onto the postings, and the per-query top-k is a rank window
+# over the CANDIDATE aggregation — bounded by |queries| x candidate pool,
+# never corpus-wide.  The per-(doc, term) scoring math is
+# ``_bm25_contrib_expr`` — the SAME definition the single-query and
+# indexed forms compile, so a per-query loop of ``bm25_topk`` and one
+# ``bm25_multi`` pass are bit-identical by construction (parity-tested).
+# ---------------------------------------------------------------------------
+
+BM25_QUERYSET: dict[int, tuple[str, ...]] = {
+    1: BM25_QUERY,  # the single-query literal — the parity anchor
+    2: ("hash", "join", "merge"),
+    3: ("stream", "batch", "window", "slow"),
+}
+BM25_MULTI_K = 5
+
+
+def bm25_queryset_terms(
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+) -> tuple[str, ...]:
+    """Deduped union of every query's terms — the tf pre-shuffle IN-list."""
+    return tuple(sorted({t for ts in queries.values() for t in ts}))
+
+
+def bm25_queryset_sql(queries: dict[int, tuple[str, ...]] = BM25_QUERYSET) -> str:
+    """(query_id, term) inline table as a UNION ALL of literal SELECTs —
+    pure ANSI (both engines constant-fold it; Spark broadcasts the tiny
+    side).  In production this relation is the user's query table; the
+    plan shape is identical."""
+    return " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, '{t}' AS term"
+        for qid, terms in sorted(queries.items())
+        for t in terms
+    )
+
+
+def _bm25_multi_ctes(
+    tf: str,
+    dl: str,
+    qt: str,
+    table: str | None = None,
+    k: int = BM25_MULTI_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH) over relations ``tf``
+    (doc_id, token, tf — already filtered to the queryset's term union),
+    ``dl`` (doc_id, dl) and ``qt`` (query_id, term).  df is per-TOKEN
+    (docs containing it — independent of which queries reference it), so
+    scores match the single-query form exactly.  The rank window
+    partitions by query_id over the post-aggregation candidate set."""
+    n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
+    t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
+    return f"""
+n AS ({n_body}),
+t AS ({t_body}),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM {tf} GROUP BY token),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    {_bm25_contrib_expr()} AS contrib_micro
+  FROM {qt} qt
+  JOIN {tf} tf ON tf.token = qt.term
+  JOIN df ON tf.token = df.token
+  JOIN {dl} dl ON tf.doc_id = dl.doc_id
+),
+agg AS (
+  SELECT query_id, doc_id,
+    CAST(SUM(CAST(floor(contrib_micro + 0.5) AS BIGINT)) AS BIGINT)
+      AS score_micro,
+    COUNT(*) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms, score_micro,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rk
+  FROM agg
+)
+SELECT query_id, doc_id, n_terms, score_micro, rk,
+  {X.fround("CAST(score_micro AS DOUBLE) / 1.0E6", 6)} AS score_bm25
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+def bm25_multi_sql(
+    d: str,
+    table: str = "documents",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    k: int = BM25_MULTI_K,
+) -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), "
+        f"qt AS ({bm25_queryset_sql(queries)}), "
+        f"tfq AS ({bm25_tf_sql('tok', bm25_queryset_terms(queries))}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        + _bm25_multi_ctes("tfq", "dlt", "qt", table, k)
+    )
+
+
+def bm25_multi_df(
+    spark,
+    table: str = "documents",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    k: int = BM25_MULTI_K,
+):
+    """Engine side: tok feeds dl AND tf (staged once); tf feeds df AND
+    scored, dl feeds the T scalar AND scored (both staged); qt is a
+    constant-folded literal relation the optimizer broadcasts.  Per-query
+    cut = rank window partitioned by query_id over the candidate agg."""
+    from .staging import staged_views
+
+    tok_df = spark.sql(tok_cte(X.SPARK, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
+            return spark.sql(
+                f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+                + _bm25_multi_ctes(v2.tf, v2.dl, "qt", table, k)
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +732,46 @@ def bm25_topk_indexed(
         )
 
 
+def bm25_multi_indexed(
+    spark,
+    path: str,
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    k: int = BM25_MULTI_K,
+):
+    """Multi-query BM25 against the persisted inverted index: route the
+    UNION of all queries' terms to their buckets (one pruned postings scan
+    serves every query — the per-query loop would re-list the same
+    buckets |Q| times), then the same multi scoring fragment as the online
+    form with the 1-row stats sidecar inlined as literals.  Bit-identical
+    to ``bm25_multi_df`` by construction (parity-tested)."""
+    from pyspark.sql import functions as F
+
+    from .staging import staged_views
+
+    terms = bm25_queryset_terms(queries)
+    buckets = sorted({_token_bucket(t) for t in terms})
+    srow = spark.read.parquet(f"{path}.stats").collect()[0]
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(list(terms)))
+        .select("doc_id", "token", "tf")
+    )
+    dl = spark.read.parquet(f"{path}.doclen")
+    with staged_views(spark, tf=post, dl=dl, checkpoint=False) as v:
+        return spark.sql(
+            f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+            + _bm25_multi_ctes(
+                v.tf,
+                v.dl,
+                "qt",
+                k=k,
+                n_body=f"SELECT CAST({int(srow['n_docs'])} AS BIGINT) AS n_docs",
+                t_body=f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok",
+            )
+        )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-tercile perplexity banding (CCNet's actual cut rule: the paper
 # bands by corpus terciles, not fixed thresholds — here derived from the
@@ -751,3 +931,83 @@ def text_index_append(spark, path: str, new_docs) -> None:
         F.sum("dl").cast("long").alias("t_tok"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+
+
+def _fold_parquet_dir(spark, dir_path, target_bytes: int) -> int:
+    """Fold every ``*.parquet`` file directly inside ``dir_path`` into
+    ~``target_bytes`` files, crash-safe via the SAME fold-manifest protocol
+    as ``sinks.writers.compact_batch_landings`` (manifest committed before
+    any rename, ``_repair_crashed_compaction`` settles a crashed pass
+    first — roll forward if all new files landed, roll back otherwise, so
+    no row is ever folded twice).  Returns the file count afterwards."""
+    import json as _json
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+    from pathlib import Path
+
+    from ..sinks.writers import _repair_crashed_compaction
+
+    d = Path(dir_path)
+    _repair_crashed_compaction(d)
+    inputs = sorted(str(p) for p in d.glob("*.parquet"))
+    if len(inputs) <= 1:
+        return len(inputs)
+    df = spark.read.parquet(*inputs)  # snapshot: concurrent appends unseen
+    total_bytes = sum(Path(f).stat().st_size for f in inputs)
+    n_files = max(1, _math.ceil(total_bytes / target_bytes))
+    if n_files >= len(inputs):
+        return len(inputs)  # already at or under the target layout
+    tmp_path = f"{d}__compact"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
+    stamp = _uuid.uuid4().hex[:8]
+    staged = sorted(Path(tmp_path).glob("*.parquet"))
+    dests = [d / f"compact-{stamp}-{i:05d}.parquet" for i in range(len(staged))]
+    manifest = d / f"_compact-{stamp}.manifest.json"
+    manifest_tmp = d / f".compact-{stamp}.manifest.tmp"
+    with open(manifest_tmp, "w") as fh:
+        fh.write(
+            _json.dumps({"new_files": [x.name for x in dests], "inputs": inputs})
+        )
+        fh.flush()
+        _os.fsync(fh.fileno())
+    manifest_tmp.rename(manifest)
+    moved = []
+    for f, dest in zip(staged, dests):
+        f.rename(dest)
+        moved.append(dest)
+    _shutil.rmtree(tmp_path)
+    for f in inputs:
+        if Path(f) not in moved:
+            Path(f).unlink(missing_ok=True)
+    manifest.unlink(missing_ok=True)
+    return len(list(d.glob("*.parquet")))
+
+
+def compact_text_index(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict[str, int]:
+    """Index maintenance for ``text_index_append``'s small files: fold each
+    token bucket's posting files (and the doclen sidecar's) toward
+    ~``target_bytes`` targets.  Pure layout change — postings/doclen rows
+    are preserved exactly, the ``tbucket=N`` directory encoding (and with
+    it term-routed partition pruning) is untouched, and the stats sidecar
+    needs no rebuild (it is a pure function of doclen, whose rows do not
+    change).  Replay-convergent by the same argument as the stats rebuild:
+    a crashed fold is settled by the manifest protocol on the next pass,
+    and a ``text_index_append`` replay that re-appends after a compaction
+    still lands ordinary files the next compaction folds.
+
+    At a 100 TB index this is the Lucene segment-merge analogue: without
+    it, every append adds one ~tiny file per touched bucket and query-time
+    file listing degrades linearly with ingest count.
+
+    Returns ``{subdir_name: file_count}`` for every folded directory."""
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    for sub in sorted(Path(path).glob("tbucket=*")):
+        out[sub.name] = _fold_parquet_dir(spark, sub, target_bytes)
+    out["doclen"] = _fold_parquet_dir(spark, f"{path}.doclen", target_bytes)
+    return out

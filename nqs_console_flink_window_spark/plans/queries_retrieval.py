@@ -47,6 +47,25 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_multi",
+    sql=RT.bm25_multi_sql(X.DUCK),
+    doc="Extension — multi-query BM25, the production retrieval shape "
+    "(hard-negative mining scores a TABLE of queries, not one literal): "
+    "(query_id, term) rows broadcast onto the postings, per-(doc, term) "
+    "contribution is the SAME _bm25_contrib_expr fragment as bm25_topk, "
+    "per-query top-k via a rank window PARTITIONED BY query_id over the "
+    "post-aggregation candidate set (bounded by |queries| x candidates, "
+    "never corpus-wide).  tf still shuffles only the term-union rows; "
+    "driver-gated via bm25_topk (the same scoring math and token-stats "
+    "machinery on the driver surface)",
+    tier=2,
+)
+def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.bm25_multi_df(spark)
+
+
+@register(
     "pmi_collocations",
     sql=RT.pmi_collocations_sql(X.DUCK),
     doc="Extension — PMI collocation mining (Church & Hanks 1990) over "

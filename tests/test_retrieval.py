@@ -337,6 +337,52 @@ def test_bm25_indexed_matches_online_and_prunes_partitions(spark, tmp_path) -> N
         assert str(b) in frag, (b, frag)
 
 
+def test_bm25_multi_matches_per_query_loop(spark) -> None:
+    """One bm25_multi pass == a loop of single-query bm25_topk runs (same
+    k), query by query, bit-for-bit — the shared _bm25_contrib_expr
+    fragment and the per-token df (independent of the query set) make the
+    batched form a pure plan change, not a semantics change."""
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    multi = REGISTRY["bm25_multi"].spark(spark, SMOKE_SF_DIR).toPandas()
+    for qid, terms in RT.BM25_QUERYSET.items():
+        got = [
+            (r.doc_id, r.n_terms, r.score_micro, r.score_bm25)
+            for r in multi[multi["query_id"] == qid].itertuples()
+        ]
+        want = [
+            (r["doc_id"], r["n_terms"], r["score_micro"], r["score_bm25"])
+            for r in RT.bm25_topk_df(
+                spark, query=terms, k=RT.BM25_MULTI_K
+            ).collect()
+        ]
+        assert got == want, qid
+
+
+def test_bm25_multi_indexed_matches_online_and_window_is_per_query(
+    spark, tmp_path
+) -> None:
+    """The indexed multi form returns the online bm25_multi bit-for-bit
+    (one pruned postings scan serves every query), and the rank window in
+    the plan partitions by query_id over the candidate aggregation — never
+    an empty (corpus-wide single-partition) window spec."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    idx = str(tmp_path / "textidx_multi")
+    RT.build_text_index(spark, docs, idx)
+    indexed = RT.bm25_multi_indexed(spark, idx)
+    online = REGISTRY["bm25_multi"].spark(spark, SMOKE_SF_DIR)
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in online.collect()
+    ]
+    for df in (indexed, online):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        wline = next(ln for ln in plan.splitlines() if "row_number()" in ln)
+        assert "query_id" in wline.split("], [", 1)[-1], wline
+
+
 def test_text_index_sidecars_are_consistent(spark, tmp_path) -> None:
     """stats row == aggregates of the postings/doclen sidecars (an index
     whose sidecars disagree scores garbage silently)."""
@@ -491,3 +537,55 @@ def test_text_index_append_matches_full_rebuild(spark, tmp_path) -> None:
         F.sum("dl").cast("long").alias("t_tok"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{grown}.stats")
     assert [tuple(r) for r in RT.bm25_topk_indexed(spark, grown).collect()] == online
+
+
+def test_compact_text_index_preserves_state_and_pruning(spark, tmp_path) -> None:
+    """Appends leave one small file per touched bucket per ingest;
+    compact_text_index folds them (the Lucene segment-merge analogue).
+    After compaction: query results bit-identical, per-bucket file counts
+    strictly smaller, partition pruning still holds, stats untouched, and
+    a second pass is a no-op (idempotent)."""
+    from pathlib import Path
+
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    idx = str(tmp_path / "compidx")
+    RT.build_text_index(spark, docs.filter("doc_id % 3 = 0"), idx)
+    RT.text_index_append(spark, idx, docs.filter("doc_id % 3 = 1"))
+    RT.text_index_append(spark, idx, docs.filter("doc_id % 3 = 2"))
+
+    def bucket_files():
+        return {
+            sub.name: len(list(sub.glob("*.parquet")))
+            for sub in Path(idx).glob("tbucket=*")
+        }
+
+    before_files = bucket_files()
+    assert max(before_files.values()) > 1  # the small-file problem is real
+    want = [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()]
+    stats_before = spark.read.parquet(f"{idx}.stats").collect()
+
+    counts = RT.compact_text_index(spark, idx)
+    after_files = bucket_files()
+    assert all(after_files[b] == 1 for b in after_files), after_files
+    assert counts["doclen"] == 1
+    assert [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()] == want
+    assert spark.read.parquet(f"{idx}.stats").collect() == stats_before
+    plan = (
+        RT.bm25_topk_indexed(spark, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+    # idempotent: a second pass folds nothing further
+    assert RT.compact_text_index(spark, idx) == counts
+    # and the index still accepts appends afterwards, staying correct
+    online = [
+        tuple(r)
+        for r in REGISTRY["bm25_topk"].spark(spark, SMOKE_SF_DIR).collect()
+    ]
+    assert [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()] == online
