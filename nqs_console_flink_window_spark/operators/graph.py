@@ -141,6 +141,135 @@ def pagerank_df(
                 return spark.sql(pr_final_sql(v4.r))
 
 
+# ---------------------------------------------------------------------------
+# Weighted PageRank: edge weight = the MinHash signature Jaccard estimate
+# already computed on the same candidate pairs (minhash_jaccard_estimate's
+# matching-slot count), so representative selection favors STRONG
+# duplicates, not merely well-connected ones.  Weights stay integers
+# (matching slots + 1) to keep the bit-exact cross-engine oracle story:
+#
+# - ``w(a,b)   = |{k : m_k(a) = m_k(b)}| + 1``  (1..NUM_PERM+1; the +1
+#   Laplace floor keeps every candidate edge at weight >= 1, so graph
+#   connectivity is identical to the unweighted graph — a band collision
+#   with zero matching slots is possible — and the recursion degenerates
+#   to exactly unweighted PageRank when all estimates are equal)
+# - ``W(u)     = SUM over out-edges of w``      (replaces outdeg)
+# - ``contrib(u->v) = (17 * r(u) * w(u,v)) DIV (20 * W(u))``
+#
+# Overflow: 17 * r * w <= 17 * 1e12 * 9 ~ 1.5e14 << 2^63.  Same five-step
+# driver loop / unrolled-CTE oracle discipline as the unweighted form.
+# ---------------------------------------------------------------------------
+
+
+def prw_weights_sql(cand: str, sig: str) -> str:
+    """(doc_a, doc_b, w): matching-signature-slot count + 1 over relations
+    ``cand`` (doc_a < doc_b) and ``sig`` (doc_id, m0..m7) — dialect-free."""
+    from .dedup_text import NUM_PERM
+
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END)"
+        for k in range(NUM_PERM)
+    )
+    return (
+        f"SELECT c.doc_a, c.doc_b, CAST(({matches}) + 1 AS BIGINT) AS w "
+        f"FROM {cand} c JOIN {sig} sa ON sa.doc_id = c.doc_a "
+        f"JOIN {sig} sb ON sb.doc_id = c.doc_b"
+    )
+
+
+def prw_edges_sql(wpairs: str) -> str:
+    """Symmetrize weighted pairs into directed weighted edges."""
+    return (
+        f"SELECT doc_a AS src, doc_b AS dst, w FROM {wpairs} "
+        f"UNION ALL SELECT doc_b AS src, doc_a AS dst, w FROM {wpairs}"
+    )
+
+
+def prw_wout_sql(edges: str) -> str:
+    return (
+        f"SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM {edges} GROUP BY src"
+    )
+
+
+def prw_iter_sql(d: str, nodes: str, edges: str, wout: str, r: str) -> str:
+    """One weighted step: r'(v) = teleport/N + sum of weight-proportional
+    damped shares — identical shape to ``pr_iter_sql`` with outdeg
+    replaced by the out-weight total."""
+    n = f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {nodes})"
+    share = X.idiv(d, "17 * r.r * e.w", "20 * g.wout")
+    return f"""
+SELECT v.doc_id,
+  {X.idiv(d, str(PR_TELEPORT), n)} + CAST(COALESCE(c.m, 0) AS BIGINT) AS r
+FROM {nodes} v
+LEFT JOIN (
+  SELECT e.dst AS doc_id, CAST(SUM({share}) AS BIGINT) AS m
+  FROM {edges} e
+  JOIN {r} r ON r.doc_id = e.src
+  JOIN {wout} g ON g.src = e.src
+  GROUP BY e.dst
+) c ON v.doc_id = c.doc_id
+"""
+
+
+def pagerank_weighted_sql(
+    d: str, table: str = "documents", iters: int = PR_ITERS
+) -> str:
+    """Oracle form: signatures, band candidates, weights, and the five
+    weighted steps unrolled as one WITH list (DuckDB materializes the
+    multiply-referenced CTEs)."""
+    from .dedup_text import (
+        minhash_band_selects,
+        minhash_signatures_sql,
+    )
+
+    nodes = f"(SELECT doc_id FROM {table})"
+    bands = "\nUNION ALL\n".join(minhash_band_selects(d))
+    parts = [
+        f"sig AS ({minhash_signatures_sql(d, table)})",
+        f"bands AS ({bands})",
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id)",
+        f"wp AS ({prw_weights_sql('cand', 'sig')})",
+        f"edges AS ({prw_edges_sql('wp')})",
+        f"wout AS ({prw_wout_sql('edges')})",
+        f"r0 AS ({pr_init_sql(d, nodes)})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS ({prw_iter_sql(d, nodes, 'edges', 'wout', f'r{i - 1}')})"
+        )
+    return f"WITH {', '.join(parts)} {pr_final_sql(f'r{iters}')}"
+
+
+def pagerank_weighted_df(spark, table: str = "documents", iters: int = PR_ITERS):
+    """Engine side: the staged MinHash parts already carry signatures AND
+    candidates (checkpointed once — the same shared-stage discipline as
+    cluster_representatives); weights/edges/out-weights staged, rank
+    checkpointed per step."""
+    from .dedup_text import _staged_minhash_parts
+    from .staging import staged_views
+
+    d = X.SPARK
+    _sh, sig, cand, _sizes = _staged_minhash_parts(spark, table)
+    with staged_views(spark, sig=sig, cand=cand, checkpoint=False) as v0:
+        wp = spark.sql(prw_weights_sql(v0.cand, v0.sig))
+        with staged_views(spark, wp=wp) as vw:
+            edges = spark.sql(prw_edges_sql(vw.wp)).localCheckpoint()
+    with staged_views(spark, edges=edges, checkpoint=False) as v1:
+        wout = spark.sql(prw_wout_sql(v1.edges))
+        nodes = spark.sql(f"SELECT doc_id FROM {table}")
+        with staged_views(spark, wout=wout, nodes=nodes) as v2:
+            r = spark.sql(pr_init_sql(d, v2.nodes))
+            for _ in range(iters):
+                with staged_views(spark, r=r) as v3:
+                    r = spark.sql(
+                        prw_iter_sql(d, v2.nodes, v1.edges, v2.wout, v3.r)
+                    )
+            with staged_views(spark, r=r, checkpoint=False) as v4:
+                return spark.sql(pr_final_sql(v4.r))
+
+
 def cluster_representatives_sql(d: str, table: str = "documents") -> str:
     """Oracle for the composed representative-selection query: connected
     components (recursive min-label CTE, dedup_cluster's oracle rule) and

@@ -226,7 +226,11 @@ def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Extension — exact n-gram Jaccard verification >= 0.8 scoped to "
     "MinHash-LSH candidate pairs (the scale composition: shuffle is "
     "proportional to candidates, never all shingle collisions); the "
-    "unrestricted all-pairs form is the pytest baseline",
+    "unrestricted all-pairs form is the pytest baseline.  Rotated tier-2 "
+    "round 7: driver-gated via dedup_clusters / split_leakage_report (the "
+    "same LSH candidate machinery) with the exact-Jaccard verify also "
+    "value-checked through minhash_jaccard_estimate / semantic_pairs",
+    tier=2,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -690,14 +694,32 @@ from ..operators import graph as GR  # noqa: E402
     "graph: duplicate-cluster centrality for representative selection.  "
     "Engine = driver loop of declarative steps (staged edges/degrees, "
     "checkpoint per iteration); oracle = the same five steps unrolled as "
-    "CTEs — every operation exact integer DIV, bit-identical cross-engine; "
-    "iterative-graph family driver-gated via dedup_clusters (min-label "
-    "propagation over the same candidate graph)",
-    tier=2,
+    "CTEs — every operation exact integer DIV, bit-identical cross-engine "
+    "(tier-1 since round 7: the driver gate sees the iterative-graph "
+    "machinery directly)",
 )
 def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return GR.pagerank_df(spark)
+
+
+@register(
+    "pagerank_weighted",
+    sql=GR.pagerank_weighted_sql(X.DUCK),
+    doc="Extension — WEIGHTED PageRank over the near-dup graph: edge "
+    "weight = the MinHash matching-slot count + 1 (the signature Jaccard "
+    "estimate in integer units, Laplace-floored so connectivity equals "
+    "the unweighted graph), damped share proportional to weight via "
+    "exact-integer (17*r*w) DIV (20*W_out) — representative selection "
+    "now favors STRONG duplicates.  Same five-step driver loop / "
+    "unrolled-CTE oracle as the unweighted form, bit-identical "
+    "cross-engine; driver-gated via pagerank_neardup (the iterative "
+    "fixed-point machinery on the driver surface)",
+    tier=2,
+)
+def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return GR.pagerank_weighted_df(spark)
 
 
 @register(
@@ -1237,10 +1259,9 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gram occurs >= 2 times globally, gaps-and-islands over duplicated "
     "positions recovers the longest duplicated SPAN per doc "
     "(max_run + 7 tokens) plus dup_frac and a >=16-token flag.  One "
-    "corpus-token-scale gram groupBy, per-doc windows only after; "
-    "dedup family driver-gated via dedup_clusters / decontaminate / "
-    "repetition_filter (hashed n-gram + duplication-stats machinery)",
-    tier=2,
+    "corpus-token-scale gram groupBy, per-doc windows only after "
+    "(tier-1 since round 7: the span-granularity dedup machinery is "
+    "driver-visible directly)",
 )
 def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -1293,7 +1314,7 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(matching slots / NUM_PERM) beside the exact shingle Jaccard and the "
     "absolute error: the similarity you can afford corpus-wide at 100 TB "
     "(signatures only) vs the one that re-joins full shingle sets; "
-    "dedup family driver-gated via dedup_clusters / ngram_jaccard_pairs",
+    "dedup family driver-gated via dedup_clusters / split_leakage_report",
     tier=2,
 )
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1760,7 +1781,7 @@ FROM grouped
     "signatures + sizes (no per-pair shingle re-join — the corpus-"
     "affordable twin of containment_pairs, same convention as "
     "minhash_jaccard_estimate); exact + abs error beside it as the audit; "
-    "dedup family driver-gated via ngram_jaccard_pairs / dedup_clusters",
+    "dedup family driver-gated via containment_estimate_fast / dedup_clusters",
     tier=2,
 )
 def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1795,8 +1816,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one token explode + one GROUP BY with 16 integer SUMs (SimHash's "
     "one-pass shape), L2-normalized from exact integer sums — the bridge "
     "that runs the vector family (cosine/ANN/SemDeDup) on the text corpus "
-    "without a model artifact; embedding family driver-gated via "
-    "cosine_topk / embedding_near_dup, text family via text_stats",
+    "without a model artifact.  Rotated tier-2 round 7: embedding family "
+    "driver-gated via cosine_topk / embedding_near_dup, text family via "
+    "text_stats, the explode+grouped-integer-sums shape via bm25_topk",
+    tier=2,
 )
 def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -1921,7 +1944,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windows both ends + min-neighbor exemption — total kept edges "
     "<= (max_deg+1) x corpus, duplicate cliques provably stay one "
     "component via the min-star) feeding the directional-containment "
-    "math; dedup family driver-gated via ngram_jaccard_pairs / "
+    "math; dedup family driver-gated via containment_estimate_fast / "
     "dedup_clusters",
     tier=2,
 )
@@ -1987,8 +2010,8 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "power-of-two divide (sqrt(16)=4), so components are bit-identical "
     "cross-engine with no rounding rule at all.  One Arrow matmul per "
     "batch, no shuffle — the embedding-compression map stage; long-form "
-    "output for the value hash.  driver-gated via doc_embeddings / "
-    "ann_topk (the hashed-projection + embedding family on the driver "
+    "output for the value hash.  driver-gated via cosine_topk / "
+    "ann_topk (the embedding-column family on the driver "
     "surface); distance-contraction property pytest-bounded",
     tier=2,
 )

@@ -719,7 +719,10 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "let the outliers set their own trim threshold), bounds med +- "
     "3*spread with kept/trimmed counts.  Composes histogram_quantiles "
     "twice, so sort-free / bounded-state / deterministic-IEEE end-to-end "
-    "and value-oracled (tier-1 since round 6)",
+    "and value-oracled.  Rotated tier-2 round 7: driver-gated via "
+    "histogram_quantiles / psi_drift (the same hq histogram fragments on "
+    "the driver surface)",
+    tier=2,
 )
 def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

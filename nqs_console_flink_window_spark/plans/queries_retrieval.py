@@ -72,11 +72,9 @@ def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "adjacent-token bigrams, support floor c_ab >= 5, top-50 by quantized "
     "micro-nat PMI (metric DEFINED in quantized space — deterministic "
     "cross-engine by construction).  Two grouped counts + a "
-    "vocabulary-sized broadcast join; TakeOrdered cut; driver-gated via "
-    "bm25_topk / lm_perplexity (the same token-stats machinery — explode, "
-    "grouped counts, vocab broadcast join, quantized-ln scoring — on the "
-    "driver surface)",
-    tier=2,
+    "vocabulary-sized broadcast join; TakeOrdered cut (tier-1 since "
+    "round 7: the collocation-mining machinery is driver-visible "
+    "directly)",
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))

@@ -28,7 +28,18 @@ def _oracle_con():
     return con
 
 
-@pytest.mark.parametrize("name", ["lm_perplexity", "bm25_topk", "pmi_collocations"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lm_perplexity",
+        "bm25_topk",
+        "pmi_collocations",
+        # tier-1 since round 7 (rotation) — the tier-2 sweep skips tier-1,
+        # so their oracle parity is pinned explicitly here
+        "pagerank_neardup",
+        "dup_spans",
+    ],
+)
 def test_retrieval_family_oracle_parity(spark, name) -> None:
     from check_oracle import compare
 
@@ -243,6 +254,62 @@ def test_pagerank_matches_pure_python_fixed_point(spark) -> None:
     iso_rank = PR_TELEPORT // n
     assert (pdf["rank_pico"] >= iso_rank).all()
     assert pdf[pdf["doc_id"].isin(connected)]["rank_pico"].min() > iso_rank
+
+
+def test_pagerank_weighted_matches_pure_python_fixed_point(spark) -> None:
+    """Exact integer recompute of the WEIGHTED 5-step PageRank (edge
+    weight = matching signature slots + 1) from the oracle's own
+    signatures/candidates: bit-for-bit ranks, isolated docs at the
+    teleport floor, and — on pairs whose weights differ — ranks that
+    genuinely diverge from the unweighted form (the weighting must do
+    something)."""
+    from nqs_console_flink_window_spark.operators.dedup_text import (
+        NUM_PERM,
+        minhash_lsh_pairs_sql,
+        minhash_signatures_sql,
+    )
+    from nqs_console_flink_window_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+    )
+
+    con = _oracle_con()
+    pairs = con.execute(minhash_lsh_pairs_sql("duck")).fetchall()
+    sig = {
+        row[0]: row[1:]
+        for row in con.execute(minhash_signatures_sql("duck")).fetchall()
+    }
+    node_ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    wpairs = [
+        (a, b, sum(1 for k in range(NUM_PERM) if sig[a][k] == sig[b][k]) + 1)
+        for a, b in pairs
+    ]
+    edges = [(a, b, w) for a, b, w in wpairs] + [(b, a, w) for a, b, w in wpairs]
+    wout: dict[int, int] = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+
+    n = len(node_ids)
+    r = {v: PR_SCALE // n for v in node_ids}
+    for _ in range(PR_ITERS):
+        acc = {v: PR_TELEPORT // n for v in node_ids}
+        for s, d, w in edges:
+            acc[d] += (17 * r[s] * w) // (20 * wout[s])
+        r = acc
+
+    pdf = REGISTRY["pagerank_weighted"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert len(pdf) == n
+    iso_rank = PR_TELEPORT // n
+    for row in pdf.itertuples():
+        assert row.rank_pico == r[row.doc_id], row.doc_id
+        if row.doc_id not in wout:
+            assert row.rank_pico == iso_rank
+    assert (pdf["rank_pico"] >= iso_rank).all()
+    if len({w for _, _, w in wpairs}) > 1:
+        un = REGISTRY["pagerank_neardup"].spark(spark, SMOKE_SF_DIR).toPandas()
+        merged = pdf.merge(un, on="doc_id", suffixes=("_w", "_u"))
+        assert (merged["rank_pico_w"] != merged["rank_pico_u"]).any()
 
 
 def test_lm_model_score_matches_registered_query(spark) -> None:
