@@ -13,9 +13,13 @@ metadata struct; decode / feature-extraction run as Arrow-batched
   zlib inflate + all 5 scanline filters.
 - **BMP** (24-bit uncompressed) and **GIF** (87a/89a, non-interlaced,
   LZW) — REAL decodes, pure stdlib.
-- anything else (JPEG/MP3/MP4... — genuinely codec-bound: entropy coding
-  + DCT/psychoacoustics need real codec libs, NOT in this container) —
-  the clearly-marked deterministic byte-histogram stub stands in;
+- **JPEG** (baseline sequential SOF0, 8-bit, grayscale or 4:4:4 YCbCr,
+  single scan, no restart intervals) — REAL decode: canonical Huffman
+  entropy decode + dequant + IDCT + YCbCr->RGB, pure stdlib.
+- anything else (progressive/subsampled JPEG, MP3/MP4... — genuinely
+  codec-bound: progressive scan wiring, psychoacoustics and video
+  codecs need real codec libs, NOT in this container) — the
+  clearly-marked deterministic byte-histogram stub stands in;
   swapping it for a real codec touches ``_decode_stub`` only.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
@@ -399,6 +403,259 @@ def decode_gif_features(payload: bytes) -> list[float]:
     raise ValueError("no image frame")
 
 
+# JPEG zigzag order: index in the entropy stream -> natural (row-major)
+# coefficient position.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_IDCT_COS: list[list[float]] | None = None
+
+
+def _jpeg_huff_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol, codes
+    assigned in increasing length order (ITU T.81 Annex C)."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over the (already destuffed) scan bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("scan data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(rd: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map the t raw bits to the signed value."""
+    if t and v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def _idct_8x8(coefs: list[int]) -> list[list[float]]:
+    """Separable 2-D inverse DCT over one natural-order 8x8 block."""
+    import math
+
+    global _IDCT_COS
+    if _IDCT_COS is None:
+        _IDCT_COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+    c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        row = coefs[y * 8 : y * 8 + 8]
+        for x in range(8):
+            cosx = _IDCT_COS[x]
+            tmp[y][x] = sum(c[u] * row[u] * cosx[u] for u in range(8)) / 2.0
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        col = [tmp[v][x] for v in range(8)]
+        for y in range(8):
+            cosy = _IDCT_COS[y]
+            out[y][x] = sum(c[v] * col[v] * cosy[v] for v in range(8)) / 2.0
+    return out
+
+
+def decode_jpeg_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: baseline sequential JFIF (SOF0,
+    8-bit, grayscale or YCbCr WITHOUT chroma subsampling, single scan, no
+    restart intervals) -> the shared image feature layout.  Marker walk +
+    canonical Huffman entropy decode + dequant + de-zigzag + separable
+    float IDCT + level shift + YCbCr->RGB (BT.601 as specified by JFIF).
+    Progressive (SOF2), extended/lossless SOFs, arithmetic coding,
+    subsampled chroma and restart-marker streams raise -> the dispatch
+    falls back to the stub."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int]] | None = None
+    width = height = None
+    scan_data = None
+    scan_tabs: dict[int, tuple[int, int]] = {}
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RSTn
+            continue
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                nat = [0] * 64
+                for i, z in enumerate(_JPEG_ZIGZAG):
+                    nat[z] = seg[p + i]
+                qt[tq] = nat
+                p += 64
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError("only grayscale / 3-component supported")
+            comps, p = [], 6
+            for _ in range(nc):
+                cid, hv, tqi = seg[p], seg[p + 1], seg[p + 2]
+                p += 3
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comps.append((cid, tqi))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                bits = list(seg[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                vals = list(seg[p : p + nv])
+                p += nv
+                (huff_ac if tc else huff_dc)[th] = _jpeg_huff_table(bits, vals)
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS: scan header, then entropy data
+            ns, p = seg[0], 1
+            for _ in range(ns):
+                cs, tt = seg[p], seg[p + 1]
+                p += 2
+                scan_tabs[cs] = (tt >> 4, tt & 15)
+            p2 = pos + ln
+            data = bytearray()
+            while p2 < len(payload):
+                b = payload[p2]
+                if b == 0xFF:
+                    nb = payload[p2 + 1] if p2 + 1 < len(payload) else 0xD9
+                    if nb == 0x00:  # stuffed 0xFF data byte
+                        data.append(0xFF)
+                        p2 += 2
+                        continue
+                    if 0xD0 <= nb <= 0xD7:
+                        raise ValueError("restart markers unsupported")
+                    break  # a real marker ends the scan
+                data.append(b)
+                p2 += 1
+            scan_data = bytes(data)
+            pos = p2
+            continue
+        pos += ln
+    if scan_data is None or comps is None or width is None:
+        raise ValueError("incomplete jpeg")
+    if any(cid not in scan_tabs for cid, _ in comps):
+        raise ValueError("scan does not cover all components")
+
+    rd = _JpegBits(scan_data)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [
+        [[0] * (bw * 8) for _ in range(bh * 8)] for _ in comps
+    ]
+    pred = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, tqi) in enumerate(comps):
+                td, ta = scan_tabs[cid]
+                q = qt[tqi]
+                s = _jpeg_huff_decode(rd, huff_dc[td])
+                pred[ci] += _jpeg_extend(rd.bits(s), s) if s else 0
+                coefs = [0] * 64
+                coefs[0] = pred[ci] * q[0]
+                k = 0
+                while k < 63:
+                    rs_sym = _jpeg_huff_decode(rd, huff_ac[ta])
+                    r, s = rs_sym >> 4, rs_sym & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r + 1
+                    if k > 63:
+                        raise ValueError("AC coefficient overflow")
+                    nat = _JPEG_ZIGZAG[k]
+                    coefs[nat] = _jpeg_extend(rd.bits(s), s) * q[nat]
+                px = _idct_8x8(coefs)
+                plane = planes[ci]
+                for yy in range(8):
+                    row = plane[by * 8 + yy]
+                    prow = px[yy]
+                    for xx in range(8):
+                        v = int(round(prow[xx] + 128.0))
+                        row[bx * 8 + xx] = 0 if v < 0 else (255 if v > 255 else v)
+
+    if len(comps) == 1:
+        flat = [planes[0][y][x] for y in range(height) for x in range(width)]
+        return _image_stats(flat, flat, flat, width, height)
+    rs_l: list[int] = []
+    gs_l: list[int] = []
+    bs_l: list[int] = []
+    for y in range(height):
+        y_row, cb_row, cr_row = planes[0][y], planes[1][y], planes[2][y]
+        for x in range(width):
+            yy, cb, cr = y_row[x], cb_row[x] - 128, cr_row[x] - 128
+            for acc, v in (
+                (rs_l, yy + 1.402 * cr),
+                (gs_l, yy - 0.344136 * cb - 0.714136 * cr),
+                (bs_l, yy + 1.772 * cb),
+            ):
+                iv = int(round(v))
+                acc.append(0 if iv < 0 else (255 if iv > 255 else iv))
+    return _image_stats(rs_l, gs_l, bs_l, width, height)
+
+
 def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
     """Typed dispatch: real decoders where stdlib suffices, the
     deterministic stub otherwise (so the oracle-checked byte-histogram
@@ -438,6 +695,8 @@ def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
             return decode_bmp_features(payload)
         if image_ok and payload and payload[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif_features(payload)
+        if image_ok and payload and payload[:2] == b"\xff\xd8":
+            return decode_jpeg_features(payload)
     except Exception:  # malformed/unsupported media -> stub features
         pass
     return _decode_stub(payload)

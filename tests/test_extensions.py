@@ -1753,6 +1753,195 @@ def test_multimodal_bmp_and_gif_decode(spark) -> None:
         assert all(abs(a - b) < 1e-6 for a, b in zip(arrow[mid], want)), mid
 
 
+def _jpeg_encode_baseline(rows, gray: bool) -> bytes:
+    """Independent baseline-JFIF encoder for the decoder test: level shift,
+    float FDCT, all-ones quant tables (near-lossless), flat canonical
+    Huffman tables (12 DC symbols at length 4; all 162 standard AC symbols
+    at length 8), 4:4:4 interleave, byte stuffing.  ``rows`` is
+    height x width of ints (gray) or (r, g, b) tuples."""
+    import math
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    if gray:
+        planes = [[[float(v) for v in row] for row in rows]]
+    else:
+        y_p, cb_p, cr_p = [], [], []
+        for row in rows:
+            yr, cbr, crr = [], [], []
+            for r, g, b in row:
+                yr.append(0.299 * r + 0.587 * g + 0.114 * b)
+                cbr.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+                crr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+            y_p.append(yr)
+            cb_p.append(cbr)
+            cr_p.append(crr)
+        planes = [y_p, cb_p, cr_p]
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 symbols, all length 4
+    dc_vals = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all length 8
+    dc_codes = {v: (4, i) for i, v in enumerate(dc_vals)}
+    ac_codes = {v: (8, i) for i, v in enumerate(ac_syms)}
+
+    def fdct(block):
+        c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+        out = [0] * 64
+        for v in range(8):
+            for u in range(8):
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += (
+                            block[y][x]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[v * 8 + u] = int(round(s * c[u] * c[v] / 4.0))
+        return out
+
+    out_bits: list[int] = []
+
+    def emit(length, code):
+        for i in range(length - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    def mag_bits(v):
+        t = abs(v).bit_length()
+        raw = v if v >= 0 else v + (1 << t) - 1
+        return t, raw
+
+    zz = MM._JPEG_ZIGZAG
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    pred = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                block = [
+                    [
+                        plane[min(by * 8 + yy, h - 1)][min(bx * 8 + xx, w - 1)]
+                        - 128.0
+                        for xx in range(8)
+                    ]
+                    for yy in range(8)
+                ]
+                coefs = fdct(block)
+                zzc = [coefs[zz[k]] for k in range(64)]
+                t, raw = mag_bits(zzc[0] - pred[ci])
+                pred[ci] = zzc[0]
+                emit(*dc_codes[t])
+                emit(t, raw)
+                k, run = 1, 0
+                while k < 64:
+                    if zzc[k] == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run >= 16:
+                        emit(*ac_codes[0xF0])
+                        run -= 16
+                    t, raw = mag_bits(zzc[k])
+                    emit(*ac_codes[(run << 4) | t])
+                    emit(t, raw)
+                    run = 0
+                    k += 1
+                if run:
+                    emit(*ac_codes[0x00])
+    while len(out_bits) % 8:
+        out_bits.append(1)  # pad with 1s per T.81
+    scan = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for bit in out_bits[i : i + 8]:
+            b = (b << 1) | bit
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0x00)  # byte stuffing
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(nc)
+    )
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    sos = bytes([nc]) + b"".join(bytes([cid + 1, 0x00]) for cid in range(nc)) + b"\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+
+
+def test_multimodal_jpeg_decode(spark) -> None:
+    """The stdlib baseline-JPEG decoder vs an independent in-test encoder
+    (the GIF/LZW test shape): a solid grayscale block decodes EXACTLY (DC
+    coefficient only, lossless with unit quant tables), a random RGB image
+    decodes within the float-FDCT/IDCT round-trip tolerance, mime gating
+    and non-baseline fallback hold, and the decode runs through the same
+    Arrow mapInPandas plumbing."""
+    import random
+
+    # exact path: solid gray 8x8 — DC only, unit quant => bit-exact
+    solid = _jpeg_encode_baseline([[100] * 8 for _ in range(8)], gray=True)
+    f = MM.decode_features(solid, "image/jpeg")
+    v = 100 / 255.0
+    want_luma = (0.299 + 0.587 + 0.114) * v
+    assert f[0] == 8 / 1e4 and f[1] == 8 / 1e4
+    assert all(abs(x - v) < 1e-12 for x in f[3:6])
+    assert abs(f[6] - want_luma) < 1e-9 and f[7] < 1e-24
+
+    # near-lossless path: random RGB 16x8, channel means within 2/255
+    rng = random.Random(23)
+    w, h = 16, 8
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    jpg = _jpeg_encode_baseline(rows, gray=False)
+    got = MM.decode_features(jpg, "image/jpeg")
+    npx = w * h
+    for ch in range(3):
+        mean = sum(px[ch] for row in rows for px in row) / npx / 255.0
+        assert abs(got[3 + ch] - mean) < 2.0 / 255.0, (ch, got[3 + ch], mean)
+    assert got[0] == w / 1e4 and got[1] == h / 1e4
+
+    # octet-stream declaration stays on the stub; progressive SOF falls back
+    stub = MM.decode_features(jpg, "application/octet-stream")
+    assert abs(sum(stub) - 1.0) < 1e-6
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert abs(sum(MM.decode_features(prog, "image/jpeg")) - 1.0) < 1e-6
+
+    # through the Arrow plumbing
+    media = spark.createDataFrame(
+        [(1, jpg, "image/jpeg")], "media_id long, payload binary, mime string"
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("mime").alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    arrow = list(MM.extract_features(media).collect()[0].feature)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(arrow, got))
+
+
 def test_gif_lzw_roundtrip_through_width_growth() -> None:
     """The LZW pair (independent test encoder vs product decoder) stays in
     sync across every code-width growth up to the 4096-entry cap."""
