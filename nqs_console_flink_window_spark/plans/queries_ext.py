@@ -689,6 +689,7 @@ from ..operators import graph as GR  # noqa: E402
 @register(
     "pagerank_neardup",
     sql=GR.pagerank_sql(X.DUCK),
+    headline=True,  # iterative-graph bench coverage since round 7
     doc="Extension — integer fixed-point PageRank (5 steps, damping 17/20, "
     "exact BIGINT pico-unit ranks) over the symmetrized LSH candidate "
     "graph: duplicate-cluster centrality for representative selection.  "

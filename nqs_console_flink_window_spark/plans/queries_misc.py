@@ -122,15 +122,21 @@ _GAP_SECONDS = 300
     "session_windows",
     sql=f"""
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
          OR epoch(ts) - epoch(lag(ts) OVER w) >= {_GAP_SECONDS} THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
+  -- the islands cumsum must ride the SAME total order as the brk window:
+  -- ordered by ts alone, duplicate timestamps (impossible at the native
+  -- fixture, routine at the 10x replica where every user repeats its ts
+  -- per replica) leave the tie order arbitrary, and tie rows sorted
+  -- before their group's brk=1 row split into the previous session —
+  -- caught by the round-7 10x gate as a 2-row count divergence
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM o
 )

@@ -33,6 +33,7 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm25_topk",
     sql=RT.bm25_topk_sql(X.DUCK),
+    headline=True,  # retrieval-family bench coverage since round 7
     doc="Extension — BM25 top-10 for a fixed 3-term query (k1=6/5, b=3/4 "
     "exactly; Lucene idf ln(1+...) — strictly positive): idf in quantized "
     "micro-nats (half-integer args cleared by doubling), tf saturation as "
