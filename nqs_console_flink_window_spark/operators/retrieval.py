@@ -292,6 +292,163 @@ def bm25_topk_df(
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009) of two
+# retrieval models with incomparable score scales — BM25 and Jelinek-Mercer
+# query-likelihood (lambda = 1/2).  RRF is THE production fusion rule
+# precisely because it needs only ranks: rrf(d) = sum over legs of
+# 1/(K + rank_leg(d)), K = 60.  Everything stays exact integer:
+#
+# - QL leg (per candidate doc, per query term): p(t|d) = (tf/dl + ctf/T)/2
+#   -> contribution qln_micro(5*tf*T + 5*ctf*dl) - qln_micro(10*dl*T)
+#   (integer args; tf=0 rows still contribute the smoothed background mass,
+#   so docs missing a term are penalized exactly as the model says).
+#   Needs 5*tf*T < 2^63 — the same ~1e17-corpus-token bound as BM25's
+#   saturation term, documented there.
+# - Fusion: rrf_pico = sum of RRF_SCALE DIV (60 + rank) over the legs the
+#   doc appears in (top-HYBRID_LEG_K per leg; absent = no contribution —
+#   standard RRF).  Ranks come from ROW_NUMBER over the ALREADY-CUT leg
+#   top lists (ORDER BY + LIMIT = TakeOrdered first, so the rank windows
+#   run over <= HYBRID_LEG_K rows — bounded, never corpus-wide).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_SCALE = 10**12
+HYBRID_LEG_K = 50
+HYBRID_K = 10
+
+
+def _ql_scores_ctes(tf: str, dl: str) -> str:
+    """ctf/cand/qlp CTE-list (no leading WITH): Jelinek-Mercer (1/2)
+    query-likelihood in exact BIGINT micro-nats over relations ``tf``
+    (doc_id, token, tf — query terms only) and ``dl`` (doc_id, dl); a
+    1-row CTE ``t`` (t_tok) must already be in scope.  Query terms absent
+    from the corpus have no ctf row and drop out of every doc's sum
+    identically in both engines."""
+    contrib = (
+        f"{qln_micro('5 * COALESCE(t.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
+        f" - {qln_micro('10 * dl.dl * (SELECT t_tok FROM t)')}"
+    )
+    return f"""
+ctf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM {tf} GROUP BY token),
+cand AS (SELECT DISTINCT doc_id FROM {tf}),
+qlp AS (
+  SELECT c.doc_id, CAST(SUM({contrib}) AS BIGINT) AS ql_micro
+  FROM cand c
+  JOIN {dl} dl ON dl.doc_id = c.doc_id
+  CROSS JOIN ctf
+  LEFT JOIN {tf} t ON t.doc_id = c.doc_id AND t.token = ctf.token
+  GROUP BY c.doc_id
+)"""
+
+
+def _hybrid_rrf_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    table: str,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH) fusing the BM25 and QL
+    legs over shared ``tf``/``dl`` relations.  Leg ranks ride ROW_NUMBER
+    over the TakeOrdered top lists (<= leg_k rows each); the fused cut is
+    another TakeOrdered."""
+    n_body = f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
+    t_body = f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
+    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
+    return f"""
+n AS ({n_body}),
+t AS ({t_body}),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM {tf} GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+    {_bm25_contrib_expr()} AS contrib_micro
+  FROM {tf} tf JOIN df ON tf.token = df.token
+  JOIN {dl} dl ON tf.doc_id = dl.doc_id
+),
+bm25agg AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(floor(contrib_micro + 0.5) AS BIGINT)) AS BIGINT)
+      AS score_micro
+  FROM scored GROUP BY doc_id
+),
+bm25top AS (
+  SELECT doc_id, score_micro FROM bm25agg
+  ORDER BY score_micro DESC, doc_id LIMIT {leg_k}
+),
+bm25r AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+  FROM bm25top
+),
+{_ql_scores_ctes(tf, dl).lstrip()},
+qltop AS (
+  SELECT doc_id, ql_micro FROM qlp
+  ORDER BY ql_micro DESC, doc_id LIMIT {leg_k}
+),
+qlr AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY ql_micro DESC, doc_id) AS rn
+  FROM qltop
+),
+legs AS (
+  SELECT doc_id, rn, 1 AS is_bm25, 0 AS is_ql FROM bm25r
+  UNION ALL
+  SELECT doc_id, rn, 0 AS is_bm25, 1 AS is_ql FROM qlr
+),
+fused AS (
+  SELECT doc_id,
+    CAST(SUM({rrf}) AS BIGINT) AS rrf_pico,
+    CAST(MAX(is_bm25 * rn) AS BIGINT) AS bm25_rank,
+    CAST(MAX(is_ql * rn) AS BIGINT) AS ql_rank,
+    CAST(COUNT(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY doc_id
+)
+SELECT doc_id, rrf_pico, bm25_rank, ql_rank, n_legs,
+  {X.fround("CAST(rrf_pico AS DOUBLE) / 1.0E12", 9)} AS rrf_score
+FROM fused
+ORDER BY rrf_pico DESC, doc_id
+LIMIT {k}
+"""
+
+
+def hybrid_rrf_sql(
+    d: str,
+    table: str = "documents",
+    query: tuple[str, ...] = BM25_QUERY,
+) -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), "
+        f"tfq AS ({bm25_tf_sql('tok', query)}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        + _hybrid_rrf_ctes(d, "tfq", "dlt", table)
+    )
+
+
+def hybrid_rrf_df(
+    spark,
+    table: str = "documents",
+    query: tuple[str, ...] = BM25_QUERY,
+):
+    """Engine side: tok staged once (feeds tf AND dl); tf/dl staged (tf
+    feeds df, the BM25 scorer, ctf, the candidate set and the QL left
+    join; dl feeds the T scalar and both scorers).  Both leg cuts are
+    TakeOrdered; both rank windows cover <= HYBRID_LEG_K rows."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    tok_df = spark.sql(tok_cte(d, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, query))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
+            return spark.sql(
+                "WITH " + _hybrid_rrf_ctes(d, v2.tf, v2.dl, table)
+            )
+
+
+# ---------------------------------------------------------------------------
 # Multi-query BM25 — the production retrieval shape.  A real retrieval user
 # scores a TABLE of queries, not one literal (hard-negative mining for a
 # training set runs millions): queries arrive as (query_id, term) rows,

@@ -67,6 +67,25 @@ def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_topk",
+    sql=RT.hybrid_rrf_sql(X.DUCK),
+    doc="Extension — hybrid retrieval via Reciprocal Rank Fusion (Cormack "
+    "et al. 2009): BM25 and Jelinek-Mercer(1/2) query-likelihood legs over "
+    "the SAME staged tf/dl relations, rrf_pico = sum of 1e12 DIV (60 + "
+    "leg rank) in exact integers.  QL contribution = qln(5*tf*T + "
+    "5*ctf*dl) - qln(10*dl*T) micro-nats (integer args; tf=0 rows keep "
+    "the smoothed background mass).  Leg cuts are TakeOrdered and the "
+    "rank windows cover <= 50 already-cut rows — never corpus-wide; "
+    "driver-gated via bm25_topk (the shared scoring/token-stats "
+    "machinery on the driver surface)",
+    tier=2,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.hybrid_rrf_df(spark)
+
+
+@register(
     "pmi_collocations",
     sql=RT.pmi_collocations_sql(X.DUCK),
     doc="Extension — PMI collocation mining (Church & Hanks 1990) over "

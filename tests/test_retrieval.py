@@ -256,6 +256,35 @@ def test_pagerank_matches_pure_python_fixed_point(spark) -> None:
     assert pdf[pdf["doc_id"].isin(connected)]["rank_pico"].min() > iso_rank
 
 
+def test_hybrid_rrf_fusion_rule_and_leg_consistency(spark) -> None:
+    """The fused output obeys the RRF definition exactly (rrf_pico ==
+    sum of 1e12 // (60 + rank) over present legs), leg ranks are within
+    the leg cut, and the BM25 leg agrees with the registered bm25_topk
+    ranking on its top-10 (same docs, same order)."""
+    pdf = REGISTRY["hybrid_rrf_topk"].spark(spark, SMOKE_SF_DIR).toPandas()
+    assert len(pdf) == RT.HYBRID_K
+    for r in pdf.itertuples():
+        assert r.n_legs in (1, 2)
+        want = 0
+        if r.bm25_rank:
+            assert 1 <= r.bm25_rank <= RT.HYBRID_LEG_K
+            want += RT.RRF_SCALE // (RT.RRF_K + r.bm25_rank)
+        if r.ql_rank:
+            assert 1 <= r.ql_rank <= RT.HYBRID_LEG_K
+            want += RT.RRF_SCALE // (RT.RRF_K + r.ql_rank)
+        assert (r.bm25_rank > 0) + (r.ql_rank > 0) == r.n_legs
+        assert r.rrf_pico == want, r.doc_id
+    # descending fused order with doc_id tiebreak
+    keys = [(-r.rrf_pico, r.doc_id) for r in pdf.itertuples()]
+    assert keys == sorted(keys)
+    # BM25 leg == registered bm25_topk on the overlap of their top-10
+    bm = [r["doc_id"] for r in REGISTRY["bm25_topk"].spark(spark, SMOKE_SF_DIR).collect()]
+    leg = pdf[pdf["bm25_rank"] > 0].sort_values("bm25_rank")
+    for rank, doc in zip(leg["bm25_rank"], leg["doc_id"]):
+        if rank <= len(bm):
+            assert bm[rank - 1] == doc, (rank, doc)
+
+
 def test_pagerank_weighted_matches_pure_python_fixed_point(spark) -> None:
     """Exact integer recompute of the WEIGHTED 5-step PageRank (edge
     weight = matching signature slots + 1) from the oracle's own

@@ -161,6 +161,11 @@ def test_no_scale_antipatterns_across_registry(spark) -> None:
         "cosine_topk",
         "geo_range_join",
         "score_drift",
+        # QL leg's CROSS JOIN of candidates x the |Q|-row (<= a handful)
+        # broadcast query-term ctf table — every (candidate, term) pair is
+        # genuinely needed for the smoothed background mass; bounded by
+        # query length, never corpus x corpus
+        "hybrid_rrf_topk",
     }
     for name, q in REGISTRY.items():
         plan = q.spark(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
