@@ -324,8 +324,10 @@ def _ql_scores_ctes(tf: str, dl: str) -> str:
     1-row CTE ``t`` (t_tok) must already be in scope.  Query terms absent
     from the corpus have no ctf row and drop out of every doc's sum
     identically in both engines."""
+    # join alias is qtf, NOT t: the contribution embeds scalar subqueries
+    # on the 1-row CTE `t`, and an alias named t would shadow it
     contrib = (
-        f"{qln_micro('5 * COALESCE(t.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
+        f"{qln_micro('5 * COALESCE(qtf.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
         f" - {qln_micro('10 * dl.dl * (SELECT t_tok FROM t)')}"
     )
     return f"""
@@ -336,7 +338,7 @@ qlp AS (
   FROM cand c
   JOIN {dl} dl ON dl.doc_id = c.doc_id
   CROSS JOIN ctf
-  LEFT JOIN {tf} t ON t.doc_id = c.doc_id AND t.token = ctf.token
+  LEFT JOIN {tf} qtf ON qtf.doc_id = c.doc_id AND qtf.token = ctf.token
   GROUP BY c.doc_id
 )"""
 
@@ -791,11 +793,15 @@ def _token_bucket(token: str) -> int:
 
 
 def _assert_no_null_text(docs_df, where: str) -> None:
-    """Enforce the index contract: NULL-text docs would land no doclen row,
-    so an append's stats rebuild (N = doclen row count) would silently
-    shift N away from build-time's docs-table count — changing every idf.
-    Cheap: one limit(1) probe, short-circuits at the first partition with
-    a hit."""
+    """Enforce the index contract on an APPEND batch: NULL-text docs would
+    land no doclen row, so the append's stats rebuild (N = doclen row
+    count) would silently shift N away from build-time's docs-table count
+    — changing every idf.  A limit(1) IsNull probe is batch-scale cheap
+    here (appends are micro-batches; parquet sources additionally prune
+    via row-group null counts).  The BUILD path enforces the same
+    contract for free instead — it compares the docs count it already
+    takes against the doclen row count it just wrote (one footer-metadata
+    read, no second corpus scan)."""
     if docs_df.filter("text IS NULL").limit(1).count() > 0:
         raise ValueError(
             f"{where}: NULL-text docs are outside the text-index contract "
@@ -818,7 +824,6 @@ def build_text_index(spark, docs_df, path: str) -> None:
     no pass over the corpus text at all."""
     from .staging import staged_views
 
-    _assert_no_null_text(docs_df, "build_text_index")
     view = "__text_index_docs"
     docs_df.createOrReplaceTempView(view)
     try:
@@ -839,6 +844,19 @@ def build_text_index(spark, docs_df, path: str) -> None:
         # stream would undercount by every zero-token document and shift
         # the idf of every query term away from bm25_topk's
         n_docs = docs_df.count()
+        # NULL-text contract, enforced for free: every non-NULL-text doc
+        # lands exactly one doclen row (whitespace split yields >= 1
+        # token), so doclen rows != docs count proves NULL-text docs —
+        # whose absent dl rows would drift N on the next append's stats
+        # rebuild.  One footer-metadata count, no second corpus scan.
+        n_dl = spark.read.parquet(f"{path}.doclen").count()
+        if n_dl != n_docs:
+            raise ValueError(
+                f"build_text_index: {n_docs - n_dl} NULL-text docs are "
+                "outside the text-index contract (no tokens, no doclen "
+                "row — the append-time stats rebuild would drift N); "
+                "filter them out and rebuild"
+            )
         stats = spark.sql(
             f"SELECT CAST({int(n_docs)} AS BIGINT) AS n_docs, "
             f"CAST(COUNT(*) AS BIGINT) AS t_tok FROM {v.tok}"
@@ -1091,55 +1109,17 @@ def text_index_append(spark, path: str, new_docs) -> None:
 
 
 def _fold_parquet_dir(spark, dir_path, target_bytes: int) -> int:
-    """Fold every ``*.parquet`` file directly inside ``dir_path`` into
-    ~``target_bytes`` files, crash-safe via the SAME fold-manifest protocol
-    as ``sinks.writers.compact_batch_landings`` (manifest committed before
-    any rename, ``_repair_crashed_compaction`` settles a crashed pass
-    first — roll forward if all new files landed, roll back otherwise, so
-    no row is ever folded twice).  Returns the file count afterwards."""
-    import json as _json
-    import math as _math
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
+    """Fold every ``*.parquet`` file directly inside ``dir_path`` toward
+    ~``target_bytes`` files — delegates to the ONE shared crash-safe fold
+    core (``sinks.writers.fold_parquet_files``: manifest committed before
+    any rename, crashed passes settled first), so the manifest protocol
+    cannot drift between the landing-table and index call sites."""
     from pathlib import Path
 
-    from ..sinks.writers import _repair_crashed_compaction
+    from ..sinks.writers import fold_parquet_files
 
-    d = Path(dir_path)
-    _repair_crashed_compaction(d)
-    inputs = sorted(str(p) for p in d.glob("*.parquet"))
-    if len(inputs) <= 1:
-        return len(inputs)
-    df = spark.read.parquet(*inputs)  # snapshot: concurrent appends unseen
-    total_bytes = sum(Path(f).stat().st_size for f in inputs)
-    n_files = max(1, _math.ceil(total_bytes / target_bytes))
-    if n_files >= len(inputs):
-        return len(inputs)  # already at or under the target layout
-    tmp_path = f"{d}__compact"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
-    stamp = _uuid.uuid4().hex[:8]
-    staged = sorted(Path(tmp_path).glob("*.parquet"))
-    dests = [d / f"compact-{stamp}-{i:05d}.parquet" for i in range(len(staged))]
-    manifest = d / f"_compact-{stamp}.manifest.json"
-    manifest_tmp = d / f".compact-{stamp}.manifest.tmp"
-    with open(manifest_tmp, "w") as fh:
-        fh.write(
-            _json.dumps({"new_files": [x.name for x in dests], "inputs": inputs})
-        )
-        fh.flush()
-        _os.fsync(fh.fileno())
-    manifest_tmp.rename(manifest)
-    moved = []
-    for f, dest in zip(staged, dests):
-        f.rename(dest)
-        moved.append(dest)
-    _shutil.rmtree(tmp_path)
-    for f in inputs:
-        if Path(f) not in moved:
-            Path(f).unlink(missing_ok=True)
-    manifest.unlink(missing_ok=True)
-    return len(list(d.glob("*.parquet")))
+    inputs = sorted(str(p) for p in Path(dir_path).glob("*.parquet"))
+    return fold_parquet_files(spark, inputs, dir_path, target_bytes)
 
 
 def compact_text_index(
@@ -1165,6 +1145,14 @@ def compact_text_index(
 
     out: dict[str, int] = {}
     for sub in sorted(Path(path).glob("tbucket=*")):
+        # integer-suffix guard (same rule as compact_batch_landings'
+        # subdir walk): a crash-leftover `tbucket=N__compact` staging dir
+        # must not be treated as a bucket — the fold core deletes such
+        # leftovers when it next touches bucket N
+        try:
+            int(sub.name.split("=", 1)[1])
+        except ValueError:
+            continue
         out[sub.name] = _fold_parquet_dir(spark, sub, target_bytes)
     out["doclen"] = _fold_parquet_dir(spark, f"{path}.doclen", target_bytes)
     return out

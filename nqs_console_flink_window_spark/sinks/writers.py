@@ -220,6 +220,69 @@ def _repair_crashed_compaction(gen_path: Path) -> None:
         tmp.unlink(missing_ok=True)
 
 
+def fold_parquet_files(
+    spark, inputs: list[str], dest_dir, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """THE fold core shared by ``compact_batch_landings`` and the text
+    index's ``compact_text_index``: merge ``inputs`` (parquet file paths —
+    may include files already living in ``dest_dir``) into
+    ~``target_bytes`` files named ``compact-<stamp>-NNNNN.parquet`` inside
+    ``dest_dir``, crash-safe under the fold-manifest protocol
+    (``_repair_crashed_compaction``'s schema — one writer, one repairer,
+    so the manifest format cannot drift between call sites).  Settles any
+    crashed prior fold first (including pre-commit ``__compact`` staging
+    garbage, which the manifest never covers because it exists only
+    before the commit point).  Skips the rewrite when every input already
+    lives in ``dest_dir`` at or under the byte target (idempotence).
+    Returns the dest dir's parquet file count afterwards."""
+    import json as _json
+    import uuid as _uuid
+
+    dest = Path(dest_dir)
+    _repair_crashed_compaction(dest)
+    tmp_path = f"{dest}__compact"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    inputs = sorted(inputs)
+
+    def _count() -> int:
+        return len(list(dest.glob("*.parquet"))) if dest.is_dir() else 0
+
+    if not inputs:
+        return _count()
+    total_bytes = sum(Path(f).stat().st_size for f in inputs)
+    n_files = max(1, math.ceil(total_bytes / target_bytes))
+    if n_files >= len(inputs) and all(Path(f).parent == dest for f in inputs):
+        return _count()
+    # snapshot read: concurrent appends land new files, unseen here
+    df = spark.read.parquet(*inputs)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
+    stamp = _uuid.uuid4().hex[:8]
+    dest.mkdir(parents=True, exist_ok=True)
+    staged = sorted(Path(tmp_path).glob("*.parquet"))
+    dests = [dest / f"compact-{stamp}-{i:05d}.parquet" for i in range(len(staged))]
+    # Commit point: manifest first (atomic rename), then move files in.
+    manifest = dest / f"_compact-{stamp}.manifest.json"
+    manifest_tmp = dest / f".compact-{stamp}.manifest.tmp"
+    with open(manifest_tmp, "w") as fh:
+        fh.write(
+            _json.dumps({"new_files": [d.name for d in dests], "inputs": inputs})
+        )
+        fh.flush()
+        os.fsync(fh.fileno())  # content durable BEFORE the rename commits it
+    manifest_tmp.rename(manifest)
+    moved = []
+    for f, d in zip(staged, dests):
+        f.rename(d)
+        moved.append(d)
+    shutil.rmtree(tmp_path)
+    # delete merged inputs only after the new generation is fully in place
+    for f in inputs:
+        if Path(f) not in moved:
+            Path(f).unlink(missing_ok=True)
+    manifest.unlink(missing_ok=True)  # fold complete
+    return _count()
+
+
 def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
     """Small-file maintenance for batch_id-keyed landing tables (the dedup
     index / curation output): merge every ``batch_id`` subpath in
@@ -259,12 +322,12 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
     Returns the number of files in the compacted generation.
     """
     import glob as _glob
-    import json as _json
-    import uuid as _uuid
 
     gen_path = Path(base_dir) / f"batch_id={COMPACTED_GEN}"
+    # settle any crashed fold BEFORE listing inputs: roll-forward deletes
+    # already-folded input files, and listing them first would hand the
+    # fold core paths the repair is about to remove
     _repair_crashed_compaction(gen_path)
-
     inputs: list[str] = []
     for sub in sorted(Path(base_dir).glob("batch_id=*")):
         try:
@@ -273,37 +336,7 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
             continue
         if bid == COMPACTED_GEN or 0 <= bid < upto_batch_id:
             inputs.extend(sorted(str(p) for p in sub.glob("*.parquet")))
-    if not inputs:
-        return 0
-    df = spark.read.parquet(*inputs)  # snapshot: concurrent appends unseen
-    total_bytes = sum(Path(f).stat().st_size for f in inputs)
-    n_files = max(1, math.ceil(total_bytes / (128 * 1024 * 1024)))
-    tmp_path = f"{gen_path}__compact"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_path)
-    stamp = _uuid.uuid4().hex[:8]
-    gen_path.mkdir(parents=True, exist_ok=True)
-    staged = sorted(Path(tmp_path).glob("*.parquet"))
-    dests = [gen_path / f"compact-{stamp}-{i:05d}.parquet" for i in range(len(staged))]
-    # Commit point: manifest first (atomic rename), then move files in.
-    manifest = gen_path / f"_compact-{stamp}.manifest.json"
-    manifest_tmp = gen_path / f".compact-{stamp}.manifest.tmp"
-    with open(manifest_tmp, "w") as fh:
-        fh.write(
-            _json.dumps({"new_files": [d.name for d in dests], "inputs": inputs})
-        )
-        fh.flush()
-        os.fsync(fh.fileno())  # content durable BEFORE the rename commits it
-    manifest_tmp.rename(manifest)
-    moved = []
-    for f, dest in zip(staged, dests):
-        f.rename(dest)
-        moved.append(dest)
-    shutil.rmtree(tmp_path)
-    # delete merged inputs only after the new generation is fully in place
-    for f in inputs:
-        if Path(f) not in moved:
-            Path(f).unlink(missing_ok=True)
-    manifest.unlink(missing_ok=True)  # fold complete
+    fold_parquet_files(spark, inputs, gen_path)
     for sub in sorted(Path(base_dir).glob("batch_id=*")):
         try:
             bid = int(sub.name.split("=", 1)[1])

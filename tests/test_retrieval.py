@@ -477,6 +477,14 @@ def test_bm25_multi_indexed_matches_online_and_window_is_per_query(
         plan = df._jdf.queryExecution().executedPlan().toString()
         wline = next(ln for ln in plan.splitlines() if "row_number()" in ln)
         assert "query_id" in wline.split("], [", 1)[-1], wline
+        # the QUERY-TABLE join specifically is a broadcast hash join (its
+        # key is the literal `term` column) — a generic any-broadcast
+        # check would pass even if qt joined via a shuffled exchange
+        qt_join = [
+            ln for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln and "term" in ln
+        ]
+        assert qt_join, plan[:800]
 
 
 def test_text_index_sidecars_are_consistent(spark, tmp_path) -> None:
@@ -677,8 +685,16 @@ def test_compact_text_index_preserves_state_and_pruning(spark, tmp_path) -> None
     assert "PartitionFilters" in plan and "tbucket" in plan.split(
         "PartitionFilters", 1
     )[1].splitlines()[0]
+    # a crash-leftover `tbucket=N__compact` staging dir is neither treated
+    # as a bucket (integer-suffix guard) nor left on disk (the fold core
+    # clears pre-commit staging garbage when it next touches the bucket)
+    some_bucket = sorted(Path(idx).glob("tbucket=*"))[0]
+    leftover = Path(f"{some_bucket}__compact")
+    leftover.mkdir()
+    (leftover / "junk.parquet").write_bytes(b"not parquet")
     # idempotent: a second pass folds nothing further
     assert RT.compact_text_index(spark, idx) == counts
+    assert not leftover.exists()
     # and the index still accepts appends afterwards, staying correct
     online = [
         tuple(r)
