@@ -947,6 +947,89 @@ def bm25_multi_indexed(
         )
 
 
+def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
+    """One micro-batch's index landing — the REPLAY-IDEMPOTENT streaming
+    form of ``text_index_append``: postings land under
+    ``tbucket=<b>/batch_id=<n>`` and doclen under ``batch_id=<n>`` with
+    DYNAMIC partition overwrite, so an at-least-once replay overwrites
+    exactly its own (bucket, batch) slices instead of double-appending
+    (the flat append form is NOT replay-safe — that is the batch-job
+    path).  Term-routed pruning still holds: ``tbucket`` stays the
+    top-level partition, the extra ``batch_id`` level only subdivides
+    files inside a bucket.  The stats sidecar is rebuilt from doclen
+    after every landing — a pure function of it, so a torn overwrite is
+    repaired by any later batch (same convergence rule as the append
+    path)."""
+    from pyspark.sql import functions as F
+
+    from .staging import staged_views
+
+    _assert_no_null_text(batch_df, "text_index_ingest_batch")
+    view = f"__text_index_batch_{batch_id}"
+    batch_df.createOrReplaceTempView(view)
+    try:
+        tok_df = bspark.sql(tok_cte(X.SPARK, view))
+    finally:
+        bspark.catalog.dropTempView(view)
+    with staged_views(bspark, tok=tok_df) as v:
+        postings = bspark.sql(
+            f"SELECT doc_id, token, COUNT(*) AS tf, "
+            f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket, "
+            f"CAST({int(batch_id)} AS BIGINT) AS batch_id "
+            f"FROM {v.tok} GROUP BY doc_id, token"
+        )
+        (
+            postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tbucket", "batch_id")
+            .parquet(path)
+        )
+        dl = bspark.sql(bm25_dl_sql(v.tok)).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        (
+            dl.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{path}.doclen")
+        )
+    alldl = bspark.read.parquet(f"{path}.doclen")
+    stats = alldl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tok"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+
+
+def compact_streamed_text_index(
+    spark, path: str, upto_batch_id: int
+) -> dict[str, int]:
+    """Index maintenance for the STREAMED layout: each token bucket's
+    ``batch_id=<n>`` subpaths below the committed watermark fold into the
+    reserved ``batch_id=-1`` generation — literally
+    ``compact_batch_landings`` run per bucket directory (and once on the
+    doclen sidecar), so the watermark-coupling contract, the fold-manifest
+    crash safety, and the replay-ownership rule (a replayed batch
+    overwrites its own subpath; folded history lives at -1, below every
+    real batch id) are inherited verbatim.  Term-routed pruning is
+    untouched (tbucket stays the top-level partition)."""
+    from pathlib import Path
+
+    from ..sinks.writers import compact_batch_landings
+
+    out: dict[str, int] = {}
+    for sub in sorted(Path(path).glob("tbucket=*")):
+        try:
+            int(sub.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        out[sub.name] = compact_batch_landings(spark, str(sub), upto_batch_id)
+    out["doclen"] = compact_batch_landings(
+        spark, f"{path}.doclen", upto_batch_id
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Corpus-tercile perplexity banding (CCNet's actual cut rule: the paper
 # bands by corpus terciles, not fixed thresholds — here derived from the

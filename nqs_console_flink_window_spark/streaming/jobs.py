@@ -591,6 +591,43 @@ def run_packing_stream(
 
 
 # ---------------------------------------------------------------------------
+# Streaming inverted-index maintenance — documents arrive in micro-batches
+# and land straight into the BM25 index (operators/retrieval.py): postings
+# under (tbucket, batch_id) with dynamic partition overwrite, so replays
+# own their slices; the stats sidecar converges from doclen.  Queries run
+# against the live index via bm25_topk_indexed with no rebuild; history
+# folds into batch_id=-1 via compact_streamed_text_index at-or-below the
+# committed watermark (compact_batch_landings' contract, per bucket).
+# ---------------------------------------------------------------------------
+
+
+def run_indexing_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming runner for incremental text indexing (availableNow in
+    tests; a production job would run a processing-time trigger)."""
+    from ..operators.retrieval import text_index_ingest_batch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        text_index_ingest_batch(
+            batch_df.sparkSession, batch_df, batch_id, index_path
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
 # Streaming corpus curation — the ingest-time data-selection gate: each
 # micro-batch of documents is scored against a PRE-FIT DSIR bucket model
 # (constant-size, fitted once on a reference corpus — the thing you'd

@@ -9,6 +9,7 @@ import sys
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from nqs_console_flink_window_spark.config import SMOKE_SF_DIR, TABLE_NAMES
 from nqs_console_flink_window_spark.operators import retrieval as RT
@@ -503,6 +504,72 @@ def test_text_index_sidecars_are_consistent(spark, tmp_path) -> None:
 
     assert srow["t_tok"] == dl.agg(F.sum("dl")).first()[0]
     assert srow["t_tok"] == post.agg(F.sum("tf")).first()[0]
+
+
+def test_indexing_stream_matches_rebuild_replays_and_compacts(
+    spark, tmp_path
+) -> None:
+    """The streaming index (tbucket/batch_id dynamic-overwrite landings)
+    serves bm25_topk_indexed bit-identically to a full batch rebuild,
+    a replayed micro-batch converges (overwrites its own slices, no
+    double counting), the watermark-coupled compaction folds history into
+    batch_id=-1 without changing a single result, and term-routed
+    partition pruning still holds on the deeper layout."""
+    from pathlib import Path
+
+    from nqs_console_flink_window_spark.sources.batch import load_table
+    from nqs_console_flink_window_spark.streaming import jobs as J
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "streamidx")
+    J.run_indexing_stream(spark, stream, idx, str(tmp_path / "cp"))
+
+    full = str(tmp_path / "fullidx")
+    RT.build_text_index(spark, docs, full)
+    want = [tuple(r) for r in RT.bm25_topk_indexed(spark, full).collect()]
+    got_df = RT.bm25_topk_indexed(spark, idx)
+    assert [tuple(r) for r in got_df.collect()] == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+
+    # replay convergence: re-land one batch's EXACT docs under its
+    # batch_id (recovered from the landed doclen — micro-batch content
+    # depends on file listing order) — the dynamic overwrite owns
+    # exactly its old slices
+    replay_bid = 1
+    b1_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}.doclen")
+        .filter(F.col("batch_id") == replay_bid)
+        .select("doc_id")
+        .collect()
+    ]
+    assert b1_ids
+    some = docs.filter(F.col("doc_id").isin(b1_ids))
+    RT.text_index_ingest_batch(spark, some, replay_bid, idx)
+    assert [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()] == want
+
+    # compaction at the committed watermark: results unchanged, history
+    # folded to the reserved -1 generation, pruning intact
+    counts = RT.compact_streamed_text_index(spark, idx, upto_batch_id=10)
+    assert counts["doclen"] >= 1
+    for sub in Path(idx).glob("tbucket=*/batch_id=*"):
+        assert sub.name == "batch_id=-1", sub
+    assert [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()] == want
+    # idempotent second pass
+    assert RT.compact_streamed_text_index(spark, idx, upto_batch_id=10) == counts
 
 
 def test_lm_terciles_partition_corpus_in_thirds(spark) -> None:
