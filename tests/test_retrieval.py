@@ -570,6 +570,10 @@ def test_indexing_stream_matches_rebuild_replays_and_compacts(
     assert [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()] == want
     # idempotent second pass
     assert RT.compact_streamed_text_index(spark, idx, upto_batch_id=10) == counts
+    # the multi-query form serves off the streamed+compacted layout too
+    assert [tuple(r) for r in RT.bm25_multi_indexed(spark, idx).collect()] == [
+        tuple(r) for r in RT.bm25_multi_indexed(spark, full).collect()
+    ]
 
 
 def test_lm_terciles_partition_corpus_in_thirds(spark) -> None:
