@@ -577,6 +577,138 @@ def bm25_multi_df(
             )
 
 
+def _hybrid_rrf_multi_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    qt: str,
+    table: str,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH): the multi-query form of
+    the RRF fusion — every stage of the single-query version with a
+    query_id key threaded through.  Per-query candidates are docs holding
+    >= 1 of THAT query's terms; leg cuts ride rank windows PARTITIONED BY
+    query_id over the per-query candidate aggregations (bounded by
+    candidates per query, never corpus-wide)."""
+    n_body = f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
+    t_body = f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
+    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
+    ql_contrib = (
+        f"{qln_micro('5 * COALESCE(qtf.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
+        f" - {qln_micro('10 * dl.dl * (SELECT t_tok FROM t)')}"
+    )
+    return f"""
+n AS ({n_body}),
+t AS ({t_body}),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM {tf} GROUP BY token),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    {_bm25_contrib_expr()} AS contrib_micro
+  FROM {qt} qt
+  JOIN {tf} tf ON tf.token = qt.term
+  JOIN df ON tf.token = df.token
+  JOIN {dl} dl ON tf.doc_id = dl.doc_id
+),
+bm25agg AS (
+  SELECT query_id, doc_id,
+    CAST(SUM(CAST(floor(contrib_micro + 0.5) AS BIGINT)) AS BIGINT)
+      AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+),
+bm25r AS (
+  SELECT query_id, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+  FROM bm25agg
+),
+ctf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM {tf} GROUP BY token),
+candq AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id
+  FROM {qt} qt JOIN {tf} tf ON tf.token = qt.term
+),
+qlp AS (
+  SELECT cq.query_id, cq.doc_id, CAST(SUM({ql_contrib}) AS BIGINT) AS ql_micro
+  FROM candq cq
+  JOIN {qt} qt ON qt.query_id = cq.query_id
+  JOIN ctf ON ctf.token = qt.term
+  JOIN {dl} dl ON dl.doc_id = cq.doc_id
+  LEFT JOIN {tf} qtf ON qtf.doc_id = cq.doc_id AND qtf.token = qt.term
+  GROUP BY cq.query_id, cq.doc_id
+),
+qlr AS (
+  SELECT query_id, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY ql_micro DESC, doc_id) AS rn
+  FROM qlp
+),
+legs AS (
+  SELECT query_id, doc_id, rn, 1 AS is_bm25, 0 AS is_ql
+  FROM bm25r WHERE rn <= {leg_k}
+  UNION ALL
+  SELECT query_id, doc_id, rn, 0 AS is_bm25, 1 AS is_ql
+  FROM qlr WHERE rn <= {leg_k}
+),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(SUM({rrf}) AS BIGINT) AS rrf_pico,
+    CAST(MAX(is_bm25 * rn) AS BIGINT) AS bm25_rank,
+    CAST(MAX(is_ql * rn) AS BIGINT) AS ql_rank,
+    CAST(COUNT(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT fused.*,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rrf_pico DESC, doc_id) AS rk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_pico, bm25_rank, ql_rank, n_legs, rk,
+  {X.fround("CAST(rrf_pico AS DOUBLE) / 1.0E12", 9)} AS rrf_score
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+def hybrid_rrf_multi_sql(
+    d: str,
+    table: str = "documents",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+) -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), "
+        f"qt AS ({bm25_queryset_sql(queries)}), "
+        f"tfq AS ({bm25_tf_sql('tok', bm25_queryset_terms(queries))}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        + _hybrid_rrf_multi_ctes(d, "tfq", "dlt", "qt", table)
+    )
+
+
+def hybrid_rrf_multi_df(
+    spark,
+    table: str = "documents",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+):
+    """Engine side: same staging as bm25_multi_df (tok once; tf/dl once —
+    tf feeds df/scored/ctf/candq/the QL left join, dl feeds T and both
+    scorers); qt is the constant-folded broadcast relation.  Every rank
+    window partitions by query_id over per-query candidates."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    tok_df = spark.sql(tok_cte(d, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
+            return spark.sql(
+                f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+                + _hybrid_rrf_multi_ctes(d, v2.tf, v2.dl, "qt", table)
+            )
+
+
 # ---------------------------------------------------------------------------
 # PMI collocations
 # ---------------------------------------------------------------------------

@@ -86,6 +86,23 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_multi",
+    sql=RT.hybrid_rrf_multi_sql(X.DUCK),
+    doc="Extension — the multi-query form of the RRF fusion: every stage "
+    "of hybrid_rrf_topk with a query_id key threaded through (per-query "
+    "candidates, per-query leg rank windows, per-query fused cut), the "
+    "(query_id, term) table broadcast exactly like bm25_multi.  The "
+    "hard-negative-mining production shape for hybrid retrieval; "
+    "driver-gated via bm25_topk (shared scoring/token-stats machinery); "
+    "per-query parity with hybrid_rrf_topk pytest-pinned",
+    tier=2,
+)
+def hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    return RT.hybrid_rrf_multi_df(spark)
+
+
+@register(
     "pmi_collocations",
     sql=RT.pmi_collocations_sql(X.DUCK),
     doc="Extension — PMI collocation mining (Church & Hanks 1990) over "

@@ -286,6 +286,30 @@ def test_hybrid_rrf_fusion_rule_and_leg_consistency(spark) -> None:
             assert bm[rank - 1] == doc, (rank, doc)
 
 
+def test_hybrid_rrf_multi_matches_per_query_loop(spark) -> None:
+    """One hybrid_rrf_multi pass == a loop of single-query hybrid_rrf_topk
+    runs, query by query, bit-for-bit (same leg_k, same fusion rule — the
+    multi form's rank-window-then-filter leg cut is the same total order
+    as the single form's TakeOrdered-then-rank)."""
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    multi = REGISTRY["hybrid_rrf_multi"].spark(spark, SMOKE_SF_DIR).toPandas()
+    for qid, terms in RT.BM25_QUERYSET.items():
+        got = [
+            (r.doc_id, r.rrf_pico, r.bm25_rank, r.ql_rank, r.n_legs, r.rrf_score)
+            for r in multi[multi["query_id"] == qid].itertuples()
+        ]
+        want = [
+            (
+                r["doc_id"], r["rrf_pico"], r["bm25_rank"],
+                r["ql_rank"], r["n_legs"], r["rrf_score"],
+            )
+            for r in RT.hybrid_rrf_df(spark, query=terms).collect()
+        ]
+        assert got == want, qid
+
+
 def test_pagerank_weighted_matches_pure_python_fixed_point(spark) -> None:
     """Exact integer recompute of the WEIGHTED 5-step PageRank (edge
     weight = matching signature slots + 1) from the oracle's own
