@@ -37,14 +37,12 @@ def main() -> None:
     spark = get_spark("nqs-bench")
     headline = {n: q for n, q in REGISTRY.items() if q.headline}
 
-    # Warmup: run every headline query once at the smallest SF.  The plans
-    # are identical, so Catalyst analysis + whole-stage codegen compile +
-    # JVM JIT are all hot before timing starts — the measured one-shot run
-    # at the target SF then reflects steady-state throughput (what a long
-    # 100 TB job sees), not first-call compile latency.
-    warmup_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warmup_dir):
-        warmup_dir = sf_dir
+    # Warmup: run every headline query once at the TARGET SF.  Warming at a
+    # smaller SF leaves 10×-data shuffle/JIT paths cold and inflated round-7's
+    # recorded total by 1.32× vs a back-to-back re-run (BASELINE.md band
+    # notes).  One untimed pass at the target dir makes the timed pass
+    # reflect steady-state throughput — what a long 100 TB job sees.
+    warmup_dir = sf_dir
 
     # One failing query must not zero out the whole bench (round-2 lesson:
     # a loader regression crashed the first warmup call and the round

@@ -185,8 +185,16 @@ def lm_perplexity_df(spark, table: str = "documents"):
 # ---------------------------------------------------------------------------
 
 
+def _sql_str(t: str) -> str:
+    """Quote a term as a SQL string literal, doubling embedded quotes —
+    query terms come from user query tables in the production shape, so
+    raw interpolation is both a breakage (a term holding ``'`` kills the
+    statement) and an injection surface."""
+    return "'" + t.replace("'", "''") + "'"
+
+
 def bm25_tf_sql(tok: str, query: tuple[str, ...] = BM25_QUERY) -> str:
-    terms = ", ".join(f"'{t}'" for t in query)
+    terms = ", ".join(_sql_str(t) for t in query)
     return (
         f"SELECT doc_id, token, COUNT(*) AS tf FROM {tok} "
         f"WHERE token IN ({terms}) GROUP BY doc_id, token"
@@ -347,16 +355,20 @@ def _hybrid_rrf_ctes(
     d: str,
     tf: str,
     dl: str,
-    table: str,
+    table: str | None = None,
     leg_k: int = HYBRID_LEG_K,
     k: int = HYBRID_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
 ) -> str:
     """CTE-list + final SELECT (no leading WITH) fusing the BM25 and QL
     legs over shared ``tf``/``dl`` relations.  Leg ranks ride ROW_NUMBER
     over the TakeOrdered top lists (<= leg_k rows each); the fused cut is
-    another TakeOrdered."""
-    n_body = f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
-    t_body = f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
+    another TakeOrdered.  ``n_body``/``t_body`` override the N/T scalar
+    subqueries (the indexed path inlines the stats sidecar as literals,
+    same convention as ``_bm25_score_ctes``)."""
+    n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
+    t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
     rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
     return f"""
 n AS ({n_body}),
@@ -483,7 +495,7 @@ def bm25_queryset_sql(queries: dict[int, tuple[str, ...]] = BM25_QUERYSET) -> st
     side).  In production this relation is the user's query table; the
     plan shape is identical."""
     return " UNION ALL ".join(
-        f"SELECT {qid} AS query_id, '{t}' AS term"
+        f"SELECT {qid} AS query_id, {_sql_str(t)} AS term"
         for qid, terms in sorted(queries.items())
         for t in terms
     )
@@ -582,18 +594,21 @@ def _hybrid_rrf_multi_ctes(
     tf: str,
     dl: str,
     qt: str,
-    table: str,
+    table: str | None = None,
     leg_k: int = HYBRID_LEG_K,
     k: int = HYBRID_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
 ) -> str:
     """CTE-list + final SELECT (no leading WITH): the multi-query form of
     the RRF fusion — every stage of the single-query version with a
     query_id key threaded through.  Per-query candidates are docs holding
     >= 1 of THAT query's terms; leg cuts ride rank windows PARTITIONED BY
     query_id over the per-query candidate aggregations (bounded by
-    candidates per query, never corpus-wide)."""
-    n_body = f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
-    t_body = f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
+    candidates per query, never corpus-wide).  ``n_body``/``t_body``
+    override the N/T scalar subqueries for the indexed path."""
+    n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
+    t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
     rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
     ql_contrib = (
         f"{qln_micro('5 * COALESCE(qtf.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
@@ -942,6 +957,52 @@ def _assert_no_null_text(docs_df, where: str) -> None:
         )
 
 
+def _assert_fresh_doc_ids(
+    spark, new_docs, path: str, where: str, exclude_batch_id: int | None = None
+) -> None:
+    """Enforce the index's doc_id-uniqueness contract on an APPEND/INGEST
+    batch: a re-ingested doc_id would land a SECOND doclen row and a
+    second postings row per term, silently inflating N/T and
+    double-counting tf in every score — the same silent-N-drift class the
+    NULL-text assert closes.  Two probes, both batch-scale cheap (appends
+    are micro-batches):
+
+    - intra-batch: the batch itself must not repeat a doc_id;
+    - cross-batch: anti-join the batch's doc_ids against the existing
+      doclen sidecar (one limit(1) semi-join probe — parquet prunes via
+      row-group stats).  ``exclude_batch_id`` exempts rows the caller is
+      about to OVERWRITE (the replay-idempotent ingest path re-lands its
+      own (bucket, batch) slices — those rows are replaced, not
+      duplicated, so a replay must pass)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    ids = new_docs.select("doc_id")
+    dup = ids.groupBy("doc_id").count().filter("count > 1").limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            f"{where}: batch repeats a doc_id — duplicate doc_ids are "
+            "outside the text-index contract (duplicate doclen/postings "
+            "rows would inflate N/T and double-count tf in every score); "
+            "dedup the batch before indexing"
+        )
+    if not Path(f"{path}.doclen").exists():
+        return  # first landing — nothing to collide with
+    existing = spark.read.parquet(f"{path}.doclen")
+    if exclude_batch_id is not None and "batch_id" in existing.columns:
+        existing = existing.filter(F.col("batch_id") != int(exclude_batch_id))
+    clash = ids.join(existing.select("doc_id"), "doc_id", "left_semi").limit(1)
+    if clash.count() > 0:
+        raise ValueError(
+            f"{where}: batch re-ingests an already-indexed doc_id — "
+            "duplicate doc_ids are outside the text-index contract "
+            "(duplicate doclen/postings rows would inflate N/T and "
+            "double-count tf in every score); anti-join the batch "
+            "against the doclen sidecar before indexing"
+        )
+
+
 def build_text_index(spark, docs_df, path: str) -> None:
     """Materialize the inverted index: postings (token, doc_id, tf)
     written partitioned by ``tbucket`` = md5_int(token) % 64, plus two
@@ -983,6 +1044,20 @@ def build_text_index(spark, docs_df, path: str) -> None:
         # rebuild.  One footer-metadata count, no second corpus scan.
         n_dl = spark.read.parquet(f"{path}.doclen").count()
         if n_dl != n_docs:
+            # Two causes produce n_dl < n_docs: NULL-text docs (no tokens,
+            # no doclen row) and duplicate doc_ids (doclen groups by
+            # doc_id, so k copies collapse to one row).  One cheap
+            # distinct-count probe tells them apart so the error names
+            # the actual defect instead of mis-diagnosing.
+            n_distinct = docs_df.select("doc_id").distinct().count()
+            if n_distinct != n_docs:
+                raise ValueError(
+                    f"build_text_index: docs table repeats "
+                    f"{n_docs - n_distinct} doc_id(s) — duplicate doc_ids "
+                    "are outside the text-index contract (their postings "
+                    "merge under one doclen row, inflating tf while N "
+                    "counts every copy); dedup and rebuild"
+                )
             raise ValueError(
                 f"build_text_index: {n_docs - n_dl} NULL-text docs are "
                 "outside the text-index contract (no tokens, no doclen "
@@ -994,6 +1069,28 @@ def build_text_index(spark, docs_df, path: str) -> None:
             f"CAST(COUNT(*) AS BIGINT) AS t_tok FROM {v.tok}"
         )
         stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+
+
+def _indexed_inputs(spark, path: str, terms: tuple[str, ...]):
+    """Shared front half of every ``*_indexed`` retrieval form: route the
+    term set to its buckets (partition pruning at the file-listing level —
+    the PartitionFilters pytest pins this), read only those postings, load
+    the doc-length sidecar, and inline the 1-row stats sidecar as N/T
+    literal bodies.  Returns (post_df, dl_df, n_body, t_body)."""
+    from pyspark.sql import functions as F
+
+    buckets = sorted({_token_bucket(t) for t in terms})
+    srow = spark.read.parquet(f"{path}.stats").collect()[0]
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("token").isin(list(terms)))
+        .select("doc_id", "token", "tf")
+    )
+    dl = spark.read.parquet(f"{path}.doclen")
+    n_body = f"SELECT CAST({int(srow['n_docs'])} AS BIGINT) AS n_docs"
+    t_body = f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok"
+    return post, dl, n_body, t_body
 
 
 def bm25_topk_indexed(
@@ -1013,29 +1110,13 @@ def bm25_topk_indexed(
     the postings reflect the corpus at build time; ingest appends re-run
     ``build_text_index`` (or the stats drift, exactly like a Lucene
     segment awaiting merge)."""
-    from pyspark.sql import functions as F
-
     from .staging import staged_views
 
-    buckets = sorted({_token_bucket(t) for t in query})
-    srow = spark.read.parquet(f"{path}.stats").collect()[0]
-    post = (
-        spark.read.parquet(path)
-        .filter(F.col("tbucket").isin(buckets))
-        .filter(F.col("token").isin(list(query)))
-        .select("doc_id", "token", "tf")
-    )
-    dl = spark.read.parquet(f"{path}.doclen")
+    post, dl, n_body, t_body = _indexed_inputs(spark, path, query)
     with staged_views(spark, tf=post, dl=dl, checkpoint=False) as v:
         return spark.sql(
             "WITH "
-            + _bm25_score_ctes(
-                v.tf,
-                v.dl,
-                k=k,
-                n_body=f"SELECT CAST({int(srow['n_docs'])} AS BIGINT) AS n_docs",
-                t_body=f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok",
-            )
+            + _bm25_score_ctes(v.tf, v.dl, k=k, n_body=n_body, t_body=t_body)
         )
 
 
@@ -1051,30 +1132,90 @@ def bm25_multi_indexed(
     buckets |Q| times), then the same multi scoring fragment as the online
     form with the 1-row stats sidecar inlined as literals.  Bit-identical
     to ``bm25_multi_df`` by construction (parity-tested)."""
-    from pyspark.sql import functions as F
-
     from .staging import staged_views
 
-    terms = bm25_queryset_terms(queries)
-    buckets = sorted({_token_bucket(t) for t in terms})
-    srow = spark.read.parquet(f"{path}.stats").collect()[0]
-    post = (
-        spark.read.parquet(path)
-        .filter(F.col("tbucket").isin(buckets))
-        .filter(F.col("token").isin(list(terms)))
-        .select("doc_id", "token", "tf")
+    post, dl, n_body, t_body = _indexed_inputs(
+        spark, path, bm25_queryset_terms(queries)
     )
-    dl = spark.read.parquet(f"{path}.doclen")
     with staged_views(spark, tf=post, dl=dl, checkpoint=False) as v:
         return spark.sql(
             f"WITH qt AS ({bm25_queryset_sql(queries)}), "
             + _bm25_multi_ctes(
+                v.tf, v.dl, "qt", k=k, n_body=n_body, t_body=t_body
+            )
+        )
+
+
+def hybrid_rrf_topk_indexed(
+    spark,
+    path: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """Hybrid RRF retrieval against the persisted inverted index — the
+    compute-once-then-query production shape (the reference's whole design:
+    materialize to tables, query the tables — `ClickHouse建表定稿修改版
+    .txt:153-208`).  The online ``hybrid_rrf_df`` re-tokenizes the corpus
+    per call; at 100 TB that is the difference between |Q| pruned bucket
+    scans and a full corpus pass per query set.
+
+    Every QL-leg collection statistic the fusion needs is already in the
+    index: tf from the pruned postings, dl from the doclen sidecar, N/T
+    from the 1-row stats sidecar (inlined as literals), and ctf = per-term
+    SUM(tf) over the pruned postings — identical to the online form's sum
+    over query-term tf rows because postings hold tf for EVERY doc holding
+    the term.  Same ``_hybrid_rrf_ctes`` fragment, so results are
+    bit-identical to ``hybrid_rrf_df`` by construction (parity-tested on
+    both the batch-built and streamed+compacted layouts)."""
+    from .staging import staged_views
+
+    post, dl, n_body, t_body = _indexed_inputs(spark, path, query)
+    with staged_views(spark, tf=post, dl=dl, checkpoint=False) as v:
+        return spark.sql(
+            "WITH "
+            + _hybrid_rrf_ctes(
+                X.SPARK,
+                v.tf,
+                v.dl,
+                leg_k=leg_k,
+                k=k,
+                n_body=n_body,
+                t_body=t_body,
+            )
+        )
+
+
+def hybrid_rrf_multi_indexed(
+    spark,
+    path: str,
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """Multi-query hybrid RRF against the persisted inverted index — the
+    hard-negative-mining shape run the way production runs it: a standing
+    index queried per query TABLE, one pruned postings scan serving every
+    query's union of terms.  Same ``_hybrid_rrf_multi_ctes`` fragment as
+    the online form with the stats sidecar inlined; bit-identical to
+    ``hybrid_rrf_multi_df`` by construction (parity-tested)."""
+    from .staging import staged_views
+
+    post, dl, n_body, t_body = _indexed_inputs(
+        spark, path, bm25_queryset_terms(queries)
+    )
+    with staged_views(spark, tf=post, dl=dl, checkpoint=False) as v:
+        return spark.sql(
+            f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+            + _hybrid_rrf_multi_ctes(
+                X.SPARK,
                 v.tf,
                 v.dl,
                 "qt",
+                leg_k=leg_k,
                 k=k,
-                n_body=f"SELECT CAST({int(srow['n_docs'])} AS BIGINT) AS n_docs",
-                t_body=f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok",
+                n_body=n_body,
+                t_body=t_body,
             )
         )
 
@@ -1097,6 +1238,13 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
     from .staging import staged_views
 
     _assert_no_null_text(batch_df, "text_index_ingest_batch")
+    _assert_fresh_doc_ids(
+        bspark,
+        batch_df,
+        path,
+        "text_index_ingest_batch",
+        exclude_batch_id=batch_id,
+    )
     view = f"__text_index_batch_{batch_id}"
     batch_df.createOrReplaceTempView(view)
     try:
@@ -1299,6 +1447,7 @@ def text_index_append(spark, path: str, new_docs) -> None:
     from .staging import staged_views
 
     _assert_no_null_text(new_docs, "text_index_append")
+    _assert_fresh_doc_ids(spark, new_docs, path, "text_index_append")
     view = "__text_index_append_docs"
     new_docs.createOrReplaceTempView(view)
     try:

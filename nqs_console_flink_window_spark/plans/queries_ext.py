@@ -211,7 +211,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_hamming_hist",
     sql=DD.simhash_hamming_hist_sql(X.DUCK, max_dist=3),
-    doc="Extension — SimHash near-dup candidate volume by Hamming distance",
+    doc="Extension — SimHash near-dup candidate volume by Hamming distance.  "
+    "Rotated tier-2 round 8: driver-gated via dup_spans / dedup_clusters / "
+    "containment_estimate_fast (the banded-signature dedup machinery stays "
+    "tier-1 through three other surfaces); oracle parity pinned in "
+    "test_retrieval_family_oracle_parity's tier-2 sweep",
+    tier=2,
 )
 def simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -714,9 +719,8 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-integer (17*r*w) DIV (20*W_out) — representative selection "
     "now favors STRONG duplicates.  Same five-step driver loop / "
     "unrolled-CTE oracle as the unweighted form, bit-identical "
-    "cross-engine; driver-gated via pagerank_neardup (the iterative "
-    "fixed-point machinery on the driver surface)",
-    tier=2,
+    "cross-engine (tier-1 since round 8: weighted-propagation arithmetic "
+    "driver-hashed alongside the unweighted pagerank_neardup)",
 )
 def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))

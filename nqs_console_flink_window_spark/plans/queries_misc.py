@@ -388,7 +388,12 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 """,
     doc="A4 — latest-value snapshot via max_by(struct) aggregation: partial "
     "max combines map-side, shuffling one row per key-partition instead of "
-    "every duplicate (27% faster at 10M rows locally, more at cluster scale)",
+    "every duplicate (27% faster at 10M rows locally, more at cluster "
+    "scale).  Rotated tier-2 round 8: driver-gated via "
+    "dedup_last_write_wins + session_windows (the latest-per-key and "
+    "event-time window semantics stay tier-1); the window-form sibling "
+    "latest_event_per_user is tier-2-parity-checked alongside",
+    tier=2,
 )
 def latest_event_per_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import latest_per_key_agg

@@ -378,7 +378,11 @@ SELECT 'except_all' AS op, nk FROM
   (SELECT s_nationkey AS nk FROM supplier EXCEPT ALL SELECT c_nationkey FROM customer)
 """,
     doc="§2.10 — INTERSECT / EXCEPT / UNION DISTINCT plus bag-semantics "
-    "INTERSECT ALL / EXCEPT ALL (one driver row for both set-op families)",
+    "INTERSECT ALL / EXCEPT ALL (one driver row for both set-op families).  "
+    "Rotated tier-2 round 8: driver-gated via grouping_analytics (the "
+    "distinct-aggregation machinery) with set_ops_all already "
+    "tier-2-parity-checked",
+    tier=2,
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
@@ -777,7 +781,10 @@ def robust_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Laplace smoothing, 64 bins): the drift monitor the mergeable "
     "histogram landings feed in production.  ln only at integer args, "
     "quantized to micro-nats (qln_micro), PSI accumulated as exact BIGINT "
-    "nano-units — value-oracled (tier-1 since round 6)",
+    "nano-units — value-oracled.  Rotated tier-2 round 8: driver-gated "
+    "via histogram_quantiles (the fixed-bin mergeable-histogram machinery "
+    "and qln_micro discipline stay tier-1)",
+    tier=2,
 )
 def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -56,10 +56,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contribution is the SAME _bm25_contrib_expr fragment as bm25_topk, "
     "per-query top-k via a rank window PARTITIONED BY query_id over the "
     "post-aggregation candidate set (bounded by |queries| x candidates, "
-    "never corpus-wide).  tf still shuffles only the term-union rows; "
-    "driver-gated via bm25_topk (the same scoring math and token-stats "
-    "machinery on the driver surface)",
-    tier=2,
+    "never corpus-wide).  tf still shuffles only the term-union rows "
+    "(tier-1 since round 8: the driver gate hashes the multi-query "
+    "production shape directly)",
 )
 def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -75,10 +74,9 @@ def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leg rank) in exact integers.  QL contribution = qln(5*tf*T + "
     "5*ctf*dl) - qln(10*dl*T) micro-nats (integer args; tf=0 rows keep "
     "the smoothed background mass).  Leg cuts are TakeOrdered and the "
-    "rank windows cover <= 50 already-cut rows — never corpus-wide; "
-    "driver-gated via bm25_topk (the shared scoring/token-stats "
-    "machinery on the driver surface)",
-    tier=2,
+    "rank windows cover <= 50 already-cut rows — never corpus-wide "
+    "(tier-1 since round 8: the fusion stack is driver-hashed directly; "
+    "the indexed form rides the same fragment, pytest bit-parity)",
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -93,9 +91,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates, per-query leg rank windows, per-query fused cut), the "
     "(query_id, term) table broadcast exactly like bm25_multi.  The "
     "hard-negative-mining production shape for hybrid retrieval; "
-    "driver-gated via bm25_topk (shared scoring/token-stats machinery); "
-    "per-query parity with hybrid_rrf_topk pytest-pinned",
-    tier=2,
+    "per-query parity with hybrid_rrf_topk pytest-pinned (tier-1 since "
+    "round 8)",
 )
 def hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
