@@ -356,6 +356,39 @@ def ivf_assignments(df: DataFrame, vec_col: str = "embedding"):
     return assigned, centers
 
 
+def _write_centroids(spark, centers: np.ndarray, path: str) -> None:
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}.centroids")
+
+
+def _read_centroids(spark, path: str) -> np.ndarray:
+    """Load the persisted coarse quantizer as the ordered centroid matrix
+    (argmin row index == cell id) — the one routing artifact every
+    post-build IVF path (append, streamed ingest, indexed search) shares."""
+    cent_rows = sorted(
+        (
+            (r["cell"], r["centroid"])
+            for r in spark.read.parquet(f"{path}.centroids").collect()
+        )
+    )
+    # persisted cells are the contiguous 0..k-1 range build_ivf_index wrote;
+    # sorting restores centroid row order so argmin index == cell id
+    assert [c for c, _ in cent_rows] == list(range(len(cent_rows)))
+    return np.asarray([v for _, v in cent_rows], dtype=np.float64)
+
+
+def ivf_fit_centroids(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Fit-and-persist ONLY the coarse quantizer (bounded deterministic
+    Lloyd on <= IVF_TRAIN_SAMPLE vectors) — the bootstrap a pure streaming
+    build needs: production ANN systems train the quantizer offline on a
+    reference sample, then every ingest path routes into the frozen
+    centroids.  ``build_ivf_index`` = this + one full assignment pass."""
+    centers = _ivf_centers(df, vec_col)
+    _write_centroids(df.sparkSession, centers, path)
+
+
 def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
     """Materialize the IVF index: the corpus rewritten as parquet partitioned
     by ``cell``, centroids stored alongside (``<path>.centroids``).
@@ -366,11 +399,7 @@ def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding") -> Non
     or schedules the other cells' files at all."""
     assigned, centers = ivf_assignments(df, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    spark = df.sparkSession
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
-    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}.centroids")
+    _write_centroids(df.sparkSession, centers, path)
 
 
 def ivf_index_append(
@@ -386,21 +415,88 @@ def ivf_index_append(
     rebuild would put them; appended files join their cell's partition, so
     nprobe partition pruning keeps holding without touching old files.
     Re-clustering (when drift makes cells lopsided) is build_ivf_index
-    again — an offline rebuild, exactly like production ANN systems."""
-    cent_rows = sorted(
-        (
-            (r["cell"], r["centroid"])
-            for r in spark.read.parquet(f"{path}.centroids").collect()
-        )
-    )
-    # persisted cells are the contiguous 0..k-1 range build_ivf_index wrote;
-    # sorting restores centroid row order so argmin index == cell id
-    assert [c for c, _ in cent_rows] == list(range(len(cent_rows)))
-    centers = np.asarray([v for _, v in cent_rows], dtype=np.float64)
-
+    again — an offline rebuild, exactly like production ANN systems.
+    Small-file debt from repeated appends is settled by
+    ``compact_ivf_index`` (the text index's fold treatment)."""
+    centers = _read_centroids(spark, path)
     new_vecs.withColumn(
         "cell", assign_cells_udf(centers)(F.col(vec_col))
     ).write.mode("append").partitionBy("cell").parquet(path)
+
+
+def ivf_index_ingest_batch(
+    bspark, batch_df: DataFrame, batch_id: int, path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch's IVF landing — the REPLAY-IDEMPOTENT streaming form
+    of ``ivf_index_append`` (the text index's ``text_index_ingest_batch``
+    treatment applied to the vector index): vectors route through the
+    persisted centroids and land under ``cell=<c>/batch_id=<n>`` with
+    DYNAMIC partition overwrite, so an at-least-once replay overwrites
+    exactly its own (cell, batch) slices instead of double-appending.
+    nprobe partition pruning still holds: ``cell`` stays the top-level
+    partition, the extra ``batch_id`` level only subdivides files inside a
+    cell.  The quantizer must already be persisted (``ivf_fit_centroids``
+    or a prior ``build_ivf_index``) — streaming ingest never re-fits."""
+    centers = _read_centroids(bspark, path)
+    (
+        batch_df.withColumn("cell", assign_cells_udf(centers)(F.col(vec_col)))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch_id")
+        .parquet(path)
+    )
+
+
+def compact_streamed_ivf_index(
+    spark, path: str, upto_batch_id: int
+) -> dict[str, int]:
+    """Index maintenance for the STREAMED IVF layout: each cell's
+    ``batch_id=<n>`` subpaths below the committed watermark fold into the
+    reserved ``batch_id=-1`` generation — ``compact_batch_landings`` run
+    per cell directory, so the watermark-coupling contract, the
+    fold-manifest crash safety, and the replay-ownership rule are
+    inherited verbatim from the ONE shared fold core.  nprobe pruning is
+    untouched (cell stays the top-level partition).  Returns
+    ``{cell_dir: file_count}``."""
+    from pathlib import Path
+
+    from ..sinks.writers import compact_batch_landings
+
+    out: dict[str, int] = {}
+    for sub in sorted(Path(path).glob("cell=*")):
+        try:
+            int(sub.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        out[sub.name] = compact_batch_landings(spark, str(sub), upto_batch_id)
+    return out
+
+
+def compact_ivf_index(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict[str, int]:
+    """Index maintenance for ``ivf_index_append``'s small files: fold each
+    cell's vector files toward ~``target_bytes`` targets via the shared
+    crash-safe fold core.  Pure layout change — rows, the ``cell=N``
+    partition encoding, and nprobe pruning are all preserved; the
+    centroids sidecar needs no touch (appends never change it).  The
+    Lucene segment-merge analogue for the vector index, closing the same
+    operational gap the text index closed in round 7."""
+    from pathlib import Path
+
+    from ..sinks.writers import fold_parquet_files
+
+    out: dict[str, int] = {}
+    for sub in sorted(Path(path).glob("cell=*")):
+        try:
+            int(sub.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        inputs = sorted(str(p) for p in sub.glob("*.parquet"))
+        out[sub.name] = fold_parquet_files(spark, inputs, sub, target_bytes)
+    return out
 
 
 def ivf_topk_indexed(

@@ -177,3 +177,29 @@ def ann_ivfpq_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
         _pq_rows(ids[keep], mat[keep], q, books, dsub),
         columns=["vec_id", "est_dot", "cosine"],
     )
+
+
+def ann_recall_audit_oracle(con, sf_dir: str) -> pd.DataFrame:
+    """recall@10 of each approximate index family vs brute-force exact
+    cosine — the index-quality audit row.  Exact top-10 comes from the
+    SAME DuckDB twin the hash-green ``cosine_topk`` registration trusts
+    (cosine_duck_cte); each approximate set is the family's own
+    deterministic oracle recompute, so the audit is value-checkable
+    end-to-end with no new modeling surface."""
+    exact_sql = (
+        f"WITH scored AS ({SIM.cosine_duck_cte('embeddings', 'vec_id = 0')}) "
+        "SELECT vec_id FROM scored WHERE vec_id <> 0 "
+        "ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+    exact = {int(v) for (v,) in con.execute(exact_sql).fetchall()}
+    rows = []
+    for method, odf in (
+        ("ivf", ann_ivf_topk_oracle(con, sf_dir)),
+        ("ivfpq", ann_ivfpq_topk_oracle(con, sf_dir)),
+        ("pq", ann_pq_topk_oracle(con, sf_dir)),
+    ):
+        hits = len({int(v) for v in odf["vec_id"]} & exact)
+        rows.append((method, 10, hits, hits / 10.0))
+    return pd.DataFrame(
+        rows, columns=["method", "k", "hits", "recall_at_k"]
+    ).astype({"k": "int64", "hits": "int64"})

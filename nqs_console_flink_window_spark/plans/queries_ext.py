@@ -1942,6 +1942,64 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_audit",
+    sql=None,  # k-means families have no SQL twin — value-oracled in Python
+    oracle_py=ORC.ann_recall_audit_oracle,
+    doc="Extension — index-quality audit: recall@10 of each approximate "
+    "ANN family (IVF, PQ-ADC, IVF-PQ) against brute-force exact cosine, "
+    "one row per method.  Makes index-quality regressions GATE-visible "
+    "(a broken quantizer/codebook now flips a value-hashed number) "
+    "instead of pytest-only; the exact set is the hash-green cosine_topk "
+    "machinery, each approximate set its registered deterministic "
+    "recompute, so no new modeling surface enters the audit.  Floors "
+    "pytest-pinned (test_ann_recall_audit_floor); driver-gated via "
+    "ann_topk / cosine_topk (the ANN + exact families on the driver "
+    "surface)",
+    tier=2,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qvec = [float(x) for x in qrow]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    exact10 = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.expr(SIM.cosine_spark("embedding", "qe")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    # k=10 rows cross the driver — bounded by construction (the collect
+    # audit class); reusing the ids as a literal IN-list avoids running
+    # the brute-force pass once per audited method
+    exact_ids = [int(r["vec_id"]) for r in exact10.collect()]
+    parts = []
+    for method, adf in (
+        ("ivf", SIM.ivf_topk(corpus, qvec, k=10)),
+        ("ivfpq", SIM.ivfpq_topk(corpus, qvec, k=10)),
+        ("pq", SIM.pq_topk(corpus, qvec, k=10)),
+    ):
+        parts.append(
+            adf.select("vec_id")
+            .filter(F.col("vec_id").isin(exact_ids))
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(10).cast("long").alias("k"),
+                "hits",
+                (F.col("hits").cast("double") / 10.0).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
     "containment_capped",
     sql=DD.containment_capped_sql(X.DUCK),
     doc="Extension — degree-capped containment verification as a fully "

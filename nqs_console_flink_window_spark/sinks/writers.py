@@ -208,8 +208,13 @@ def _repair_crashed_compaction(gen_path: Path) -> None:
             continue
         new_files = [gen_path / name for name in spec["new_files"]]
         if all(p.exists() for p in new_files):
+            # inputs are recorded as ABSOLUTE paths at manifest-write time,
+            # so this roll-forward works from any working directory;
+            # missing_ok stays — a crash mid-deletion legitimately leaves
+            # some inputs already gone
+            new_abs = {p.resolve() for p in new_files}
             for f in spec["inputs"]:
-                if Path(f) not in new_files:
+                if Path(f).resolve() not in new_abs:
                     Path(f).unlink(missing_ok=True)
         else:
             for p in new_files:
@@ -242,7 +247,12 @@ def fold_parquet_files(
     _repair_crashed_compaction(dest)
     tmp_path = f"{dest}__compact"
     shutil.rmtree(tmp_path, ignore_errors=True)
-    inputs = sorted(inputs)
+    # Manifest paths must be ABSOLUTE: a crash repair may run from a
+    # different working directory, and relative inputs would make the
+    # roll-forward deletion silently no-op (missing_ok), leaving the
+    # merged inputs on disk and permanently duplicating rows in the
+    # folded generation on the next pass.
+    inputs = sorted(str(Path(f).resolve()) for f in inputs)
 
     def _count() -> int:
         return len(list(dest.glob("*.parquet"))) if dest.is_dir() else 0
@@ -251,7 +261,9 @@ def fold_parquet_files(
         return _count()
     total_bytes = sum(Path(f).stat().st_size for f in inputs)
     n_files = max(1, math.ceil(total_bytes / target_bytes))
-    if n_files >= len(inputs) and all(Path(f).parent == dest for f in inputs):
+    if n_files >= len(inputs) and all(
+        Path(f).parent == dest.resolve() for f in inputs
+    ):
         return _count()
     # snapshot read: concurrent appends land new files, unseen here
     df = spark.read.parquet(*inputs)
@@ -276,8 +288,9 @@ def fold_parquet_files(
         moved.append(d)
     shutil.rmtree(tmp_path)
     # delete merged inputs only after the new generation is fully in place
+    moved_abs = {d.resolve() for d in moved}
     for f in inputs:
-        if Path(f) not in moved:
+        if Path(f) not in moved_abs:
             Path(f).unlink(missing_ok=True)
     manifest.unlink(missing_ok=True)  # fold complete
     return _count()

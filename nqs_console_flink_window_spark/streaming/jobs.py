@@ -627,6 +627,37 @@ def run_indexing_stream(
     q.awaitTermination()
 
 
+def run_ivf_indexing_stream(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming runner for incremental IVF vector indexing — the
+    ``run_indexing_stream`` twin for the embedding index.  The coarse
+    quantizer must already be persisted (``ivf_fit_centroids`` /
+    ``build_ivf_index``): streaming ingest only ROUTES into the frozen
+    centroids, never re-fits (availableNow in tests; production would run
+    a processing-time trigger)."""
+    from ..operators.similarity import ivf_index_ingest_batch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        ivf_index_ingest_batch(
+            batch_df.sparkSession, batch_df, batch_id, index_path, vec_col
+        )
+
+    q = (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Streaming corpus curation — the ingest-time data-selection gate: each
 # micro-batch of documents is scored against a PRE-FIT DSIR bucket model

@@ -1427,6 +1427,161 @@ def test_ivf_index_append_routes_and_prunes(spark, tmp_path) -> None:
     assert {r["cell"] for r in top.collect()} <= set(probe)
 
 
+def test_ann_recall_audit_floor(spark) -> None:
+    """The registered recall audit reports sane per-method floors on the
+    smoke fixture — an index-quality regression (broken quantizer fit,
+    codebook drift, probe routing bug) now fails a pinned number, not
+    just the hash gate.  Floors are calibrated to THIS fixture: the
+    synthetic embeddings are uniform random (no cluster structure — the
+    ANN-hostile worst case), so absolute recall is inherently modest
+    (measured ivf 0.7 / pq 0.6 / ivfpq 0.5 at sf0.001); production
+    embeddings cluster and recall rises with nprobe.  The floor sits one
+    notch under measured so only a REGRESSION trips it, not fixture
+    noise."""
+    from nqs_console_flink_window_spark.plans.queries_ext import ann_recall_audit
+
+    rows = {r["method"]: r for r in ann_recall_audit(spark, SMOKE_SF_DIR).collect()}
+    assert set(rows) == {"ivf", "pq", "ivfpq"}
+    floors = {"ivf": 0.6, "pq": 0.5, "ivfpq": 0.4}
+    for method, floor in floors.items():
+        r = rows[method]
+        assert r["k"] == 10 and r["hits"] == round(r["recall_at_k"] * 10)
+        assert r["recall_at_k"] >= floor, (method, r["recall_at_k"])
+
+
+def test_ivf_streamed_ingest_matches_rebuild_replays_and_compacts(
+    spark, tmp_path
+) -> None:
+    """The streamed IVF layout (cell/batch_id dynamic-overwrite landings
+    routed through pre-fit centroids) serves ivf_topk_indexed identically
+    to a full batch build over the same vectors, a replayed micro-batch
+    converges (overwrites its own slices — no duplicate vectors), the
+    watermark-coupled compaction folds history into batch_id=-1 without
+    changing a single result, and nprobe partition pruning holds on the
+    deeper layout — the text index's round-7 lifecycle applied to the
+    vector index."""
+    import contextlib
+    import io
+    from pathlib import Path
+
+    from nqs_console_flink_window_spark.streaming import jobs as J
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [0.25] * dim
+
+    # full batch build = the parity anchor (also fits the quantizer)
+    full = str(tmp_path / "ivf_full")
+    SIM.build_ivf_index(emb, full)
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.ivf_topk_indexed(spark, full, qvec, k=10).collect()
+    ]
+
+    # streamed build: fit ONLY the quantizer (same corpus sample -> same
+    # centroids as the full build), then land 3 micro-batches via the
+    # foreachBatch runner
+    idx = str(tmp_path / "ivf_stream")
+    SIM.ivf_fit_centroids(emb, idx)
+    src = str(tmp_path / "vecsrc")
+    emb.withColumn("part", F.col("vec_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    J.run_ivf_indexing_stream(spark, stream, idx, str(tmp_path / "cp"))
+
+    def got():
+        return [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in SIM.ivf_topk_indexed(spark, idx, qvec, k=10).collect()
+        ]
+
+    assert got() == want
+    # no duplicate vectors across landings
+    n = spark.read.parquet(idx).count()
+    assert n == emb.count()
+
+    # replay convergence: re-land one batch's EXACT vectors under its
+    # batch_id — the dynamic overwrite owns exactly its old slices
+    replay_bid = 1
+    b1_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(idx)
+        .filter(F.col("batch_id") == replay_bid)
+        .select("vec_id")
+        .collect()
+    ]
+    assert b1_ids
+    SIM.ivf_index_ingest_batch(
+        spark, emb.filter(F.col("vec_id").isin(b1_ids)), replay_bid, idx
+    )
+    assert spark.read.parquet(idx).count() == n
+    assert got() == want
+
+    # compaction at the committed watermark: results unchanged, history
+    # folded to the reserved -1 generation, idempotent second pass
+    counts = SIM.compact_streamed_ivf_index(spark, idx, upto_batch_id=10)
+    for sub in Path(idx).glob("cell=*/batch_id=*"):
+        assert sub.name == "batch_id=-1", sub
+    assert got() == want
+    assert SIM.compact_streamed_ivf_index(spark, idx, upto_batch_id=10) == counts
+
+    # nprobe pruning on the deeper (cell, batch_id) layout
+    import numpy as np
+
+    cent = {
+        r["cell"]: np.asarray(r["centroid"])
+        for r in spark.read.parquet(f"{idx}.centroids").collect()
+    }
+    qa = np.asarray(qvec)
+    d2 = {c: float(((v - qa) ** 2).sum()) for c, v in cent.items()}
+    probe = sorted(d2, key=d2.get)[: SIM.IVF_NPROBE]
+    pruned = spark.read.parquet(idx).filter(F.col("cell").isin(probe))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+
+def test_ivf_append_compaction_preserves_results(spark, tmp_path) -> None:
+    """compact_ivf_index folds the flat-append path's per-append small
+    files into ~target-size files per cell without changing any result —
+    and a second pass is a no-op (fold-core idempotence)."""
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [0.25] * dim
+    path = str(tmp_path / "ivf_app")
+    SIM.build_ivf_index(emb.filter("vec_id % 4 = 0"), path)
+    for m in (1, 2, 3):
+        SIM.ivf_index_append(spark, path, emb.filter(f"vec_id % 4 = {m}"))
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.ivf_topk_indexed(spark, path, qvec, k=10).collect()
+    ]
+    n_before = spark.read.parquet(path).count()
+    counts = SIM.compact_ivf_index(spark, path)
+    from pathlib import Path
+
+    for sub, c in counts.items():
+        assert c == 1, (sub, c)  # tiny cells fold to one file each
+        files = list((Path(path) / sub).glob("*.parquet"))
+        assert len(files) == 1 and files[0].name.startswith("compact-")
+    assert spark.read.parquet(path).count() == n_before
+    assert [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.ivf_topk_indexed(spark, path, qvec, k=10).collect()
+    ] == want
+    assert SIM.compact_ivf_index(spark, path) == counts
+
+
 def _png_encode(pixels, channels, filters):
     """Minimal test-side PNG writer: one explicit filter type per scanline
     (applied FORWARD, so the decoder must invert all five), 8-bit."""
