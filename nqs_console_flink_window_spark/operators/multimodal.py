@@ -13,10 +13,12 @@ metadata struct; decode / feature-extraction run as Arrow-batched
   zlib inflate + all 5 scanline filters.
 - **BMP** (24-bit uncompressed) and **GIF** (87a/89a, non-interlaced,
   LZW) — REAL decodes, pure stdlib.
-- **JPEG** (baseline sequential SOF0, 8-bit, grayscale or 4:4:4 YCbCr,
-  single scan, no restart intervals) — REAL decode: canonical Huffman
-  entropy decode + dequant + IDCT + YCbCr->RGB, pure stdlib.
-- anything else (progressive/subsampled JPEG, MP3/MP4... — genuinely
+- **JPEG** (baseline sequential SOF0, 8-bit, grayscale or YCbCr with
+  sampling factors up to 2x2 — 4:4:4, 4:2:2, 4:4:0 and the dominant
+  4:2:0 — single scan, no restart intervals) — REAL decode: canonical
+  Huffman entropy decode + dequant + IDCT + chroma upsample +
+  YCbCr->RGB, pure stdlib.
+- anything else (progressive JPEG, 4:1:1, MP3/MP4... — genuinely
   codec-bound: progressive scan wiring, psychoacoustics and video
   codecs need real codec libs, NOT in this container) — the
   clearly-marked deterministic byte-histogram stub stands in;
@@ -495,13 +497,15 @@ def _idct_8x8(coefs: list[int]) -> list[list[float]]:
 
 def decode_jpeg_features(payload: bytes) -> list[float]:
     """REAL image decode, pure stdlib: baseline sequential JFIF (SOF0,
-    8-bit, grayscale or YCbCr WITHOUT chroma subsampling, single scan, no
-    restart intervals) -> the shared image feature layout.  Marker walk +
-    canonical Huffman entropy decode + dequant + de-zigzag + separable
-    float IDCT + level shift + YCbCr->RGB (BT.601 as specified by JFIF).
-    Progressive (SOF2), extended/lossless SOFs, arithmetic coding,
-    subsampled chroma and restart-marker streams raise -> the dispatch
-    falls back to the stub."""
+    8-bit, grayscale or YCbCr with sampling factors up to 2x2 — 4:4:4,
+    4:2:2, 4:4:0, 4:2:0 — single scan, no restart intervals) -> the
+    shared image feature layout.  Marker walk (0xFF fill bytes skipped
+    per T.81 B.1.1.2) + canonical Huffman entropy decode over interleaved
+    MCUs + dequant + de-zigzag + separable float IDCT + level shift +
+    nearest-neighbor chroma upsample + YCbCr->RGB (BT.601 as specified
+    by JFIF).  Progressive (SOF2), extended/lossless SOFs, arithmetic
+    coding, h/v factors > 2 and restart-marker streams raise -> the
+    dispatch falls back to the stub."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -517,6 +521,11 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker stream")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them instead of reading 0xFF as the marker code
+        # (which silently demoted legal baseline files to the stub)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -547,9 +556,12 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
             for _ in range(nc):
                 cid, hv, tqi = seg[p], seg[p + 1], seg[p + 2]
                 p += 3
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append((cid, tqi))
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    # 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 covered; 4:1:1 (h=4)
+                    # and exotica stay on the stub path
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                comps.append((cid, tqi, h, v))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF unsupported")
@@ -595,57 +607,101 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
         pos += ln
     if scan_data is None or comps is None or width is None:
         raise ValueError("incomplete jpeg")
-    if any(cid not in scan_tabs for cid, _ in comps):
+    if any(cid not in scan_tabs for cid, _, _, _ in comps):
         raise ValueError("scan does not cover all components")
 
     rd = _JpegBits(scan_data)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [
-        [[0] * (bw * 8) for _ in range(bh * 8)] for _ in comps
-    ]
-    pred = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tqi) in enumerate(comps):
-                td, ta = scan_tabs[cid]
-                q = qt[tqi]
-                s = _jpeg_huff_decode(rd, huff_dc[td])
-                pred[ci] += _jpeg_extend(rd.bits(s), s) if s else 0
-                coefs = [0] * 64
-                coefs[0] = pred[ci] * q[0]
-                k = 0
-                while k < 63:
-                    rs_sym = _jpeg_huff_decode(rd, huff_ac[ta])
-                    r, s = rs_sym >> 4, rs_sym & 15
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r + 1
-                    if k > 63:
-                        raise ValueError("AC coefficient overflow")
-                    nat = _JPEG_ZIGZAG[k]
-                    coefs[nat] = _jpeg_extend(rd.bits(s), s) * q[nat]
-                px = _idct_8x8(coefs)
-                plane = planes[ci]
-                for yy in range(8):
-                    row = plane[by * 8 + yy]
-                    prow = px[yy]
-                    for xx in range(8):
-                        v = int(round(prow[xx] + 128.0))
-                        row[bx * 8 + xx] = 0 if v < 0 else (255 if v > 255 else v)
 
+    def decode_block(hdc: dict, hac: dict, q: list[int], ci: int):
+        """One entropy-coded 8x8 block -> clipped int pixels (post-IDCT,
+        level-shifted).  DC rides the per-component predictor."""
+        s = _jpeg_huff_decode(rd, hdc)
+        pred[ci] += _jpeg_extend(rd.bits(s), s) if s else 0
+        coefs = [0] * 64
+        coefs[0] = pred[ci] * q[0]
+        k = 0
+        while k < 63:
+            rs_sym = _jpeg_huff_decode(rd, hac)
+            r, s = rs_sym >> 4, rs_sym & 15
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r + 1
+            if k > 63:
+                raise ValueError("AC coefficient overflow")
+            nat = _JPEG_ZIGZAG[k]
+            coefs[nat] = _jpeg_extend(rd.bits(s), s) * q[nat]
+        px = _idct_8x8(coefs)
+        out = [[0] * 8 for _ in range(8)]
+        for yy in range(8):
+            prow = px[yy]
+            orow = out[yy]
+            for xx in range(8):
+                v = int(round(prow[xx] + 128.0))
+                orow[xx] = 0 if v < 0 else (255 if v > 255 else v)
+        return out
+
+    def blit(plane, px, by: int, bx: int) -> None:
+        for yy in range(8):
+            plane[by * 8 + yy][bx * 8 : bx * 8 + 8] = px[yy]
+
+    pred = [0] * len(comps)
     if len(comps) == 1:
-        flat = [planes[0][y][x] for y in range(height) for x in range(width)]
+        # single-component scans are NON-interleaved: one block per MCU
+        # regardless of the declared sampling factors (T.81 A.2.2)
+        cid, tqi, _h, _v = comps[0]
+        td, ta = scan_tabs[cid]
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+        for by in range(bh):
+            for bx in range(bw):
+                blit(plane, decode_block(huff_dc[td], huff_ac[ta], qt[tqi], 0), by, bx)
+        flat = [plane[y][x] for y in range(height) for x in range(width)]
         return _image_stats(flat, flat, flat, width, height)
+
+    # Interleaved 3-component scan: an MCU is hmax*8 x vmax*8 image pixels;
+    # component i contributes h_i x v_i blocks per MCU into a plane sampled
+    # at (h_i/hmax, v_i/vmax) of full resolution (4:2:0 = luma 2x2, chroma
+    # 1x1 — the dominant real-world JPEG shape; 4:4:4 degenerates to the
+    # one-block-each case).  Planes are allocated on the MCU grid because
+    # interleaved scans pad to whole MCUs.
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        [[0] * (mcux * h * 8) for _ in range(mcuy * v * 8)]
+        for _, _, h, v in comps
+    ]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, tqi, h, v) in enumerate(comps):
+                td, ta = scan_tabs[cid]
+                for bv in range(v):
+                    for bhh in range(h):
+                        blit(
+                            planes[ci],
+                            decode_block(huff_dc[td], huff_ac[ta], qt[tqi], ci),
+                            my * v + bv,
+                            mx * h + bhh,
+                        )
+
+    # Upsample chroma by sample replication (nearest-neighbor box — the
+    # JFIF-sanctioned simple reconstruction) during YCbCr->RGB (BT.601)
+    (_, _, h0, v0), (_, _, h1, v1), (_, _, h2, v2) = comps
     rs_l: list[int] = []
     gs_l: list[int] = []
     bs_l: list[int] = []
     for y in range(height):
-        y_row, cb_row, cr_row = planes[0][y], planes[1][y], planes[2][y]
+        y_row = planes[0][y * v0 // vmax]
+        cb_row = planes[1][y * v1 // vmax]
+        cr_row = planes[2][y * v2 // vmax]
         for x in range(width):
-            yy, cb, cr = y_row[x], cb_row[x] - 128, cr_row[x] - 128
+            yy = y_row[x * h0 // hmax]
+            cb = cb_row[x * h1 // hmax] - 128
+            cr = cr_row[x * h2 // hmax] - 128
             for acc, v in (
                 (rs_l, yy + 1.402 * cr),
                 (gs_l, yy - 0.344136 * cb - 0.714136 * cr),

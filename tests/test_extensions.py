@@ -1908,12 +1908,14 @@ def test_multimodal_bmp_and_gif_decode(spark) -> None:
         assert all(abs(a - b) < 1e-6 for a, b in zip(arrow[mid], want)), mid
 
 
-def _jpeg_encode_baseline(rows, gray: bool) -> bytes:
+def _jpeg_encode_baseline(rows, gray: bool, sampling=None) -> bytes:
     """Independent baseline-JFIF encoder for the decoder test: level shift,
     float FDCT, all-ones quant tables (near-lossless), flat canonical
     Huffman tables (12 DC symbols at length 4; all 162 standard AC symbols
-    at length 8), 4:4:4 interleave, byte stuffing.  ``rows`` is
-    height x width of ints (gray) or (r, g, b) tuples."""
+    at length 8), interleaved MCUs with per-component ``sampling`` factors
+    (default 1x1 each = 4:4:4; [(2,2),(1,1),(1,1)] = 4:2:0 with box-mean
+    chroma downsample), byte stuffing.  ``rows`` is height x width of ints
+    (gray) or (r, g, b) tuples."""
     import math
     import struct
 
@@ -1932,6 +1934,29 @@ def _jpeg_encode_baseline(rows, gray: bool) -> bytes:
             cb_p.append(cbr)
             cr_p.append(crr)
         planes = [y_p, cb_p, cr_p]
+    sampling = sampling or [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    if (hmax, vmax) != (1, 1):
+        # downsample each plane to its sampled resolution by box mean
+        ds = []
+        for plane, (sh, sv) in zip(planes, sampling):
+            fx, fy = hmax // sh, vmax // sv
+            pw = (w + fx - 1) // fx
+            ph = (h + fy - 1) // fy
+            out = []
+            for yy in range(ph):
+                row = []
+                for xx in range(pw):
+                    vals = [
+                        plane[min(yy * fy + dy, h - 1)][min(xx * fx + dx, w - 1)]
+                        for dy in range(fy)
+                        for dx in range(fx)
+                    ]
+                    row.append(sum(vals) / len(vals))
+                out.append(row)
+            ds.append(out)
+        planes = ds
 
     dc_bits = [0] * 16
     dc_bits[3] = 12  # 12 symbols, all length 4
@@ -1972,41 +1997,50 @@ def _jpeg_encode_baseline(rows, gray: bool) -> bytes:
         return t, raw
 
     zz = MM._JPEG_ZIGZAG
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     pred = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
+
+    def encode_block(plane, ci, by, bx):
+        ph, pw = len(plane), len(plane[0])
+        block = [
+            [
+                plane[min(by * 8 + yy, ph - 1)][min(bx * 8 + xx, pw - 1)]
+                - 128.0
+                for xx in range(8)
+            ]
+            for yy in range(8)
+        ]
+        coefs = fdct(block)
+        zzc = [coefs[zz[k]] for k in range(64)]
+        t, raw = mag_bits(zzc[0] - pred[ci])
+        pred[ci] = zzc[0]
+        emit(*dc_codes[t])
+        emit(t, raw)
+        k, run = 1, 0
+        while k < 64:
+            if zzc[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                emit(*ac_codes[0xF0])
+                run -= 16
+            t, raw = mag_bits(zzc[k])
+            emit(*ac_codes[(run << 4) | t])
+            emit(t, raw)
+            run = 0
+            k += 1
+        if run:
+            emit(*ac_codes[0x00])
+
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, plane in enumerate(planes):
-                block = [
-                    [
-                        plane[min(by * 8 + yy, h - 1)][min(bx * 8 + xx, w - 1)]
-                        - 128.0
-                        for xx in range(8)
-                    ]
-                    for yy in range(8)
-                ]
-                coefs = fdct(block)
-                zzc = [coefs[zz[k]] for k in range(64)]
-                t, raw = mag_bits(zzc[0] - pred[ci])
-                pred[ci] = zzc[0]
-                emit(*dc_codes[t])
-                emit(t, raw)
-                k, run = 1, 0
-                while k < 64:
-                    if zzc[k] == 0:
-                        run += 1
-                        k += 1
-                        continue
-                    while run >= 16:
-                        emit(*ac_codes[0xF0])
-                        run -= 16
-                    t, raw = mag_bits(zzc[k])
-                    emit(*ac_codes[(run << 4) | t])
-                    emit(t, raw)
-                    run = 0
-                    k += 1
-                if run:
-                    emit(*ac_codes[0x00])
+                sh, sv = sampling[ci]
+                for bv in range(sv):
+                    for bhh in range(sh):
+                        encode_block(plane, ci, my * sv + bv, mx * sh + bhh)
     while len(out_bits) % 8:
         out_bits.append(1)  # pad with 1s per T.81
     scan = bytearray()
@@ -2023,7 +2057,8 @@ def _jpeg_encode_baseline(rows, gray: bool) -> bytes:
 
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(nc)
+        bytes([cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0])
+        for cid in range(nc)
     )
     dht = (
         bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
@@ -2095,6 +2130,66 @@ def test_multimodal_jpeg_decode(spark) -> None:
     )
     arrow = list(MM.extract_features(media).collect()[0].feature)
     assert all(abs(a - b) < 1e-6 for a, b in zip(arrow, got))
+
+
+def test_multimodal_jpeg_chroma_subsampling() -> None:
+    """4:2:0 / 4:2:2 decode (the dominant real-world JPEG shapes) vs the
+    independent in-test encoder: a solid-color 4:2:0 file decodes
+    bit-exactly (DC-only blocks, unit quant), a luma-varying /
+    constant-chroma image round-trips within FDCT tolerance and matches
+    its own 4:4:4 encoding, 0xFF fill bytes between segments are legal
+    padding (T.81), and factors beyond 2x2 still fall back to the stub."""
+    import random
+
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    s422 = [(2, 1), (1, 1), (1, 1)]
+
+    # exact path: solid color 16x16 — every block DC-only => bit-exact,
+    # chroma downsample is lossless on a constant plane
+    solid_rows = [[(200, 64, 32)] * 16 for _ in range(16)]
+    f = MM.decode_features(
+        _jpeg_encode_baseline(solid_rows, gray=False, sampling=s420),
+        "image/jpeg",
+    )
+    assert f[0] == 16 / 1e4 and f[1] == 16 / 1e4
+    for ch, v in enumerate((200, 64, 32)):
+        assert abs(f[3 + ch] - v / 255.0) < 1.5 / 255.0, (ch, f[3 + ch])
+
+    # luma varies per pixel, chroma constant => the 2x2 box mean + nearest
+    # upsample round-trips chroma losslessly; compare channel means
+    rng = random.Random(7)
+    rows = []
+    for _ in range(16):
+        row = []
+        for _ in range(16):
+            yv = rng.randrange(40, 216)
+            # constant Cb/Cr: scale an RGB triple with fixed chroma offsets
+            row.append((yv, yv, yv))  # gray pixels: Cb=Cr=128 exactly
+        rows.append(row)
+    for sampling in (s420, s422):
+        got = MM.decode_features(
+            _jpeg_encode_baseline(rows, gray=False, sampling=sampling),
+            "image/jpeg",
+        )
+        ref = MM.decode_features(
+            _jpeg_encode_baseline(rows, gray=False), "image/jpeg"
+        )
+        npx = 256
+        for ch in range(3):
+            mean = sum(px[ch] for row in rows for px in row) / npx / 255.0
+            assert abs(got[3 + ch] - mean) < 2.0 / 255.0, (sampling, ch)
+            assert abs(got[3 + ch] - ref[3 + ch]) < 2.0 / 255.0, (sampling, ch)
+
+    # 0xFF fill bytes before a marker are padding, not part of the code
+    jpg = _jpeg_encode_baseline(rows, gray=False, sampling=s420)
+    padded = jpg.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    assert MM.decode_features(padded, "image/jpeg") == MM.decode_features(
+        jpg, "image/jpeg"
+    )
+
+    # 4:1:1 (h=4) stays honestly on the stub
+    s411 = _jpeg_encode_baseline(rows, gray=False, sampling=[(4, 1), (1, 1), (1, 1)])
+    assert abs(sum(MM.decode_features(s411, "image/jpeg")) - 1.0) < 1e-6
 
 
 def test_gif_lzw_roundtrip_through_width_growth() -> None:

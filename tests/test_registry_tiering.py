@@ -83,7 +83,12 @@ def test_python_oracle_coverage_is_total() -> None:
         name for name, q in REGISTRY.items() if q.sql is None and not q.oracle_py
     ]
     assert unoracled == [], unoracled
-    assert _WITH_PY_ORACLE == ["ann_ivf_topk", "ann_ivfpq_topk", "ann_pq_topk"]
+    assert _WITH_PY_ORACLE == [
+        "ann_ivf_topk",
+        "ann_ivfpq_topk",
+        "ann_pq_topk",
+        "ann_recall_audit",
+    ]
 
 
 @pytest.mark.parametrize("name", _WITH_PY_ORACLE)
