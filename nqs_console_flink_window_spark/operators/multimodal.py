@@ -498,14 +498,15 @@ def _idct_8x8(coefs: list[int]) -> list[list[float]]:
 def decode_jpeg_features(payload: bytes) -> list[float]:
     """REAL image decode, pure stdlib: baseline sequential JFIF (SOF0,
     8-bit, grayscale or YCbCr with sampling factors up to 2x2 — 4:4:4,
-    4:2:2, 4:4:0, 4:2:0 — single scan, no restart intervals) -> the
+    4:2:2, 4:4:0, 4:2:0 — single scan, restart intervals honored) -> the
     shared image feature layout.  Marker walk (0xFF fill bytes skipped
     per T.81 B.1.1.2) + canonical Huffman entropy decode over interleaved
-    MCUs + dequant + de-zigzag + separable float IDCT + level shift +
-    nearest-neighbor chroma upsample + YCbCr->RGB (BT.601 as specified
-    by JFIF).  Progressive (SOF2), extended/lossless SOFs, arithmetic
-    coding, h/v factors > 2 and restart-marker streams raise -> the
-    dispatch falls back to the stub."""
+    MCUs (DRI/RSTn restart markers byte-align the reader, reset the DC
+    predictors, and must cycle D0..D7 per T.81 E.1.4) + dequant +
+    de-zigzag + separable float IDCT + level shift + nearest-neighbor
+    chroma upsample + YCbCr->RGB (BT.601 as specified by JFIF).
+    Progressive (SOF2), extended/lossless SOFs, arithmetic coding and
+    h/v factors > 2 raise -> the dispatch falls back to the stub."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -516,7 +517,8 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
     huff_ac: dict[int, dict] = {}
     comps: list[tuple[int, int]] | None = None
     width = height = None
-    scan_data = None
+    scan_segs: list[bytes] | None = None
+    restart_interval = 0
     scan_tabs: dict[int, tuple[int, int]] = {}
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -577,9 +579,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                 p += nv
                 (huff_ac if tc else huff_dc)[th] = _jpeg_huff_table(bits, vals)
         elif marker == 0xDD:  # DRI
-            (ri,) = struct.unpack(">H", seg[:2])
-            if ri:
-                raise ValueError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: scan header, then entropy data
             ns, p = seg[0], 1
             for _ in range(ns):
@@ -588,6 +588,8 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                 scan_tabs[cs] = (tt >> 4, tt & 15)
             p2 = pos + ln
             data = bytearray()
+            scan_segs = []
+            rst_next = 0
             while p2 < len(payload):
                 b = payload[p2]
                 if b == 0xFF:
@@ -597,20 +599,49 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                         p2 += 2
                         continue
                     if 0xD0 <= nb <= 0xD7:
-                        raise ValueError("restart markers unsupported")
+                        # RSTn splits the entropy stream into restart
+                        # segments; the marker number must cycle 0..7
+                        # (T.81 E.1.4) — a skip means lost segments
+                        if nb - 0xD0 != rst_next:
+                            raise ValueError("restart marker out of sequence")
+                        rst_next = (rst_next + 1) % 8
+                        scan_segs.append(bytes(data))
+                        data = bytearray()
+                        p2 += 2
+                        continue
                     break  # a real marker ends the scan
                 data.append(b)
                 p2 += 1
-            scan_data = bytes(data)
+            scan_segs.append(bytes(data))
             pos = p2
             continue
         pos += ln
-    if scan_data is None or comps is None or width is None:
+    if scan_segs is None or comps is None or width is None:
         raise ValueError("incomplete jpeg")
     if any(cid not in scan_tabs for cid, _, _, _ in comps):
         raise ValueError("scan does not cover all components")
 
-    rd = _JpegBits(scan_data)
+    if restart_interval == 0 and len(scan_segs) != 1:
+        raise ValueError("restart markers without a DRI interval")
+    rd = _JpegBits(scan_segs[0])
+    seg_idx = 0
+    mcu_done = 0
+
+    def mcu_boundary() -> None:
+        """Advance past a restart boundary when one is due: fresh
+        byte-aligned reader on the next entropy segment, DC predictors
+        reset (T.81 E.2.4)."""
+        nonlocal rd, seg_idx, mcu_done
+        mcu_done += 1
+        if (
+            restart_interval
+            and mcu_done % restart_interval == 0
+            and seg_idx + 1 < len(scan_segs)
+        ):
+            seg_idx += 1
+            rd = _JpegBits(scan_segs[seg_idx])
+            for i in range(len(pred)):
+                pred[i] = 0
 
     def decode_block(hdc: dict, hac: dict, q: list[int], ci: int):
         """One entropy-coded 8x8 block -> clipped int pixels (post-IDCT,
@@ -658,6 +689,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
         for by in range(bh):
             for bx in range(bw):
                 blit(plane, decode_block(huff_dc[td], huff_ac[ta], qt[tqi], 0), by, bx)
+                mcu_boundary()  # non-interleaved: one block per MCU
         flat = [plane[y][x] for y in range(height) for x in range(width)]
         return _image_stats(flat, flat, flat, width, height)
 
@@ -687,6 +719,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                             my * v + bv,
                             mx * h + bhh,
                         )
+            mcu_boundary()
 
     # Upsample chroma by sample replication (nearest-neighbor box — the
     # JFIF-sanctioned simple reconstruction) during YCbCr->RGB (BT.601)

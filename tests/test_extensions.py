@@ -1908,14 +1908,16 @@ def test_multimodal_bmp_and_gif_decode(spark) -> None:
         assert all(abs(a - b) < 1e-6 for a, b in zip(arrow[mid], want)), mid
 
 
-def _jpeg_encode_baseline(rows, gray: bool, sampling=None) -> bytes:
+def _jpeg_encode_baseline(rows, gray: bool, sampling=None, restart_interval=0) -> bytes:
     """Independent baseline-JFIF encoder for the decoder test: level shift,
     float FDCT, all-ones quant tables (near-lossless), flat canonical
     Huffman tables (12 DC symbols at length 4; all 162 standard AC symbols
     at length 8), interleaved MCUs with per-component ``sampling`` factors
     (default 1x1 each = 4:4:4; [(2,2),(1,1),(1,1)] = 4:2:0 with box-mean
-    chroma downsample), byte stuffing.  ``rows`` is height x width of ints
-    (gray) or (r, g, b) tuples."""
+    chroma downsample), byte stuffing, and optional DRI/RSTn restart
+    markers every ``restart_interval`` MCUs (byte-aligned, DC predictors
+    reset, marker number cycling D0..D7).  ``rows`` is height x width of
+    ints (gray) or (r, g, b) tuples."""
     import math
     import struct
 
@@ -2032,8 +2034,25 @@ def _jpeg_encode_baseline(rows, gray: bool, sampling=None) -> bytes:
         if run:
             emit(*ac_codes[0x00])
 
+    scan = bytearray()
+
+    def flush_bits() -> None:
+        while len(out_bits) % 8:
+            out_bits.append(1)  # pad with 1s per T.81
+        for i in range(0, len(out_bits), 8):
+            b = 0
+            for bit in out_bits[i : i + 8]:
+                b = (b << 1) | bit
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0x00)  # byte stuffing
+        out_bits.clear()
+
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    mcu_i = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, plane in enumerate(planes):
@@ -2041,16 +2060,18 @@ def _jpeg_encode_baseline(rows, gray: bool, sampling=None) -> bytes:
                 for bv in range(sv):
                     for bhh in range(sh):
                         encode_block(plane, ci, my * sv + bv, mx * sh + bhh)
-    while len(out_bits) % 8:
-        out_bits.append(1)  # pad with 1s per T.81
-    scan = bytearray()
-    for i in range(0, len(out_bits), 8):
-        b = 0
-        for bit in out_bits[i : i + 8]:
-            b = (b << 1) | bit
-        scan.append(b)
-        if b == 0xFF:
-            scan.append(0x00)  # byte stuffing
+            mcu_i += 1
+            if (
+                restart_interval
+                and mcu_i % restart_interval == 0
+                and mcu_i < n_mcu
+            ):
+                flush_bits()
+                scan.extend([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                for ci in range(len(pred)):
+                    pred[ci] = 0
+    flush_bits()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -2065,11 +2086,13 @@ def _jpeg_encode_baseline(rows, gray: bool, sampling=None) -> bytes:
         + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
     )
     sos = bytes([nc]) + b"".join(bytes([cid + 1, 0x00]) for cid in range(nc)) + b"\x00\x3f\x00"
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
         + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
         + seg(0xC0, sof)
         + seg(0xC4, dht)
+        + dri
         + seg(0xDA, sos)
         + bytes(scan)
         + b"\xff\xd9"
@@ -2190,6 +2213,53 @@ def test_multimodal_jpeg_chroma_subsampling() -> None:
     # 4:1:1 (h=4) stays honestly on the stub
     s411 = _jpeg_encode_baseline(rows, gray=False, sampling=[(4, 1), (1, 1), (1, 1)])
     assert abs(sum(MM.decode_features(s411, "image/jpeg")) - 1.0) < 1e-6
+
+
+def test_multimodal_jpeg_restart_intervals() -> None:
+    """DRI/RSTn streams (what hardware encoders and libjpeg's error
+    resilience mode emit) decode IDENTICALLY to the same image encoded
+    without restarts: the reader byte-aligns at every RSTn, resets the DC
+    predictors, and enforces D0..D7 cycling.  Covered across interleaved
+    4:4:4 / 4:2:0, grayscale non-interleaved (one block per MCU), and an
+    interval that does NOT divide the MCU count (no trailing RST)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+         for _ in range(24)]
+        for _ in range(24)
+    ]
+    gray_rows = [[rng.randrange(256) for _ in range(24)] for _ in range(24)]
+    s420 = [(2, 2), (1, 1), (1, 1)]
+
+    # 4:4:4 24x24 = 9 MCUs: ri=2 exercises D0..D3 and a ragged tail
+    for kwargs in (
+        dict(gray=False),                      # 9 MCUs
+        dict(gray=False, sampling=s420),       # 4 MCUs (16x16 MCU grid)
+    ):
+        plain = _jpeg_encode_baseline(rows, **kwargs)
+        for ri in (1, 2, 4):
+            rst = _jpeg_encode_baseline(rows, restart_interval=ri, **kwargs)
+            assert b"\xff\xdd" in rst and rst != plain
+            assert MM.decode_features(rst, "image/jpeg") == MM.decode_features(
+                plain, "image/jpeg"
+            ), (kwargs, ri)
+
+    # grayscale: non-interleaved scan, MCU = single block (9 blocks)
+    plain = _jpeg_encode_baseline(gray_rows, gray=True)
+    for ri in (1, 4):
+        rst = _jpeg_encode_baseline(gray_rows, gray=True, restart_interval=ri)
+        assert MM.decode_features(rst, "image/jpeg") == MM.decode_features(
+            plain, "image/jpeg"
+        ), ri
+
+    # out-of-sequence restart marker -> honest stub fallback, not garbage
+    rst = _jpeg_encode_baseline(rows, gray=False, restart_interval=2)
+    pos = rst.index(b"\xff\xd0")
+    broken = rst[:pos] + b"\xff\xd3" + rst[pos + 2:]
+    stub = MM.decode_features(broken, "image/jpeg")
+    assert abs(sum(stub) - 1.0) < 1e-6  # histogram stub signature
 
 
 def test_gif_lzw_roundtrip_through_width_growth() -> None:
