@@ -13,16 +13,17 @@ metadata struct; decode / feature-extraction run as Arrow-batched
   zlib inflate + all 5 scanline filters.
 - **BMP** (24-bit uncompressed) and **GIF** (87a/89a, non-interlaced,
   LZW) — REAL decodes, pure stdlib.
-- **JPEG** (baseline sequential SOF0, 8-bit, grayscale or YCbCr with
-  sampling factors up to 2x2 — 4:4:4, 4:2:2, 4:4:0 and the dominant
-  4:2:0 — single scan, no restart intervals) — REAL decode: canonical
-  Huffman entropy decode + dequant + IDCT + chroma upsample +
-  YCbCr->RGB, pure stdlib.
-- anything else (progressive JPEG, 4:1:1, MP3/MP4... — genuinely
-  codec-bound: progressive scan wiring, psychoacoustics and video
-  codecs need real codec libs, NOT in this container) — the
-  clearly-marked deterministic byte-histogram stub stands in;
-  swapping it for a real codec touches ``_decode_stub`` only.
+- **JPEG** (baseline sequential SOF0 AND progressive SOF2, 8-bit,
+  grayscale or YCbCr with sampling factors up to 2x2 — 4:4:4, 4:2:2,
+  4:4:0 and the dominant 4:2:0 — restart intervals honored; progressive
+  covers full T.81 G.2: spectral selection + successive approximation) —
+  REAL decode: canonical Huffman entropy decode + dequant + IDCT +
+  chroma upsample + YCbCr->RGB, pure stdlib.
+- anything else (4:1:1 JPEG, arithmetic-coded JPEG, MP3/MP4... —
+  genuinely codec-bound: psychoacoustics and video codecs need real
+  codec libs, NOT in this container) — the clearly-marked deterministic
+  byte-histogram stub stands in; swapping it for a real codec touches
+  ``_decode_stub`` only.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing,
 column pruning before the Python stage) is identical for all three paths.
@@ -495,18 +496,198 @@ def _idct_8x8(coefs: list[int]) -> list[list[float]]:
     return out
 
 
+def _jpeg_progressive_decode(
+    scans: list[dict], comps: list, qt: dict, width: int, height: int
+) -> list:
+    """Progressive (SOF2) coefficient accumulation per T.81 G.2, then
+    dequant + IDCT: every scan deposits bits into per-component zigzag
+    coefficient grids — DC first scans Huffman-decode point-transformed
+    diffs, DC refinement appends one bit per block, AC first scans decode
+    a spectral band with EOB-run semantics, AC refinement replays the
+    band emitting newly-significant coefficients and correction bits for
+    already-significant ones (the jdphuff.c control flow, re-derived from
+    the spec).  DC scans may be interleaved (ns > 1); AC scans are always
+    single-component non-interleaved.  Restart segments byte-align the
+    reader and reset predictors AND the EOB run.  Returns pixel planes on
+    each component's interleaved-MCU grid for ``_jpeg_assemble``."""
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # zigzag-order coefficient store, interleaved-grid-sized (a superset
+    # of every non-interleaved scan's own block grid)
+    coef: dict[int, list] = {}
+    for cid, _tqi, h, v in comps:
+        coef[cid] = [
+            [[0] * 64 for _ in range(mcux * h)] for _ in range(mcuy * v)
+        ]
+    frame = {cid: (h, v) for cid, _tqi, h, v in comps}
+
+    for scan in scans:
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        sc = scan["comps"]
+        segs = scan["segs"]
+        ri = scan["ri"]
+        rd = _JpegBits(segs[0])
+        seg_idx = 0
+        mcu_done = 0
+        eobrun = 0
+        pred = {cid: 0 for cid, _, _ in sc}
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        if ss > 0 and len(sc) != 1:
+            raise ValueError("interleaved AC scan")
+
+        def boundary():
+            nonlocal rd, seg_idx, mcu_done, eobrun
+            mcu_done += 1
+            if ri and mcu_done % ri == 0 and seg_idx + 1 < len(segs):
+                seg_idx += 1
+                rd = _JpegBits(segs[seg_idx])
+                eobrun = 0
+                for c in pred:
+                    pred[c] = 0
+
+        def dc_block(blk, cid, dtab):
+            if ah == 0:
+                s = _jpeg_huff_decode(rd, dtab)
+                pred[cid] += _jpeg_extend(rd.bits(s), s) if s else 0
+                blk[0] = pred[cid] << al
+            elif rd.bit():
+                blk[0] |= 1 << al
+
+        def ac_first(blk, atab):
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(rd, atab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: (1 << r) + bits(r) blocks end here, incl. this
+                    eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("AC band overflow")
+                blk[k] = _jpeg_extend(rd.bits(s), s) << al
+                k += 1
+
+        def ac_refine(blk, atab):
+            nonlocal eobrun
+            p1 = 1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huff_decode(rd, atab)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                            break  # rest of band handled below
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        newval = p1 if rd.bit() else -p1
+                    while k <= se:
+                        if blk[k] != 0:
+                            # correction bit for already-significant coef
+                            if rd.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else -p1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0 and rd.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                    k += 1
+                eobrun -= 1
+
+        if ss == 0 and len(sc) > 1:
+            # interleaved DC scan over the MCU grid
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, td, _ta in sc:
+                        h, v = frame[cid]
+                        for bv in range(v):
+                            for bhh in range(h):
+                                dc_block(
+                                    coef[cid][my * v + bv][mx * h + bhh],
+                                    cid,
+                                    scan["dc"][td],
+                                )
+                    boundary()
+        else:
+            # non-interleaved: one block per MCU over the component's grid
+            cid, td, ta = sc[0]
+            h, v = frame[cid]
+            cw = (width * h + hmax - 1) // hmax
+            ch = (height * v + vmax - 1) // vmax
+            bw, bh = (cw + 7) // 8, (ch + 7) // 8
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = coef[cid][by][bx]
+                    if ss == 0:
+                        dc_block(blk, cid, scan["dc"][td])
+                    elif ah == 0:
+                        ac_first(blk, scan["ac"][ta])
+                    else:
+                        ac_refine(blk, scan["ac"][ta])
+                    boundary()
+
+    # all scans consumed: dequant + de-zigzag + IDCT into pixel planes
+    planes = []
+    for cid, tqi, h, v in comps:
+        q = qt[tqi]
+        plane = [[0] * (mcux * h * 8) for _ in range(mcuy * v * 8)]
+        for by in range(mcuy * v):
+            for bx in range(mcux * h):
+                zz = coef[cid][by][bx]
+                nat = [0] * 64
+                for i, z in enumerate(_JPEG_ZIGZAG):
+                    nat[z] = zz[i] * q[z]
+                px = _idct_8x8(nat)
+                for yy in range(8):
+                    row = plane[by * 8 + yy]
+                    prow = px[yy]
+                    for xx in range(8):
+                        iv = int(round(prow[xx] + 128.0))
+                        row[bx * 8 + xx] = (
+                            0 if iv < 0 else (255 if iv > 255 else iv)
+                        )
+        planes.append(plane)
+    return planes
+
+
 def decode_jpeg_features(payload: bytes) -> list[float]:
-    """REAL image decode, pure stdlib: baseline sequential JFIF (SOF0,
-    8-bit, grayscale or YCbCr with sampling factors up to 2x2 — 4:4:4,
-    4:2:2, 4:4:0, 4:2:0 — single scan, restart intervals honored) -> the
-    shared image feature layout.  Marker walk (0xFF fill bytes skipped
-    per T.81 B.1.1.2) + canonical Huffman entropy decode over interleaved
-    MCUs (DRI/RSTn restart markers byte-align the reader, reset the DC
-    predictors, and must cycle D0..D7 per T.81 E.1.4) + dequant +
-    de-zigzag + separable float IDCT + level shift + nearest-neighbor
-    chroma upsample + YCbCr->RGB (BT.601 as specified by JFIF).
-    Progressive (SOF2), extended/lossless SOFs, arithmetic coding and
-    h/v factors > 2 raise -> the dispatch falls back to the stub."""
+    """REAL image decode, pure stdlib: baseline sequential (SOF0) AND
+    progressive (SOF2) JFIF, 8-bit, grayscale or YCbCr with sampling
+    factors up to 2x2 — 4:4:4, 4:2:2, 4:4:0, 4:2:0 — restart intervals
+    honored -> the shared image feature layout.  Marker walk (0xFF fill
+    bytes skipped per T.81 B.1.1.2) + canonical Huffman entropy decode
+    over interleaved MCUs (DRI/RSTn restart markers byte-align the
+    reader, reset the DC predictors, and must cycle D0..D7 per T.81
+    E.1.4) + dequant + de-zigzag + separable float IDCT + level shift +
+    nearest-neighbor chroma upsample + YCbCr->RGB (BT.601 as specified
+    by JFIF).  Progressive scans implement full T.81 G.2 semantics:
+    spectral selection bands, successive approximation (DC + AC first
+    and refinement passes, EOB-run decoding), per-scan Huffman table
+    snapshots.  Extended/lossless SOFs, arithmetic coding and h/v
+    factors > 2 raise -> the dispatch falls back to the stub."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -517,9 +698,9 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
     huff_ac: dict[int, dict] = {}
     comps: list[tuple[int, int]] | None = None
     width = height = None
-    scan_segs: list[bytes] | None = None
+    progressive = False
+    scans: list[dict] = []
     restart_interval = 0
-    scan_tabs: dict[int, tuple[int, int]] = {}
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker stream")
@@ -548,7 +729,8 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                     nat[z] = seg[p + i]
                 qt[tq] = nat
                 p += 64
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -564,9 +746,9 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                     # and exotica stay on the stub path
                     raise ValueError("sampling factors beyond 2x2 unsupported")
                 comps.append((cid, tqi, h, v))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline SOF unsupported")
+            raise ValueError("unsupported SOF variant")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -582,13 +764,15 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS: scan header, then entropy data
             ns, p = seg[0], 1
+            sc_comps = []
             for _ in range(ns):
                 cs, tt = seg[p], seg[p + 1]
                 p += 2
-                scan_tabs[cs] = (tt >> 4, tt & 15)
+                sc_comps.append((cs, tt >> 4, tt & 15))
+            s_ss, s_se, ahal = seg[p], seg[p + 1], seg[p + 2]
             p2 = pos + ln
             data = bytearray()
-            scan_segs = []
+            scan_segs: list[bytes] = []
             rst_next = 0
             while p2 < len(payload):
                 b = payload[p2]
@@ -613,16 +797,40 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                 data.append(b)
                 p2 += 1
             scan_segs.append(bytes(data))
+            if restart_interval == 0 and len(scan_segs) != 1:
+                raise ValueError("restart markers without a DRI interval")
+            scans.append(
+                {
+                    "comps": sc_comps,
+                    "ss": s_ss,
+                    "se": s_se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "segs": scan_segs,
+                    "ri": restart_interval,
+                    # tables may be redefined between scans: snapshot
+                    "dc": dict(huff_dc),
+                    "ac": dict(huff_ac),
+                }
+            )
             pos = p2
             continue
         pos += ln
-    if scan_segs is None or comps is None or width is None:
+    if not scans or comps is None or width is None:
         raise ValueError("incomplete jpeg")
+
+    if progressive:
+        planes = _jpeg_progressive_decode(scans, comps, qt, width, height)
+        return _jpeg_assemble(planes, comps, width, height)
+
+    if len(scans) != 1:
+        raise ValueError("multiple scans in a baseline jpeg")
+    scan_tabs = {cid: (td, ta) for cid, td, ta in scans[0]["comps"]}
+    scan_segs = scans[0]["segs"]
+    restart_interval = scans[0]["ri"]
     if any(cid not in scan_tabs for cid, _, _, _ in comps):
         raise ValueError("scan does not cover all components")
 
-    if restart_interval == 0 and len(scan_segs) != 1:
-        raise ValueError("restart markers without a DRI interval")
     rd = _JpegBits(scan_segs[0])
     seg_idx = 0
     mcu_done = 0
@@ -690,8 +898,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
             for bx in range(bw):
                 blit(plane, decode_block(huff_dc[td], huff_ac[ta], qt[tqi], 0), by, bx)
                 mcu_boundary()  # non-interleaved: one block per MCU
-        flat = [plane[y][x] for y in range(height) for x in range(width)]
-        return _image_stats(flat, flat, flat, width, height)
+        return _jpeg_assemble([plane], comps, width, height)
 
     # Interleaved 3-component scan: an MCU is hmax*8 x vmax*8 image pixels;
     # component i contributes h_i x v_i blocks per MCU into a plane sampled
@@ -721,8 +928,24 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                         )
             mcu_boundary()
 
-    # Upsample chroma by sample replication (nearest-neighbor box — the
-    # JFIF-sanctioned simple reconstruction) during YCbCr->RGB (BT.601)
+    return _jpeg_assemble(planes, comps, width, height)
+
+
+def _jpeg_assemble(
+    planes: list, comps: list, width: int, height: int
+) -> list[float]:
+    """Shared post-entropy tail for baseline AND progressive: nearest-
+    neighbor chroma upsample (the JFIF-sanctioned simple reconstruction)
+    during YCbCr->RGB (BT.601), then the common image-stat layout.
+    ``planes`` are pixel grids at each component's sampled resolution
+    (any grid >= the needed size works — baseline and progressive pad to
+    different block/MCU grids)."""
+    if len(comps) == 1:
+        plane = planes[0]
+        flat = [plane[y][x] for y in range(height) for x in range(width)]
+        return _image_stats(flat, flat, flat, width, height)
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
     (_, _, h0, v0), (_, _, h1, v1), (_, _, h2, v2) = comps
     rs_l: list[int] = []
     gs_l: list[int] = []

@@ -2099,6 +2099,285 @@ def _jpeg_encode_baseline(rows, gray: bool, sampling=None, restart_interval=0) -
     )
 
 
+def _jpeg_encode_progressive(rows, gray: bool, sampling=None, sa=False) -> bytes:
+    """Independent PROGRESSIVE (SOF2) encoder for the decoder test.
+    Same pixel pipeline as the baseline test encoder (level shift, float
+    FDCT, unit quant, flat Huffman tables, box-mean chroma downsample)
+    but emitted as progressive scans:
+
+    - ``sa=False`` — spectral selection only: one DC scan (interleaved
+      when color), then per-component AC band scans (1..5, then 6..63).
+    - ``sa=True`` — successive approximation: DC first at Al=1, AC first
+      scans at Al=1, then a DC refinement (Ah=1, one bit per block) and
+      per-component AC refinement scans (Ah=1 -> Al=0) with the T.81
+      G.1.2.3 correction-bit emission.
+
+    Both forms carry EXACTLY the information of the sequential encoding,
+    so the decoder must reconstruct bit-identical coefficients."""
+    import math
+    import struct
+
+    h, w = len(rows), len(rows[0])
+    if gray:
+        planes = [[[float(v) for v in row] for row in rows]]
+    else:
+        y_p, cb_p, cr_p = [], [], []
+        for row in rows:
+            yr, cbr, crr = [], [], []
+            for r, g, b in row:
+                yr.append(0.299 * r + 0.587 * g + 0.114 * b)
+                cbr.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+                crr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+            y_p.append(yr)
+            cb_p.append(cbr)
+            cr_p.append(crr)
+        planes = [y_p, cb_p, cr_p]
+    sampling = sampling or [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    if (hmax, vmax) != (1, 1):
+        ds = []
+        for plane, (sh, sv) in zip(planes, sampling):
+            fx, fy = hmax // sh, vmax // sv
+            pw = (w + fx - 1) // fx
+            ph = (h + fy - 1) // fy
+            out = []
+            for yy in range(ph):
+                out.append(
+                    [
+                        sum(
+                            plane[min(yy * fy + dy, h - 1)][min(xx * fx + dx, w - 1)]
+                            for dy in range(fy)
+                            for dx in range(fx)
+                        )
+                        / (fx * fy)
+                        for xx in range(pw)
+                    ]
+                )
+            ds.append(out)
+        planes = ds
+
+    def fdct(block):
+        c = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+        out = [0] * 64
+        for v in range(8):
+            for u in range(8):
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += (
+                            block[y][x]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                out[v * 8 + u] = int(round(s * c[u] * c[v] / 4.0))
+        return out
+
+    zz = MM._JPEG_ZIGZAG
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # all zigzag coefficient blocks up front, on each comp's INTERLEAVED
+    # grid (DC scans cover MCU-padding blocks; AC scans only the comp grid)
+    blocks = []
+    for ci, plane in enumerate(planes):
+        sh, sv = sampling[ci]
+        ph, pw = len(plane), len(plane[0])
+        grid = []
+        for by in range(mcuy * sv):
+            grow = []
+            for bx in range(mcux * sh):
+                blk = [
+                    [
+                        plane[min(by * 8 + yy, ph - 1)][min(bx * 8 + xx, pw - 1)]
+                        - 128.0
+                        for xx in range(8)
+                    ]
+                    for yy in range(8)
+                ]
+                coefs = fdct(blk)
+                grow.append([coefs[zz[k]] for k in range(64)])
+            grid.append(grow)
+        blocks.append(grid)
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dc_vals = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)
+    dc_codes = {v: (4, i) for i, v in enumerate(dc_vals)}
+    ac_codes = {v: (8, i) for i, v in enumerate(ac_syms)}
+
+    out_bits: list[int] = []
+
+    def emit(length, code):
+        for i in range(length - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    def mag_bits(v):
+        t = abs(v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def flush_scan() -> bytes:
+        while len(out_bits) % 8:
+            out_bits.append(1)
+        scan = bytearray()
+        for i in range(0, len(out_bits), 8):
+            b = 0
+            for bit in out_bits[i : i + 8]:
+                b = (b << 1) | bit
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0x00)
+        out_bits.clear()
+        return bytes(scan)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)]) + b"".join(
+            bytes([cid + 1, 0x00]) for cid in comp_ids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    nc = len(planes)
+    pieces = []
+
+    def dc_scan(al):
+        pred = [0] * nc
+        if nc == 1:
+            order = [(0, by, bx) for by in range(len(blocks[0])) for bx in range(len(blocks[0][0]))]
+        else:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(nc):
+                        sh, sv = sampling[ci]
+                        for bv in range(sv):
+                            for bhh in range(sh):
+                                order.append((ci, my * sv + bv, mx * sh + bhh))
+        for ci, by, bx in order:
+            t = blocks[ci][by][bx][0] >> al  # DC point transform: arith shift
+            t_enc, pred[ci] = t - pred[ci], t
+            s, raw = mag_bits(t_enc)
+            emit(*dc_codes[s])
+            emit(s, raw)
+        pieces.append(sos(list(range(nc)), 0, 0, 0, al) + flush_scan())
+
+    def dc_refine_scan(al):
+        if nc == 1:
+            order = [(0, by, bx) for by in range(len(blocks[0])) for bx in range(len(blocks[0][0]))]
+        else:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(nc):
+                        sh, sv = sampling[ci]
+                        for bv in range(sv):
+                            for bhh in range(sh):
+                                order.append((ci, my * sv + bv, mx * sh + bhh))
+        for ci, by, bx in order:
+            out_bits.append((blocks[ci][by][bx][0] >> al) & 1)
+        pieces.append(sos(list(range(nc)), 0, 0, al + 1, al) + flush_scan())
+
+    def comp_grid(ci):
+        sh, sv = sampling[ci]
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        return (cw + 7) // 8, (ch + 7) // 8
+
+    def ac_scan(ci, ss, se, al):
+        bw, bh = comp_grid(ci)
+        for by in range(bh):
+            for bx in range(bw):
+                zzc = blocks[ci][by][bx]
+                k, run = ss, 0
+                while k <= se:
+                    c = zzc[k]
+                    v = (abs(c) >> al) * (1 if c >= 0 else -1)
+                    if v == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run >= 16:
+                        emit(*ac_codes[0xF0])
+                        run -= 16
+                    s, raw = mag_bits(v)
+                    emit(*ac_codes[(run << 4) | s])
+                    emit(s, raw)
+                    run = 0
+                    k += 1
+                if run:
+                    emit(*ac_codes[0x00])  # EOB (run of 1 block)
+        pieces.append(sos([ci], ss, se, 0, al) + flush_scan())
+
+    def ac_refine_scan(ci, ss, se, ah, al):
+        bw, bh = comp_grid(ci)
+        for by in range(bh):
+            for bx in range(bw):
+                zzc = blocks[ci][by][bx]
+                r = 0
+                corr: list[int] = []
+                for k in range(ss, se + 1):
+                    t = abs(zzc[k]) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    if (abs(zzc[k]) >> ah) != 0:
+                        # already significant: buffered correction bit
+                        corr.append(t & 1)
+                        continue
+                    # newly significant (t must be 1 when ah == al+1)
+                    while r >= 16:
+                        emit(*ac_codes[0xF0])
+                        for b in corr:
+                            out_bits.append(b)
+                        corr = []
+                        r -= 16
+                    emit(*ac_codes[(r << 4) | 1])
+                    out_bits.append(1 if zzc[k] > 0 else 0)
+                    for b in corr:
+                        out_bits.append(b)
+                    corr = []
+                    r = 0
+                if r or corr:
+                    emit(*ac_codes[0x00])  # EOB (this block only)
+                    for b in corr:
+                        out_bits.append(b)
+        pieces.append(sos([ci], ss, se, ah, al) + flush_scan())
+
+    if sa:
+        dc_scan(1)
+        for ci in range(nc):
+            ac_scan(ci, 1, 63, 1)
+        dc_refine_scan(0)
+        for ci in range(nc):
+            ac_refine_scan(ci, 1, 63, 1, 0)
+    else:
+        dc_scan(0)
+        for ci in range(nc):
+            ac_scan(ci, 1, 5, 0)
+            ac_scan(ci, 6, 63, 0)
+
+    sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        bytes([cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0])
+        for cid in range(nc)
+    )
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC2, sof)
+        + seg(0xC4, dht)
+        + b"".join(pieces)
+        + b"\xff\xd9"
+    )
+
+
 def test_multimodal_jpeg_decode(spark) -> None:
     """The stdlib baseline-JPEG decoder vs an independent in-test encoder
     (the GIF/LZW test shape): a solid grayscale block decodes EXACTLY (DC
@@ -2260,6 +2539,56 @@ def test_multimodal_jpeg_restart_intervals() -> None:
     broken = rst[:pos] + b"\xff\xd3" + rst[pos + 2:]
     stub = MM.decode_features(broken, "image/jpeg")
     assert abs(sum(stub) - 1.0) < 1e-6  # histogram stub signature
+
+
+def test_multimodal_jpeg_progressive() -> None:
+    """Progressive (SOF2) decode vs the independent progressive test
+    encoder: both progressive forms carry exactly the sequential
+    encoding's coefficients, so every variant must decode bit-identically
+    to the SAME image's baseline encoding — across spectral-selection-only
+    and full successive-approximation scan scripts, grayscale and color,
+    4:4:4 and 4:2:0 (where the luma AC scans do not cover the MCU padding
+    blocks that the interleaved DC scan does)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+         for _ in range(24)]
+        for _ in range(24)
+    ]
+    gray_rows = [[rng.randrange(256) for _ in range(24)] for _ in range(24)]
+    s420 = [(2, 2), (1, 1), (1, 1)]
+
+    for kwargs in (
+        dict(gray=False),
+        dict(gray=False, sampling=s420),
+    ):
+        want = MM.decode_features(
+            _jpeg_encode_baseline(rows, **kwargs), "image/jpeg"
+        )
+        for sa in (False, True):
+            got = MM.decode_features(
+                _jpeg_encode_progressive(rows, sa=sa, **kwargs), "image/jpeg"
+            )
+            assert got == want, (kwargs, sa)
+
+    want = MM.decode_features(
+        _jpeg_encode_baseline(gray_rows, gray=True), "image/jpeg"
+    )
+    for sa in (False, True):
+        got = MM.decode_features(
+            _jpeg_encode_progressive(gray_rows, gray=True, sa=sa), "image/jpeg"
+        )
+        assert got == want, sa
+
+    # a solid image: AC bands are all-zero -> pure EOB streams, DC-only
+    solid = [[(200, 64, 32)] * 16 for _ in range(16)]
+    assert MM.decode_features(
+        _jpeg_encode_progressive(solid, gray=False, sampling=s420), "image/jpeg"
+    ) == MM.decode_features(
+        _jpeg_encode_baseline(solid, gray=False, sampling=s420), "image/jpeg"
+    )
 
 
 def test_gif_lzw_roundtrip_through_width_growth() -> None:
