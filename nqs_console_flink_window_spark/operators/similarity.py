@@ -84,6 +84,41 @@ FROM sums
 """
 
 
+def cosine_multi_duck_cte(vec_table: str, query_pred: str, corpus_pred: str) -> str:
+    """DuckDB oracle, multi-query form: cosine(corpus row, EVERY query
+    row) keyed by (query_id, vec_id) — same per-element lateral expansion
+    + exact decimal sums + 1e-8 rounding as the single-query CTE."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM {vec_table} WHERE {query_pred}),
+ex AS (
+  SELECT q.query_id, e.vec_id, e.embedding, q.qe,
+         unnest(range(1, len(e.embedding) + 1)) AS i
+  FROM {vec_table} e, q
+  WHERE {corpus_pred}
+),
+prods AS (
+  SELECT query_id, vec_id,
+    CAST(CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(30,15)) AS pab,
+    CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)) AS paa,
+    CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) AS DECIMAL(30,15)) AS pqq
+  FROM ex
+),
+sums AS (
+  SELECT query_id, vec_id,
+    CAST(SUM(pab) AS DOUBLE) AS dot,
+    CAST(SUM(paa) AS DOUBLE) AS na,
+    CAST(SUM(pqq) AS DOUBLE) AS nq
+  FROM prods GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id,
+  CASE WHEN na = 0.0 OR nq = 0.0 THEN 0.0
+       ELSE (floor((dot / (SQRT(na) * SQRT(nq))) * 100000000.0 + 0.5) / 100000000.0)
+       END AS cosine
+FROM sums
+"""
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN — deterministic integer sign-random-projection (Charikar SRP with
 # md5-derived ±1 hyperplanes over 2^20-quantized embeddings).

@@ -277,6 +277,73 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_MULTI_Q = 8
+COSINE_MULTI_K = 10
+
+_COSINE_MULTI_DUCK = f"""
+WITH scored AS ({SIM.cosine_multi_duck_cte(
+    "embeddings",
+    f"vec_id < {COSINE_MULTI_Q}",
+    f"e.vec_id >= {COSINE_MULTI_Q}",
+)}),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {COSINE_MULTI_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "cosine_multi",
+    sql=_COSINE_MULTI_DUCK,
+    doc="Extension — multi-query brute-force cosine top-k, the dense twin "
+    "of bm25_multi (hard-negative mining scores a TABLE of query vectors, "
+    "not one literal): the |Q|-row query table broadcasts onto the corpus "
+    "(BNLJ bounded by |Q|, the exact-scoring baseline the ANN family "
+    "approximates), scores project to THIN (query_id, vec_id, cosine) "
+    "rows before any shuffle, and the per-query top-k runs as a "
+    "partition-local pre-cut (per-(query, input-partition) row_number "
+    "<= k is a superset of the global per-query top-k under the same "
+    "total order) so the final rank window sees <= |Q| x k x partitions "
+    "rows, never corpus x |Q|.  driver-gated via cosine_topk + ann_topk "
+    "(the dense-retrieval exact/approx pair on the driver surface)",
+    tier=2,
+)
+def cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < COSINE_MULTI_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= COSINE_MULTI_Q)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.expr(SIM.cosine_spark("embedding", "qe")).alias("cosine"),
+    )
+    w_pre = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    cut = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= COSINE_MULTI_K)
+        .drop("pid", "rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cut.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= COSINE_MULTI_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 NEAR_DUP_NEIGHBORS = 8
 
 

@@ -166,6 +166,11 @@ def test_no_scale_antipatterns_across_registry(spark) -> None:
         # genuinely needed for the smoothed background mass; bounded by
         # query length, never corpus x corpus
         "hybrid_rrf_topk",
+        # the |Q|-row broadcast query-VECTOR table against the corpus:
+        # dense exact scoring has no equi key by construction (it IS the
+        # brute-force baseline the ANN family approximates); bounded by
+        # |Q|, and the scores project to thin rows before any shuffle
+        "cosine_multi",
     }
     for name, q in REGISTRY.items():
         plan = q.spark(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
