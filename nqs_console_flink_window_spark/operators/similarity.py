@@ -558,6 +558,61 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_multi(
+    df: DataFrame, queries: dict[int, list[float]], k: int = 10
+) -> DataFrame:
+    """Multi-query IVF search — the indexed dense analogue of bm25_multi:
+    every query routes to its IVF_NPROBE nearest cells on the driver
+    (|Q| x IVF_CLUSTERS distances, trivially bounded), the (query_id,
+    cell) probe table EQUI-joins onto the cell assignments (the routing
+    key IS the join key — no BNLJ, unlike the exact brute-force multi),
+    exact cosine re-ranks inside the probed cells, and the per-query
+    top-k runs as a partition-local row_number pre-cut before one rank
+    window over <= |Q| x k x partitions rows.  At 100 TB the corpus is
+    stored partitioned by cell, so the probe join prunes at the file
+    listing and each query set costs |Q| x nprobe cell scans."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    assigned, centers = ivf_assignments(df)
+    probe_rows: list[tuple[int, int]] = []
+    q_rows: list[tuple[int, list[float]]] = []
+    for qid in sorted(queries):
+        q = np.asarray(queries[qid], dtype=np.float64)
+        d2 = ((centers - q) ** 2).sum(axis=1)
+        probe_rows += [(qid, int(c)) for c in np.argsort(d2)[:IVF_NPROBE]]
+        q_rows.append((qid, [float(x) for x in queries[qid]]))
+    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
+    qdf = spark.createDataFrame(q_rows, "query_id int, qe array<float>")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
+        )
+    )
+    w_pre = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    cut = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= k)
+        .drop("pid", "rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cut.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
     """IVF search: rank cells by centroid distance to the query, scan only
     the IVF_NPROBE nearest cells, exact cosine re-rank inside them."""

@@ -124,6 +124,39 @@ def ann_ivf_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows[:10], columns=["vec_id", "cell", "cosine"])
 
 
+def ann_ivf_multi_oracle(con, sf_dir: str, nq: int = 8, k: int = 10) -> pd.DataFrame:
+    """Twin of similarity.ivf_multi: one quantizer fit on the vec_id >= nq
+    corpus, per-query probe-cell routing (np.argsort of centroid d2, same
+    call as the engine), exact-decimal cosine re-rank, per-query
+    (cosine desc, vec_id) top-k with 1-based rank."""
+    ids, mat = _load(con)
+    qmask = ids < nq
+    qids, qmat = ids[qmask], mat[qmask]
+    cids, cmat = ids[~qmask], mat[~qmask]
+    centers = SIM.lloyd_fit(
+        _train_rows(cids, cmat),
+        SIM.IVF_CLUSTERS,
+        np.random.RandomState(SIM.IVF_SEED),
+    )
+    c_sq = (centers**2).sum(axis=1)
+    cells = (c_sq[None, :] - 2.0 * (cmat @ centers.T)).argmin(axis=1)
+    out = []
+    for qi in range(len(qids)):
+        q = qmat[qi]
+        qd2 = ((centers - q) ** 2).sum(axis=1)
+        probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
+        rows = [
+            (int(qids[qi]), int(cids[i]), int(cells[i]), _cosine(cmat[i], q))
+            for i in range(len(cids))
+            if int(cells[i]) in probe
+        ]
+        rows.sort(key=lambda r: (-r[3], r[1]))
+        out += [r + (rk + 1,) for rk, r in enumerate(rows[:k])]
+    return pd.DataFrame(
+        out, columns=["query_id", "vec_id", "cell", "cosine", "rank"]
+    )
+
+
 def _pq_books(ids, mat):
     dim = mat.shape[1]
     dsub = dim // SIM.PQ_M

@@ -596,6 +596,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(corpus, [float(x) for x in qvec], k=10)
 
 
+@register(
+    "ann_ivf_multi",
+    sql=None,  # k-means family: value-oracled via deterministic recompute
+    oracle_py=ORC.ann_ivf_multi_oracle,
+    doc="Extension — multi-query IVF ANN, the INDEXED dense-retrieval "
+    "production shape (cosine_multi is its exact brute-force baseline): "
+    "each of the |Q| query vectors routes to its nprobe nearest cells on "
+    "the driver, the (query_id, cell) probe table EQUI-joins onto the "
+    "cell assignments (the routing key IS the join key — no BNLJ), exact "
+    "cosine re-ranks inside probed cells, per-query top-k via the "
+    "partition-local pre-cut + rank window.  At 100 TB the cell-"
+    "partitioned store makes this |Q| x nprobe pruned cell scans per "
+    "query set.  Bounded collects only (|Q|=8 query rows, <=k centroid "
+    "rows).  driver-gated via ann_topk + cosine_topk (the dense "
+    "exact/approx pair on the driver surface)",
+    tier=2,
+)
+def ann_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < COSINE_MULTI_Q).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= COSINE_MULTI_Q)
+    return SIM.ivf_multi(corpus, queries, k=COSINE_MULTI_K)
+
+
 # --------------------------------------------------------------------------
 # All 13 protocol criteria through one dispatch (driver-gated)
 # --------------------------------------------------------------------------
