@@ -957,6 +957,34 @@ def _assert_no_null_text(docs_df, where: str) -> None:
         )
 
 
+_FRESH_PROBE_INLIST = 10_000  # max ids inlined as a pushed-down IN filter
+
+
+def _text_index_layout(path: str) -> str | None:
+    """Which physical layout the index at ``path`` carries: ``"flat"``
+    (build_text_index / text_index_append — data files directly under
+    ``tbucket=N/``), ``"batched"`` (streamed ingest —
+    ``tbucket=N/batch_id=M``), or ``None`` (no postings yet).  Spark
+    cannot read a directory mixing both partition depths
+    (CONFLICTING_PARTITION_COLUMN_NAMES), so the flat-append and streamed
+    maintenance paths must refuse each other's layouts."""
+    from pathlib import Path
+
+    kinds = set()
+    for sub in Path(path).glob("tbucket=*"):
+        if any(sub.glob("batch_id=*")):
+            kinds.add("batched")
+        if any(sub.glob("*.parquet")):
+            kinds.add("flat")
+    if len(kinds) > 1:
+        raise ValueError(
+            f"text index at {path} mixes flat and batched bucket layouts — "
+            "unreadable by Spark; rebuild it (build_text_index) or remove "
+            "the foreign-layout files"
+        )
+    return kinds.pop() if kinds else None
+
+
 def _assert_fresh_doc_ids(
     spark, new_docs, path: str, where: str, exclude_batch_id: int | None = None
 ) -> None:
@@ -968,12 +996,17 @@ def _assert_fresh_doc_ids(
     are micro-batches):
 
     - intra-batch: the batch itself must not repeat a doc_id;
-    - cross-batch: anti-join the batch's doc_ids against the existing
-      doclen sidecar (one limit(1) semi-join probe — parquet prunes via
-      row-group stats).  ``exclude_batch_id`` exempts rows the caller is
-      about to OVERWRITE (the replay-idempotent ingest path re-lands its
-      own (bucket, batch) slices — those rows are replaced, not
-      duplicated, so a replay must pass)."""
+    - cross-batch: probe the batch's doc_ids against the existing doclen
+      sidecar.  For bounded batches (<= ``_FRESH_PROBE_INLIST`` distinct
+      ids) the ids collect into an IN-list predicate — a pushed-down
+      literal filter the parquet scan prunes with row-group min/max
+      stats, so the probe cost tracks the BATCH, not the index (a
+      semi-join would scan the whole index-scale sidecar every
+      micro-batch).  Oversized batches fall back to the semi-join.
+      ``exclude_batch_id`` exempts rows the caller is about to OVERWRITE
+      (the replay-idempotent ingest path re-lands its own (bucket, batch)
+      slices — those rows are replaced, not duplicated, so a replay must
+      pass)."""
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -992,7 +1025,13 @@ def _assert_fresh_doc_ids(
     existing = spark.read.parquet(f"{path}.doclen")
     if exclude_batch_id is not None and "batch_id" in existing.columns:
         existing = existing.filter(F.col("batch_id") != int(exclude_batch_id))
-    clash = ids.join(existing.select("doc_id"), "doc_id", "left_semi").limit(1)
+    head = ids.limit(_FRESH_PROBE_INLIST + 1).collect()
+    if len(head) <= _FRESH_PROBE_INLIST:
+        clash = existing.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in head])
+        ).limit(1)
+    else:
+        clash = ids.join(existing.select("doc_id"), "doc_id", "left_semi").limit(1)
     if clash.count() > 0:
         raise ValueError(
             f"{where}: batch re-ingests an already-indexed doc_id — "
@@ -1237,6 +1276,14 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
 
     from .staging import staged_views
 
+    if _text_index_layout(path) == "flat":
+        raise ValueError(
+            "text_index_ingest_batch into a FLAT (build_text_index/append) "
+            "index would mix partition depths under tbucket=* and break "
+            "every reader — stream into a fresh path (stats/doclen converge "
+            "from the landings), or keep maintaining the flat index via "
+            "text_index_append"
+        )
     _assert_no_null_text(batch_df, "text_index_ingest_batch")
     _assert_fresh_doc_ids(
         bspark,
@@ -1441,11 +1488,22 @@ def text_index_append(spark, path: str, new_docs) -> None:
     from the docs table; NULL-text docs are outside the contract on both
     paths (they produce no tokens anywhere, online form included) — and
     the contract is now ENFORCED by ``_assert_no_null_text`` at build and
-    append time, so N cannot silently drift."""
+    append time, so N cannot silently drift.
+
+    Layout contract: append belongs to the FLAT (build_text_index)
+    layout; appending flat files into a streamed ``tbucket/batch_id``
+    index would mix partition depths and break every reader, so it
+    refuses (route through ``text_index_ingest_batch`` instead)."""
     from pyspark.sql import functions as F
 
     from .staging import staged_views
 
+    if _text_index_layout(path) == "batched":
+        raise ValueError(
+            "text_index_append into a STREAMED (tbucket/batch_id) index "
+            "would mix partition depths — route new docs through "
+            "text_index_ingest_batch instead"
+        )
     _assert_no_null_text(new_docs, "text_index_append")
     _assert_fresh_doc_ids(spark, new_docs, path, "text_index_append")
     view = "__text_index_append_docs"

@@ -437,6 +437,31 @@ def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding") -> Non
     _write_centroids(df.sparkSession, centers, path)
 
 
+def _ivf_layout(path: str) -> str | None:
+    """Which physical layout the index at ``path`` carries: ``"flat"``
+    (build_ivf_index / ivf_index_append — data files directly under
+    ``cell=N/``), ``"batched"`` (streamed ingest — ``cell=N/batch_id=M``),
+    or ``None`` (no data yet, only the centroids sidecar).  Spark cannot
+    read a directory mixing both partition depths
+    (CONFLICTING_PARTITION_COLUMN_NAMES), so the two maintenance paths
+    must refuse each other's layouts instead of corrupting the index."""
+    from pathlib import Path
+
+    kinds = set()
+    for sub in Path(path).glob("cell=*"):
+        if any(sub.glob("batch_id=*")):
+            kinds.add("batched")
+        if any(sub.glob("*.parquet")):
+            kinds.add("flat")
+    if len(kinds) > 1:
+        raise ValueError(
+            f"ivf index at {path} mixes flat and batched cell layouts — "
+            "unreadable by Spark; rebuild it (build_ivf_index) or remove "
+            "the foreign-layout files"
+        )
+    return kinds.pop() if kinds else None
+
+
 def ivf_index_append(
     spark, path: str, new_vecs: DataFrame, vec_col: str = "embedding"
 ) -> None:
@@ -452,7 +477,17 @@ def ivf_index_append(
     Re-clustering (when drift makes cells lopsided) is build_ivf_index
     again — an offline rebuild, exactly like production ANN systems.
     Small-file debt from repeated appends is settled by
-    ``compact_ivf_index`` (the text index's fold treatment)."""
+    ``compact_ivf_index`` (the text index's fold treatment).
+
+    Layout contract: append belongs to the FLAT (build_ivf_index) layout;
+    appending flat files into a streamed ``cell/batch_id`` index would mix
+    partition depths and break every subsequent read, so it refuses."""
+    if _ivf_layout(path) == "batched":
+        raise ValueError(
+            "ivf_index_append into a STREAMED (cell/batch_id) index would "
+            "mix partition depths — route new vectors through "
+            "ivf_index_ingest_batch instead"
+        )
     centers = _read_centroids(spark, path)
     new_vecs.withColumn(
         "cell", assign_cells_udf(centers)(F.col(vec_col))
@@ -471,8 +506,19 @@ def ivf_index_ingest_batch(
     exactly its own (cell, batch) slices instead of double-appending.
     nprobe partition pruning still holds: ``cell`` stays the top-level
     partition, the extra ``batch_id`` level only subdivides files inside a
-    cell.  The quantizer must already be persisted (``ivf_fit_centroids``
-    or a prior ``build_ivf_index``) — streaming ingest never re-fits."""
+    cell.  The quantizer must already be persisted — streaming ingest
+    never re-fits, and a pure streaming build bootstraps with
+    ``ivf_fit_centroids`` (quantizer ONLY; a prior ``build_ivf_index``
+    leaves FLAT data files under ``cell=N/`` whose partition depth
+    conflicts with the ``cell/batch_id`` landings, so ingest into a flat
+    layout refuses instead of corrupting the index)."""
+    if _ivf_layout(path) == "flat":
+        raise ValueError(
+            "ivf_index_ingest_batch into a FLAT (build_ivf_index/append) "
+            "index would mix partition depths and break every reader — "
+            "bootstrap a streaming index with ivf_fit_centroids (quantizer "
+            "only), or keep maintaining the flat index via ivf_index_append"
+        )
     centers = _read_centroids(bspark, path)
     (
         batch_df.withColumn("cell", assign_cells_udf(centers)(F.col(vec_col)))
@@ -558,6 +604,36 @@ def ivf_topk_indexed(
     )
 
 
+def per_query_topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE per-query top-k discipline shared by every multi-query search
+    (exact cosine_multi and the ANN multi forms): a partition-local
+    row_number pre-cut — per-(query, input-partition) top-k under the
+    total order (cosine desc, vec_id) is a superset of the global
+    per-query top-k, because a global winner beats its own partition's
+    competitors a fortiori — bounds the final rank window to
+    <= |Q| x k x partitions rows.  Expects (query_id, vec_id, cosine)
+    columns; extra columns ride through."""
+    from pyspark.sql import Window
+
+    w_pre = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    cut = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w_pre))
+        .filter(F.col("rn") <= k)
+        .drop("pid", "rn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cut.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_multi(
     df: DataFrame, queries: dict[int, list[float]], k: int = 10
 ) -> DataFrame:
@@ -567,12 +643,10 @@ def ivf_multi(
     cell) probe table EQUI-joins onto the cell assignments (the routing
     key IS the join key — no BNLJ, unlike the exact brute-force multi),
     exact cosine re-ranks inside the probed cells, and the per-query
-    top-k runs as a partition-local row_number pre-cut before one rank
-    window over <= |Q| x k x partitions rows.  At 100 TB the corpus is
-    stored partitioned by cell, so the probe join prunes at the file
-    listing and each query set costs |Q| x nprobe cell scans."""
-    from pyspark.sql import Window
-
+    top-k runs through the shared ``per_query_topk`` pre-cut discipline.
+    At 100 TB the corpus is stored partitioned by cell, so the probe join
+    prunes at the file listing and each query set costs |Q| x nprobe cell
+    scans."""
     spark = df.sparkSession
     assigned, centers = ivf_assignments(df)
     probe_rows: list[tuple[int, int]] = []
@@ -594,23 +668,7 @@ def ivf_multi(
             F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
         )
     )
-    w_pre = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    cut = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("rn", F.row_number().over(w_pre))
-        .filter(F.col("rn") <= k)
-        .drop("pid", "rn")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        cut.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return per_query_topk(scored, k)
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:

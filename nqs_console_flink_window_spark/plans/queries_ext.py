@@ -325,23 +325,7 @@ def cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(SIM.cosine_spark("embedding", "qe")).alias("cosine"),
     )
-    w_pre = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    cut = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("rn", F.row_number().over(w_pre))
-        .filter(F.col("rn") <= COSINE_MULTI_K)
-        .drop("pid", "rn")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        cut.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= COSINE_MULTI_K)
-        .orderBy("query_id", "rank")
-    )
+    return SIM.per_query_topk(scored, COSINE_MULTI_K)
 
 
 NEAR_DUP_NEIGHBORS = 8

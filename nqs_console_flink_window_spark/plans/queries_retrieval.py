@@ -148,12 +148,19 @@ _TEXT_INDEX_CACHE: dict[str, str] = {}
 def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process per corpus dir) the persisted inverted
     index for ``sf_dir``'s documents table into a fresh temp dir — always
-    current-layout, never a stale on-disk artifact from an older build."""
+    current-layout, never a stale on-disk artifact from an older build,
+    and never shared with a concurrent process (no overwrite races).  The
+    dir is removed at interpreter exit so repeated gate/bench/soak runs
+    don't accumulate corpus-scale dead indexes on disk."""
     path = _TEXT_INDEX_CACHE.get(sf_dir)
     if path is None:
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="nqs_text_index_") + "/index"
+        base = tempfile.mkdtemp(prefix="nqs_text_index_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/index"
         RT.build_text_index(spark, load_table(spark, sf_dir, "documents"), path)
         _TEXT_INDEX_CACHE[sf_dir] = path
     return path

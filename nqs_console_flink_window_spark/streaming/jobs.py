@@ -636,10 +636,13 @@ def run_ivf_indexing_stream(
 ) -> None:
     """Streaming runner for incremental IVF vector indexing — the
     ``run_indexing_stream`` twin for the embedding index.  The coarse
-    quantizer must already be persisted (``ivf_fit_centroids`` /
-    ``build_ivf_index``): streaming ingest only ROUTES into the frozen
-    centroids, never re-fits (availableNow in tests; production would run
-    a processing-time trigger)."""
+    quantizer must already be persisted via ``ivf_fit_centroids``
+    (quantizer ONLY — a ``build_ivf_index`` bootstrap leaves flat
+    ``cell=N`` data files whose partition depth conflicts with the
+    streamed ``cell/batch_id`` landings; the ingest refuses that layout):
+    streaming ingest only ROUTES into the frozen centroids, never re-fits
+    (availableNow in tests; production would run a processing-time
+    trigger)."""
     from ..operators.similarity import ivf_index_ingest_batch
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

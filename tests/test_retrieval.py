@@ -920,9 +920,18 @@ def test_query_terms_with_quotes_are_escaped(spark) -> None:
     doubling, identical in Spark and DuckDB)."""
     from nqs_console_flink_window_spark.sources.batch import register_temp_views
 
-    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
+    # semantic check, not just does-not-throw: a doc containing the
+    # quoted term must surface, proving the escaped literal round-trips
+    # to the intended term (a double-escape would search o''brien and
+    # match nothing)
+    spark.createDataFrame(
+        [(1, "o'brien wins the fast race"), (2, "unrelated filler text")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
     spiky = ("o'brien", "fast")
-    assert RT.bm25_topk_df(spark, query=spiky).collect() is not None
+    hits = {r["doc_id"] for r in RT.bm25_topk_df(spark, query=spiky).collect()}
+    assert 1 in hits and 2 not in hits
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents",))
     qs = RT.bm25_queryset_sql({1: spiky})
     rows = spark.sql(f"SELECT * FROM ({qs})").collect()
     assert {r["term"] for r in rows} == set(spiky)
