@@ -1,20 +1,27 @@
-"""One-off re-run of the K=10 graph-family oracle gate with a tuned DuckDB
-connection.
+"""Sf1-equivalent (K=10) oracle gate for the graph family, stepwise.
 
-The stock ``tools/check_oracle.py`` uses a default ``duckdb.connect()``;
-at the sf1-equivalent K=10 fixture the graph-family oracles (full LSH
-chain recompute + 5 unrolled rank iterations) spill >40 GB of DuckDB temp
-and died on disk in the round-8 gate.  This runner keeps the COMPARISON
-identical (imports ``compare`` from check_oracle) but configures the
-oracle engine the way a 128-GiB box should be driven:
+The stock ``tools/check_oracle.py`` runs each registry oracle as ONE
+giant WITH-query; at the K=10 mutated fixture the graph-family oracles
+(full LSH chain + 5 unrolled rank iterations in a single DuckDB plan)
+spill >70 GB of temp and die on disk.  This runner keeps the computation
+IDENTICAL — it materializes the very same SQL fragments the registry
+oracle composes (minhash_lsh_pairs_sql / pr_edges_sql / pr_iter_sql ...)
+as TEMP TABLES, step by step, exactly the way the engine side stages
+them — and compares with the same ``compare`` as check_oracle.  Peak
+temp per step is one stage's working set instead of the whole chain.
 
-- ``preserve_insertion_order=false`` — every registry oracle ends in a
-  total ORDER BY (the driver hash contract requires it), so DuckDB is
-  free to stream unordered internally; this is the big spill reducer.
-- explicit ``temp_directory`` on the large partition, cleaned after.
-- ``threads=16`` — fewer concurrent operators, less simultaneous spill.
+Also sets ``preserve_insertion_order=false`` (every oracle ends in a
+total ORDER BY) and an explicit spill directory.
+
+Scope caveat (deliberate): for the stepwise queries this gate compares
+SORTED values, so it checks the value multiset at scale but NOT the
+engine's output ORDER BY — that ordering is verified by the stock
+check_oracle gate at all three native scales, where the one-shot oracles
+are tractable.  This tool is the SCALE gate, not a replacement.
 
 Usage: python tools/graph_gate_rerun.py <sf_dir> <query> [query ...]
+Supported queries: pagerank_neardup, pagerank_weighted,
+cluster_representatives (anything else falls back to the one-shot SQL).
 """
 
 from __future__ import annotations
@@ -32,9 +39,100 @@ import duckdb  # noqa: E402
 
 from check_oracle import compare  # noqa: E402
 from nqs_console_flink_window_spark.config import TABLE_NAMES  # noqa: E402
+from nqs_console_flink_window_spark.functions import dialect as X  # noqa: E402
+from nqs_console_flink_window_spark.operators import graph as GR  # noqa: E402
+from nqs_console_flink_window_spark.operators.dedup_text import (  # noqa: E402
+    minhash_band_selects,
+    minhash_signatures_sql,
+)
 from nqs_console_flink_window_spark.plans import all as _all  # noqa: E402,F401
 from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
 from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
+
+D = X.DUCK
+NODES = "(SELECT doc_id FROM documents)"
+
+
+def _stage(con, name: str, sql: str) -> None:
+    con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS {sql}")
+
+
+def _lsh_pairs(con, out: str) -> None:
+    """Materialize sig/bands/pairs — the exact minhash_lsh_pairs_sql
+    fragments, staged."""
+    _stage(con, "sig", minhash_signatures_sql(D, "documents"))
+    _stage(con, "bands", "\nUNION ALL\n".join(minhash_band_selects(D)))
+    _stage(
+        con,
+        out,
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id",
+    )
+
+
+def _rank_iters(con, edges: str, deg: str, iter_sql) -> str:
+    _stage(con, "r0", GR.pr_init_sql(D, NODES))
+    for i in range(1, GR.PR_ITERS + 1):
+        _stage(con, f"r{i}", iter_sql(D, NODES, edges, deg, f"r{i - 1}"))
+    return f"r{GR.PR_ITERS}"
+
+
+def oracle_pagerank_neardup(con):
+    _lsh_pairs(con, "cand")
+    _stage(con, "edges", GR.pr_edges_sql("cand"))
+    _stage(con, "deg", GR.pr_deg_sql("edges"))
+    last = _rank_iters(con, "edges", "deg", GR.pr_iter_sql)
+    return con.execute(GR.pr_final_sql(last)).fetchdf()
+
+
+def oracle_pagerank_weighted(con):
+    _lsh_pairs(con, "cand")
+    _stage(con, "wp", GR.prw_weights_sql("cand", "sig"))
+    _stage(con, "edges", GR.prw_edges_sql("wp"))
+    _stage(con, "wout", GR.prw_wout_sql("edges"))
+    last = _rank_iters(con, "edges", "wout", GR.prw_iter_sql)
+    return con.execute(GR.pr_final_sql(last)).fetchdf()
+
+
+def oracle_cluster_representatives(con):
+    _lsh_pairs(con, "pairs")
+    _stage(con, "edges", GR.pr_edges_sql("pairs"))
+    # the min-label propagation must stay one recursive query, but it now
+    # runs over the MATERIALIZED edge table instead of the whole chain
+    _stage(
+        con,
+        "comp",
+        """WITH RECURSIVE reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""",
+    )
+    _stage(con, "deg", GR.pr_deg_sql("edges"))
+    last = _rank_iters(con, "edges", "deg", GR.pr_iter_sql)
+    return con.execute(
+        f"""
+WITH ranked AS (
+  SELECT c.cluster_id, c.doc_id, r.r AS rank_pico,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY r.r DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM comp c JOIN {last} r ON r.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, rank_pico AS rep_rank_pico,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+    ).fetchdf()
+
+
+STEPWISE = {
+    "pagerank_neardup": oracle_pagerank_neardup,
+    "pagerank_weighted": oracle_pagerank_weighted,
+    "cluster_representatives": oracle_cluster_representatives,
+}
 
 
 def main() -> int:
@@ -57,7 +155,17 @@ def main() -> int:
             t0 = time.time()
             try:
                 sdf = q.spark(spark, sf_dir).toPandas()
-                ddf = con.execute(q.sql).fetchdf()
+                if name in STEPWISE:
+                    ddf = STEPWISE[name](con)
+                else:
+                    ddf = con.execute(q.sql).fetchdf()
+                # stepwise oracles skip the outer ORDER BY context: sort
+                # the same way the registry oracle orders, by comparing
+                # against the Spark frame column order after a stable sort
+                if name in STEPWISE:
+                    cols = list(sdf.columns)
+                    ddf = ddf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+                    sdf = sdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {name}: {e}", flush=True)
                 failures += 1
