@@ -86,6 +86,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hybrid_rrf_multi",
     sql=RT.hybrid_rrf_multi_sql(X.DUCK),
+    headline=True,  # retrieval-fusion flagship — benched since round 8
     doc="Extension — the multi-query form of the RRF fusion: every stage "
     "of hybrid_rrf_topk with a query_id key threaded through (per-query "
     "candidates, per-query leg rank windows, per-query fused cut), the "
