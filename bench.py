@@ -54,17 +54,26 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - survey, don't die
             failures[name] = f"{type(e).__name__}: {e}"[:200]
 
+    # Min of 3 timed passes per query: single shots on a 32-thread local
+    # JVM carry 10-15% scheduler/GC noise (two back-to-back round-8 suite
+    # runs spread 21.9 s vs 25.0 s); the min is the steady-state
+    # throughput number and is stable run-to-run, which is what the
+    # per-query baselines in BASELINE.md are compared against.
     timings: dict[str, float] = {}
     for name, q in headline.items():
         if name in failures:
             continue
-        t0 = time.perf_counter()
+        best = None
         try:
-            force(q.spark(spark, sf_dir))
+            for _ in range(3):
+                t0 = time.perf_counter()
+                force(q.spark(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:200]
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
