@@ -14,14 +14,14 @@ metadata struct; decode / feature-extraction run as Arrow-batched
 - **BMP** (24-bit uncompressed) and **GIF** (87a/89a, non-interlaced,
   LZW) — REAL decodes, pure stdlib.
 - **JPEG** (baseline sequential SOF0 AND progressive SOF2, 8-bit,
-  grayscale or YCbCr with sampling factors up to 2x2 — 4:4:4, 4:2:2,
-  4:4:0 and the dominant 4:2:0 — restart intervals honored; progressive
-  covers full T.81 G.2: spectral selection + successive approximation) —
-  REAL decode: canonical Huffman entropy decode + dequant + IDCT +
-  chroma upsample + YCbCr->RGB, pure stdlib.
-- anything else (4:1:1 JPEG, arithmetic-coded JPEG, MP3/MP4... —
-  genuinely codec-bound: psychoacoustics and video codecs need real
-  codec libs, NOT in this container) — the clearly-marked deterministic
+  grayscale or YCbCr with the full T.81 sampling-factor range 1..4 —
+  4:4:4, 4:2:2, 4:4:0, the dominant 4:2:0, 4:1:1 — restart intervals
+  honored; progressive covers full T.81 G.2: spectral selection +
+  successive approximation) — REAL decode: canonical Huffman entropy
+  decode + dequant + IDCT + chroma upsample + YCbCr->RGB, pure stdlib.
+- anything else (arithmetic-coded JPEG, MP3/MP4... — genuinely
+  codec-bound: psychoacoustics and video codecs need real codec libs,
+  NOT in this container) — the clearly-marked deterministic
   byte-histogram stub stands in; swapping it for a real codec touches
   ``_decode_stub`` only.
 
@@ -675,9 +675,10 @@ def _jpeg_progressive_decode(
 
 def decode_jpeg_features(payload: bytes) -> list[float]:
     """REAL image decode, pure stdlib: baseline sequential (SOF0) AND
-    progressive (SOF2) JFIF, 8-bit, grayscale or YCbCr with sampling
-    factors up to 2x2 — 4:4:4, 4:2:2, 4:4:0, 4:2:0 — restart intervals
-    honored -> the shared image feature layout.  Marker walk (0xFF fill
+    progressive (SOF2) JFIF, 8-bit, grayscale or YCbCr with the full
+    T.81 sampling-factor range 1..4 — 4:4:4, 4:2:2, 4:4:0, 4:2:0,
+    4:1:1 — restart intervals honored -> the shared image feature
+    layout.  Marker walk (0xFF fill
     bytes skipped per T.81 B.1.1.2) + canonical Huffman entropy decode
     over interleaved MCUs (DRI/RSTn restart markers byte-align the
     reader, reset the DC predictors, and must cycle D0..D7 per T.81
@@ -687,7 +688,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
     spectral selection bands, successive approximation (DC + AC first
     and refinement passes, EOB-run decoding), per-scan Huffman table
     snapshots.  Extended/lossless SOFs, arithmetic coding and h/v
-    factors > 2 raise -> the dispatch falls back to the stub."""
+    factors > 4 raise -> the dispatch falls back to the stub."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -741,10 +742,11 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                 cid, hv, tqi = seg[p], seg[p + 1], seg[p + 2]
                 p += 3
                 h, v = hv >> 4, hv & 15
-                if not (1 <= h <= 2 and 1 <= v <= 2):
-                    # 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 covered; 4:1:1 (h=4)
-                    # and exotica stay on the stub path
-                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    # T.81 A.1.1 allows factors 1..4 — the MCU walk,
+                    # plane grids and the nearest-neighbor upsample are
+                    # all generic in (h, v), so 4:1:1 (h=4) decodes too
+                    raise ValueError("sampling factors beyond 4 unsupported")
                 comps.append((cid, tqi, h, v))
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

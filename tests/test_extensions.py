@@ -2489,9 +2489,19 @@ def test_multimodal_jpeg_chroma_subsampling() -> None:
         jpg, "image/jpeg"
     )
 
-    # 4:1:1 (h=4) stays honestly on the stub
-    s411 = _jpeg_encode_baseline(rows, gray=False, sampling=[(4, 1), (1, 1), (1, 1)])
-    assert abs(sum(MM.decode_features(s411, "image/jpeg")) - 1.0) < 1e-6
+    # 4:1:1 (h=4): the MCU walk / plane grids / upsample are generic in
+    # (h, v), so it decodes like the 2x2 forms (T.81 allows factors 1..4)
+    s411 = [(4, 1), (1, 1), (1, 1)]
+    got = MM.decode_features(
+        _jpeg_encode_baseline(rows, gray=False, sampling=s411), "image/jpeg"
+    )
+    ref = MM.decode_features(_jpeg_encode_baseline(rows, gray=False), "image/jpeg")
+    for ch in range(3):
+        assert abs(got[3 + ch] - ref[3 + ch]) < 2.0 / 255.0, ch
+
+    # factors beyond 4 stay honestly on the stub
+    s811 = _jpeg_encode_baseline(rows, gray=False, sampling=[(8, 1), (1, 1), (1, 1)])
+    assert abs(sum(MM.decode_features(s811, "image/jpeg")) - 1.0) < 1e-6
 
 
 def test_multimodal_jpeg_restart_intervals() -> None:
