@@ -2678,3 +2678,47 @@ def test_fresh_doc_id_probe_is_pushed_down(spark, tmp_path) -> None:
     )
     plan = existing._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(doc_id" in plan, plan
+
+
+def test_decode_features_never_raises_fuzz() -> None:
+    """The dispatch contract a Spark stage depends on: decode_features
+    must NEVER raise on bytes — any malformed/truncated/corrupted payload
+    falls back to the deterministic stub (an exception here would kill
+    the whole mapInPandas task, failing the stage for one bad file).
+    Fuzzed with magic-prefixed garbage (exercises every real decoder's
+    error paths) and bit-flipped VALID encodings (exercises mid-decode
+    failures: bad Huffman codes, truncated scans, CRC-less chaos)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [
+        b"", b"\xff\xd8", b"\xff\xd8\xff\xe0", b"BM", b"GIF87a", b"GIF89a",
+        b"P6 ", b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE",
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.sampled_from(magics),
+        st.binary(min_size=0, max_size=400),
+        st.sampled_from(["image/jpeg", "image/png", "audio/wav", None]),
+    )
+    def fuzz(prefix, tail, mime):
+        out = MM.decode_features(prefix + tail, mime)
+        assert isinstance(out, list) and len(out) == MM.FEATURE_DIM
+        assert all(isinstance(v, float) for v in out)
+
+    fuzz()
+
+    # bit-flip a valid JPEG at every 37th byte position: mid-decode
+    # failures (not just header rejection) must also fall back, and the
+    # flips that DO decode must still produce the fixed layout
+    rows = [[(60, 120, 180)] * 8 for _ in range(8)]
+    jpg = bytearray(_jpeg_encode_baseline(rows, gray=False))
+    rng = random.Random(3)
+    for pos in range(2, len(jpg), 37):
+        mut = bytearray(jpg)
+        mut[pos] ^= 1 << rng.randrange(8)
+        out = MM.decode_features(bytes(mut), "image/jpeg")
+        assert len(out) == MM.FEATURE_DIM
