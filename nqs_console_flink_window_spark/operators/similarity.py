@@ -671,6 +671,45 @@ def ivf_multi(
     return per_query_topk(scored, k)
 
 
+def ivf_multi_indexed(
+    spark, path: str, queries: dict[int, list[float]], k: int = 10
+) -> DataFrame:
+    """Multi-query IVF search against a PERSISTED index — the form the 30x
+    soak motivates: the online ``ivf_multi`` re-assigns the whole corpus
+    per call (one Arrow matmul per batch, O(corpus)); here routing reads
+    the stored centroids (<= IVF_CLUSTERS rows), the UNION of all
+    queries' probe cells prunes the cell-partitioned parquet at the FILE
+    LISTING (literal isin filter — joins don't prune, literals do), and
+    only then does the (query_id, cell) probe table equi-join assign
+    query ownership inside the pruned scan.  Per-query top-k rides the
+    shared ``per_query_topk`` pre-cut.  Bit-identical to ``ivf_multi``
+    on the same corpus by construction (same centroids, same routing
+    rule, same scoring) — parity pytest-pinned."""
+    centers = _read_centroids(spark, path)
+    probe_rows: list[tuple[int, int]] = []
+    q_rows: list[tuple[int, list[float]]] = []
+    for qid in sorted(queries):
+        q = np.asarray(queries[qid], dtype=np.float64)
+        d2 = ((centers - q) ** 2).sum(axis=1)
+        probe_rows += [(qid, int(c)) for c in np.argsort(d2)[:IVF_NPROBE]]
+        q_rows.append((qid, [float(x) for x in queries[qid]]))
+    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
+    qdf = spark.createDataFrame(q_rows, "query_id int, qe array<float>")
+    all_cells = sorted({c for _, c in probe_rows})
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    scored = (
+        cand.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
+        )
+    )
+    return per_query_topk(scored, k)
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
     """IVF search: rank cells by centroid distance to the query, scan only
     the IVF_NPROBE nearest cells, exact cosine re-rank inside them."""

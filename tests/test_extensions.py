@@ -2722,3 +2722,59 @@ def test_decode_features_never_raises_fuzz() -> None:
         mut[pos] ^= 1 << rng.randrange(8)
         out = MM.decode_features(bytes(mut), "image/jpeg")
         assert len(out) == MM.FEATURE_DIM
+
+
+def test_ivf_multi_indexed_parity_and_pruning(spark, tmp_path) -> None:
+    """ivf_multi_indexed == ivf_multi bit-for-bit on the same corpus (the
+    persisted centroids ARE the online fit's centroids), and the indexed
+    scan reads ONLY the union of the queries' probe cells — partition
+    pruning at the file listing, the path that makes multi-query ANN
+    |Q| x nprobe cell scans instead of an O(corpus) assignment pass."""
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    queries = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    idx = str(tmp_path / "ivf_multi_idx")
+    SIM.build_ivf_index(corpus, idx)
+
+    def rows(df):
+        return [
+            (r["query_id"], r["vec_id"], r["cell"], round(r["cosine"], 9), r["rank"])
+            for r in df.collect()
+        ]
+
+    online = rows(SIM.ivf_multi(corpus, queries, k=10))
+    indexed_df = SIM.ivf_multi_indexed(spark, idx, queries, k=10)
+    assert rows(indexed_df) == online and online
+
+    # pruning: only probed-cell files are listed
+    import numpy as np
+
+    cent = {
+        r["cell"]: np.asarray(r["centroid"])
+        for r in spark.read.parquet(f"{idx}.centroids").collect()
+    }
+    probe = set()
+    for qv in queries.values():
+        qa = np.asarray(qv)
+        d2 = {c: float(((v - qa) ** 2).sum()) for c, v in cent.items()}
+        probe |= set(sorted(d2, key=d2.get)[: SIM.IVF_NPROBE])
+    import contextlib
+    import io
+
+    pruned = spark.read.parquet(idx).filter(F.col("cell").isin(sorted(probe)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert (
+        "PartitionFilters" in plan
+        and "cell" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    ), plan
+    # physically only probed-cell rows, and every result row is probed
+    assert {
+        r["cell"] for r in pruned.select("cell").distinct().collect()
+    } <= probe
+    assert {r["cell"] for r in indexed_df.collect()} <= probe
