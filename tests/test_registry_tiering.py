@@ -84,6 +84,7 @@ def test_python_oracle_coverage_is_total() -> None:
     ]
     assert unoracled == [], unoracled
     assert _WITH_PY_ORACLE == [
+        "ann_ivf_indexed",
         "ann_ivf_multi",
         "ann_ivf_topk",
         "ann_ivfpq_topk",
