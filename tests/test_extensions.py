@@ -2778,3 +2778,34 @@ def test_ivf_multi_indexed_parity_and_pruning(spark, tmp_path) -> None:
         r["cell"] for r in pruned.select("cell").distinct().collect()
     } <= probe
     assert {r["cell"] for r in indexed_df.collect()} <= probe
+
+
+def test_ivf_multi_indexed_on_streamed_layout(spark, tmp_path) -> None:
+    """The multi-query indexed search works unchanged on the STREAMED
+    (cell/batch_id) layout: quantizer bootstrapped via ivf_fit_centroids,
+    two ingest landings, results bit-identical to the online ivf_multi
+    over the same corpus (same fit sample -> same centroids -> same
+    routing and scoring)."""
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    queries = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    idx = str(tmp_path / "ivf_streamed")
+    SIM.ivf_fit_centroids(corpus, idx)
+    SIM.ivf_index_ingest_batch(spark, corpus.filter("vec_id % 2 = 0"), 0, idx)
+    SIM.ivf_index_ingest_batch(spark, corpus.filter("vec_id % 2 = 1"), 1, idx)
+
+    def rows(df):
+        return [
+            (r["query_id"], r["vec_id"], r["cell"], round(r["cosine"], 9), r["rank"])
+            for r in df.collect()
+        ]
+
+    online = rows(SIM.ivf_multi(corpus, queries, k=10))
+    assert rows(SIM.ivf_multi_indexed(spark, idx, queries, k=10)) == online
+    assert online
+    # and still identical after compaction folds the landings
+    SIM.compact_streamed_ivf_index(spark, idx, upto_batch_id=5)
+    assert rows(SIM.ivf_multi_indexed(spark, idx, queries, k=10)) == online
