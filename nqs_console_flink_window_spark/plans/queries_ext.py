@@ -2105,10 +2105,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit class); reusing the ids as a literal IN-list avoids running
     # the brute-force pass once per audited method
     exact_ids = [int(r["vec_id"]) for r in exact10.collect()]
+    with_b = SIM.with_lsh_buckets(emb)
+    lsh10 = SIM.ann_topk(with_b, with_b.filter(F.col("vec_id") == 0), k=10)
     parts = []
     for method, adf in (
         ("ivf", SIM.ivf_topk(corpus, qvec, k=10)),
         ("ivfpq", SIM.ivfpq_topk(corpus, qvec, k=10)),
+        ("lsh", lsh10),
         ("pq", SIM.pq_topk(corpus, qvec, k=10)),
     ):
         parts.append(

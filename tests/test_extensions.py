@@ -1434,15 +1434,15 @@ def test_ann_recall_audit_floor(spark) -> None:
     just the hash gate.  Floors are calibrated to THIS fixture: the
     synthetic embeddings are uniform random (no cluster structure — the
     ANN-hostile worst case), so absolute recall is inherently modest
-    (measured ivf 0.7 / pq 0.6 / ivfpq 0.5 at sf0.001); production
-    embeddings cluster and recall rises with nprobe.  The floor sits one
-    notch under measured so only a REGRESSION trips it, not fixture
-    noise."""
+    (measured ivf 0.7 / pq 0.6 / ivfpq 0.5 / lsh 0.6 at sf0.001);
+    production embeddings cluster and recall rises with nprobe.  The
+    floor sits one notch under measured so only a REGRESSION trips it,
+    not fixture noise."""
     from nqs_console_flink_window_spark.plans.queries_ext import ann_recall_audit
 
     rows = {r["method"]: r for r in ann_recall_audit(spark, SMOKE_SF_DIR).collect()}
-    assert set(rows) == {"ivf", "pq", "ivfpq"}
-    floors = {"ivf": 0.6, "pq": 0.5, "ivfpq": 0.4}
+    assert set(rows) == {"ivf", "pq", "ivfpq", "lsh"}
+    floors = {"ivf": 0.6, "pq": 0.5, "ivfpq": 0.4, "lsh": 0.5}
     for method, floor in floors.items():
         r = rows[method]
         assert r["k"] == 10 and r["hits"] == round(r["recall_at_k"] * 10)
