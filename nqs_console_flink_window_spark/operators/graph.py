@@ -270,6 +270,36 @@ def pagerank_weighted_df(spark, table: str = "documents", iters: int = PR_ITERS)
                 return spark.sql(pr_final_sql(v4.r))
 
 
+def cr_reach_cte(edges: str, table: str = "documents") -> str:
+    """The recursive min-label reach body (dedup_cluster's oracle rule)
+    over an ``edges`` relation — shared verbatim by the one-shot registry
+    oracle and the stepwise scale-gate runner so the two cannot drift."""
+    return f"""reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN {edges} e ON e.src = r.node
+)"""
+
+
+def cr_final_sql(comp: str, r: str) -> str:
+    """Representative selection over ``comp`` (doc_id, cluster_id) and the
+    final rank relation ``r`` — highest-centrality member per cluster
+    (rank desc, doc_id asc tiebreak).  Shared by the one-shot registry
+    oracle and the stepwise scale-gate runner."""
+    return f"""
+WITH ranked AS (
+  SELECT c.cluster_id, c.doc_id, r.r AS rank_pico,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY r.r DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM {comp} c JOIN {r} r ON r.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_doc_id, rank_pico AS rep_rank_pico,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 def cluster_representatives_sql(d: str, table: str = "documents") -> str:
     """Oracle for the composed representative-selection query: connected
     components (recursive min-label CTE, dedup_cluster's oracle rule) and
@@ -283,29 +313,17 @@ def cluster_representatives_sql(d: str, table: str = "documents") -> str:
         f"r{i} AS ({pr_iter_sql(d, nodes, 'edges', 'deg', f'r{i - 1}')})"
         for i in range(1, PR_ITERS + 1)
     ]
+    final = cr_final_sql("comp", f"r{PR_ITERS}")
+    assert final.lstrip().startswith("WITH ranked AS")
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql(d, table)}),
 edges AS ({pr_edges_sql('pairs')}),
-reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM {table}
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-),
+{cr_reach_cte('edges', table)},
 comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
 deg AS ({pr_deg_sql('edges')}),
 r0 AS ({pr_init_sql(d, nodes)}),
 {', '.join(iters)},
-ranked AS (
-  SELECT c.cluster_id, c.doc_id, r.r AS rank_pico,
-         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-                            ORDER BY r.r DESC, c.doc_id) AS rn,
-         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
-  FROM comp c JOIN r{PR_ITERS} r ON r.doc_id = c.doc_id
-)
-SELECT cluster_id, doc_id AS rep_doc_id, rank_pico AS rep_rank_pico,
-       CAST(n_members AS BIGINT) AS n_members
-FROM ranked WHERE rn = 1
-"""
+{final.lstrip().removeprefix("WITH ")}"""
 
 
 def cluster_representatives_df(spark, table: str = "documents"):

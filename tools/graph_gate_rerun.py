@@ -99,33 +99,17 @@ def oracle_cluster_representatives(con):
     _lsh_pairs(con, "pairs")
     _stage(con, "edges", GR.pr_edges_sql("pairs"))
     # the min-label propagation must stay one recursive query, but it now
-    # runs over the MATERIALIZED edge table instead of the whole chain
+    # runs over the MATERIALIZED edge table; the reach body and the final
+    # selection are the registry oracle's OWN fragments (no drift)
     _stage(
         con,
         "comp",
-        """WITH RECURSIVE reach(node, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-)
+        f"""WITH RECURSIVE {GR.cr_reach_cte('edges')}
 SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node""",
     )
     _stage(con, "deg", GR.pr_deg_sql("edges"))
     last = _rank_iters(con, "edges", "deg", GR.pr_iter_sql)
-    return con.execute(
-        f"""
-WITH ranked AS (
-  SELECT c.cluster_id, c.doc_id, r.r AS rank_pico,
-         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-                            ORDER BY r.r DESC, c.doc_id) AS rn,
-         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
-  FROM comp c JOIN {last} r ON r.doc_id = c.doc_id
-)
-SELECT cluster_id, doc_id AS rep_doc_id, rank_pico AS rep_rank_pico,
-       CAST(n_members AS BIGINT) AS n_members
-FROM ranked WHERE rn = 1
-"""
-    ).fetchdf()
+    return con.execute(GR.cr_final_sql("comp", last)).fetchdf()
 
 
 STEPWISE = {
