@@ -2217,3 +2217,96 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("jl").alias("j", "comp"))
         .select("vec_id", F.col("j").cast("long").alias("j"), "comp")
     )
+
+
+# --------------------------------------------------------------------------
+# Web ingestion: HTML text extraction (operators/web.py)
+# --------------------------------------------------------------------------
+
+def _html_ws_norm(d: str, expr: str) -> str:
+    """The oracle twin of web._norm_ws: tab/newline/cr/ff/vt -> space via
+    chr() replaces (no backslash escapes — the two engines un-escape SQL
+    literals differently), then collapse runs of spaces (' +' is a
+    backslash-free pattern) and trim."""
+    e = expr
+    for code in (9, 10, 13, 12, 11):
+        e = f"replace({e}, chr({code}), ' ')"
+    return f"trim({X.regex_replace_all(d, e, ' +', ' ')})"
+
+
+_HTML_TEMPLATE_SCRIPT = '<script>var a = "<p>not text</p>";</script>'
+_HTML_TEMPLATE_NAV = "<nav>Home | About | Crawl</nav>"
+_HTML_TEMPLATE_FOOTER = "<footer>(c) boilerplate footer</footer>"
+
+
+def _html_build_sql(d: str) -> str:
+    """Construct a full HTML page per document IN SQL (dialect-shared
+    concat + entity escaping), with the boilerplate the extractor must
+    drop: a <script> payload, a <nav> menu and a <footer>."""
+    str_t = "STRING" if d == X.SPARK else "VARCHAR"
+    esc = (
+        "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;')"
+    )
+    return (
+        "'<html><head><title>Doc ' || CAST(doc_id AS "
+        + str_t
+        + ") || '</title>"
+        + _HTML_TEMPLATE_SCRIPT
+        + "</head><body>"
+        + _HTML_TEMPLATE_NAV
+        + "<article><p>' || "
+        + esc
+        + " || '</p></article>"
+        + _HTML_TEMPLATE_FOOTER
+        + "</body></html>'"
+    )
+
+
+_HTML_EXTRACT_DUCK = f"""
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+  {_html_ws_norm(X.DUCK, 'text')} AS body_text,
+  CAST(length({_html_ws_norm(X.DUCK, 'text')}) AS BIGINT) AS n_chars
+FROM documents
+WHERE text IS NOT NULL
+ORDER BY doc_id
+"""
+
+
+@register(
+    "html_extract_roundtrip",
+    sql=_HTML_EXTRACT_DUCK,
+    doc="Extension — web-ingestion text extraction (operators/web.py, the "
+    "Common Crawl entry stage): each document is wrapped IN SQL into a "
+    "full HTML page (entity-escaped body + <script>/<nav>/<footer> "
+    "boilerplate + a <title>), then the stdlib html.parser extractor "
+    "must recover EXACTLY the normalized original text (entities "
+    "unescaped, boilerplate subtrees dropped, the shared whitespace "
+    "rule) and the title — the oracle recomputes the expected output "
+    "from the raw text directly, so any parser/escaping/boilerplate "
+    "regression hash-fails.  One Arrow-batched mapInPandas pass, no "
+    "shuffle; at 100 TB this stage is embarrassingly parallel per crawl "
+    "file (see web.warc_records).  driver-gated via text_stats + "
+    "multimodal_features (the text-derivation and mapInPandas-decode "
+    "families on the driver surface)",
+    tier=2,
+)
+def html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import web as WB
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    html = spark.sql(
+        f"SELECT doc_id, {_html_build_sql(X.SPARK)} AS html "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    out = WB.extract_html_text(html)
+    return (
+        out.select(
+            "doc_id",
+            "title",
+            F.col("text").alias("body_text"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2809,3 +2809,84 @@ def test_ivf_multi_indexed_on_streamed_layout(spark, tmp_path) -> None:
     # and still identical after compaction folds the landings
     SIM.compact_streamed_ivf_index(spark, idx, upto_batch_id=5)
     assert rows(SIM.ivf_multi_indexed(spark, idx, queries, k=10)) == online
+
+
+def _warc_record(rtype: str, uri: str, body: bytes, http: bool = False) -> bytes:
+    if http:
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+            b"\r\n" + body
+        )
+    head = (
+        b"WARC/1.0\r\n"
+        + b"WARC-Type: " + rtype.encode() + b"\r\n"
+        + b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + (b"Content-Type: application/http; msgtype=response\r\n" if http
+           else b"Content-Type: application/warc-fields\r\n")
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    return head + b"\r\n" + body + b"\r\n\r\n"
+
+
+def test_warc_parse_and_html_extract(spark, tmp_path) -> None:
+    """WARC ingestion end to end: a crafted 3-record archive (HTTP
+    response, request, warcinfo) parses via the distributed binaryFile ->
+    mapInPandas path with HTTP headers split off; the per-record-gzip
+    layout Common Crawl ships decodes identically; html_to_text drops
+    script/nav/footer boilerplate, unescapes entities, captures <title>;
+    trailing garbage raises (a corrupt crawl file must not silently
+    undercount)."""
+    import gzip
+
+    from nqs_console_flink_window_spark.operators import web as WB
+
+    html = (
+        b"<html><head><title>T1</title><script>no()</script></head>"
+        b"<body><nav>menu</nav><p>Hello &amp; <b>world</b>!</p>"
+        b"<footer>f</footer></body></html>"
+    )
+    plain = (
+        _warc_record("warcinfo", "", b"software: test\r\n")
+        + _warc_record("response", "http://a.example/x", html, http=True)
+        + _warc_record("request", "http://a.example/x", b"GET /x HTTP/1.1\r\n")
+    )
+    # Common Crawl layout: one gzip member PER record, concatenated
+    gz = b"".join(
+        gzip.compress(_warc_record(*args, **kw))
+        for args, kw in (
+            (("warcinfo", "", b"software: test\r\n"), {}),
+            (("response", "http://a.example/x", html), {"http": True}),
+            (("request", "http://a.example/x", b"GET /x HTTP/1.1\r\n"), {}),
+        )
+    )
+    (tmp_path / "a.warc").write_bytes(plain)
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = WB.warc_records(files).collect()
+    assert len(rows) == 6
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    for recs in by_file.values():
+        resp = [r for r in recs if r["record_type"] == "response"]
+        assert len(resp) == 1
+        r = resp[0]
+        assert r["target_uri"] == "http://a.example/x"
+        assert r["http_status"] == 200
+        assert r["content_type"].startswith("text/html")
+        assert bytes(r["body"]) == html
+    # plain and gzip parse bit-identically
+    a = sorted((r["record_type"], bytes(r["body"])) for r in by_file["a.warc"])
+    b = sorted((r["record_type"], bytes(r["body"])) for r in by_file["b.warc.gz"])
+    assert a == b
+
+    title, text = WB.html_to_text(html.decode())
+    assert title == "T1"
+    assert text == "Hello & world!"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        WB.parse_warc_bytes(plain + b"garbage-after-records")
