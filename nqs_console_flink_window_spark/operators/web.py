@@ -159,11 +159,22 @@ class _TextExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
         self.title_chunks: list[str] = []
+        self.robots = ""
+        self.canonical = ""
         self._skip_content = 0
         self._skip_subtree = 0
         self._in_title = False
 
     def handle_starttag(self, tag, attrs):
+        if tag == "meta":
+            a = dict(attrs)
+            # crawl-compliance signal every curation pipeline must honor
+            if (a.get("name") or "").lower() == "robots":
+                self.robots = a.get("content") or ""
+        if tag == "link":
+            a = dict(attrs)
+            if (a.get("rel") or "").lower() == "canonical":
+                self.canonical = a.get("href") or ""
         if tag in _DROP_CONTENT:
             self._skip_content += 1
         if tag in _DROP_SUBTREE:
@@ -200,18 +211,27 @@ def _norm_ws(s: str) -> str:
     return " ".join(t for t in s.translate(_WS).split(" ") if t)
 
 
-def html_to_text(html: str) -> tuple[str, str]:
-    """(title, text) — both entity-unescaped, boilerplate dropped,
-    whitespace normalized by the shared rule."""
+def html_to_text(html: str) -> tuple[str, str, str, str]:
+    """(title, text, robots, canonical) — title/text entity-unescaped,
+    boilerplate dropped, whitespace normalized by the shared rule;
+    robots = the <meta name=robots> content (the crawl-compliance signal
+    a curation pipeline filters on), canonical = <link rel=canonical>
+    href (the dedup key pipelines prefer over the fetch URL)."""
     p = _TextExtractor()
     p.feed(html)
     p.close()
-    return _norm_ws("".join(p.title_chunks)), _norm_ws("".join(p.chunks))
+    return (
+        _norm_ws("".join(p.title_chunks)),
+        _norm_ws("".join(p.chunks)),
+        p.robots,
+        p.canonical,
+    )
 
 
 def extract_html_text(df, html_col: str = "html"):
-    """Distributed form: (.., html) -> (.., title, text) via one
-    Arrow-batched pass; upstream columns ride through."""
+    """Distributed form: (.., html) -> (.., title, text, robots,
+    canonical) via one Arrow-batched pass; upstream columns ride
+    through."""
     import pandas as pd
 
     schema = ", ".join(
@@ -219,15 +239,17 @@ def extract_html_text(df, html_col: str = "html"):
         for f in df.schema.fields
         if f.name != html_col
     )
-    schema += ", title string, text string"
+    schema += ", title string, text string, robots string, canonical string"
     keep = [f.name for f in df.schema.fields if f.name != html_col]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            pairs = [html_to_text(h) for h in b[html_col]]
+            quads = [html_to_text(h) for h in b[html_col]]
             out = b[keep].copy()
-            out["title"] = [t for t, _ in pairs]
-            out["text"] = [x for _, x in pairs]
+            out["title"] = [q[0] for q in quads]
+            out["text"] = [q[1] for q in quads]
+            out["robots"] = [q[2] for q in quads]
+            out["canonical"] = [q[3] for q in quads]
             yield out
 
     return df.mapInPandas(kernel, schema)

@@ -2248,10 +2248,22 @@ def _html_build_sql(d: str) -> str:
         "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
         "'>', '&gt;')"
     )
+    ids = f"CAST(doc_id AS {str_t})"
+    robots = (
+        "CASE WHEN doc_id % 2 = 0 THEN 'noindex' ELSE 'index,follow' END"
+    )
+    head = (
+        "<title>Doc ' || " + ids + " || '</title>"
+        '<meta name="robots" content="'
+        "' || " + robots + " || '"
+        '">'
+        '<link rel="canonical" href="https://ex.ample/doc/'
+        "' || " + ids + " || '"
+        '">'
+    )
     return (
-        "'<html><head><title>Doc ' || CAST(doc_id AS "
-        + str_t
-        + ") || '</title>"
+        "'<html><head>"
+        + head
         + _HTML_TEMPLATE_SCRIPT
         + "</head><body>"
         + _HTML_TEMPLATE_NAV
@@ -2267,7 +2279,9 @@ _HTML_EXTRACT_DUCK = f"""
 SELECT doc_id,
   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
   {_html_ws_norm(X.DUCK, 'text')} AS body_text,
-  CAST(length({_html_ws_norm(X.DUCK, 'text')}) AS BIGINT) AS n_chars
+  CAST(length({_html_ws_norm(X.DUCK, 'text')}) AS BIGINT) AS n_chars,
+  CASE WHEN doc_id % 2 = 0 THEN 'noindex' ELSE 'index,follow' END AS robots,
+  'https://ex.ample/doc/' || CAST(doc_id AS VARCHAR) AS canonical
 FROM documents
 WHERE text IS NOT NULL
 ORDER BY doc_id
@@ -2307,6 +2321,8 @@ def html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "title",
             F.col("text").alias("body_text"),
             F.length("text").cast("bigint").alias("n_chars"),
+            "robots",
+            "canonical",
         )
         .orderBy("doc_id")
     )

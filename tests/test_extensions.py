@@ -2882,9 +2882,17 @@ def test_warc_parse_and_html_extract(spark, tmp_path) -> None:
     b = sorted((r["record_type"], bytes(r["body"])) for r in by_file["b.warc.gz"])
     assert a == b
 
-    title, text = WB.html_to_text(html.decode())
+    title, text, robots, canonical = WB.html_to_text(html.decode())
     assert title == "T1"
     assert text == "Hello & world!"
+    assert robots == "" and canonical == ""
+    _, _, robots, canonical = WB.html_to_text(
+        '<head><meta name="robots" content="noindex,nofollow">'
+        '<link rel="canonical" href="https://c.example/p"></head>'
+        "<body>x</body>"
+    )
+    assert robots == "noindex,nofollow"
+    assert canonical == "https://c.example/p"
 
     import pytest as _pytest
 
