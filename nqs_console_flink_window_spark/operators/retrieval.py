@@ -1578,3 +1578,44 @@ def compact_text_index(
         out[sub.name] = _fold_parquet_dir(spark, sub, target_bytes)
     out["doclen"] = _fold_parquet_dir(spark, f"{path}.doclen", target_bytes)
     return out
+
+
+def text_index_delete(spark, path: str, doc_ids) -> None:
+    """Compliance deletion (right-to-be-forgotten) — the last index
+    lifecycle verb next to build/append/ingest/compact: remove every
+    trace of ``doc_ids`` from the inverted index.
+
+    - postings: targeted rewrite of only the (tbucket[, batch_id])
+      partitions holding the docs' tokens (delete_rows_partitioned);
+    - doclen sidecar: per-batch rewrite on the streamed layout, full
+      rewrite on the flat one (the sidecar is doc_id -> dl, one row per
+      doc — the bounded-side-table case);
+    - stats sidecar: rebuilt from doclen, the standing convergence rule
+      (a torn run is repaired by any later append/ingest/delete).
+
+    Idempotent and crash-convergent like the core it rides; N/T shrink
+    so every post-delete BM25/QL score reflects the smaller corpus —
+    exactly what a rebuild on the filtered corpus would produce
+    (pytest-pinned bit-parity)."""
+    from ..sinks.writers import delete_rows_partitioned
+
+    layout = _text_index_layout(path)
+    if layout is None:
+        return
+    pcols = ["tbucket"] if layout == "flat" else ["tbucket", "batch_id"]
+    delete_rows_partitioned(spark, path, "doc_id", doc_ids, pcols)
+    from pathlib import Path
+
+    dl_path = f"{path}.doclen"
+    dl_batched = any(Path(dl_path).glob("batch_id=*"))
+    delete_rows_partitioned(
+        spark, dl_path, "doc_id", doc_ids, ["batch_id"] if dl_batched else []
+    )
+    from pyspark.sql import functions as F
+
+    alldl = spark.read.parquet(dl_path)
+    stats = alldl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tok"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")

@@ -1489,3 +1489,22 @@ JOIN (
 ) pl USING (d)
 GROUP BY vec_id, j
 """
+
+
+def ivf_index_delete(spark, path: str, vec_ids) -> None:
+    """Compliance deletion for the vector index — the lifecycle verb next
+    to build/append/ingest/compact: remove ``vec_ids`` by targeted
+    rewrite of only the (cell[, batch_id]) partitions holding them; a
+    fully-emptied cell's directory disappears (and partition pruning
+    simply never lists it again).  The centroids sidecar is deliberately
+    untouched: deletion never re-fits, exactly like the append contract —
+    re-clustering after heavy drift is an offline build_ivf_index, as in
+    production ANN systems.  Idempotent and crash-convergent
+    (delete_rows_partitioned's re-run rule)."""
+    from ..sinks.writers import delete_rows_partitioned
+
+    layout = _ivf_layout(path)
+    if layout is None:
+        return
+    pcols = ["cell"] if layout == "flat" else ["cell", "batch_id"]
+    delete_rows_partitioned(spark, path, "vec_id", vec_ids, pcols)

@@ -364,3 +364,73 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
                     p.unlink(missing_ok=True)
                 sub.rmdir()
     return len(_glob.glob(f"{gen_path}/*.parquet"))
+
+
+def delete_rows_partitioned(
+    spark, path: str, key_col: str, ids, partition_cols: list[str]
+) -> tuple[int, int]:
+    """Compliance deletion core — remove every row whose ``key_col`` is in
+    ``ids`` from a partitioned parquet dataset by TARGETED partition
+    rewrite: only partitions that actually contain a hit are read back,
+    filtered and dynamically overwritten; partitions fully emptied by the
+    delete (dynamic overwrite cannot replace a partition with nothing)
+    have their directories removed afterwards.  Returns (affected,
+    emptied) partition counts.
+
+    Cost model: ids is a bounded compliance batch (an IN-list the scan
+    pushes down to find hits), the rewrite touches only affected
+    partitions, and the kept rows are localCheckpoint-materialized before
+    the overwrite (both the self-overwrite guard and the no-data-loss
+    guard).  Idempotent and crash-convergent: a crash between the
+    overwrite and the emptied-directory cleanup leaves rows that still
+    match ``ids`` — the re-run recomputes the same hits and finishes the
+    job.
+
+    ``partition_cols=[]`` degrades to a full rewrite — only for bounded
+    side tables (the flat doclen sidecar), never for corpus-scale data.
+    """
+    import shutil as _sh
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    ids = [int(i) for i in ids]
+    df = spark.read.parquet(path)
+    if not partition_cols:
+        keep = df.filter(~F.col(key_col).isin(ids)).localCheckpoint()
+        keep.write.mode("overwrite").parquet(path)
+        return (1, 0)
+    aff = (
+        df.filter(F.col(key_col).isin(ids))
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    )
+    if not aff:
+        return (0, 0)
+    aff_df = spark.createDataFrame(aff)
+    keep = (
+        df.join(F.broadcast(aff_df), partition_cols, "left_semi")
+        .filter(~F.col(key_col).isin(ids))
+        .localCheckpoint()
+    )
+    kept_parts = {
+        tuple(r) for r in keep.select(*partition_cols).distinct().collect()
+    }
+    (
+        keep.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    emptied = 0
+    for r in aff:
+        t = tuple(r)
+        if t in kept_parts:
+            continue
+        sub = Path(path)
+        for c, v in zip(partition_cols, t):
+            sub = sub / f"{c}={v}"
+        _sh.rmtree(sub, ignore_errors=True)
+        emptied += 1
+    return (len(aff), emptied)

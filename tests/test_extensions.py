@@ -2898,3 +2898,82 @@ def test_warc_parse_and_html_extract(spark, tmp_path) -> None:
 
     with _pytest.raises(ValueError):
         WB.parse_warc_bytes(plain + b"garbage-after-records")
+
+
+def test_index_compliance_deletion(spark, tmp_path) -> None:
+    """Right-to-be-forgotten across both indexes: delete-in-place must be
+    INDISTINGUISHABLE from never having indexed the docs/vectors.
+
+    - text index, flat AND streamed layouts: bm25_topk_indexed over the
+      deleted index == over an index built from the filtered corpus
+      (N/T/df all shrink — scores, not just membership, must match);
+    - vector index: ivf_topk_indexed over the deleted index == over a
+      centroid-preserving rebuild (fit on the ORIGINAL corpus, append the
+      filtered vectors — deletion never re-fits); a fully-emptied cell's
+      directory disappears;
+    - idempotent: re-deleting the same ids changes nothing."""
+    from nqs_console_flink_window_spark.operators import retrieval as RT
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").filter("doc_id < 120")
+    gone = [3, 50, 111]
+    kept_docs = docs.filter(~F.col("doc_id").isin(gone))
+
+    def bm25_rows(path):
+        return [
+            (r["doc_id"], r["score_bm25"])
+            for r in RT.bm25_topk_indexed(spark, path).collect()
+        ]
+
+    # flat layout
+    flat = str(tmp_path / "ti_flat")
+    RT.build_text_index(spark, docs, flat)
+    RT.text_index_delete(spark, flat, gone)
+    ref = str(tmp_path / "ti_ref")
+    RT.build_text_index(spark, kept_docs, ref)
+    want = bm25_rows(ref)
+    assert bm25_rows(flat) == want and want
+    RT.text_index_delete(spark, flat, gone)  # idempotent
+    assert bm25_rows(flat) == want
+    n_docs = spark.read.parquet(f"{flat}.stats").first()["n_docs"]
+    assert n_docs == kept_docs.count()
+
+    # streamed layout: ids spanning both batches
+    stream = str(tmp_path / "ti_stream")
+    RT.text_index_ingest_batch(spark, docs.filter("doc_id % 2 = 0"), 0, stream)
+    RT.text_index_ingest_batch(spark, docs.filter("doc_id % 2 = 1"), 1, stream)
+    RT.text_index_delete(spark, stream, gone)
+    assert bm25_rows(stream) == want
+
+    # vector index
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [0.25] * dim
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, idx)
+    vgone = [7, 42, 99]
+    SIM.ivf_index_delete(spark, idx, vgone)
+    vref = str(tmp_path / "ivf_ref")
+    SIM.ivf_fit_centroids(emb, vref)  # ORIGINAL corpus centroids
+    SIM.ivf_index_append(spark, vref, emb.filter(~F.col("vec_id").isin(vgone)))
+    want_v = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.ivf_topk_indexed(spark, vref, qvec, k=10).collect()
+    ]
+    got_v = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in SIM.ivf_topk_indexed(spark, idx, qvec, k=10).collect()
+    ]
+    assert got_v == want_v and want_v
+
+    # empty an entire cell: its directory must disappear, reads survive
+    from pathlib import Path
+
+    assigned, _ = SIM.ivf_assignments(emb)
+    acell = assigned.select("cell").first()["cell"]
+    cell_ids = [
+        r["vec_id"]
+        for r in assigned.filter(F.col("cell") == acell).select("vec_id").collect()
+    ]
+    SIM.ivf_index_delete(spark, idx, cell_ids)
+    assert not (Path(idx) / f"cell={acell}").exists()
+    assert spark.read.parquet(idx).filter(F.col("cell") == acell).count() == 0
