@@ -261,8 +261,11 @@ LIMIT 10
     "cosine_topk",
     sql=_COSINE_TOPK_DUCK,
     doc="Extension — brute-force cosine top-k (exact decimal dot products; "
-    "broadcast query vector, no corpus shuffle)",
+    "broadcast query vector, no corpus shuffle).  Rotated tier-2 round 8 "
+    "close: driver-gated via cosine_multi (the same exact-decimal scoring "
+    "fragment per query over the broadcast query table)",
     headline=True,
+    tier=2,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -310,9 +313,9 @@ ORDER BY query_id, rank
     "partition-local pre-cut (per-(query, input-partition) row_number "
     "<= k is a superset of the global per-query top-k under the same "
     "total order) so the final rank window sees <= |Q| x k x partitions "
-    "rows, never corpus x |Q|.  driver-gated via cosine_topk + ann_topk "
-    "(the dense-retrieval exact/approx pair on the driver surface)",
-    tier=2,
+    "rows, never corpus x |Q|.  Tier-1 since round 8 close: the driver "
+    "hashes the multi-query exact-scoring baseline directly (cosine_topk "
+    "rotated tier-2 behind it)",
 )
 def cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -402,7 +405,11 @@ SELECT vec_a, vec_b, label, cosine FROM scored WHERE cosine >= 0.35
     "behind K closer-id bucket-mates in every table can be missed "
     "(documented bounded-work trade, same as the text family's capped "
     "degree); the oracle mirrors the candidate rule exactly so the result "
-    "is deterministic cross-engine",
+    "is deterministic cross-engine.  Rotated tier-2 round 8 close: "
+    "driver-gated via incremental_embedding_dedup_batches (the SAME "
+    "SRP-bucket + LAG-bounded candidate + quantized-cosine machinery, "
+    "batch-composed) + ann_topk",
+    tier=2,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -593,7 +600,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-local pre-cut + rank window.  At 100 TB the cell-"
     "partitioned store makes this |Q| x nprobe pruned cell scans per "
     "query set.  Bounded collects only (|Q|=8 query rows, <=k centroid "
-    "rows).  driver-gated via ann_topk + cosine_topk (the dense "
+    "rows).  driver-gated via ann_topk + cosine_multi (the dense "
     "exact/approx pair on the driver surface)",
     tier=2,
 )
@@ -643,7 +650,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     "pass at query time (the 30x soak measured the online form's "
     "assignment at 9x for 30x data).  Results bit-identical to "
     "ann_ivf_multi, so the oracle IS its deterministic recompute; "
-    "driver-gated via ann_topk + cosine_topk (the dense exact/approx "
+    "driver-gated via ann_topk + cosine_multi (the dense exact/approx "
     "pair on the driver surface)",
     tier=2,
 )
@@ -1433,7 +1440,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantized-integer cosine (int64 dot over floor(x*2^20+0.5) vectors, "
     "per-vector precomputed norms) + greedy keep-min prune at tau=0.35; "
     "pairwise work is sum(cluster^2), never corpus^2; embedding-dedup "
-    "family driver-gated via embedding_near_dup / ann_topk",
+    "family driver-gated via incremental_embedding_dedup_batches / ann_topk",
     tier=2,
 )
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1932,7 +1939,7 @@ def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(32x vs float32), ADC search = one M x K query LUT + M JVM-side "
     "element_at gathers per candidate (no float vector read at query "
     "time), exact-cosine re-rank of the 4k short list; ANN family "
-    "driver-gated via ann_topk / cosine_topk, recall pytest-gated "
+    "driver-gated via ann_topk / cosine_multi, recall pytest-gated "
     "(tests/test_extensions.py::test_pq_adc_recall_and_determinism)",
     tier=2,
 )
@@ -1951,8 +1958,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one-pass shape), L2-normalized from exact integer sums — the bridge "
     "that runs the vector family (cosine/ANN/SemDeDup) on the text corpus "
     "without a model artifact.  Rotated tier-2 round 7: embedding family "
-    "driver-gated via cosine_topk / embedding_near_dup, text family via "
-    "text_stats, the explode+grouped-integer-sums shape via bm25_topk",
+    "driver-gated via cosine_multi / incremental_embedding_dedup_batches, text family via "
+    "text_stats, the explode+grouped-integer-sums shape via bm25_multi",
     tier=2,
 )
 def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2205,7 +2212,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "power-of-two divide (sqrt(16)=4), so components are bit-identical "
     "cross-engine with no rounding rule at all.  One Arrow matmul per "
     "batch, no shuffle — the embedding-compression map stage; long-form "
-    "output for the value hash.  driver-gated via cosine_topk / "
+    "output for the value hash.  driver-gated via cosine_multi / "
     "ann_topk (the embedding-column family on the driver "
     "surface); distance-contraction property pytest-bounded",
     tier=2,
@@ -2301,10 +2308,8 @@ ORDER BY doc_id
     "from the raw text directly, so any parser/escaping/boilerplate "
     "regression hash-fails.  One Arrow-batched mapInPandas pass, no "
     "shuffle; at 100 TB this stage is embarrassingly parallel per crawl "
-    "file (see web.warc_records).  driver-gated via text_stats + "
-    "multimodal_features (the text-derivation and mapInPandas-decode "
-    "families on the driver surface)",
-    tier=2,
+    "file (see web.warc_records).  Tier-1 since round 8 close: the "
+    "driver hashes the web-ingestion extraction stage directly",
 )
 def html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import web as WB

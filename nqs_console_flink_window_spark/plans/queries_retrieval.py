@@ -40,7 +40,11 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a ratio of exact BIGINTs "
     "scaled through 10*T, per-doc sum quantized-exact.  tf shuffles only "
     "query-term rows, df/N/T ride scalar subqueries, top-k is TakeOrdered "
-    "— the sparse-retrieval baseline next to the dense ANN family",
+    "— the sparse-retrieval baseline next to the dense ANN family.  "
+    "Rotated tier-2 round 8 close: driver-gated via bm25_indexed (the "
+    "SAME oracle SQL, bit-identical scoring through the standing index) "
+    "+ bm25_multi (the same contrib fragment multi-keyed)",
+    tier=2,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -74,9 +78,12 @@ def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "leg rank) in exact integers.  QL contribution = qln(5*tf*T + "
     "5*ctf*dl) - qln(10*dl*T) micro-nats (integer args; tf=0 rows keep "
     "the smoothed background mass).  Leg cuts are TakeOrdered and the "
-    "rank windows cover <= 50 already-cut rows — never corpus-wide "
-    "(tier-1 since round 8: the fusion stack is driver-hashed directly; "
-    "the indexed form rides the same fragment, pytest bit-parity)",
+    "rank windows cover <= 50 already-cut rows — never corpus-wide.  "
+    "Rotated tier-2 round 8 close: driver-gated via hybrid_rrf_multi "
+    "(every fusion stage, per-query) + hybrid_rrf_indexed (the same "
+    "fragments over the standing index); single-query parity "
+    "pytest-pinned",
+    tier=2,
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -175,9 +182,8 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     "stats sidecars): query terms route to buckets at the file-listing "
     "level (PartitionFilters pytest-asserted), tf/dl/N/T all precomputed "
     "— no pass over corpus text.  Results bit-identical to the online "
-    "form, so the oracle IS bm25_topk's SQL; driver-gated via bm25_topk "
-    "(same scoring fragment on the driver surface)",
-    tier=2,
+    "form, so the oracle IS bm25_topk's SQL (tier-1 since round 8 close: "
+    "the driver hashes the file-listing-pruned retrieval path directly)",
 )
 def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -192,10 +198,8 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ctf = per-term SUM(tf) over pruned postings, N/T inlined from the "
     "stats sidecar.  The compute-once-then-query production shape for "
     "hard-negative mining; results bit-identical to the online form, so "
-    "the oracle IS hybrid_rrf_multi's SQL; driver-gated via "
-    "hybrid_rrf_multi + bm25_multi (the online fusion stack on the "
-    "driver surface)",
-    tier=2,
+    "the oracle IS hybrid_rrf_multi's SQL (tier-1 since round 8 close: "
+    "the standing-index fusion path is driver-hashed directly)",
 )
 def hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
