@@ -985,6 +985,24 @@ def _text_index_layout(path: str) -> str | None:
     return kinds.pop() if kinds else None
 
 
+
+def _rebuild_stats(spark, path: str) -> None:
+    """Rebuild the 1-row stats sidecar FROM the doclen sidecar — the ONE
+    convergence rule every maintenance verb (append, streamed ingest,
+    delete) shares: stats is a pure function of doclen, so a torn write
+    is repaired by any later maintenance call.  The COALESCE keeps t_tok
+    a real 0 when a delete empties the corpus (a NULL would crash
+    _indexed_inputs' int() on the next query)."""
+    from pyspark.sql import functions as F
+
+    dl = spark.read.parquet(f"{path}.doclen")
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t_tok"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+
+
 def _assert_fresh_doc_ids(
     spark, new_docs, path: str, where: str, exclude_batch_id: int | None = None
 ) -> None:
@@ -1320,12 +1338,7 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
             .partitionBy("batch_id")
             .parquet(f"{path}.doclen")
         )
-    alldl = bspark.read.parquet(f"{path}.doclen")
-    stats = alldl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("t_tok"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+    _rebuild_stats(bspark, path)
 
 
 def compact_streamed_text_index(
@@ -1522,12 +1535,7 @@ def text_index_append(spark, path: str, new_docs) -> None:
         spark.sql(bm25_dl_sql(v.tok)).write.mode("append").parquet(
             f"{path}.doclen"
         )
-    dl = spark.read.parquet(f"{path}.doclen")
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("t_tok"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+    _rebuild_stats(spark, path)
 
 
 def _fold_parquet_dir(spark, dir_path, target_bytes: int) -> int:
@@ -1611,11 +1619,4 @@ def text_index_delete(spark, path: str, doc_ids) -> None:
     delete_rows_partitioned(
         spark, dl_path, "doc_id", doc_ids, ["batch_id"] if dl_batched else []
     )
-    from pyspark.sql import functions as F
-
-    alldl = spark.read.parquet(dl_path)
-    stats = alldl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("t_tok"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+    _rebuild_stats(spark, path)

@@ -84,6 +84,29 @@ FROM sums
 """
 
 
+def lsh_ranked_duck_cte(vec_table: str = "embeddings") -> str:
+    """The SRP-LSH candidate + exact-cosine rank CTE prefix shared by
+    ann_lsh_topk's SQL oracle AND the recall audit's LSH leg (one source
+    for the candidate rule, so the audit can never drift from the
+    operator it audits): exposes ``lsh_ranked`` (vec_id, cosine, rn) —
+    bucket-collision candidates of the vec_id=0 query, exact-decimal
+    cosine, (cosine desc, vec_id) row numbers."""
+    return f"""
+WITH buckets AS ({srp_buckets_duck_sql(vec_table)}),
+qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+),
+cos AS ({cosine_duck_cte(vec_table, "vec_id = 0")}),
+lsh_ranked AS (
+  SELECT c.vec_id, c.cosine,
+         row_number() OVER (ORDER BY c.cosine DESC, c.vec_id) AS rn
+  FROM cos c JOIN cand USING (vec_id)
+)"""
+
+
 def cosine_multi_duck_cte(vec_table: str, query_pred: str, corpus_pred: str) -> str:
     """DuckDB oracle, multi-query form: cosine(corpus row, EVERY query
     row) keyed by (query_id, vec_id) — same per-element lateral expansion

@@ -87,6 +87,10 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             headers[k.strip().lower()] = v.strip()
         length = int(headers["content-length"])
         block = data[hdr_end + 4 : hdr_end + 4 + length]
+        if len(block) < length:
+            # the no-silent-truncation contract, enforced on the plain
+            # path too (the gzip path already raises on a short member)
+            raise ValueError("truncated WARC record body")
         pos = hdr_end + 4 + length
         status = None
         ctype = headers.get("content-type", "")
@@ -179,7 +183,9 @@ class _TextExtractor(HTMLParser):
             self._skip_content += 1
         if tag in _DROP_SUBTREE:
             self._skip_subtree += 1
-        if tag == "title":
+        # a <title> inside dropped boilerplate (an SVG logo's <title> in a
+        # <header>, say) must NOT contaminate the page title
+        if tag == "title" and not (self._skip_content or self._skip_subtree):
             self._in_title = True
         if tag in _BLOCK:
             self.chunks.append(" ")
@@ -195,11 +201,12 @@ class _TextExtractor(HTMLParser):
             self.chunks.append(" ")
 
     def handle_data(self, d):
+        if self._skip_content or self._skip_subtree:
+            return
         if self._in_title:
             self.title_chunks.append(d)
             return
-        if self._skip_content == 0 and self._skip_subtree == 0:
-            self.chunks.append(d)
+        self.chunks.append(d)
 
 
 def _norm_ws(s: str) -> str:
@@ -244,7 +251,13 @@ def extract_html_text(df, html_col: str = "html"):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            quads = [html_to_text(h) for h in b[html_col]]
+            # NULL html (failed fetch / non-HTML record — routine in the
+            # WARC pipeline this feeds) passes through as NULL fields
+            # instead of killing the whole Arrow task
+            quads = [
+                html_to_text(h) if isinstance(h, str) else (None,) * 4
+                for h in b[html_col]
+            ]
             out = b[keep].copy()
             out["title"] = [q[0] for q in quads]
             out["text"] = [q[1] for q in quads]

@@ -228,17 +228,8 @@ def ann_recall_audit_oracle(con, sf_dir: str) -> pd.DataFrame:
     # the SRP-LSH set via the same deterministic SQL twin ann_lsh_topk
     # trusts (bucket equi-join candidates, exact-cosine re-rank)
     lsh_sql = f"""
-WITH buckets AS ({SIM.srp_buckets_duck_sql('embeddings')}),
-qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
-cand AS (
-  SELECT DISTINCT b.vec_id FROM buckets b
-  JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket WHERE b.vec_id <> 0
-),
-cos AS ({SIM.cosine_duck_cte('embeddings', 'vec_id = 0')})
-SELECT vec_id FROM (
-  SELECT c.vec_id, row_number() OVER (ORDER BY c.cosine DESC, c.vec_id) AS rn
-  FROM cos c JOIN cand USING (vec_id)
-) WHERE rn <= 10
+{SIM.lsh_ranked_duck_cte('embeddings')}
+SELECT vec_id FROM lsh_ranked WHERE rn <= 10
 """
     lsh_ids = pd.DataFrame(
         {"vec_id": [int(v) for (v,) in con.execute(lsh_sql).fetchall()]}

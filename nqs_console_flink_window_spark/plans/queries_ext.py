@@ -473,20 +473,9 @@ def _ann_lsh_topk_oracle_sql() -> str:
     'value-oracle ann_lsh_topk' item; the k-means ANN family stays rows-only
     (no SQL twin for the quantizer)."""
     return f"""
-WITH buckets AS ({SIM.srp_buckets_duck_sql("embeddings")}),
-qb AS (SELECT tbl, bucket FROM buckets WHERE vec_id = 0),
-cand AS (
-  SELECT DISTINCT b.vec_id
-  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
-  WHERE b.vec_id <> 0
-),
-cos AS ({SIM.cosine_duck_cte("embeddings", "vec_id = 0")})
+{SIM.lsh_ranked_duck_cte("embeddings")}
 SELECT CAST(0 AS BIGINT) AS q_vec_id, vec_id, cosine, CAST(rn AS INT) AS rn
-FROM (
-  SELECT c.vec_id, c.cosine,
-         row_number() OVER (ORDER BY c.cosine DESC, c.vec_id) AS rn
-  FROM cos c JOIN cand USING (vec_id)
-) WHERE rn <= 10
+FROM lsh_ranked WHERE rn <= 10
 """
 
 
@@ -2112,8 +2101,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit class); reusing the ids as a literal IN-list avoids running
     # the brute-force pass once per audited method
     exact_ids = [int(r["vec_id"]) for r in exact10.collect()]
-    with_b = SIM.with_lsh_buckets(emb)
-    lsh10 = SIM.ann_topk(with_b, with_b.filter(F.col("vec_id") == 0), k=10)
+    lsh10 = ann_lsh_topk(spark, sf_dir)  # THE registered operator, reused
     parts = []
     for method, adf in (
         ("ivf", SIM.ivf_topk(corpus, qvec, k=10)),

@@ -366,71 +366,193 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
     return len(_glob.glob(f"{gen_path}/*.parquet"))
 
 
+DELETE_MANIFEST = "__delete_manifest.json"
+DELETE_STAGING = "__delete_staging"
+
+
+def _delete_part_dir(path: str, partition_cols: list[str], values):
+    from pathlib import Path
+
+    sub = Path(path)
+    for c, v in zip(partition_cols, values):
+        sub = sub / f"{c}={v}"
+    return sub
+
+
+def _commit_delete(path: str, manifest: dict) -> None:
+    """Roll the staged delete FORWARD (idempotent — every step checks
+    what already happened).  Partitioned: for each affected partition,
+    remove the old directory and move the staged replacement in (kept
+    partitions) or just remove it (emptied).  Flat: remove every data
+    file NOT carrying this manifest's generation prefix, then move the
+    staged files in under generation-prefixed names (stable across
+    repair re-runs — a crashed move never orphans or double-deletes).
+    Underscore-prefixed staging/manifest names keep Spark's FileIndex
+    blind to the machinery."""
+    import hashlib as _hl
+    import json as _json
+    import shutil as _sh
+    from pathlib import Path
+
+    staging = Path(path) / DELETE_STAGING
+    if manifest.get("flat"):
+        gen = _hl.md5(
+            _json.dumps(manifest, sort_keys=True).encode()
+        ).hexdigest()[:8]
+        prefix = f"delete-{gen}-"
+        flat_staged = staging / "__flat"
+        if flat_staged.exists():
+            for f in sorted(Path(path).glob("*.parquet")):
+                if not f.name.startswith(prefix):
+                    f.unlink()
+            for f in sorted(flat_staged.glob("*.parquet")):
+                f.rename(Path(path) / (prefix + f.name))
+    else:
+        pcols = manifest["partition_cols"]
+        kept = {tuple(t) for t in manifest["kept"]}
+        for t in (tuple(t) for t in manifest["affected"]):
+            real = _delete_part_dir(path, pcols, t)
+            staged = _delete_part_dir(str(staging), pcols, t)
+            if t in kept:
+                if staged.exists():
+                    _sh.rmtree(real, ignore_errors=True)
+                    real.parent.mkdir(parents=True, exist_ok=True)
+                    staged.rename(real)
+                # staged gone -> this partition already committed
+            else:
+                _sh.rmtree(real, ignore_errors=True)
+    (Path(path) / DELETE_MANIFEST).unlink(missing_ok=True)
+    _sh.rmtree(staging, ignore_errors=True)
+
+
+def _repair_crashed_delete(path: str) -> None:
+    """Settle a crashed prior delete before doing anything else: with a
+    manifest, roll forward (the staging holds the complete kept rows of
+    every not-yet-committed partition); without one, any staging dir is
+    pre-commit garbage — the dataset is untouched, drop the staging."""
+    import json as _json
+    import shutil as _sh
+    from pathlib import Path
+
+    man = Path(path) / DELETE_MANIFEST
+    if man.exists():
+        _commit_delete(path, _json.loads(man.read_text()))
+    else:
+        _sh.rmtree(Path(path) / DELETE_STAGING, ignore_errors=True)
+
+
+def _write_delete_manifest(path: str, manifest: dict) -> dict:
+    import json as _json
+    import os as _os
+    from pathlib import Path
+
+    man = Path(path) / DELETE_MANIFEST
+    tmp = Path(path) / (DELETE_MANIFEST + ".tmp")
+    tmp.write_text(_json.dumps(manifest, sort_keys=True))
+    fd = _os.open(tmp, _os.O_RDONLY)
+    try:
+        _os.fsync(fd)
+    finally:
+        _os.close(fd)
+    tmp.rename(man)
+    return _json.loads(man.read_text())
+
+
 def delete_rows_partitioned(
     spark, path: str, key_col: str, ids, partition_cols: list[str]
 ) -> tuple[int, int]:
     """Compliance deletion core — remove every row whose ``key_col`` is in
-    ``ids`` from a partitioned parquet dataset by TARGETED partition
-    rewrite: only partitions that actually contain a hit are read back,
-    filtered and dynamically overwritten; partitions fully emptied by the
-    delete (dynamic overwrite cannot replace a partition with nothing)
-    have their directories removed afterwards.  Returns (affected,
-    emptied) partition counts.
+    ``ids`` from a parquet dataset by TARGETED partition rewrite under a
+    staged-commit manifest: only partitions that actually contain a hit
+    are read back and filtered, the kept rows land in an underscore-
+    hidden staging dir FIRST (real files on disk before anything is
+    removed), a manifest records the plan (fsync + rename), and only
+    then are old partition directories swapped for their staged
+    replacements (or removed outright when the delete emptied them).
+    Returns (affected, emptied) partition counts.
+
+    Crash safety (the fold-manifest discipline): a crash before the
+    manifest rename leaves the dataset untouched (staging is pre-commit
+    garbage, dropped on the next call); a crash after it is rolled
+    FORWARD by ``_repair_crashed_delete`` — the staging holds the
+    complete kept rows of every partition not yet swapped, and every
+    commit step is idempotent.  Readers racing the commit window can see
+    a partition mid-swap: deletion is an offline maintenance operation,
+    exactly like compaction.
 
     Cost model: ids is a bounded compliance batch (an IN-list the scan
-    pushes down to find hits), the rewrite touches only affected
-    partitions, and the kept rows are localCheckpoint-materialized before
-    the overwrite (both the self-overwrite guard and the no-data-loss
-    guard).  Idempotent and crash-convergent: a crash between the
-    overwrite and the emptied-directory cleanup leaves rows that still
-    match ``ids`` — the re-run recomputes the same hits and finishes the
-    job.
-
-    ``partition_cols=[]`` degrades to a full rewrite — only for bounded
-    side tables (the flat doclen sidecar), never for corpus-scale data.
+    pushes down to find hits) and the rewrite touches only affected
+    partitions.  ``partition_cols=[]`` degrades to a staged full rewrite
+    — only for bounded side tables (the flat doclen sidecar), never for
+    corpus-scale data.
     """
-    import shutil as _sh
     from pathlib import Path
 
     from pyspark.sql import functions as F
 
     ids = [int(i) for i in ids]
+    _repair_crashed_delete(path)
+    # both repair and commit move files BEHIND Spark's FileIndex cache —
+    # refresh or this very function would plan against a stale listing
+    spark.catalog.refreshByPath(path)
     df = spark.read.parquet(path)
+    staging = Path(path) / DELETE_STAGING
+
     if not partition_cols:
-        keep = df.filter(~F.col(key_col).isin(ids)).localCheckpoint()
-        keep.write.mode("overwrite").parquet(path)
+        # the flat path swaps ROOT data files; on a partitioned dataset
+        # that would leave the old partition dirs in place next to the
+        # new flat files — silent duplication, refuse up front
+        if any(
+            c.is_dir() and "=" in c.name and not c.name.startswith("_")
+            for c in Path(path).iterdir()
+        ):
+            raise ValueError(
+                "flat delete on a partitioned dataset — pass its "
+                "partition_cols"
+            )
+        # a no-op delete must be an actual no-op (the idempotent re-run
+        # case): probe before rewriting the whole side table
+        if df.filter(F.col(key_col).isin(ids)).limit(1).count() == 0:
+            return (0, 0)
+        keep = df.filter(~F.col(key_col).isin(ids))
+        keep.write.mode("overwrite").parquet(str(staging / "__flat"))
+        manifest = _write_delete_manifest(
+            path, {"flat": True, "key_col": key_col, "ids": sorted(ids)}
+        )
+        _commit_delete(path, manifest)
+        spark.catalog.refreshByPath(path)
         return (1, 0)
-    aff = (
-        df.filter(F.col(key_col).isin(ids))
+
+    aff = [
+        tuple(r)
+        for r in df.filter(F.col(key_col).isin(ids))
         .select(*partition_cols)
         .distinct()
         .collect()
-    )
+    ]
     if not aff:
         return (0, 0)
-    aff_df = spark.createDataFrame(aff)
-    keep = (
-        df.join(F.broadcast(aff_df), partition_cols, "left_semi")
-        .filter(~F.col(key_col).isin(ids))
-        .localCheckpoint()
+    aff_df = spark.createDataFrame([list(t) for t in aff], partition_cols)
+    keep = df.join(F.broadcast(aff_df), partition_cols, "left_semi").filter(
+        ~F.col(key_col).isin(ids)
     )
-    kept_parts = {
-        tuple(r) for r in keep.select(*partition_cols).distinct().collect()
-    }
-    (
-        keep.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
+    keep.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+        str(staging)
     )
-    emptied = 0
-    for r in aff:
-        t = tuple(r)
-        if t in kept_parts:
-            continue
-        sub = Path(path)
-        for c, v in zip(partition_cols, t):
-            sub = sub / f"{c}={v}"
-        _sh.rmtree(sub, ignore_errors=True)
-        emptied += 1
-    return (len(aff), emptied)
+    kept = [
+        t
+        for t in aff
+        if _delete_part_dir(str(staging), partition_cols, t).exists()
+    ]
+    manifest = _write_delete_manifest(
+        path,
+        {
+            "flat": False,
+            "partition_cols": partition_cols,
+            "affected": [list(t) for t in aff],
+            "kept": [list(t) for t in kept],
+        },
+    )
+    _commit_delete(path, manifest)
+    spark.catalog.refreshByPath(path)
+    return (len(aff), len(aff) - len(kept))

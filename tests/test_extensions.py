@@ -2977,3 +2977,93 @@ def test_index_compliance_deletion(spark, tmp_path) -> None:
     SIM.ivf_index_delete(spark, idx, cell_ids)
     assert not (Path(idx) / f"cell={acell}").exists()
     assert spark.read.parquet(idx).filter(F.col("cell") == acell).count() == 0
+
+
+def test_delete_crash_recovery(spark, tmp_path) -> None:
+    """The staged-commit delete survives a crash at either phase:
+    pre-manifest (staging is garbage — dataset untouched, re-run
+    completes) and post-manifest (roll-forward — the next call finishes
+    the swap; no kept row is lost, no deleted row survives).  Both the
+    partitioned and the flat path."""
+    import pytest as _pytest
+
+    from nqs_console_flink_window_spark.sinks import writers as W
+
+    def build(path, partitioned=True):
+        w = spark.createDataFrame(
+            [(k, k % 3) for k in range(30)], "k long, p int"
+        ).write.mode("overwrite")
+        (w.partitionBy("p") if partitioned else w).parquet(path)
+
+    def keys(path):
+        return sorted(r["k"] for r in spark.read.parquet(path).collect())
+
+    # phase 1: staging exists, no manifest -> repair drops it, data intact
+    p1 = str(tmp_path / "d1")
+    build(p1)
+    boom = {"armed": True}
+    real_manifest = W._write_delete_manifest
+
+    def no_manifest(path, manifest):
+        if boom["armed"]:
+            raise RuntimeError("crash before manifest")
+        return real_manifest(path, manifest)
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(W, "_write_delete_manifest", no_manifest)
+        with _pytest.raises(RuntimeError):
+            W.delete_rows_partitioned(spark, p1, "k", [1, 5, 9], ["p"])
+    assert keys(p1) == list(range(30))  # untouched
+    boom["armed"] = False
+    assert W.delete_rows_partitioned(spark, p1, "k", [1, 5, 9], ["p"])[0] == 3
+    assert keys(p1) == [k for k in range(30) if k not in (1, 5, 9)]
+
+    # phase 2: manifest written, commit crashes -> next call rolls forward
+    for pcols, tag in ((["p"], "d2"), ([], "d3")):
+        p2 = str(tmp_path / tag)
+        build(p2, partitioned=bool(pcols))
+        real_commit = W._commit_delete
+        state = {"armed": True}
+
+        def crash_commit(path, manifest):
+            if state["armed"]:
+                raise RuntimeError("crash after manifest")
+            return real_commit(path, manifest)
+
+        with _pytest.MonkeyPatch.context() as mp:
+            mp.setattr(W, "_commit_delete", crash_commit)
+            with _pytest.raises(RuntimeError):
+                W.delete_rows_partitioned(spark, p2, "k", [2, 5], pcols)
+        state["armed"] = False
+        # the NEXT delete call settles the crashed one first, then no-ops
+        assert W.delete_rows_partitioned(spark, p2, "k", [2, 5], pcols) == (0, 0)
+        assert keys(p2) == [k for k in range(30) if k not in (2, 5)]
+
+    # phase 2b: emptying delete crashes post-manifest; roll-forward still
+    # removes the whole partition directory
+    p4 = str(tmp_path / "d4")
+    build(p4)
+    all_p0 = [k for k in range(30) if k % 3 == 0]
+    state = {"armed": True}
+    real_commit = W._commit_delete
+
+    def crash_once(path, manifest):
+        if state["armed"]:
+            raise RuntimeError("crash")
+        return real_commit(path, manifest)
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(W, "_commit_delete", crash_once)
+        with _pytest.raises(RuntimeError):
+            W.delete_rows_partitioned(spark, p4, "k", all_p0, ["p"])
+    state["armed"] = False
+    W._repair_crashed_delete(p4)
+    from pathlib import Path
+
+    assert not (Path(p4) / "p=0").exists()
+    assert keys(p4) == [k for k in range(30) if k % 3 != 0]
+
+    # misuse guard: the flat path on a partitioned dataset would silently
+    # duplicate rows (old partition dirs + new flat files) — it refuses
+    with _pytest.raises(ValueError, match="partitioned dataset"):
+        W.delete_rows_partitioned(spark, p4, "k", [1], [])
