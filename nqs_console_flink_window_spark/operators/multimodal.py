@@ -830,6 +830,12 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
     scan_tabs = {cid: (td, ta) for cid, td, ta in scans[0]["comps"]}
     scan_segs = scans[0]["segs"]
     restart_interval = scans[0]["ri"]
+    # per-scan table SNAPSHOTS, not the mutable end-of-marker-walk dicts:
+    # a DHT after the SOS (legal, T.81 B.2.4.2) must not retroactively
+    # redefine the tables this scan was encoded with — the progressive
+    # path already reads the snapshots, the baseline path must match
+    scan_dc = scans[0]["dc"]
+    scan_ac = scans[0]["ac"]
     if any(cid not in scan_tabs for cid, _, _, _ in comps):
         raise ValueError("scan does not cover all components")
 
@@ -898,7 +904,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
         plane = [[0] * (bw * 8) for _ in range(bh * 8)]
         for by in range(bh):
             for bx in range(bw):
-                blit(plane, decode_block(huff_dc[td], huff_ac[ta], qt[tqi], 0), by, bx)
+                blit(plane, decode_block(scan_dc[td], scan_ac[ta], qt[tqi], 0), by, bx)
                 mcu_boundary()  # non-interleaved: one block per MCU
         return _jpeg_assemble([plane], comps, width, height)
 
@@ -924,7 +930,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                     for bhh in range(h):
                         blit(
                             planes[ci],
-                            decode_block(huff_dc[td], huff_ac[ta], qt[tqi], ci),
+                            decode_block(scan_dc[td], scan_ac[ta], qt[tqi], ci),
                             my * v + bv,
                             mx * h + bhh,
                         )

@@ -992,9 +992,21 @@ def _rebuild_stats(spark, path: str) -> None:
     delete) shares: stats is a pure function of doclen, so a torn write
     is repaired by any later maintenance call.  The COALESCE keeps t_tok
     a real 0 when a delete empties the corpus (a NULL would crash
-    _indexed_inputs' int() on the next query)."""
+    _indexed_inputs' int() on the next query).  On the STREAMED layout a
+    delete of every doc removes all batch_id=* partition dirs outright —
+    the doclen dir then holds no parquet files at all and spark.read
+    cannot infer a schema, so an empty dir writes the 0/0 stats row
+    directly (the flat layout's empty overwrite leaves a schema-only
+    file and takes the read path)."""
+    from pathlib import Path
+
     from pyspark.sql import functions as F
 
+    if not any(Path(f"{path}.doclen").rglob("*.parquet")):
+        spark.createDataFrame(
+            [(0, 0)], "n_docs long, t_tok long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+        return
     dl = spark.read.parquet(f"{path}.doclen")
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

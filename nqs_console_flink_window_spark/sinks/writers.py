@@ -383,8 +383,11 @@ def _commit_delete(path: str, manifest: dict) -> None:
     """Roll the staged delete FORWARD (idempotent — every step checks
     what already happened).  Partitioned: for each affected partition,
     remove the old directory and move the staged replacement in (kept
-    partitions) or just remove it (emptied).  Flat: remove every data
-    file NOT carrying this manifest's generation prefix, then move the
+    partitions) or just remove it (emptied).  Flat: remove exactly the
+    data files the staged snapshot READ (the manifest records their
+    names — a file appended between snapshot and commit survives as
+    duplicate-free extra rows instead of being silently destroyed, the
+    same inputs-only discipline as fold_parquet_files), then move the
     staged files in under generation-prefixed names (stable across
     repair re-runs — a crashed move never orphans or double-deletes).
     Underscore-prefixed staging/manifest names keep Spark's FileIndex
@@ -402,9 +405,10 @@ def _commit_delete(path: str, manifest: dict) -> None:
         prefix = f"delete-{gen}-"
         flat_staged = staging / "__flat"
         if flat_staged.exists():
+            inputs = set(manifest["inputs"])
             for f in sorted(Path(path).glob("*.parquet")):
-                if not f.name.startswith(prefix):
-                    f.unlink()
+                if f.name in inputs:
+                    f.unlink(missing_ok=True)
             for f in sorted(flat_staged.glob("*.parquet")):
                 f.rename(Path(path) / (prefix + f.name))
     else:
@@ -486,11 +490,15 @@ def delete_rows_partitioned(
     — only for bounded side tables (the flat doclen sidecar), never for
     corpus-scale data.
     """
+    import os as _os
     from pathlib import Path
 
     from pyspark.sql import functions as F
 
-    ids = [int(i) for i in ids]
+    # ids pass through as-is: isin() takes any literal type, so string
+    # doc ids work unchanged (coercing via int() would silently constrain
+    # the compliance key to integers)
+    ids = list(ids)
     _repair_crashed_delete(path)
     # both repair and commit move files BEHIND Spark's FileIndex cache —
     # refresh or this very function would plan against a stale listing
@@ -515,9 +523,19 @@ def delete_rows_partitioned(
         if df.filter(F.col(key_col).isin(ids)).limit(1).count() == 0:
             return (0, 0)
         keep = df.filter(~F.col(key_col).isin(ids))
+        # snapshot the exact files this rewrite read BEFORE staging: the
+        # commit unlinks only these, so a file appended mid-delete is
+        # left alone (extra rows, never silent loss)
+        inputs = sorted(_os.path.basename(f) for f in df.inputFiles())
         keep.write.mode("overwrite").parquet(str(staging / "__flat"))
         manifest = _write_delete_manifest(
-            path, {"flat": True, "key_col": key_col, "ids": sorted(ids)}
+            path,
+            {
+                "flat": True,
+                "key_col": key_col,
+                "ids": sorted(str(i) for i in ids),
+                "inputs": inputs,
+            },
         )
         _commit_delete(path, manifest)
         spark.catalog.refreshByPath(path)

@@ -3067,3 +3067,91 @@ def test_delete_crash_recovery(spark, tmp_path) -> None:
     # duplicate rows (old partition dirs + new flat files) — it refuses
     with _pytest.raises(ValueError, match="partitioned dataset"):
         W.delete_rows_partitioned(spark, p4, "k", [1], [])
+
+
+def test_flat_delete_spares_late_arriving_file(spark, tmp_path) -> None:
+    """r8-advice regression (writers.py _commit_delete, flat branch): the
+    commit must unlink exactly the files the staged snapshot READ — a
+    file appended between the snapshot and the commit is NOT part of the
+    delete's inputs and must survive (as extra rows, never silent loss).
+    The old prefix rule deleted every non-generation-prefixed root file,
+    destroying the late arrival."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from nqs_console_flink_window_spark.sinks import writers as W
+
+    p = str(tmp_path / "flat_late")
+    spark.createDataFrame(
+        [(k, k % 3) for k in range(10)], "k long, p int"
+    ).write.mode("overwrite").parquet(p)
+
+    real_commit = W._commit_delete
+
+    def commit_after_append(path, manifest):
+        # a concurrent writer lands a file in the commit window
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([100], pa.int64()),
+                    "p": pa.array([9], pa.int32()),
+                }
+            ),
+            f"{path}/late-arrival.parquet",
+        )
+        return real_commit(path, manifest)
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(W, "_commit_delete", commit_after_append)
+        W.delete_rows_partitioned(spark, p, "k", [1, 5], [])
+    got = sorted(r["k"] for r in spark.read.parquet(p).collect())
+    assert got == [k for k in range(10) if k not in (1, 5)] + [100]
+
+
+def test_delete_rows_accepts_string_keys(spark, tmp_path) -> None:
+    """r8-advice regression (writers.py delete_rows_partitioned): ids pass
+    through untouched — a string key_col (e.g. string doc ids) must work
+    on both the flat and the partitioned path instead of dying in an
+    int() cast."""
+    from nqs_console_flink_window_spark.sinks import writers as W
+
+    rows = [(f"doc-{k}", k % 2) for k in range(8)]
+    flat = str(tmp_path / "str_flat")
+    spark.createDataFrame(rows, "k string, p int").write.parquet(flat)
+    W.delete_rows_partitioned(spark, flat, "k", ["doc-1", "doc-6"], [])
+    assert sorted(r["k"] for r in spark.read.parquet(flat).collect()) == [
+        f"doc-{k}" for k in range(8) if k not in (1, 6)
+    ]
+
+    part = str(tmp_path / "str_part")
+    spark.createDataFrame(rows, "k string, p int").write.partitionBy(
+        "p"
+    ).parquet(part)
+    aff, emptied = W.delete_rows_partitioned(
+        spark, part, "k", ["doc-3"], ["p"]
+    )
+    assert (aff, emptied) == (1, 0)
+    assert sorted(r["k"] for r in spark.read.parquet(part).collect()) == [
+        f"doc-{k}" for k in range(8) if k != 3
+    ]
+
+
+def test_jpeg_post_sos_dht_does_not_poison_baseline_scan() -> None:
+    """r8-advice regression (multimodal.py baseline scan path): a DHT
+    segment AFTER the SOS (legal per T.81 B.2.4.2) redefines the global
+    table dicts during the marker walk, but the scan was entropy-coded
+    with the tables in force AT ITS SOS — the baseline decode must read
+    the per-scan snapshots (as the progressive path already does), so
+    splicing a garbage table-0 redefinition before EOI changes nothing."""
+    import struct
+
+    jpg = _jpeg_encode_baseline([[100] * 8 for _ in range(8)], gray=True)
+    assert jpg.endswith(b"\xff\xd9")
+    # valid-but-wrong DC table 0: single 1-bit code -> symbol 0
+    dht = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    poison = b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    spliced = jpg[:-2] + poison + jpg[-2:]
+    assert MM.decode_features(spliced, "image/jpeg") == MM.decode_features(
+        jpg, "image/jpeg"
+    )

@@ -939,3 +939,22 @@ def test_query_terms_with_quotes_are_escaped(spark) -> None:
     assert {
         t for (q, t) in con.execute(qs).fetchall()
     } == set(spiky)
+
+
+def test_text_index_delete_all_docs_streamed_converges(spark, tmp_path) -> None:
+    """r8-advice regression (_rebuild_stats): on the STREAMED layout a
+    delete of every doc removes all batch_id=* doclen partition dirs —
+    the doclen dir then holds zero parquet files and spark.read cannot
+    infer a schema.  The rebuild must detect the empty dir and land the
+    converged 0/0 stats row directly instead of raising and leaving
+    stats stale."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "sidx_delete_all")
+    RT.text_index_ingest_batch(spark, docs, 0, idx)
+    RT.text_index_delete(spark, idx, [1, 2])
+    stats = spark.read.parquet(f"{idx}.stats").collect()
+    assert len(stats) == 1
+    assert stats[0]["n_docs"] == 0 and stats[0]["t_tok"] == 0
