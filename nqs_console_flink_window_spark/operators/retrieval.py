@@ -351,25 +351,23 @@ qlp AS (
 )"""
 
 
-def _hybrid_rrf_ctes(
-    d: str,
+def _bm25_leg_ctes(
     tf: str,
     dl: str,
     table: str | None = None,
     leg_k: int = HYBRID_LEG_K,
-    k: int = HYBRID_K,
     n_body: str | None = None,
     t_body: str | None = None,
 ) -> str:
-    """CTE-list + final SELECT (no leading WITH) fusing the BM25 and QL
-    legs over shared ``tf``/``dl`` relations.  Leg ranks ride ROW_NUMBER
-    over the TakeOrdered top lists (<= leg_k rows each); the fused cut is
-    another TakeOrdered.  ``n_body``/``t_body`` override the N/T scalar
-    subqueries (the indexed path inlines the stats sidecar as literals,
-    same convention as ``_bm25_score_ctes``)."""
+    """THE single-query BM25 leg (no leading WITH, no trailing comma):
+    n/t/df/scored/bm25agg/bm25top/bm25r over relations ``tf`` (doc_id,
+    token, tf) and ``dl`` (doc_id, dl) — one definition shared by the
+    lexical (BM25+QL) and the dense+sparse fusions so the sparse leg's
+    scoring cannot drift between them.  ``bm25r`` exposes (doc_id, rn)
+    with rn from ROW_NUMBER over the TakeOrdered top list (<= leg_k
+    rows — bounded, never corpus-wide)."""
     n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
     t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
-    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
     return f"""
 n AS ({n_body}),
 t AS ({t_body}),
@@ -394,7 +392,28 @@ bm25r AS (
   SELECT doc_id,
     ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn
   FROM bm25top
-),
+)"""
+
+
+def _hybrid_rrf_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    table: str | None = None,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH) fusing the BM25 and QL
+    legs over shared ``tf``/``dl`` relations.  Leg ranks ride ROW_NUMBER
+    over the TakeOrdered top lists (<= leg_k rows each); the fused cut is
+    another TakeOrdered.  ``n_body``/``t_body`` override the N/T scalar
+    subqueries (the indexed path inlines the stats sidecar as literals,
+    same convention as ``_bm25_score_ctes``)."""
+    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
+    return f"""
+{_bm25_leg_ctes(tf, dl, table, leg_k, n_body, t_body).strip()},
 {_ql_scores_ctes(tf, dl).lstrip()},
 qltop AS (
   SELECT doc_id, ql_micro FROM qlp
@@ -589,31 +608,23 @@ def bm25_multi_df(
             )
 
 
-def _hybrid_rrf_multi_ctes(
-    d: str,
+def _bm25_multi_leg_ctes(
     tf: str,
     dl: str,
     qt: str,
     table: str | None = None,
-    leg_k: int = HYBRID_LEG_K,
-    k: int = HYBRID_K,
     n_body: str | None = None,
     t_body: str | None = None,
 ) -> str:
-    """CTE-list + final SELECT (no leading WITH): the multi-query form of
-    the RRF fusion — every stage of the single-query version with a
-    query_id key threaded through.  Per-query candidates are docs holding
-    >= 1 of THAT query's terms; leg cuts ride rank windows PARTITIONED BY
-    query_id over the per-query candidate aggregations (bounded by
-    candidates per query, never corpus-wide).  ``n_body``/``t_body``
-    override the N/T scalar subqueries for the indexed path."""
+    """THE multi-query BM25 leg (no leading WITH, no trailing comma):
+    n/t/df/scored/bm25agg/bm25r with a query_id key threaded through —
+    one definition shared by the lexical and the dense+sparse multi
+    fusions.  ``bm25r`` exposes (query_id, doc_id, rn) with rn from a
+    rank window PARTITIONED BY query_id over the per-query candidate
+    aggregation (bounded by candidates per query, never corpus-wide);
+    callers cut at their leg_k."""
     n_body = n_body or f"SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}"
     t_body = t_body or f"SELECT CAST(SUM(dl) AS BIGINT) AS t_tok FROM {dl}"
-    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
-    ql_contrib = (
-        f"{qln_micro('5 * COALESCE(qtf.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
-        f" - {qln_micro('10 * dl.dl * (SELECT t_tok FROM t)')}"
-    )
     return f"""
 n AS ({n_body}),
 t AS ({t_body}),
@@ -637,7 +648,34 @@ bm25r AS (
     ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
   FROM bm25agg
-),
+)"""
+
+
+def _hybrid_rrf_multi_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    qt: str,
+    table: str | None = None,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH): the multi-query form of
+    the RRF fusion — every stage of the single-query version with a
+    query_id key threaded through.  Per-query candidates are docs holding
+    >= 1 of THAT query's terms; leg cuts ride rank windows PARTITIONED BY
+    query_id over the per-query candidate aggregations (bounded by
+    candidates per query, never corpus-wide).  ``n_body``/``t_body``
+    override the N/T scalar subqueries for the indexed path."""
+    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
+    ql_contrib = (
+        f"{qln_micro('5 * COALESCE(qtf.tf, 0) * (SELECT t_tok FROM t) + 5 * ctf.ctf * dl.dl')}"
+        f" - {qln_micro('10 * dl.dl * (SELECT t_tok FROM t)')}"
+    )
+    return f"""
+{_bm25_multi_leg_ctes(tf, dl, qt, table, n_body, t_body).strip()},
 ctf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM {tf} GROUP BY token),
 candq AS (
   SELECT DISTINCT qt.query_id, tf.doc_id
@@ -722,6 +760,373 @@ def hybrid_rrf_multi_df(
                 f"WITH qt AS ({bm25_queryset_sql(queries)}), "
                 + _hybrid_rrf_multi_ctes(d, v2.tf, v2.dl, "qt", table)
             )
+
+
+# ---------------------------------------------------------------------------
+# Dense+sparse hybrid retrieval: THE production hybrid (the canonical RRF
+# application in the Cormack et al. 2009 framing) — fuse a DENSE embedding
+# leg (exact-decimal cosine vs a reference vector, the cosine_topk/
+# cosine_multi machinery) with the SPARSE lexical leg (BM25 over the same
+# corpus) through the same exact-integer rrf_pico rule as the lexical
+# fusion.  The fixtures pair `documents` with `embeddings` by id
+# (vec_id == doc_id: embedding of document i), so the fused key is doc_id.
+#
+# Determinism note: the dense leg's cosine is a float, but both engines
+# quantize it to 1e-8 (floor(x*1e8+0.5)/1e8 — the cosine family's standing
+# rounding) and ties break on vec_id, so the leg RANKS — the only thing
+# the fusion consumes — are bit-stable cross-engine.  rrf_pico itself
+# stays exact BIGINT (RRF_SCALE DIV (60 + rank)).
+#
+# Conventions: the reference vector is the QUERY in dense space, not a
+# candidate — the corpus excludes it (cosine_topk's convention; in the
+# multi form each query excludes only its own vector).  The text query
+# has no document identity, so the sparse leg stays natural.  Standard
+# RRF absence rule: a doc missing from a leg's top-leg_k contributes
+# nothing from that leg (n_legs says which).
+# ---------------------------------------------------------------------------
+
+DENSE_QUERY_VEC = 0  # single-query reference vector (cosine_topk's query)
+
+
+def _dense_scored_sql(d: str, vec_table: str, query_vec: int) -> str:
+    """(vec_id, cosine) of every corpus vector vs the single reference
+    vector — dialect-split exact cosine (decimal-exact dot products,
+    1e-8 rounding; corpus excludes the reference itself).  Spark side
+    broadcasts the 1-row query subquery (BNLJ bounded by 1 — dense
+    scoring has no equi key by construction, the cosine_topk whitelist
+    rationale)."""
+    from .similarity import cosine_duck_cte, dot_spark
+
+    if d == X.DUCK:
+        return (
+            f"SELECT vec_id, cosine FROM "
+            f"({cosine_duck_cte(vec_table, f'vec_id = {query_vec}')}) "
+            f"WHERE vec_id <> {query_vec}"
+        )
+    # the query self-norm hoists onto the 1-row broadcast side (computed
+    # once, not once per corpus row); the assembled expression is the
+    # same dot/(SQRT(na)*SQRT(nq)) double arithmetic as cosine_spark, so
+    # the 1e-8-quantized values are bit-identical
+    dot = dot_spark("e.embedding", "q.qe")
+    na = dot_spark("e.embedding", "e.embedding")
+    cos = (
+        f"(CASE WHEN {na} = 0.0 OR q._nq = 0.0 THEN 0.0 "
+        f"ELSE {X.fround(f'{dot} / (SQRT({na}) * SQRT(q._nq))', 8)} END)"
+    )
+    return (
+        f"SELECT /*+ BROADCAST(q) */ e.vec_id, {cos} AS cosine "
+        f"FROM {vec_table} e CROSS JOIN "
+        f"(SELECT embedding AS qe, "
+        f"{dot_spark('embedding', 'embedding')} AS _nq FROM {vec_table} "
+        f"WHERE vec_id = {query_vec}) q "
+        f"WHERE e.vec_id <> {query_vec}"
+    )
+
+
+def _dense_sparse_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    dcos: str,
+    table: str | None = None,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH) fusing the shared BM25
+    leg (``_bm25_leg_ctes`` — the same fragment as the lexical fusion)
+    with a dense leg read from relation ``dcos`` (vec_id, cosine).  Leg
+    cuts are TakeOrdered; rank windows run over <= leg_k already-cut
+    rows.  ``n_body``/``t_body`` override the N/T scalar subqueries for
+    the indexed path."""
+    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
+    return f"""
+{_bm25_leg_ctes(tf, dl, table, leg_k, n_body, t_body).strip()},
+dtop AS (
+  SELECT vec_id, cosine FROM {dcos}
+  ORDER BY cosine DESC, vec_id LIMIT {leg_k}
+),
+dr AS (
+  SELECT vec_id AS doc_id,
+    ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rn
+  FROM dtop
+),
+legs AS (
+  SELECT doc_id, rn, 1 AS is_sparse, 0 AS is_dense FROM bm25r
+  UNION ALL
+  SELECT doc_id, rn, 0 AS is_sparse, 1 AS is_dense FROM dr
+),
+fused AS (
+  SELECT doc_id,
+    CAST(SUM({rrf}) AS BIGINT) AS rrf_pico,
+    CAST(MAX(is_sparse * rn) AS BIGINT) AS bm25_rank,
+    CAST(MAX(is_dense * rn) AS BIGINT) AS dense_rank,
+    CAST(COUNT(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY doc_id
+)
+SELECT doc_id, rrf_pico, bm25_rank, dense_rank, n_legs,
+  {X.fround("CAST(rrf_pico AS DOUBLE) / 1.0E12", 9)} AS rrf_score
+FROM fused
+ORDER BY rrf_pico DESC, doc_id
+LIMIT {k}
+"""
+
+
+def hybrid_dense_sparse_sql(
+    d: str,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    query: tuple[str, ...] = BM25_QUERY,
+    query_vec: int = DENSE_QUERY_VEC,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+) -> str:
+    """Oracle form: plain CTEs."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), "
+        f"tfq AS ({bm25_tf_sql('tok', query)}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        f"dcos AS ({_dense_scored_sql(d, vec_table, query_vec)}), "
+        + _dense_sparse_ctes(d, "tfq", "dlt", "dcos", table, leg_k, k)
+    )
+
+
+def hybrid_dense_sparse_df(
+    spark,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    query: tuple[str, ...] = BM25_QUERY,
+    query_vec: int = DENSE_QUERY_VEC,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """Engine side: same tok/tf/dl staging as the lexical fusion; the
+    dense CTE is referenced once (dtop), so it rides inline — the 1-row
+    query subquery broadcasts, scores project to THIN (vec_id, cosine)
+    rows, and the leg cut is ORDER BY + LIMIT = TakeOrdered."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    tok_df = spark.sql(tok_cte(d, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, query))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
+            return spark.sql(
+                f"WITH dcos AS ({_dense_scored_sql(d, vec_table, query_vec)}), "
+                + _dense_sparse_ctes(d, v2.tf, v2.dl, "dcos", table, leg_k, k)
+            )
+
+
+def _dense_multi_scored_sql(
+    d: str, vec_table: str, query_vec_ids: tuple[int, ...]
+) -> str:
+    """(query_id, vec_id, cosine) of every corpus vector vs EVERY query
+    vector — the multi twin of ``_dense_scored_sql`` (each query excludes
+    only its own vector from the corpus)."""
+    from .similarity import cosine_multi_duck_cte, cosine_spark
+
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    if d == X.DUCK:
+        return cosine_multi_duck_cte(
+            vec_table, f"vec_id IN ({ids})", "e.vec_id <> q.query_id"
+        )
+    return (
+        f"SELECT /*+ BROADCAST(q) */ q.query_id, e.vec_id, "
+        f"{cosine_spark('e.embedding', 'q.qe')} AS cosine "
+        f"FROM {vec_table} e CROSS JOIN "
+        f"(SELECT vec_id AS query_id, embedding AS qe FROM {vec_table} "
+        f"WHERE vec_id IN ({ids})) q "
+        f"WHERE e.vec_id <> q.query_id"
+    )
+
+
+def _dense_sparse_multi_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    qt: str,
+    drm: str,
+    table: str | None = None,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH): the multi-query
+    dense+sparse fusion over the shared multi BM25 leg
+    (``_bm25_multi_leg_ctes``) and a dense leg read from relation ``drm``
+    (query_id, doc_id, rn) — the oracle derives drm from a rank window
+    over the full per-query cosine set, the engine stages
+    ``per_query_topk``'s partition-local pre-cut (bit-identical ranks
+    under the shared (cosine DESC, vec_id) total order)."""
+    rrf = X.idiv(d, str(RRF_SCALE), f"{RRF_K} + rn")
+    return f"""
+{_bm25_multi_leg_ctes(tf, dl, qt, table, n_body, t_body).strip()},
+legs AS (
+  SELECT query_id, doc_id, rn, 1 AS is_sparse, 0 AS is_dense
+  FROM bm25r WHERE rn <= {leg_k}
+  UNION ALL
+  SELECT query_id, doc_id, rn, 0 AS is_sparse, 1 AS is_dense
+  FROM {drm} WHERE rn <= {leg_k}
+),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(SUM({rrf}) AS BIGINT) AS rrf_pico,
+    CAST(MAX(is_sparse * rn) AS BIGINT) AS bm25_rank,
+    CAST(MAX(is_dense * rn) AS BIGINT) AS dense_rank,
+    CAST(COUNT(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT fused.*,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rrf_pico DESC, doc_id) AS rk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_pico, bm25_rank, dense_rank, n_legs, rk,
+  {X.fround("CAST(rrf_pico AS DOUBLE) / 1.0E12", 9)} AS rrf_score
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+def hybrid_dense_sparse_multi_sql(
+    d: str,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+) -> str:
+    """Oracle form: plain CTEs.  Each query_id's dense vector is the
+    embedding of vec_id == query_id (the fixture's doc/vec pairing), so
+    the queryset is (terms, vector) pairs keyed by one id."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), "
+        f"qt AS ({bm25_queryset_sql(queries)}), "
+        f"tfq AS ({bm25_tf_sql('tok', bm25_queryset_terms(queries))}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        f"dcosm AS ({_dense_multi_scored_sql(d, vec_table, tuple(sorted(queries)))}), "
+        f"drm AS (SELECT query_id, vec_id AS doc_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, vec_id) AS rn FROM dcosm), "
+        + _dense_sparse_multi_ctes(d, "tfq", "dlt", "qt", "drm", table, leg_k, k)
+    )
+
+
+def _dense_multi_leg_df(spark, vec_table: str, query_vec_ids, leg_k: int):
+    """Engine-side dense leg: broadcast |Q|-row query-vector table onto
+    the corpus, thin (query_id, vec_id, cosine) projection, then
+    ``per_query_topk``'s partition-local pre-cut — the final rank window
+    sees <= |Q| x leg_k x partitions rows, never corpus x |Q| (the
+    cosine_multi discipline).  Both self-norms HOIST out of the pair
+    space: the corpus norm is computed once per VECTOR (not once per
+    (query, vector) pair — a |Q|x saving on the dominant aggregate-HOF
+    cost) and the query norm once per query on the broadcast side; the
+    assembled expression is the same dot/(SQRT(na)*SQRT(nq)) double
+    arithmetic as ``cosine_spark``, so the 1e-8-quantized values are
+    bit-identical.  Returns (query_id, doc_id, rn <= leg_k)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.dialect import fround
+    from .similarity import dot_spark, per_query_topk
+
+    emb = spark.table(vec_table)
+    ids = [int(i) for i in query_vec_ids]
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(dot_spark("embedding", "embedding")).alias("_na"),
+    )
+    q = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(dot_spark("embedding", "embedding")).alias("_nq"),
+    )
+    dot = dot_spark("embedding", "qe")
+    cos = (
+        f"(CASE WHEN _na = 0.0 OR _nq = 0.0 THEN 0.0 "
+        f"ELSE {fround(f'{dot} / (SQRT(_na) * SQRT(_nq))', 8)} END)"
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(cos).alias("cosine"))
+    )
+    return per_query_topk(scored, leg_k).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rn"),
+    )
+
+
+def hybrid_dense_sparse_multi_df(
+    spark,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """Engine side: the sparse leg stages tok/tf/dl exactly like the
+    lexical multi fusion; the dense leg stages ``per_query_topk``'s
+    pre-cut ranks as a view (<= |Q| x leg_k rows) and feeds the SAME
+    fusion fragment the oracle runs — leg ranks are bit-identical by the
+    shared (cosine DESC, vec_id) / (score DESC, doc_id) total orders."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    dr = _dense_multi_leg_df(spark, vec_table, sorted(queries), leg_k)
+    tok_df = spark.sql(tok_cte(d, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df, drm=dr) as v2:
+            return spark.sql(
+                f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+                + _dense_sparse_multi_ctes(
+                    d, v2.tf, v2.dl, "qt", v2.drm, table, leg_k, k
+                )
+            )
+
+
+def hybrid_dense_sparse_multi_indexed(
+    spark,
+    path: str,
+    vec_table: str = "embeddings",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """Dense+sparse hybrid against the PERSISTED inverted index: the
+    sparse leg reads |Q| pruned postings buckets + the doclen/stats
+    sidecars (no corpus text pass — the hybrid_rrf_multi_indexed shape),
+    the dense leg is the same broadcast exact-cosine scan, and the fusion
+    fragment is shared — bit-identical to ``hybrid_dense_sparse_multi_df``
+    by construction (parity-tested)."""
+    from .staging import staged_views
+
+    dr = _dense_multi_leg_df(spark, vec_table, sorted(queries), leg_k)
+    post, dl, n_body, t_body = _indexed_inputs(
+        spark, path, bm25_queryset_terms(queries)
+    )
+    with staged_views(spark, tf=post, dl=dl, drm=dr, checkpoint=False) as v:
+        return spark.sql(
+            f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+            + _dense_sparse_multi_ctes(
+                X.SPARK,
+                v.tf,
+                v.dl,
+                "qt",
+                v.drm,
+                leg_k=leg_k,
+                k=k,
+                n_body=n_body,
+                t_body=t_body,
+            )
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -262,8 +262,9 @@ LIMIT 10
     sql=_COSINE_TOPK_DUCK,
     doc="Extension — brute-force cosine top-k (exact decimal dot products; "
     "broadcast query vector, no corpus shuffle).  Rotated tier-2 round 8 "
-    "close: driver-gated via cosine_multi (the same exact-decimal scoring "
-    "fragment per query over the broadcast query table)",
+    "close: driver-gated via hybrid_dense_sparse_multi (the same "
+    "exact-decimal scoring fragment per query over the broadcast query "
+    "table, as its dense leg)",
     headline=True,
     tier=2,
 )
@@ -313,9 +314,11 @@ ORDER BY query_id, rank
     "partition-local pre-cut (per-(query, input-partition) row_number "
     "<= k is a superset of the global per-query top-k under the same "
     "total order) so the final rank window sees <= |Q| x k x partitions "
-    "rows, never corpus x |Q|.  Tier-1 since round 8 close: the driver "
-    "hashes the multi-query exact-scoring baseline directly (cosine_topk "
-    "rotated tier-2 behind it)",
+    "rows, never corpus x |Q|.  Rotated tier-2 round 9: driver-gated via "
+    "hybrid_dense_sparse_multi, whose dense leg IS this machinery (same "
+    "broadcast query-vector table, same exact-decimal cosine fragment, "
+    "same per_query_topk pre-cut) + ann_topk",
+    tier=2,
 )
 def cosine_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -589,7 +592,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-local pre-cut + rank window.  At 100 TB the cell-"
     "partitioned store makes this |Q| x nprobe pruned cell scans per "
     "query set.  Bounded collects only (|Q|=8 query rows, <=k centroid "
-    "rows).  driver-gated via ann_topk + cosine_multi (the dense "
+    "rows).  driver-gated via ann_topk + hybrid_dense_sparse_multi (the dense "
     "exact/approx pair on the driver surface)",
     tier=2,
 )
@@ -629,6 +632,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "ann_ivf_indexed",
     sql=None,  # k-means family: value-oracled via deterministic recompute
+    headline=True,  # standing-index ANN hot path — benched since round 9
     oracle_py=ORC.ann_ivf_multi_oracle,
     doc="Extension — ann_ivf_multi against the PERSISTED cell-partitioned "
     "index (build once per process per corpus dir, query the standing "
@@ -639,7 +643,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     "pass at query time (the 30x soak measured the online form's "
     "assignment at 9x for 30x data).  Results bit-identical to "
     "ann_ivf_multi, so the oracle IS its deterministic recompute; "
-    "driver-gated via ann_topk + cosine_multi (the dense exact/approx "
+    "driver-gated via ann_topk + hybrid_dense_sparse_multi (the dense exact/approx "
     "pair on the driver surface)",
     tier=2,
 )
@@ -1928,7 +1932,7 @@ def containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(32x vs float32), ADC search = one M x K query LUT + M JVM-side "
     "element_at gathers per candidate (no float vector read at query "
     "time), exact-cosine re-rank of the 4k short list; ANN family "
-    "driver-gated via ann_topk / cosine_multi, recall pytest-gated "
+    "driver-gated via ann_topk / hybrid_dense_sparse_multi, recall pytest-gated "
     "(tests/test_extensions.py::test_pq_adc_recall_and_determinism)",
     tier=2,
 )
@@ -1947,7 +1951,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one-pass shape), L2-normalized from exact integer sums — the bridge "
     "that runs the vector family (cosine/ANN/SemDeDup) on the text corpus "
     "without a model artifact.  Rotated tier-2 round 7: embedding family "
-    "driver-gated via cosine_multi / incremental_embedding_dedup_batches, text family via "
+    "driver-gated via hybrid_dense_sparse_multi / "
+    "incremental_embedding_dedup_batches, text family via "
     "text_stats, the explode+grouped-integer-sums shape via bm25_multi",
     tier=2,
 )
@@ -2200,7 +2205,7 @@ def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "power-of-two divide (sqrt(16)=4), so components are bit-identical "
     "cross-engine with no rounding rule at all.  One Arrow matmul per "
     "batch, no shuffle — the embedding-compression map stage; long-form "
-    "output for the value hash.  driver-gated via cosine_multi / "
+    "output for the value hash.  driver-gated via hybrid_dense_sparse_multi / "
     "ann_topk (the embedding-column family on the driver "
     "surface); distance-contraction property pytest-bounded",
     tier=2,

@@ -643,7 +643,8 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """,
     doc="§2.10/A6/J1 — join + grouped revenue + deterministic top-k "
-    "(TPC-H Q3 shape); top-k driver-gated via bm25_multi / cosine_multi, "
+    "(TPC-H Q3 shape); top-k driver-gated via bm25_multi / "
+    "hybrid_dense_sparse_multi, "
     "plan shape guarded by test_fact_side_joins_are_not_broadcast",
     tier=2,
 )

@@ -177,6 +177,7 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "bm25_indexed",
     sql=RT.bm25_topk_sql(X.DUCK),
+    headline=True,  # standing-index sparse hot path — benched since round 9
     doc="Extension — bm25_topk against the MATERIALIZED inverted index "
     "(build_text_index layout: tbucket-partitioned postings + doclen/"
     "stats sidecars): query terms route to buckets at the file-listing "
@@ -193,6 +194,7 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hybrid_rrf_indexed",
     sql=RT.hybrid_rrf_multi_sql(X.DUCK),
+    headline=True,  # standing-index fusion hot path — benched since round 9
     doc="Extension — hybrid_rrf_multi against the MATERIALIZED inverted "
     "index: one pruned postings scan serves every query's term union; "
     "ctf = per-term SUM(tf) over pruned postings, N/T inlined from the "
@@ -204,3 +206,70 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     return RT.hybrid_rrf_multi_indexed(spark, _ensure_text_index(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dense+sparse hybrid retrieval — THE production hybrid (round 9): a dense
+# embedding leg (exact-decimal cosine vs a reference vector) fused with the
+# sparse BM25 leg through the same exact-integer rrf_pico rule as the
+# lexical fusion.  The fixture pairs documents with embeddings by id
+# (vec_id == doc_id), so the fused key is doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hybrid_dense_sparse",
+    sql=RT.hybrid_dense_sparse_sql(X.DUCK),
+    doc="Extension — single-query dense+sparse hybrid retrieval: exact "
+    "cosine vs the vec_id=0 reference vector (1e-8-quantized, ties on "
+    "vec_id — leg ranks bit-stable cross-engine) fused with the shared "
+    "_bm25_leg_ctes sparse leg via exact-integer RRF (rrf_pico = sum of "
+    "1e12 DIV (60 + leg rank)).  Leg cuts are TakeOrdered; the 1-row "
+    "query vector broadcasts (whitelisted BNLJ — dense scoring has no "
+    "equi key by construction).  driver-gated via hybrid_dense_sparse_"
+    "multi (every fusion stage with a query_id key threaded through)",
+    tier=2,
+)
+def hybrid_dense_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents", "embeddings"))
+    return RT.hybrid_dense_sparse_df(spark)
+
+
+@register(
+    "hybrid_dense_sparse_multi",
+    sql=RT.hybrid_dense_sparse_multi_sql(X.DUCK),
+    headline=True,  # the production RAG/hard-negative fusion — benched
+    doc="Extension — multi-query dense+sparse hybrid retrieval, the "
+    "canonical production hybrid (RAG / hard-negative mining fuses a "
+    "dense embedding leg with a sparse lexical leg — the stated point of "
+    "RRF in Cormack et al. 2009): per query_id, exact-decimal cosine vs "
+    "the embedding of vec_id=query_id (broadcast |Q|-row query-vector "
+    "table, thin projection, per_query_topk partition-local pre-cut) "
+    "fused with the shared _bm25_multi_leg_ctes BM25 leg in exact-integer "
+    "rrf_pico.  Dense leg ranks are bit-stable cross-engine (1e-8 "
+    "quantized cosine, vec_id ties); each query excludes only its own "
+    "vector from the dense corpus",
+)
+def hybrid_dense_sparse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents", "embeddings"))
+    return RT.hybrid_dense_sparse_multi_df(spark)
+
+
+@register(
+    "hybrid_dense_sparse_indexed",
+    sql=RT.hybrid_dense_sparse_multi_sql(X.DUCK),
+    headline=True,  # the standing-index fusion hot path — benched
+    doc="Extension — hybrid_dense_sparse_multi against the MATERIALIZED "
+    "inverted index: the sparse leg reads |Q| pruned postings buckets + "
+    "the doclen/stats sidecars (no corpus text pass), the dense leg is "
+    "the same broadcast exact-cosine scan, the fusion fragment is shared "
+    "— results bit-identical to the online form, so the oracle IS its "
+    "SQL.  driver-gated via hybrid_dense_sparse_multi (same fragments) "
+    "+ bm25_indexed (the pruned-scan sparse path)",
+    tier=2,
+)
+def hybrid_dense_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents", "embeddings"))
+    return RT.hybrid_dense_sparse_multi_indexed(
+        spark, _ensure_text_index(spark, sf_dir)
+    )

@@ -958,3 +958,68 @@ def test_text_index_delete_all_docs_streamed_converges(spark, tmp_path) -> None:
     stats = spark.read.parquet(f"{idx}.stats").collect()
     assert len(stats) == 1
     assert stats[0]["n_docs"] == 0 and stats[0]["t_tok"] == 0
+
+
+def test_hybrid_dense_sparse_leg_parity(spark) -> None:
+    """Each leg of the dense+sparse fusion bit-equals its STANDALONE
+    query (the round-9 composition contract): the sparse leg's ranks
+    reproduce bm25_topk's order, the dense leg's ranks reproduce
+    cosine_topk's order.  Run with leg_k=10 (both standalone queries'
+    k) and an uncapped fused cut so every leg row is visible in the
+    output's bm25_rank/dense_rank columns."""
+    from nqs_console_flink_window_spark.plans.queries_ext import cosine_topk
+    from nqs_console_flink_window_spark.sources.batch import register_temp_views
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents", "embeddings"))
+    fused = RT.hybrid_dense_sparse_df(spark, leg_k=10, k=10_000).collect()
+    sparse = [
+        r["doc_id"]
+        for r in sorted(
+            (r for r in fused if r["bm25_rank"] > 0),
+            key=lambda r: r["bm25_rank"],
+        )
+    ]
+    assert sparse == [r["doc_id"] for r in RT.bm25_topk_df(spark).collect()]
+    dense = [
+        r["doc_id"]
+        for r in sorted(
+            (r for r in fused if r["dense_rank"] > 0),
+            key=lambda r: r["dense_rank"],
+        )
+    ]
+    assert dense == [
+        r["vec_id"] for r in cosine_topk(spark, SMOKE_SF_DIR).collect()
+    ]
+
+
+def test_hybrid_dense_sparse_multi_legs_and_indexed(spark, tmp_path) -> None:
+    """Multi form: per query_id the sparse leg reproduces bm25_multi's
+    per-query order, and the indexed form (sparse leg over the
+    materialized inverted index) is bit-identical to the online form."""
+    import collections
+
+    from nqs_console_flink_window_spark.sources.batch import (
+        load_table,
+        register_temp_views,
+    )
+
+    register_temp_views(spark, SMOKE_SF_DIR, ("documents", "embeddings"))
+    fused = RT.hybrid_dense_sparse_multi_df(
+        spark, leg_k=RT.BM25_MULTI_K, k=10_000
+    ).collect()
+    got = collections.defaultdict(list)
+    for r in sorted(
+        (r for r in fused if r["bm25_rank"] > 0),
+        key=lambda r: (r["query_id"], r["bm25_rank"]),
+    ):
+        got[r["query_id"]].append(r["doc_id"])
+    want = collections.defaultdict(list)
+    for r in RT.bm25_multi_df(spark).collect():
+        want[r["query_id"]].append(r["doc_id"])
+    assert got == want
+
+    idx = str(tmp_path / "hds_idx")
+    RT.build_text_index(spark, load_table(spark, SMOKE_SF_DIR, "documents"), idx)
+    online = RT.hybrid_dense_sparse_multi_df(spark).collect()
+    indexed = RT.hybrid_dense_sparse_multi_indexed(spark, idx).collect()
+    assert [tuple(r) for r in online] == [tuple(r) for r in indexed]

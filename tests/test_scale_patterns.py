@@ -171,6 +171,12 @@ def test_no_scale_antipatterns_across_registry(spark) -> None:
         # brute-force baseline the ANN family approximates); bounded by
         # |Q|, and the scores project to thin rows before any shuffle
         "cosine_multi",
+        # the dense leg of the dense+sparse fusions is exactly the
+        # cosine_topk / cosine_multi shape (1-row / |Q|-row broadcast
+        # query-vector table, thin projection, bounded pre-cut)
+        "hybrid_dense_sparse",
+        "hybrid_dense_sparse_multi",
+        "hybrid_dense_sparse_indexed",
     }
     for name, q in REGISTRY.items():
         plan = q.spark(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
