@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import dialect as X
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -132,11 +134,9 @@ def decode_wav_features(payload: bytes) -> list[float]:
     )
 
 
-def decode_ppm_features(payload: bytes) -> list[float]:
-    """REAL image decode, pure Python: binary netpbm (P6) -> per-channel
-    mean/STD + luma stats [width/1e4, height/1e4, maxval/255, r_mean,
-    g_mean, b_mean, luma_mean, luma_var, 0...] (means normalized by
-    maxval)."""
+def _ppm_channels(payload: bytes):
+    """Binary netpbm (P6) -> (rs, gs, bs, width, height, maxval) row-major
+    top-down channel sequences."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 ppm")
     # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
@@ -159,6 +159,16 @@ def decode_ppm_features(payload: bytes) -> list[float]:
     if len(raster) < 3 * npx:
         raise ValueError("truncated raster")
     rs, gs, bs = raster[0::3], raster[1::3], raster[2::3]
+    return rs, gs, bs, width, height, maxval
+
+
+def decode_ppm_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure Python: binary netpbm (P6) -> per-channel
+    mean/STD + luma stats [width/1e4, height/1e4, maxval/255, r_mean,
+    g_mean, b_mean, luma_mean, luma_var, 0...] (means normalized by
+    maxval)."""
+    rs, gs, bs, width, height, maxval = _ppm_channels(payload)
+    npx = width * height
     mv = float(maxval) or 1.0
     rm, gm, bm = (sum(c) / npx / mv for c in (rs, gs, bs))
     lumas = [
@@ -175,14 +185,12 @@ def decode_ppm_features(payload: bytes) -> list[float]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png_features(payload: bytes) -> list[float]:
-    """REAL image decode, pure stdlib: PNG (8-bit gray/gray+alpha/RGB/RGBA,
-    non-interlaced) -> the same feature layout as the PPM path
-    [width/1e4, height/1e4, maxdepth(=1.0), r_mean, g_mean, b_mean,
-    luma_mean, luma_var, 0...].  zlib inflate + the 5 scanline filters
-    (None/Sub/Up/Average/Paeth); alpha ignored; grayscale broadcast to all
-    three channels.  Unsupported shapes (16-bit, palette, Adam7) raise —
-    the dispatch falls back to the stub."""
+def _png_channels(payload: bytes):
+    """PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced) -> (rs, gs,
+    bs, width, height) row-major top-down channel sequences.  zlib
+    inflate + the 5 scanline filters (None/Sub/Up/Average/Paeth); alpha
+    ignored; grayscale broadcast to all three channels.  Unsupported
+    shapes (16-bit, palette, Adam7) raise."""
     import struct
     import zlib
 
@@ -253,7 +261,14 @@ def decode_png_features(payload: bytes) -> list[float]:
         rs, gs, bs = recon[0::3], recon[1::3], recon[2::3]
     else:
         rs, gs, bs = recon[0::4], recon[1::4], recon[2::4]
-    return _image_stats(rs, gs, bs, width, height)
+    return rs, gs, bs, width, height
+
+
+def decode_png_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: PNG -> the same feature layout as
+    the PPM path [width/1e4, height/1e4, maxdepth(=1.0), r_mean, g_mean,
+    b_mean, luma_mean, luma_var, 0...]."""
+    return _image_stats(*_png_channels(payload))
 
 
 def _image_stats(rs, gs, bs, width: int, height: int, maxdepth: float = 1.0) -> list[float]:
@@ -271,12 +286,12 @@ def _image_stats(rs, gs, bs, width: int, height: int, maxdepth: float = 1.0) -> 
     return _pad([width / 1e4, height / 1e4, maxdepth, rm, gm, bm, lm, lv])
 
 
-def decode_bmp_features(payload: bytes) -> list[float]:
-    """REAL image decode, pure stdlib: BMP (24-bit uncompressed,
-    BITMAPINFOHEADER) -> the shared image feature layout.  Rows are
-    4-byte-padded BGR, bottom-up when height > 0 (top-down when negative)
-    — row order doesn't change the stats, only the raster walk.  Other
-    depths/compressions raise -> stub."""
+def _bmp_channels(payload: bytes):
+    """BMP (24-bit uncompressed, BITMAPINFOHEADER) -> (rs, gs, bs, width,
+    height) row-major TOP-DOWN channel sequences.  Rows are 4-byte-padded
+    BGR, stored bottom-up when height > 0 (top-down when negative) — the
+    walk normalizes to top-down so pixel-position consumers (dHash) see
+    the image, not the storage order."""
     import struct
 
     if payload[:2] != b"BM":
@@ -292,17 +307,26 @@ def decode_bmp_features(payload: bytes) -> list[float]:
     # emits garbage stats instead of falling back to the stub
     if width <= 0 or height == 0:
         raise ValueError("bad dimensions")
+    bottom_up = height > 0
     height = abs(height)
     stride = ((width * 3 + 3) // 4) * 4
     if len(payload) < data_off + stride * height:
         raise ValueError("truncated raster")
     rs, gs, bs = [], [], []
-    for y in range(height):
+    ys = range(height - 1, -1, -1) if bottom_up else range(height)
+    for y in ys:
         row = payload[data_off + y * stride : data_off + y * stride + width * 3]
         bs.extend(row[0::3])
         gs.extend(row[1::3])
         rs.extend(row[2::3])
-    return _image_stats(rs, gs, bs, width, height)
+    return rs, gs, bs, width, height
+
+
+def decode_bmp_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: BMP (24-bit uncompressed,
+    BITMAPINFOHEADER) -> the shared image feature layout.  Other
+    depths/compressions raise -> stub."""
+    return _image_stats(*_bmp_channels(payload))
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
@@ -349,12 +373,11 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     return out
 
 
-def decode_gif_features(payload: bytes) -> list[float]:
-    """REAL image decode, pure stdlib: GIF87a/89a (non-interlaced, first
-    frame, global or local color table) -> the shared image feature
-    layout.  Walks extensions, inflates the frame's LZW index stream and
-    maps it through the active palette.  Interlaced frames raise ->
-    stub."""
+def _gif_channels(payload: bytes):
+    """GIF87a/89a (non-interlaced, first frame, global or local color
+    table) -> (rs, gs, bs, width, height) row-major top-down channel
+    sequences.  Walks extensions, inflates the frame's LZW index stream
+    and maps it through the active palette.  Interlaced frames raise."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -398,12 +421,18 @@ def decode_gif_features(payload: bytes) -> list[float]:
             rs = [table[3 * i] for i in idx]
             gs = [table[3 * i + 1] for i in idx]
             bs = [table[3 * i + 2] for i in idx]
-            return _image_stats(rs, gs, bs, width, height)
+            return rs, gs, bs, width, height
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad block 0x{block:02x}")
     raise ValueError("no image frame")
+
+
+def decode_gif_features(payload: bytes) -> list[float]:
+    """REAL image decode, pure stdlib: GIF87a/89a first frame -> the
+    shared image feature layout (interlaced frames raise -> stub)."""
+    return _image_stats(*_gif_channels(payload))
 
 
 # JPEG zigzag order: index in the entropy stream -> natural (row-major)
@@ -509,7 +538,7 @@ def _jpeg_progressive_decode(
     the spec).  DC scans may be interleaved (ns > 1); AC scans are always
     single-component non-interleaved.  Restart segments byte-align the
     reader and reset predictors AND the EOB run.  Returns pixel planes on
-    each component's interleaved-MCU grid for ``_jpeg_assemble``."""
+    each component's interleaved-MCU grid for ``_jpeg_channels``."""
     hmax = max(h for _, _, h, _ in comps)
     vmax = max(v for _, _, _, v in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -674,6 +703,12 @@ def _jpeg_progressive_decode(
 
 
 def decode_jpeg_features(payload: bytes) -> list[float]:
+    """REAL JPEG decode -> the shared image-stat layout (see
+    _jpeg_decode_channels for the decode itself)."""
+    return _image_stats(*_jpeg_decode_channels(payload))
+
+
+def _jpeg_decode_channels(payload: bytes):
     """REAL image decode, pure stdlib: baseline sequential (SOF0) AND
     progressive (SOF2) JFIF, 8-bit, grayscale or YCbCr with the full
     T.81 sampling-factor range 1..4 — 4:4:4, 4:2:2, 4:4:0, 4:2:0,
@@ -823,7 +858,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
 
     if progressive:
         planes = _jpeg_progressive_decode(scans, comps, qt, width, height)
-        return _jpeg_assemble(planes, comps, width, height)
+        return _jpeg_channels(planes, comps, width, height)
 
     if len(scans) != 1:
         raise ValueError("multiple scans in a baseline jpeg")
@@ -906,7 +941,7 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
             for bx in range(bw):
                 blit(plane, decode_block(scan_dc[td], scan_ac[ta], qt[tqi], 0), by, bx)
                 mcu_boundary()  # non-interleaved: one block per MCU
-        return _jpeg_assemble([plane], comps, width, height)
+        return _jpeg_channels([plane], comps, width, height)
 
     # Interleaved 3-component scan: an MCU is hmax*8 x vmax*8 image pixels;
     # component i contributes h_i x v_i blocks per MCU into a plane sampled
@@ -936,22 +971,22 @@ def decode_jpeg_features(payload: bytes) -> list[float]:
                         )
             mcu_boundary()
 
-    return _jpeg_assemble(planes, comps, width, height)
+    return _jpeg_channels(planes, comps, width, height)
 
 
-def _jpeg_assemble(
+def _jpeg_channels(
     planes: list, comps: list, width: int, height: int
-) -> list[float]:
+):
     """Shared post-entropy tail for baseline AND progressive: nearest-
     neighbor chroma upsample (the JFIF-sanctioned simple reconstruction)
-    during YCbCr->RGB (BT.601), then the common image-stat layout.
-    ``planes`` are pixel grids at each component's sampled resolution
-    (any grid >= the needed size works — baseline and progressive pad to
-    different block/MCU grids)."""
+    during YCbCr->RGB (BT.601) -> (rs, gs, bs, width, height) row-major
+    top-down.  ``planes`` are pixel grids at each component's sampled
+    resolution (any grid >= the needed size works — baseline and
+    progressive pad to different block/MCU grids)."""
     if len(comps) == 1:
         plane = planes[0]
         flat = [plane[y][x] for y in range(height) for x in range(width)]
-        return _image_stats(flat, flat, flat, width, height)
+        return flat, flat, flat, width, height
     hmax = max(h for _, _, h, _ in comps)
     vmax = max(v for _, _, _, v in comps)
     (_, _, h0, v0), (_, _, h1, v1), (_, _, h2, v2) = comps
@@ -973,7 +1008,257 @@ def _jpeg_assemble(
             ):
                 iv = int(round(v))
                 acc.append(0 if iv < 0 else (255 if iv > 255 else iv))
-    return _image_stats(rs_l, gs_l, bs_l, width, height)
+    return rs_l, gs_l, bs_l, width, height
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup): dHash — THE standing first stage of
+# every multimodal training-corpus dedup (LAION-style): gradient hash over
+# a tiny grayscale thumbnail; near-duplicate images (re-encodes, minor
+# crops/edits) land within a small Hamming distance.  Pure integer
+# arithmetic over the stdlib decoders' pixel output:
+#
+#   decode -> integer luma -> nearest-neighbor resize to 9x8 ->
+#   64 horizontal comparisons -> DHASH_BANDS x 16-bit band values.
+#
+# The hash is REPRESENTED as its band values (not one 64-bit word): bit 63
+# would overflow signed BIGINT, and the bands are what the candidate join
+# keys on anyway (pigeonhole: Hamming <= DHASH_BANDS - 1 => some band
+# agrees exactly — the simhash_hamming_hist discipline, dedup_text.py).
+# ---------------------------------------------------------------------------
+
+DHASH_GRID_W = 9  # 9 thumbnail columns -> 8 comparisons per row
+DHASH_GRID_H = 8
+DHASH_BANDS = 4  # 16 bits each; candidate join provably complete <= 3
+DHASH_MAX_HAMMING = 3
+
+
+def dhash_bands_from_channels(rs, gs, bs, width: int, height: int) -> list[int]:
+    """(rs, gs, bs, w, h) row-major top-down channels -> DHASH_BANDS
+    16-bit band values.  Integer luma (299r+587g+114b) DIV 1000 — for a
+    gray pixel (c, c, c) the luma is exactly c, which is what pins the
+    SQL fixture-grid twin bit-for-bit; nearest-neighbor resize
+    (src_y = r*h DIV 8, src_x = c*w DIV 9) so the thumbnail is pure
+    integer indexing, no filtering to drift cross-implementation.  Band b
+    covers thumbnail rows 2b/2b+1; local bit index (r%2)*8 + c."""
+    if width < 1 or height < 1:
+        raise ValueError("empty image")
+    grid = [
+        [
+            (
+                299 * rs[(r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)]
+                + 587 * gs[(r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)]
+                + 114 * bs[(r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)]
+            )
+            // 1000
+            for c in range(DHASH_GRID_W)
+        ]
+        for r in range(DHASH_GRID_H)
+    ]
+    bands = [0] * DHASH_BANDS
+    for r in range(DHASH_GRID_H):
+        for c in range(DHASH_GRID_W - 1):
+            if grid[r][c] < grid[r][c + 1]:
+                bands[r // 2] |= 1 << ((r % 2) * 8 + c)
+    return bands
+
+
+def decode_dhash(payload: bytes, mime: str | None = None) -> list[int]:
+    """Typed dispatch to pixels -> dHash bands.  Image formats only (the
+    perceptual hash of an audio stream is meaningless); mime gating and
+    magic-byte checks mirror ``decode_features``.  Raises on non-image /
+    unsupported payloads — the mapInPandas kernel catches and flags
+    decode_ok=False (never kills the stage)."""
+    image_ok = mime is None or mime.startswith("image/")
+    if not (image_ok and payload):
+        raise ValueError("not an image payload")
+    if payload[:2] == b"P6" and payload[2:3].isspace():
+        rs, gs, bs, w, h, _maxval = _ppm_channels(payload)
+        return dhash_bands_from_channels(rs, gs, bs, w, h)
+    if payload[:8] == _PNG_MAGIC:
+        return dhash_bands_from_channels(*_png_channels(payload))
+    if payload[:2] == b"BM":
+        return dhash_bands_from_channels(*_bmp_channels(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return dhash_bands_from_channels(*_gif_channels(payload))
+    if payload[:2] == b"\xff\xd8":
+        return dhash_bands_from_channels(*_jpeg_decode_channels(payload))
+    raise ValueError("unsupported image format for dhash")
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bv", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_dhash(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched mapInPandas dHash extraction: (media_id, payload,
+    meta.mime) -> DHASH_BANDS rows per image (media_id, band, bv) —
+    band-exploded because the band value IS the downstream join key (the
+    Hamming-band candidate join consumes this shape directly; no array
+    column to re-explode).  Undecodable payloads emit DHASH_BANDS
+    zero-band rows flagged decode_ok=False so corpus accounting stays
+    row-exact."""
+    cols = media.select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            band_ix: list[int] = []
+            bvs: list[int] = []
+            oks: list[bool] = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                try:
+                    bands = decode_dhash(
+                        bytes(payload) if payload is not None else b"", mime
+                    )
+                    ok = True
+                except Exception:
+                    bands, ok = [0] * DHASH_BANDS, False
+                for b, bv in enumerate(bands):
+                    ids.append(mid)
+                    band_ix.append(b)
+                    bvs.append(bv)
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "band": pd.Series(band_ix, dtype="int32"),
+                    "bv": pd.Series(bvs, dtype="int64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return cols.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def dhash_grid_sql(d: str, table: str = "documents") -> str:
+    """CTE-list (no leading WITH, no trailing comma) computing the dHash
+    bands of the FIXTURE image: each document's first 72 ASCII codes read
+    as a 9x8 grayscale thumbnail (pad-with-0 beyond the text, the same
+    rule as the PPM encoding in ``documents_as_ppm``).  Exposes ``bands``
+    (doc_id, band, bv) — for a gray thumbnail the decoder's integer luma
+    is exactly the ascii code, so these SQL band values are bit-identical
+    to ``decode_dhash`` over the encoded image (pytest-pinned; this is
+    the oracle half of the image_near_dup registry query)."""
+    px_src = X.explode_range(
+        d, f"(SELECT doc_id, text FROM {table})", "doc_id, text", "0", "71", "p"
+    )
+    v = (
+        "CASE WHEN p + 1 <= length(text) "
+        "THEN ascii(substr(text, p + 1, 1)) ELSE 0 END"
+    )
+    band = X.idiv(d, "r", "2")
+    return f"""
+px AS (SELECT doc_id, p, {v} AS v FROM {px_src} t),
+bits AS (
+  SELECT l.doc_id, {X.idiv(d, "l.p", "9")} AS r, (l.p % 9) AS c,
+         CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS bit
+  FROM px l JOIN px rr ON rr.doc_id = l.doc_id AND rr.p = l.p + 1
+  WHERE l.p % 9 < 8
+),
+bands AS (
+  SELECT doc_id, {band} AS band,
+    CAST(SUM(bit * {X.shiftleft(d, "1", "(r % 2) * 8 + c")}) AS BIGINT) AS bv
+  FROM bits GROUP BY doc_id, {band}
+)"""
+
+
+def dhash_pairs_sql(d: str, bands: str) -> str:
+    """CTE-list + final SELECT (no leading WITH) over a ``bands``
+    relation (doc_id, band, bv): Hamming-band candidate pairs + exact
+    verify — the simhash_hamming_hist discipline (dedup_text.py) applied
+    to the perceptual hash.  Pigeonhole: a pair within Hamming distance
+    DHASH_BANDS - 1 agrees exactly on >= 1 whole band, so candidates come
+    from per-band equi-joins (shuffle proportional to band-bucket
+    collisions, never all-pairs) and bit_count runs only on candidates —
+    provably identical to the all-pairs form for distances <=
+    DHASH_MAX_HAMMING.  Known hot bucket: near-constant images all hash
+    to bv=0 bands (no gradients) — at production scale prefilter
+    zero-variance thumbnails into an exact-group path before the join
+    (same class of bounded-work trade the simhash family documents)."""
+    ham = X.xor(d, "ba.bv", "bb.bv")
+    return f"""
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {bands} a JOIN {bands} b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN {bands} ba ON ba.doc_id = c.doc_a
+  JOIN {bands} bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= {DHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+def documents_as_ppm(docs: DataFrame) -> DataFrame:
+    """Fixture adapter, image edition: encode each document's first 72
+    ASCII codes as a REAL 9x8 grayscale P6 PPM (header + raw RGB triples,
+    each pixel's three channels = the character code; short docs pad with
+    NUL = black).  Unlike ``documents_as_media`` (opaque octet-stream ->
+    stub histogram), these payloads take the REAL image decode path — the
+    registry's image_near_dup query runs decode -> dHash -> band join ->
+    Hamming verify end-to-end against a pure-SQL oracle recomputing the
+    same bands from the text."""
+    gray = F.expr(
+        "rpad(substr(text, 1, 72), 72, chr(0))"
+    )  # 72 chars, NUL-padded
+    raster = F.regexp_replace(gray, "(.)", "$1$1$1")  # gray -> RGB triples
+    payload = F.concat(F.lit("P6 9 8 255\n"), raster).cast("binary")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(DHASH_GRID_W).cast("int").alias("width"),
+            F.lit(DHASH_GRID_H).cast("int").alias("height"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
+    """Engine side of image_near_dup: documents -> PPM payloads -> REAL
+    decode + dHash through the Arrow mapInPandas stage -> staged bands ->
+    the shared Hamming-band pairs fragment.  The bands relation is
+    referenced four times by the fragment (two candidate sides, two
+    verify sides) — staged once (localCheckpoint) so Spark's CTE inlining
+    cannot re-run the decode per reference."""
+    from .staging import staged_views
+
+    media = documents_as_ppm(spark.table(table))
+    bands = (
+        extract_dhash(media)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("doc_id"), "band", "bv")
+    )
+    with staged_views(spark, bands=bands) as v:
+        return spark.sql("WITH " + dhash_pairs_sql(X.SPARK, v.bands).lstrip())
+
+
+def image_near_dup_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the fixture-grid dHash recomputed in pure SQL + the
+    same pairs fragment."""
+    return (
+        f"WITH {dhash_grid_sql(d, table).strip()},\n"
+        + dhash_pairs_sql(d, "bands").lstrip()
+    )
 
 
 def decode_features(payload: bytes, mime: str | None = None) -> list[float]:

@@ -526,6 +526,33 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.multimodal import image_near_dup_sql as _ind_sql  # noqa: E402
+
+
+@register(
+    "image_near_dup",
+    sql=_ind_sql(X.DUCK),
+    doc="Extension — image near-dup via perceptual hash (dHash), the "
+    "standing first stage of multimodal training-corpus dedup "
+    "(LAION-style): documents' first 72 ASCII codes encode as REAL 9x8 "
+    "grayscale P6 PPMs, the engine runs decode -> integer-luma thumbnail "
+    "-> dHash -> Hamming-band candidate equi-join -> exact bit_count "
+    "verify end-to-end through the Arrow mapInPandas stage, and the "
+    "oracle recomputes the same bands from the text in pure SQL "
+    "(decoder==SQL band parity pytest-pinned per format).  Pigeonhole: "
+    "4 x 16-bit bands make the candidate join provably complete for "
+    "Hamming <= 3 — never all-pairs (the simhash_hamming_hist "
+    "discipline).  driver-gated via multimodal_features (the Arrow "
+    "decode plumbing) + dedup_clusters (the banded-candidate machinery)",
+    tier=2,
+)
+def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.image_near_dup_df(spark)
+
+
 @register(
     "multimodal_frame_sample",
     # positions i = 1, 65, 129, ... over the UTF-8 payload bytes; each frame

@@ -3155,3 +3155,127 @@ def test_jpeg_post_sos_dht_does_not_poison_baseline_scan() -> None:
     assert MM.decode_features(spliced, "image/jpeg") == MM.decode_features(
         jpg, "image/jpeg"
     )
+
+
+def _grid_from_text(text: str) -> list[list[int]]:
+    """The fixture-image rule: first 72 ascii codes as a 9x8 grid, 0-pad."""
+    codes = [ord(ch) for ch in text[:72]] + [0] * max(0, 72 - len(text))
+    return [codes[r * 9 : r * 9 + 9] for r in range(8)]
+
+
+def _expected_dhash(grid: list[list[int]]) -> list[int]:
+    bands = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c] < grid[r][c + 1]:
+                bands[r // 2] |= 1 << ((r % 2) * 8 + c)
+    return bands
+
+
+def test_dhash_decoder_matches_sql_grid_per_format(spark) -> None:
+    """The decoder half of image_near_dup: decode_dhash over REAL encoded
+    images of the fixture grid must equal the SQL oracle's band values —
+    per lossless format (PPM, BMP incl. its bottom-up storage, PNG gray
+    and RGB, GIF palette).  This is the pin that lets the registry query
+    run the real decode path while the oracle recomputes from text."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(6).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SMOKE_SF_DIR}/documents.parquet')"
+    )
+    sql_bands = {}
+    for doc_id, band, bv in con.execute(
+        "WITH "
+        + MM.dhash_grid_sql(X.DUCK).strip()
+        + " SELECT doc_id, band, bv FROM bands"
+    ).fetchall():
+        sql_bands.setdefault(doc_id, [0] * 4)[band] = bv
+
+    for row in docs:
+        grid = _grid_from_text(row["text"])
+        want = sql_bands[row["doc_id"]]
+        assert _expected_dhash(grid) == want  # python twin agrees too
+
+        # PPM (the registry query's own encoding)
+        raster = bytes(c for r in grid for c in r for _ in range(3))
+        ppm = b"P6 9 8 255\n" + raster
+        assert MM.decode_dhash(ppm, "image/x-portable-pixmap") == want
+        # BMP: encoder stores bottom-up; decode must re-flip to top-down
+        bmp = _bmp_encode([[(c, c, c) for c in r] for r in grid])
+        assert MM.decode_dhash(bmp, "image/bmp") == want
+        # PNG grayscale and RGB
+        png_g = _png_encode([bytes(r) for r in grid], 1, [0] * 8)
+        assert MM.decode_dhash(png_g, "image/png") == want
+        png_rgb = _png_encode(
+            [bytes(c for v in r for c in (v, v, v)) for r in grid], 3, [0] * 8
+        )
+        assert MM.decode_dhash(png_rgb, "image/png") == want
+        # GIF through a palette of the distinct gray values
+        values = sorted({c for r in grid for c in r})
+        pal = [(v, v, v) for v in values]
+        idx = [values.index(c) for r in grid for c in r]
+        gif = _gif_encode(idx, pal, 9, 8)
+        assert MM.decode_dhash(gif, "image/gif") == want
+
+
+def test_dhash_resize_is_nearest_neighbor() -> None:
+    """A 18x16 image whose pixel (y, x) is grid[y//2][x//2] must hash to
+    exactly the 9x8 grid's bands (src_y = r*16 DIV 8 = 2r, src_x =
+    c*18 DIV 9 = 2c — pure integer indexing, no filtering)."""
+    grid = _grid_from_text("the quick brown fox jumps over the lazy dog " * 2)
+    big = [[grid[y // 2][x // 2] for x in range(18)] for y in range(16)]
+    raster = bytes(c for row in big for c in row for _ in range(3))
+    ppm = b"P6 18 16 255\n" + raster
+    assert MM.decode_dhash(ppm, "image/ppm") == _expected_dhash(grid)
+
+
+def test_image_near_dup_hamming_gradient_and_pigeonhole(spark) -> None:
+    """Controlled Hamming distances through the full pairs query:
+    flipping the last column's char in row r flips exactly bit 7 of row
+    r's comparisons.  Distances 1..3 must surface with exact hamming
+    values; a distance-4 pair spread over all four bands has NO agreeing
+    band and must not even be a candidate (pigeonhole bound); a
+    distance-4 pair concentrated in two bands IS a candidate but fails
+    the verify cut."""
+    base = "zyxwvutsr" * 8  # descending rows: every (c7 < c8) bit is 0
+
+    def flip(rows):  # raise last char of each given row above its left
+        s = list(base)
+        for r in rows:
+            s[r * 9 + 8] = chr(ord(s[r * 9 + 7]) + 1)
+        return "".join(s)
+
+    # ensure the base rows' (c7 < c8) bits are 0 so each flip adds one bit
+    grid = _grid_from_text(base)
+    rows_flippable = [r for r in range(8) if grid[r][7] >= grid[r][8]]
+    assert len(rows_flippable) >= 7, rows_flippable
+    texts = {
+        0: base,
+        1: flip(rows_flippable[:1]),          # hamming 1
+        2: flip(rows_flippable[:2]),          # hamming 2 (vs base)
+        3: flip(rows_flippable[:3]),          # hamming 3
+        # 4 flips in four DIFFERENT bands (rows 0,2,4,6-ish): no band agrees
+        4: flip([r for r in rows_flippable if True][:4])
+        if len({r // 2 for r in rows_flippable[:4]}) == 4
+        else flip(sorted({r // 2: r for r in rows_flippable}.values())[:4]),
+    }
+    four_rows = sorted({r // 2: r for r in rows_flippable}.values())[:4]
+    texts[4] = flip(four_rows)  # guaranteed four distinct bands
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("documents")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in MM.image_near_dup_df(spark).collect()
+    }
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 2 and pairs[(0, 3)] == 3
+    assert (0, 4) not in pairs  # all four bands differ -> not a candidate
+    # and the same distance-4 pair via the decoder directly:
+    raster = lambda t: b"P6 9 8 255\n" + bytes(  # noqa: E731
+        c for row in _grid_from_text(t) for c in row for _ in range(3)
+    )
+    b0 = MM.decode_dhash(raster(texts[0]), "image/ppm")
+    b4 = MM.decode_dhash(raster(texts[4]), "image/ppm")
+    assert sum(bin(a ^ b).count("1") for a, b in zip(b0, b4)) == 4
