@@ -1140,6 +1140,30 @@ def pq_encode(
     return df.withColumn("pq_code", codes(F.col(vec_col)))
 
 
+def _adc_lut(books: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """The query's M x K dot-product lookup table (built once per query)."""
+    dsub = books.shape[2]
+    lut = np.empty((PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[m] = books[m] @ q[m * dsub : (m + 1) * dsub]
+    return lut
+
+
+def _adc_expr(lut: np.ndarray) -> str:
+    """THE ADC gather expression — one definition shared by the online
+    (pq_topk / ivfpq_topk) and persisted (ivfpq_topk_indexed) forms so
+    the estimate arithmetic (left-associated double adds — the Python
+    oracle mirrors the association order) cannot drift between them:
+    estimated dot = sum_m lut[m][code_m] as a literal CASE-free gather —
+    per subspace, element_at over a literal array of the K table
+    values."""
+    terms = []
+    for m in range(PQ_M):
+        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in lut[m]) + ")"
+        terms.append(f"element_at({arr}, element_at(pq_code, {m + 1}) + 1)")
+    return " + ".join(terms)
+
+
 def pq_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -1156,17 +1180,7 @@ def pq_topk(
     if books is None:
         books = _pq_codebooks(df)
     q = np.asarray(query_vec, dtype=np.float64)
-    dsub = books.shape[2]
-    lut = np.empty((PQ_M, PQ_K))
-    for m in range(PQ_M):
-        lut[m] = books[m] @ q[m * dsub : (m + 1) * dsub]
-    # estimated dot = sum_m lut[m][code_m] as a literal CASE-free gather:
-    # per subspace, element_at over a literal array of the K table values
-    terms = []
-    for m in range(PQ_M):
-        arr = "array(" + ", ".join(f"{float(x)!r}D" for x in lut[m]) + ")"
-        terms.append(f"element_at({arr}, element_at(pq_code, {m + 1}) + 1)")
-    est = " + ".join(terms)
+    est = _adc_expr(_adc_lut(books, q))
     coded = pq_encode(df, books=books)
     short = (
         coded.withColumn("est_dot", F.expr(est))
@@ -1212,6 +1226,170 @@ def ivfpq_topk(
         k=k,
         rerank=rerank,
         books=books,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index — the 100 TB MEMORY story (round 9): the IVF index
+# alone still stores (and re-ranks against) full float vectors per cell; at
+# scale the COMPRESSED codes are the index.  This layout stores, per vector,
+# only its M-byte PQ code under the cell partition (64-dim float32 -> 8
+# bytes: 32x smaller standing index), plus two build-time sidecars:
+# ``<path>.centroids`` (the coarse quantizer — the same artifact the IVF
+# index persists) and ``<path>.codebooks`` (M x K PQ sub-codebooks).  A
+# query routes to nprobe cells (file-listing partition pruning), ADC-scores
+# only those cells' codes, and re-ranks the rerank*k short list by exact
+# cosine fetched FROM THE ROW STORE by id (a bounded IN-filter read — the
+# codes index never stores floats; the row-store lookup is how production
+# IVF-PQ serves exact re-rank).
+#
+# Maintenance verbs are SHARED with the IVF index — the layout is the same
+# cell[/batch_id] partitioned parquet, so compact_streamed_ivf_index /
+# compact_ivf_index / ivf_index_delete operate on the codes index verbatim
+# (they fold/rewrite per cell directory and never interpret row columns).
+# ---------------------------------------------------------------------------
+
+
+def _write_codebooks(spark, books: np.ndarray, path: str) -> None:
+    rows = [
+        (m, j, [float(x) for x in books[m][j]])
+        for m in range(books.shape[0])
+        for j in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "m int, j int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}.codebooks")
+
+
+def _read_codebooks(spark, path: str) -> np.ndarray:
+    rows = sorted(
+        (r["m"], r["j"], r["centroid"])
+        for r in spark.read.parquet(f"{path}.codebooks").collect()
+    )
+    ms = 1 + max(m for m, _, _ in rows)
+    ks = 1 + max(j for _, j, _ in rows)
+    assert [(m, j) for m, j, _ in rows] == [
+        (m, j) for m in range(ms) for j in range(ks)
+    ]
+    return np.asarray([v for _, _, v in rows], dtype=np.float64).reshape(
+        ms, ks, -1
+    )
+
+
+def ivfpq_fit(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Fit-and-persist BOTH quantizers (coarse centroids + PQ codebooks,
+    bounded deterministic Lloyd on <= IVF_TRAIN_SAMPLE vectors) without
+    landing any codes — the bootstrap a pure streaming IVF-PQ build needs
+    (the ``ivf_fit_centroids`` contract extended to the fine quantizer)."""
+    _write_centroids(df.sparkSession, _ivf_centers(df, vec_col), path)
+    _write_codebooks(df.sparkSession, _pq_codebooks(df, vec_col), path)
+
+
+def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Materialize the IVF-PQ index: codes-only rows (vec_id, pq_code)
+    partitioned by ``cell``, both quantizer sidecars alongside.  The
+    float column never lands in the index — the standing artifact is
+    M bytes per vector."""
+    books = _pq_codebooks(df, vec_col)
+    assigned, centers = ivf_assignments(df, vec_col)
+    coded = pq_encode(assigned, vec_col, books=books).select(
+        "vec_id", "pq_code", "cell"
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_centroids(df.sparkSession, centers, path)
+    _write_codebooks(df.sparkSession, books, path)
+
+
+def ivfpq_index_ingest_batch(
+    bspark, batch_df: DataFrame, batch_id: int, path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch's IVF-PQ landing — replay-idempotent streamed
+    ingest of CODES (the ``ivf_index_ingest_batch`` treatment): vectors
+    route through the persisted coarse centroids, encode through the
+    persisted codebooks (ingest never re-fits either quantizer), and the
+    (vec_id, pq_code) rows land under ``cell=<c>/batch_id=<n>`` with
+    dynamic partition overwrite, so an at-least-once replay overwrites
+    exactly its own slices.  Bootstrap a pure streaming index with
+    ``ivfpq_fit``; a flat (build_ivfpq_index) layout refuses ingest for
+    the same mixed-partition-depth reason as the IVF/text indexes."""
+    if _ivf_layout(path) == "flat":
+        raise ValueError(
+            "ivfpq_index_ingest_batch into a FLAT (build_ivfpq_index) "
+            "index would mix partition depths and break every reader — "
+            "bootstrap a streaming index with ivfpq_fit (quantizers only)"
+        )
+    centers = _read_centroids(bspark, path)
+    books = _read_codebooks(bspark, path)
+    coded = pq_encode(
+        batch_df.withColumn("cell", assign_cells_udf(centers)(F.col(vec_col))),
+        vec_col,
+        books=books,
+    ).select("vec_id", "pq_code", "cell")
+    (
+        coded.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    vectors_df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ search against the PERSISTED codes index: rank the stored
+    centroids, scan only the nprobe nearest cells' code partitions
+    (file-listing pruning — the scan never opens other cells' files),
+    ADC-score via the SAME shared gather expression as the online form,
+    cut to rerank*k by (est_dot DESC, vec_id), then fetch exactly those
+    ids' float vectors from ``vectors_df`` (the row store) for the exact
+    cosine re-rank.  Bit-identical to ``ivfpq_topk`` by construction —
+    same Lloyd artifacts (persisted == in-memory through the exact
+    float64 parquet round-trip), same probe ranking, same ADC
+    association order, same tie rules (parity-tested)."""
+    centers = _read_centroids(spark, path)
+    books = _read_codebooks(spark, path)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centers - q) ** 2).sum(1)
+    probe_cells = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
+    est = _adc_expr(_adc_lut(books, q))
+    short = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .withColumn("est_dot", F.expr(est))
+        .orderBy(F.col("est_dot").desc(), F.col("vec_id"))
+        .limit(rerank * k)
+        .select("vec_id", "est_dot")
+    )
+    # rerank*k ids cross the driver — bounded by construction; the literal
+    # IN-list pushes into the row-store scan (row-group min/max pruning)
+    # instead of shuffling the whole vector table for a k-row join
+    short_rows = short.collect()
+    ids = [int(r["vec_id"]) for r in short_rows]
+    q_lit = "array(" + ", ".join(
+        f"CAST({float(x)!r} AS FLOAT)" for x in query_vec
+    ) + ")"
+    est_by_id = {int(r["vec_id"]): float(r["est_dot"]) for r in short_rows}
+    est_case = "CAST(" + (
+        "CASE " + " ".join(
+            f"WHEN vec_id = {i} THEN {est_by_id[i]!r}D" for i in ids
+        ) + " END" if ids else "NULL"
+    ) + " AS DOUBLE)"
+    vecs = vectors_df.filter(F.col("vec_id").isin(ids)) if ids else (
+        vectors_df.filter(F.lit(False))
+    )
+    return (
+        vecs.withColumn("est_dot", F.expr(est_case))
+        .withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .select("vec_id", "est_dot", "cosine")
+        .limit(k)
     )
 
 

@@ -235,9 +235,14 @@ SELECT vec_id FROM lsh_ranked WHERE rn <= 10
         {"vec_id": [int(v) for (v,) in con.execute(lsh_sql).fetchall()]}
     )
     rows = []
+    ivfpq = ann_ivfpq_topk_oracle(con, sf_dir)
     for method, odf in (
         ("ivf", ann_ivf_topk_oracle(con, sf_dir)),
-        ("ivfpq", ann_ivfpq_topk_oracle(con, sf_dir)),
+        ("ivfpq", ivfpq),
+        # the persisted codes path is bit-identical to the online form by
+        # construction — the audit row exists to catch index/recompute
+        # drift on the ENGINE side, so the oracle reuses the recompute
+        ("ivfpq_indexed", ivfpq),
         ("lsh", lsh_ids),
         ("pq", ann_pq_topk_oracle(con, sf_dir)),
     ):

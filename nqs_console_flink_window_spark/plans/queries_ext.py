@@ -2098,6 +2098,59 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per corpus dir) the persisted codes-only
+    IVF-PQ index for the vec_id != 0 corpus slice — the
+    ``_ensure_ivf_index`` discipline applied to the compressed index."""
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="nqs_ivfpq_index_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/index"
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.build_ivfpq_index(emb.filter(F.col("vec_id") != 0), path)
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_ivfpq_indexed",
+    sql=None,  # k-means coarse + PQ codebooks — value-oracled in Python
+    oracle_py=ORC.ann_ivfpq_topk_oracle,
+    doc="Extension — ann_ivfpq_topk against the PERSISTED codes-only "
+    "index (round 9, the 100 TB memory story: the index stores M=8 bytes "
+    "per vector — no float column — plus centroids/codebooks sidecars): "
+    "probe cells prune at the file listing, ADC scores only the pruned "
+    "codes via the SAME shared gather expression as the online form, and "
+    "the exact re-rank fetches the rerank*k short-list ids from the row "
+    "store by a pushed-down IN-list.  Results bit-identical to "
+    "ann_ivfpq_topk (same persisted Lloyd artifacts through the exact "
+    "float64 parquet round-trip), so the oracle IS its deterministic "
+    "recompute; streamed==batch lifecycle + compaction + deletion "
+    "pytest-pinned (test_ivfpq_persisted_index_lifecycle); driver-gated "
+    "via ann_topk + hybrid_dense_sparse_multi (the dense exact/approx "
+    "pair on the driver surface)",
+    tier=2,
+)
+def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ivfpq_topk_indexed(
+        spark,
+        _ensure_ivfpq_index(spark, sf_dir),
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        k=10,
+    )
+
+
 @register(
     "ann_recall_audit",
     sql=None,  # k-means families have no SQL twin — value-oracled in Python
@@ -2138,6 +2191,16 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, adf in (
         ("ivf", SIM.ivf_topk(corpus, qvec, k=10)),
         ("ivfpq", SIM.ivfpq_topk(corpus, qvec, k=10)),
+        # the PERSISTED codes path audited next to its online twin: a
+        # drift between the standing index and the in-memory recompute
+        # (stale sidecars, broken ingest routing) flips this row even
+        # though the two are bit-identical by construction today
+        (
+            "ivfpq_indexed",
+            SIM.ivfpq_topk_indexed(
+                spark, _ensure_ivfpq_index(spark, sf_dir), corpus, qvec, k=10
+            ),
+        ),
         ("lsh", lsh10),
         ("pq", SIM.pq_topk(corpus, qvec, k=10)),
     ):

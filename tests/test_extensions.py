@@ -1441,8 +1441,21 @@ def test_ann_recall_audit_floor(spark) -> None:
     from nqs_console_flink_window_spark.plans.queries_ext import ann_recall_audit
 
     rows = {r["method"]: r for r in ann_recall_audit(spark, SMOKE_SF_DIR).collect()}
-    assert set(rows) == {"ivf", "pq", "ivfpq", "lsh"}
-    floors = {"ivf": 0.6, "pq": 0.5, "ivfpq": 0.4, "lsh": 0.5}
+    assert set(rows) == {"ivf", "pq", "ivfpq", "ivfpq_indexed", "lsh"}
+    # the persisted codes path shares the online ivfpq's floor — it is
+    # bit-identical by construction, so a LOWER number here means the
+    # standing index drifted from the recompute (exactly what the row
+    # watches); additionally pin the two rows equal
+    assert (
+        rows["ivfpq_indexed"]["recall_at_k"] == rows["ivfpq"]["recall_at_k"]
+    )
+    floors = {
+        "ivf": 0.6,
+        "pq": 0.5,
+        "ivfpq": 0.4,
+        "ivfpq_indexed": 0.4,
+        "lsh": 0.5,
+    }
     for method, floor in floors.items():
         r = rows[method]
         assert r["k"] == 10 and r["hits"] == round(r["recall_at_k"] * 10)
@@ -3279,3 +3292,93 @@ def test_image_near_dup_hamming_gradient_and_pigeonhole(spark) -> None:
     b0 = MM.decode_dhash(raster(texts[0]), "image/ppm")
     b4 = MM.decode_dhash(raster(texts[4]), "image/ppm")
     assert sum(bin(a ^ b).count("1") for a, b in zip(b0, b4)) == 4
+
+
+def test_ivfpq_persisted_index_lifecycle(spark, tmp_path) -> None:
+    """Round-9 persisted IVF-PQ index (the 100 TB memory story: the codes
+    ARE the standing index).  Pins, against the online ivfpq_topk:
+    (a) batch-built parity — same Lloyd artifacts through the float64
+    parquet round-trip, same probe ranking, same shared ADC gather, same
+    row-store exact re-rank; (b) streamed (ivfpq_fit + ingest) == batch;
+    (c) replay idempotence of a re-landed batch; (d) compaction on the
+    SHARED fold core preserves results; (e) the codes index stores NO
+    float vector column; (f) nprobe partition pruning in the plan;
+    (g) flat/batched layout mixing refuses; (h) compliance deletion via
+    the shared ivf_index_delete removes the ids."""
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    online = [tuple(r) for r in SIM.ivfpq_topk(corpus, qvec, k=10).collect()]
+
+    idx = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(corpus, idx)
+    got = SIM.ivfpq_topk_indexed(spark, idx, corpus, qvec, k=10)
+    assert [tuple(r) for r in got.collect()] == online  # (a)
+
+    # (e) codes-only rows: 8 ints per vector, no embedding column
+    codes = spark.read.parquet(idx)
+    assert set(codes.columns) == {"vec_id", "pq_code", "cell"}
+    assert codes.count() == corpus.count()
+
+    # (f) the pruned scan plans PartitionFilters on cell
+    import numpy as np
+
+    centers = SIM._read_centroids(spark, idx)
+    q = np.asarray(qvec)
+    probe = [int(c) for c in ((centers - q) ** 2).sum(1).argsort()[: SIM.IVF_NPROBE]]
+    plan = (
+        spark.read.parquet(idx)
+        .filter(F.col("cell").isin(probe))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1].splitlines()[0]
+
+    # (b) streamed lifecycle == batch-built
+    sidx = str(tmp_path / "ivfpq_s")
+    SIM.ivfpq_fit(corpus, sidx)
+    for b in range(3):
+        SIM.ivfpq_index_ingest_batch(
+            spark, corpus.filter(F.col("vec_id") % 3 == b), b, sidx
+        )
+    assert [
+        tuple(r)
+        for r in SIM.ivfpq_topk_indexed(spark, sidx, corpus, qvec, k=10).collect()
+    ] == online
+
+    # (c) replay of batch 1 overwrites its own slices, no double-count
+    SIM.ivfpq_index_ingest_batch(
+        spark, corpus.filter(F.col("vec_id") % 3 == 1), 1, sidx
+    )
+    assert spark.read.parquet(sidx).count() == corpus.count()
+
+    # (d) compaction via the shared fold core
+    SIM.compact_streamed_ivf_index(spark, sidx, upto_batch_id=2)
+    assert [
+        tuple(r)
+        for r in SIM.ivfpq_topk_indexed(spark, sidx, corpus, qvec, k=10).collect()
+    ] == online
+
+    # (g) layout mixing refuses both ways
+    with pytest.raises(ValueError, match="FLAT"):
+        SIM.ivfpq_index_ingest_batch(spark, corpus.limit(1), 9, idx)
+
+    # (h) compliance deletion (shared verb): top hit disappears
+    top = online[0][0]
+    SIM.ivf_index_delete(spark, idx, [top])
+    after = [
+        tuple(r)
+        for r in SIM.ivfpq_topk_indexed(spark, idx, corpus, qvec, k=10).collect()
+    ]
+    assert top not in {r[0] for r in after}
+    assert spark.read.parquet(idx).filter(
+        F.col("vec_id") == top
+    ).count() == 0
