@@ -266,3 +266,45 @@ def extract_html_text(df, html_col: str = "html"):
             yield out
 
     return df.mapInPandas(kernel, schema)
+
+
+WARC_FILE_SCHEMA = "path string, content binary"
+
+
+def build_warc_files(html_df, file_col: str = "wfile"):
+    """The writer twin of ``parse_warc_bytes``: (doc_id, html, file_col)
+    -> one synthetic WARC/1.0 file per ``file_col`` group, each document
+    a ``response`` record wrapping an HTTP/1.1 200 + text/html payload,
+    records in doc_id order (ISO 28500 record framing: version line,
+    CRLF headers, Content-Length-delimited block, blank-line separator).
+    Fixture/testing surface — production reads real crawl files; this
+    builds byte-exact ones so the WARC parser sits INSIDE the pipeline
+    under test instead of beside it.  One applyInPandas group per output
+    file (a crawl file is the natural work unit)."""
+    import pandas as pd
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        for did, html in zip(pdf["doc_id"], pdf["html"]):
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html.encode("utf-8")
+            )
+            hdr = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: https://ex.ample/doc/{did}\r\n"
+                "WARC-Date: 2025-01-01T00:00:00Z\r\n"
+                "Content-Type: application/http;msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode("utf-8")
+            out.append(hdr + http + b"\r\n\r\n")
+        return pd.DataFrame(
+            {
+                "path": [f"warc-{int(key[0]):05d}.warc"],
+                "content": [b"".join(out)],
+            }
+        )
+
+    return html_df.groupBy(file_col).applyInPandas(assemble, WARC_FILE_SCHEMA)

@@ -2414,3 +2414,245 @@ def html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# WARC -> curated index: the end-to-end composition (round 9) — every
+# pipeline family in ONE streaming job: synthetic crawl files (built
+# byte-exact by web.build_warc_files) -> WARC record parse -> HTML text
+# extraction -> DSIR + quality + CCNet-LM cuts -> index-backed incremental
+# MinHash dedup -> inverted-index landing, batch by batch.  The oracle
+# recomputes the WHOLE landed corpus in one DuckDB statement from the raw
+# documents table: extraction is the whitespace-norm identity the
+# hash-green html_extract_roundtrip pins, and every scoring/dedup fragment
+# below is the same two-dialect SQL its standalone query already trusts.
+# --------------------------------------------------------------------------
+
+_WEB_SPLIT = 250  # stream batch boundary: batch 0 = doc_id < 250, batch 1 = rest
+_WEB_MIN_QUALITY = 15.0
+_WEB_MIN_LW_MICRO = -2_000_000  # min_logw = -2.0 in exact micro-nats
+
+
+def _web_curate_duck() -> str:
+    from ..operators import dedup_text as _DD
+    from ..operators import retrieval as _RT
+    from ..operators import selection as _SEL
+    from ..operators import text as _TX
+    from ..operators.retrieval import tok_cte as _tok
+    from ..operators.selection import qln_micro as _qln
+
+    d = X.DUCK
+    nb = _SEL.DSIR_BUCKETS
+    norm_txt = _html_ws_norm(d, "text")
+    bands = "\nUNION ALL\n".join(_DD.minhash_band_selects(d))
+    eq = "a.band_id = b.band_id AND a.band_key = b.band_key"
+    avg = X.fround(
+        "CAST(nll_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1.0E6)", 6
+    )
+    s = _WEB_SPLIT
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {norm_txt} AS text,
+         CAST(length({norm_txt}) AS BIGINT) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+ffeats AS ({_SEL.dsir_feats_sql(d, "documents")}),
+fstats AS (
+  SELECT b, CAST(SUM(is_target) AS BIGINT) AS ct, COUNT(*) AS cr
+  FROM ffeats GROUP BY b
+),
+ftot AS (
+  SELECT CAST(SUM(is_target) AS BIGINT) AS tt, COUNT(*) AS tr FROM ffeats
+),
+lr AS (SELECT b, {_qln("ct + 1")} - {_qln("cr + 1")} AS qlr FROM fstats),
+qn AS (
+  SELECT {_qln(f"tr + {nb}")} - {_qln(f"tt + {nb}")} AS qnorm FROM ftot
+),
+sfeats AS ({_SEL.dsir_feats_sql(d, "norm", target_pred="FALSE")}),
+dsir AS (
+  SELECT f.doc_id,
+    CAST(SUM(COALESCE(l.qlr, 0))
+         + COUNT(*) * (SELECT qnorm FROM qn) AS BIGINT) AS lw_micro
+  FROM sfeats f LEFT JOIN lr l ON l.b = f.b
+  GROUP BY f.doc_id
+),
+qual AS (SELECT doc_id, {_TX.quality_score_expr(d)} AS quality FROM norm),
+ftok AS ({_tok(d, "documents")}),
+tgt AS ({_RT.lm_fit_sql("ftok")}),
+stok AS ({_tok(d, "norm")}),
+{_RT._lm_nll_ctes("stok", "tgt").lstrip()},
+passed AS (
+  SELECT n.doc_id, n.text, n.n_chars, q.quality, ds.lw_micro,
+         nll.n_tok, nll.nll_micro
+  FROM norm n
+  JOIN dsir ds ON ds.doc_id = n.doc_id
+  JOIN qual q ON q.doc_id = n.doc_id
+  JOIN nll ON nll.doc_id = n.doc_id
+  WHERE q.quality >= {_WEB_MIN_QUALITY!r}
+    AND ds.lw_micro >= {_WEB_MIN_LW_MICRO}
+    AND nll.nll_micro < {_RT.LM_TAIL_MICRO} * nll.n_tok
+),
+sig AS ({_DD.minhash_signatures_sql(d, "passed")}),
+bands AS ({bands}),
+s1 AS (
+  SELECT doc_id FROM passed WHERE doc_id < {s}
+  EXCEPT
+  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+    ON {eq} AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {s} AND b.doc_id < {s}
+),
+dup2 AS (
+  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b ON {eq}
+  WHERE b.doc_id >= {s}
+    AND (a.doc_id IN (SELECT doc_id FROM s1)
+         OR (a.doc_id >= {s} AND a.doc_id < b.doc_id))
+),
+s2 AS (
+  SELECT doc_id FROM passed WHERE doc_id >= {s}
+  EXCEPT SELECT doc_id FROM dup2
+),
+kept AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM stok GROUP BY doc_id)
+SELECT p.doc_id, p.n_chars, p.quality, p.lw_micro, {avg} AS avg_nll_nats,
+       dlt.dl
+FROM passed p
+JOIN kept k ON k.doc_id = p.doc_id
+JOIN dlt ON dlt.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+_WEB_CURATE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _web_curate_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Run the WARC->curated-index streaming job once per process per
+    corpus dir; return (kept_dir, text_index_dir).  The pipeline itself:
+    documents -> HTML pages (SQL) -> byte-exact WARC files -> warc_records
+    parse -> extract_html_text -> two file-ordered micro-batches through
+    curate_index_batch (DSIR/quality/LM cuts + index-backed dedup +
+    inverted-index landing)."""
+    cached = _WEB_CURATE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import retrieval as RT
+    from ..operators import selection as SEL
+    from ..operators import web as WB
+    from ..streaming import jobs as J
+
+    out = tempfile.mkdtemp(prefix="nqs_webcurate_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = spark.sql(
+        f"SELECT doc_id, {_html_build_sql(X.SPARK)} AS html "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    warc = WB.build_warc_files(
+        html.withColumn(
+            "wfile", (F.col("doc_id") >= _WEB_SPLIT).cast("int")
+        )
+    )
+    recs = WB.warc_records(warc)
+    pages = recs.filter(
+        (F.col("record_type") == "response") & (F.col("http_status") == 200)
+    ).select("target_uri", F.col("body").cast("string").alias("html"))
+    ext = WB.extract_html_text(pages)
+    corpus = ext.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+    # land the extracted corpus as the stream source, one partition dir
+    # per intended micro-batch; mtimes force the file-stream order (the
+    # FileStreamSource takes oldest-first, and batch ORDER is semantics
+    # here — batch 1 dedups against batch 0's survivors)
+    src = f"{out}/src"
+    (
+        corpus.withColumn(
+            "part", (F.col("doc_id") >= _WEB_SPLIT).cast("int")
+        )
+        .repartition(1)
+        .write.partitionBy("part")
+        .parquet(src)
+    )
+    import pathlib
+
+    t0 = os.stat(src).st_mtime
+    for b in (0, 1):
+        for p in pathlib.Path(f"{src}/part={b}").glob("*.parquet"):
+            os.utime(p, (t0 + 60 * b, t0 + 60 * b))
+
+    model = SEL.dsir_fit(spark, docs)
+    lm_model = RT.lm_model_fit(spark, docs.filter(RT.LM_FIT_PRED))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir, dd_idx, tx_idx = f"{out}/kept", f"{out}/ddidx", f"{out}/index"
+    J.run_web_curation_stream(
+        spark,
+        stream,
+        model,
+        kept_dir,
+        dd_idx,
+        tx_idx,
+        f"{out}/cp",
+        min_quality=_WEB_MIN_QUALITY,
+        min_logw=_WEB_MIN_LW_MICRO / 1e6,
+        lm_model=lm_model,
+    )
+    _WEB_CURATE_CACHE[sf_dir] = (kept_dir, tx_idx)
+    return kept_dir, tx_idx
+
+
+@register(
+    "web_curate_pipeline",
+    sql=_web_curate_duck(),
+    doc="Extension — the END-TO-END web-corpus pipeline as one streaming "
+    "job (round 9, the every-family-interoperates demo): documents wrap "
+    "into HTML pages, pack into byte-exact WARC/1.0 crawl files "
+    "(web.build_warc_files, the writer twin of the parser), parse back "
+    "through warc_records, extract through the boilerplate-dropping HTML "
+    "extractor, then stream in two file-ordered micro-batches through "
+    "DSIR + quality + CCNet-LM cuts, index-backed incremental MinHash "
+    "dedup, and replay-idempotent inverted-index landing "
+    "(curate_index_batch).  Output = the LANDED corpus: per surviving "
+    "doc its extracted n_chars, quality, exact-micro DSIR weight, "
+    "fround'd avg nll, and the doc length read back FROM THE INDEX "
+    "doclen sidecar — the oracle recomputes all of it in one DuckDB "
+    "statement over raw documents (extraction == whitespace-norm, the "
+    "html_extract_roundtrip contract; every scoring/dedup fragment is "
+    "the same two-dialect SQL its standalone query trusts).  "
+    "driver-gated via html_extract_roundtrip (extraction), "
+    "dsir_importance / text_stats / lm_perplexity (the cuts), "
+    "dedup_clusters (banded dedup), bm25_indexed (the landed index "
+    "family); stream==batch parity + replay pytest-pinned",
+    tier=2,
+)
+def web_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents",))
+    kept_dir, tx_idx = _web_curate_dirs(spark, sf_dir)
+    kept = spark.read.parquet(kept_dir)
+    dl = spark.read.parquet(f"{tx_idx}.doclen").select("doc_id", "dl")
+    return (
+        kept.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "quality",
+            F.round(F.col("log_weight") * 1e6).cast("long").alias("lw_micro"),
+            "avg_nll_nats",
+            F.col("dl").cast("bigint").alias("dl"),
+        )
+        .orderBy("doc_id")
+    )

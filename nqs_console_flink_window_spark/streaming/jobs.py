@@ -745,6 +745,89 @@ def curate_batch(
     )
 
 
+def curate_index_batch(
+    bspark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    model: tuple[list[tuple[int, int]], int],
+    kept_dir: str,
+    dedup_index_dir: str,
+    text_index_dir: str,
+    min_quality: float = 10.0,
+    min_logw: float = -10.0,
+    lm_model: tuple[list[tuple[str, int]], int] | None = None,
+) -> None:
+    """``curate_batch`` + inverted-index landing — the full WARC-to-index
+    composition's per-batch step (round 9): score/filter/dedup the batch,
+    then feed THIS batch's survivors into ``text_index_ingest_batch`` so
+    the standing retrieval index grows with the curated corpus in the
+    same micro-batch.  The survivors are read back from the batch's own
+    idempotent ``batch_id`` landing subpath (not re-derived), so a replay
+    re-ingests exactly what it re-landed — both landings are keyed by
+    the same batch_id and the text index's fresh-doc_id probe exempts a
+    batch's own replay."""
+    from ..operators.retrieval import text_index_ingest_batch
+
+    curate_batch(
+        bspark,
+        batch_df,
+        batch_id,
+        model,
+        kept_dir,
+        dedup_index_dir,
+        min_quality,
+        min_logw,
+        lm_model,
+    )
+    survivors = (
+        bspark.read.parquet(kept_dir)
+        .filter(F.col("batch_id") == int(batch_id))
+        .select("doc_id", "text")
+    )
+    if survivors.limit(1).count() > 0:
+        text_index_ingest_batch(bspark, survivors, batch_id, text_index_dir)
+
+
+def run_web_curation_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    model: tuple[list[tuple[int, int]], int],
+    kept_dir: str,
+    dedup_index_dir: str,
+    text_index_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 10.0,
+    min_logw: float = -10.0,
+    lm_model: tuple[list[tuple[str, int]], int] | None = None,
+) -> None:
+    """Streaming runner for the curate-and-index composition
+    (availableNow in tests; production runs a processing-time trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        curate_index_batch(
+            batch_df.sparkSession,
+            batch_df,
+            batch_id,
+            model,
+            kept_dir,
+            dedup_index_dir,
+            text_index_dir,
+            min_quality,
+            min_logw,
+            lm_model,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_curation_stream(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -1358,3 +1358,117 @@ def test_curation_stream_with_lm_gate(spark, tmp_path) -> None:
     tail_ids = {d for d, (n, nll, _) in batch.items() if nll >= thr * n}
     assert tail_ids, "fixture should have tail-band docs"
     assert not (tail_ids & kept_ids)
+
+
+def test_web_curate_pipeline_stream_matches_batch_and_replays(
+    spark, tmp_path
+) -> None:
+    """The round-9 WARC->curated-index composition: (a) the STREAMED
+    two-batch pipeline lands exactly what a BATCH run of the same stages
+    produces (curate batch 0, then batch 1 against batch 0's landed
+    state — the deterministic replay of the stream's semantics);
+    (b) replaying a batch (same batch_id) converges — kept rows, dedup
+    index, text index doclen all unchanged; (c) the landed text index
+    answers BM25 identically to an index built directly on the kept
+    corpus."""
+    from nqs_console_flink_window_spark.operators import retrieval as RT
+    from nqs_console_flink_window_spark.operators import selection as SEL
+    from nqs_console_flink_window_spark.plans.queries_ext import (
+        _WEB_MIN_LW_MICRO,
+        _WEB_MIN_QUALITY,
+        _WEB_SPLIT,
+        web_curate_pipeline,
+    )
+
+    streamed = {
+        r["doc_id"]: tuple(r)
+        for r in web_curate_pipeline(spark, SMOKE_SF_DIR).collect()
+    }
+    assert streamed, "pipeline landed nothing"
+
+    # (a) batch twin: same models, same two batches, driven directly
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    model = SEL.dsir_fit(spark, docs)
+    lm_model = RT.lm_model_fit(spark, docs.filter(RT.LM_FIT_PRED))
+    ext = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )  # extraction == identity on the single-spaced fixture (roundtrip pin)
+    bdir = str(tmp_path / "batch")
+    for b, pred in enumerate(
+        (F.col("doc_id") < _WEB_SPLIT, F.col("doc_id") >= _WEB_SPLIT)
+    ):
+        J.curate_index_batch(
+            spark,
+            ext.filter(pred),
+            b,
+            model,
+            f"{bdir}/kept",
+            f"{bdir}/ddidx",
+            f"{bdir}/index",
+            min_quality=_WEB_MIN_QUALITY,
+            min_logw=_WEB_MIN_LW_MICRO / 1e6,
+            lm_model=lm_model,
+        )
+    bk = spark.read.parquet(f"{bdir}/kept")
+    bdl = spark.read.parquet(f"{bdir}/index.doclen").select("doc_id", "dl")
+    batch_rows = {
+        r["doc_id"]: tuple(r)
+        for r in bk.join(bdl, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "quality",
+            F.round(F.col("log_weight") * 1e6).cast("long").alias("lw_micro"),
+            "avg_nll_nats",
+            F.col("dl").cast("bigint").alias("dl"),
+        )
+        .collect()
+    }
+    assert batch_rows == streamed
+
+    # (b) replay of batch 1 converges (kept rows + index state unchanged)
+    before_idx = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{bdir}/index.doclen").collect()
+    )
+    J.curate_index_batch(
+        spark,
+        ext.filter(F.col("doc_id") >= _WEB_SPLIT),
+        1,
+        model,
+        f"{bdir}/kept",
+        f"{bdir}/ddidx",
+        f"{bdir}/index",
+        min_quality=_WEB_MIN_QUALITY,
+        min_logw=_WEB_MIN_LW_MICRO / 1e6,
+        lm_model=lm_model,
+    )
+    # fresh reads: the replay's dynamic overwrite replaced the batch_id=1
+    # files behind the pre-replay DataFrames' cached listings
+    spark.catalog.refreshByPath(f"{bdir}/index.doclen")
+    bdl2 = spark.read.parquet(f"{bdir}/index.doclen").select("doc_id", "dl")
+    assert {
+        r["doc_id"]: tuple(r)
+        for r in spark.read.parquet(f"{bdir}/kept")
+        .join(bdl2, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "quality",
+            F.round(F.col("log_weight") * 1e6).cast("long").alias("lw_micro"),
+            "avg_nll_nats",
+            F.col("dl").cast("bigint").alias("dl"),
+        )
+        .collect()
+    } == streamed
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{bdir}/index.doclen").collect()
+    ) == before_idx
+
+    # (c) the landed index serves retrieval: BM25 over it == BM25 over an
+    # index built directly on the kept corpus
+    kept_docs = spark.read.parquet(f"{bdir}/kept").select("doc_id", "text")
+    direct = str(tmp_path / "direct_idx")
+    RT.build_text_index(spark, kept_docs, direct)
+    got = [tuple(r) for r in RT.bm25_topk_indexed(spark, f"{bdir}/index").collect()]
+    want = [tuple(r) for r in RT.bm25_topk_indexed(spark, direct).collect()]
+    assert got == want and got
