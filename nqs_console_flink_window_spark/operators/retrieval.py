@@ -1455,8 +1455,12 @@ def _assert_fresh_doc_ids(
             "rows would inflate N/T and double-count tf in every score); "
             "dedup the batch before indexing"
         )
-    if not Path(f"{path}.doclen").exists():
-        return  # first landing — nothing to collide with
+    # rglob, not exists(): after a delete of EVERY doc the doclen dir
+    # still exists but holds no parquet files — nothing to collide with,
+    # and reading it would fail schema inference (round-9 fuzz-found:
+    # [ingest, delete-all, ingest])
+    if not any(Path(f"{path}.doclen").rglob("*.parquet")):
+        return  # first landing (or emptied index) — nothing to collide with
     existing = spark.read.parquet(f"{path}.doclen")
     if exclude_batch_id is not None and "batch_id" in existing.columns:
         existing = existing.filter(F.col("batch_id") != int(exclude_batch_id))
@@ -1553,15 +1557,25 @@ def _indexed_inputs(spark, path: str, terms: tuple[str, ...]):
     literal bodies.  Returns (post_df, dl_df, n_body, t_body)."""
     from pyspark.sql import functions as F
 
+    from ..operators.similarity import _read_index_or_empty
+
     buckets = sorted({_token_bucket(t) for t in terms})
     srow = spark.read.parquet(f"{path}.stats").collect()[0]
+    # _read_index_or_empty: a compliance delete of every doc removes all
+    # postings/doclen partition dirs — the emptied index must stay
+    # queryable (zero results), not raise on schema inference (the
+    # round-9 lifecycle fuzz's [ingest, delete-all, query] sequence)
     post = (
-        spark.read.parquet(path)
+        _read_index_or_empty(
+            spark, path, "doc_id bigint, token string, tf bigint, tbucket int"
+        )
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("token").isin(list(terms)))
         .select("doc_id", "token", "tf")
     )
-    dl = spark.read.parquet(f"{path}.doclen")
+    dl = _read_index_or_empty(
+        spark, f"{path}.doclen", "doc_id bigint, dl bigint"
+    )
     n_body = f"SELECT CAST({int(srow['n_docs'])} AS BIGINT) AS n_docs"
     t_body = f"SELECT CAST({int(srow['t_tok'])} AS BIGINT) AS t_tok"
     return post, dl, n_body, t_body

@@ -603,6 +603,20 @@ def compact_ivf_index(
     return out
 
 
+def _read_index_or_empty(spark, path: str, empty_schema: str) -> DataFrame:
+    """Read a cell-partitioned index, tolerating the FULLY-EMPTIED state: a
+    compliance delete of every vector removes every cell partition dir, so
+    spark.read cannot infer a schema from the bare index root — an emptied
+    index must stay QUERYABLE (zero results), not raise (the round-9
+    lifecycle fuzz found exactly this: [ingest, delete-all, query]).  Only
+    the columns the query paths consume need to exist on the empty frame."""
+    from pathlib import Path
+
+    if not any(Path(path).rglob("*.parquet")):
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(path)
+
+
 def ivf_topk_indexed(
     spark, path: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
@@ -618,7 +632,9 @@ def ivf_topk_indexed(
     probe_cells = sorted(d2, key=d2.get)[:IVF_NPROBE]
 
     q_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in query_vec) + ")"
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = _read_index_or_empty(
+        spark, path, "vec_id bigint, embedding array<float>, cell int"
+    ).filter(F.col("cell").isin(probe_cells))
     scored = cand.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
     return (
         scored.orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -719,7 +735,9 @@ def ivf_multi_indexed(
     probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
     qdf = spark.createDataFrame(q_rows, "query_id int, qe array<float>")
     all_cells = sorted({c for _, c in probe_rows})
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    cand = _read_index_or_empty(
+        spark, path, "vec_id bigint, embedding array<float>, cell int"
+    ).filter(F.col("cell").isin(all_cells))
     scored = (
         cand.join(F.broadcast(probes), "cell")
         .join(F.broadcast(qdf), "query_id")
@@ -1360,7 +1378,9 @@ def ivfpq_topk_indexed(
     probe_cells = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
     est = _adc_expr(_adc_lut(books, q))
     short = (
-        spark.read.parquet(path)
+        _read_index_or_empty(
+            spark, path, "vec_id bigint, pq_code array<int>, cell int"
+        )
         .filter(F.col("cell").isin(probe_cells))
         .withColumn("est_dot", F.expr(est))
         .orderBy(F.col("est_dot").desc(), F.col("vec_id"))

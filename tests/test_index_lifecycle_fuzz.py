@@ -122,6 +122,9 @@ def test_text_index_lifecycle_interleavings(spark, ops) -> None:
                 tuple(r) for r in RT.bm25_topk_indexed(spark, fresh).collect()
             ]
             assert got == want
+        else:
+            # emptied text index stays queryable too (zero results)
+            assert RT.bm25_topk_indexed(spark, idx).count() == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -171,9 +174,22 @@ def test_ivfpq_index_lifecycle_interleavings(spark, ops) -> None:
             else:
                 SIM.compact_streamed_ivf_index(spark, idx, next_batch - 1)
             spark.catalog.refreshByPath(idx)
-            assert spark.read.parquet(idx).count() == len(live)
+            assert (
+                SIM._read_index_or_empty(
+                    spark, idx, "vec_id bigint, pq_code array<int>, cell int"
+                ).count()
+                == len(live)
+            )
             _no_maintenance_leftovers(base)
 
+        if not live:
+            # a fully-emptied index must stay QUERYABLE (zero results),
+            # not raise on schema inference — the fuzz-found round-9 bug
+            vecs0 = _vecs_df(spark, range(3))
+            assert (
+                SIM.ivfpq_topk_indexed(spark, idx, vecs0, qvec, k=5).count()
+                == 0
+            )
         if live:
             # rebuild-with-frozen-quantizers: re-ingest the live set into a
             # fresh path carrying COPIES of the same persisted quantizers

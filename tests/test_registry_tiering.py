@@ -87,6 +87,7 @@ def test_python_oracle_coverage_is_total() -> None:
         "ann_ivf_indexed",
         "ann_ivf_multi",
         "ann_ivf_topk",
+        "ann_ivfpq_indexed",
         "ann_ivfpq_topk",
         "ann_pq_topk",
         "ann_recall_audit",
