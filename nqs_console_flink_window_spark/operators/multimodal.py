@@ -1186,6 +1186,18 @@ def dhash_pairs_sql(d: str, bands: str) -> str:
     to bv=0 bands (no gradients) — at production scale prefilter
     zero-variance thumbnails into an exact-group path before the join
     (same class of bounded-work trade the simhash family documents)."""
+    return f"""
+{_dhash_cand_ham_ctes(d, bands).strip()}
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= {DHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _dhash_cand_ham_ctes(d: str, bands: str) -> str:
+    """cand/ham CTE-list (no leading WITH, no trailing comma) — the
+    candidate + verify core shared by the pairs query and the cluster
+    form."""
     ham = X.xor(d, "ba.bv", "bb.bv")
     return f"""
 cand AS (
@@ -1200,11 +1212,7 @@ ham AS (
   JOIN {bands} ba ON ba.doc_id = c.doc_a
   JOIN {bands} bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT doc_a, doc_b, hamming FROM ham
-WHERE hamming <= {DHASH_MAX_HAMMING}
-ORDER BY doc_a, doc_b
-"""
+)"""
 
 
 def documents_as_ppm(docs: DataFrame) -> DataFrame:
@@ -1259,6 +1267,50 @@ def image_near_dup_sql(d: str, table: str = "documents") -> str:
         f"WITH {dhash_grid_sql(d, table).strip()},\n"
         + dhash_pairs_sql(d, "bands").lstrip()
     )
+
+
+def image_dup_clusters_df(spark, table: str = "documents") -> DataFrame:
+    """The CLUSTER form of image near-dup — the dup-dense scale path the
+    round-9 soak motivates: a pair-emitting operator's output is
+    quadratic in duplicate multiplicity (measured 637x pairs at 10x data
+    on the replica-heavy fixture), while the cluster form emits exactly
+    one row per IMAGE with its component id — linear in corpus size
+    regardless of how duplicate-dense it is.  Composition of two finished
+    families: the dHash Hamming-band pairs feed the shared
+    connected-components core (bounded min-label propagation with pointer
+    doubling, dedup_cluster.py) over ALL documents as nodes (clean images
+    = singleton clusters)."""
+    from .dedup_cluster import dedup_clusters_df
+
+    pairs = image_near_dup_df(spark, table).select("doc_a", "doc_b")
+    return dedup_clusters_df(pairs, spark.table(table).select("doc_id"))
+
+
+def image_dup_clusters_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the fixture-grid dHash pairs + the same recursive
+    min-label component CTE the text dedup_clusters oracle uses."""
+    return f"""
+WITH RECURSIVE {dhash_grid_sql(d, table).strip()},
+{_dhash_cand_ham_ctes(d, "bands").strip()},
+pairs AS (
+  SELECT doc_a, doc_b FROM ham WHERE hamming <= {DHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
 
 
 def decode_features(payload: bytes, mime: str | None = None) -> list[float]:

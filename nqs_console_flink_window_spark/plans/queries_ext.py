@@ -553,6 +553,33 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_near_dup_df(spark)
 
 
+from ..operators.multimodal import image_dup_clusters_sql as _idc_sql  # noqa: E402
+
+
+@register(
+    "image_dup_clusters",
+    sql=_idc_sql(X.DUCK),
+    doc="Extension — the CLUSTER form of image near-dup (the dup-dense "
+    "scale path the round-9 soak motivates: pairs are quadratic in "
+    "duplicate multiplicity — measured 637x pairs at 10x data on the "
+    "replica-heavy fixture — while this emits exactly one row per IMAGE "
+    "with its component id, linear in corpus size): the dHash "
+    "Hamming-band pairs feed the shared connected-components core "
+    "(bounded min-label propagation + pointer doubling) over all "
+    "documents as nodes, clean images = singleton clusters; the oracle "
+    "is the same recursive min-label CTE as the text dedup_clusters "
+    "oracle over the SQL-recomputed dHash pairs.  driver-gated via "
+    "dedup_clusters (the same components core) + multimodal_features "
+    "(the Arrow decode plumbing)",
+    tier=2,
+)
+def image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.image_dup_clusters_df(spark)
+
+
 @register(
     "multimodal_frame_sample",
     # positions i = 1, 65, 129, ... over the UTF-8 payload bytes; each frame
