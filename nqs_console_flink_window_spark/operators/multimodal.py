@@ -154,6 +154,10 @@ def _ppm_channels(payload: bytes):
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     width, height, maxval = fields
+    if not (0 < maxval <= 255):
+        # 2-byte samples (maxval > 255) would silently mis-slice as
+        # 1-byte interleave — refuse like every other unsupported shape
+        raise ValueError("only 8-bit (maxval <= 255) P6 supported")
     npx = width * height
     raster = payload[pos : pos + 3 * npx]
     if len(raster) < 3 * npx:
@@ -1043,16 +1047,13 @@ def dhash_bands_from_channels(rs, gs, bs, width: int, height: int) -> list[int]:
     covers thumbnail rows 2b/2b+1; local bit index (r%2)*8 + c."""
     if width < 1 or height < 1:
         raise ValueError("empty image")
+
+    def _luma_at(r: int, c: int) -> int:
+        i = (r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)
+        return (299 * rs[i] + 587 * gs[i] + 114 * bs[i]) // 1000
+
     grid = [
-        [
-            (
-                299 * rs[(r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)]
-                + 587 * gs[(r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)]
-                + 114 * bs[(r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)]
-            )
-            // 1000
-            for c in range(DHASH_GRID_W)
-        ]
+        [_luma_at(r, c) for c in range(DHASH_GRID_W)]
         for r in range(DHASH_GRID_H)
     ]
     bands = [0] * DHASH_BANDS
@@ -1141,21 +1142,40 @@ def extract_dhash(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return cols.mapInPandas(kernel, DHASH_SCHEMA)
 
 
+def _dhash_text_sql(d: str) -> str:
+    """The fixture image's canonical pixel source: the first 72 chars of
+    ``text`` with everything outside printable ASCII mapped to space —
+    one definition shared by the SQL grid (oracle) and the PPM encoding
+    (engine), so the two sides agree BY CONSTRUCTION on every corpus:
+    newlines would vanish under the engine's '(.)' regex (raster short,
+    doc silently dropped) and multi-byte UTF-8 chars would shift the
+    byte raster off the oracle's ascii() code points."""
+    return X.regex_replace_all(d, "substr(text, 1, 72)", "[^ -~]", " ")
+
+
 def dhash_grid_sql(d: str, table: str = "documents") -> str:
     """CTE-list (no leading WITH, no trailing comma) computing the dHash
-    bands of the FIXTURE image: each document's first 72 ASCII codes read
-    as a 9x8 grayscale thumbnail (pad-with-0 beyond the text, the same
-    rule as the PPM encoding in ``documents_as_ppm``).  Exposes ``bands``
-    (doc_id, band, bv) — for a gray thumbnail the decoder's integer luma
-    is exactly the ascii code, so these SQL band values are bit-identical
-    to ``decode_dhash`` over the encoded image (pytest-pinned; this is
-    the oracle half of the image_near_dup registry query)."""
+    bands of the FIXTURE image: each document's first 72 printable-ASCII
+    codes (the shared ``_dhash_text_sql`` projection; pad-with-0 beyond
+    the text, the same rule as the PPM encoding in ``documents_as_ppm``;
+    NULL-text docs carry no image on either side) read as a 9x8
+    grayscale thumbnail.  Exposes ``bands`` (doc_id, band, bv) — for a
+    gray thumbnail the decoder's integer luma is exactly the ascii code,
+    so these SQL band values are bit-identical to ``decode_dhash`` over
+    the encoded image (pytest-pinned; this is the oracle half of the
+    image_near_dup registry query)."""
     px_src = X.explode_range(
-        d, f"(SELECT doc_id, text FROM {table})", "doc_id, text", "0", "71", "p"
+        d,
+        f"(SELECT doc_id, {_dhash_text_sql(d)} AS itext FROM {table} "
+        "WHERE text IS NOT NULL)",
+        "doc_id, itext",
+        "0",
+        "71",
+        "p",
     )
     v = (
-        "CASE WHEN p + 1 <= length(text) "
-        "THEN ascii(substr(text, p + 1, 1)) ELSE 0 END"
+        "CASE WHEN p + 1 <= length(itext) "
+        "THEN ascii(substr(itext, p + 1, 1)) ELSE 0 END"
     )
     band = X.idiv(d, "r", "2")
     return f"""
@@ -1225,11 +1245,11 @@ def documents_as_ppm(docs: DataFrame) -> DataFrame:
     Hamming verify end-to-end against a pure-SQL oracle recomputing the
     same bands from the text."""
     gray = F.expr(
-        "rpad(substr(text, 1, 72), 72, chr(0))"
-    )  # 72 chars, NUL-padded
+        f"rpad({_dhash_text_sql(X.SPARK)}, 72, chr(0))"
+    )  # the shared printable-ASCII projection, NUL-padded to 72
     raster = F.regexp_replace(gray, "(.)", "$1$1$1")  # gray -> RGB triples
     payload = F.concat(F.lit("P6 9 8 255\n"), raster).cast("binary")
-    return docs.select(
+    return docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.struct(

@@ -804,15 +804,13 @@ def _dense_scored_sql(d: str, vec_table: str, query_vec: int) -> str:
             f"WHERE vec_id <> {query_vec}"
         )
     # the query self-norm hoists onto the 1-row broadcast side (computed
-    # once, not once per corpus row); the assembled expression is the
-    # same dot/(SQRT(na)*SQRT(nq)) double arithmetic as cosine_spark, so
-    # the 1e-8-quantized values are bit-identical
+    # once, not once per corpus row); cosine_from_parts IS cosine_spark's
+    # assembly, so the 1e-8-quantized values are bit-identical
+    from .similarity import cosine_from_parts
+
     dot = dot_spark("e.embedding", "q.qe")
     na = dot_spark("e.embedding", "e.embedding")
-    cos = (
-        f"(CASE WHEN {na} = 0.0 OR q._nq = 0.0 THEN 0.0 "
-        f"ELSE {X.fround(f'{dot} / (SQRT({na}) * SQRT(q._nq))', 8)} END)"
-    )
+    cos = cosine_from_parts(dot, na, "q._nq")
     return (
         f"SELECT /*+ BROADCAST(q) */ e.vec_id, {cos} AS cosine "
         f"FROM {vec_table} e CROSS JOIN "
@@ -1030,8 +1028,7 @@ def _dense_multi_leg_df(spark, vec_table: str, query_vec_ids, leg_k: int):
     bit-identical.  Returns (query_id, doc_id, rn <= leg_k)."""
     from pyspark.sql import functions as F
 
-    from ..functions.dialect import fround
-    from .similarity import dot_spark, per_query_topk
+    from .similarity import cosine_from_parts, dot_spark, per_query_topk
 
     emb = spark.table(vec_table)
     ids = [int(i) for i in query_vec_ids]
@@ -1045,11 +1042,7 @@ def _dense_multi_leg_df(spark, vec_table: str, query_vec_ids, leg_k: int):
         F.col("embedding").alias("qe"),
         F.expr(dot_spark("embedding", "embedding")).alias("_nq"),
     )
-    dot = dot_spark("embedding", "qe")
-    cos = (
-        f"(CASE WHEN _na = 0.0 OR _nq = 0.0 THEN 0.0 "
-        f"ELSE {fround(f'{dot} / (SQRT(_na) * SQRT(_nq))', 8)} END)"
-    )
+    cos = cosine_from_parts(dot_spark("embedding", "qe"), "_na", "_nq")
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1401,18 +1394,14 @@ def _rebuild_stats(spark, path: str) -> None:
     delete of every doc removes all batch_id=* partition dirs outright —
     the doclen dir then holds no parquet files at all and spark.read
     cannot infer a schema, so an empty dir writes the 0/0 stats row
-    directly (the flat layout's empty overwrite leaves a schema-only
-    file and takes the read path)."""
-    from pathlib import Path
-
+    directly — via the shared ``_read_index_or_empty`` probe, whose
+    empty frame aggregates to exactly that row (COUNT 0, COALESCE 0), so
+    both layouts take one code path."""
     from pyspark.sql import functions as F
 
-    if not any(Path(f"{path}.doclen").rglob("*.parquet")):
-        spark.createDataFrame(
-            [(0, 0)], "n_docs long, t_tok long"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
-        return
-    dl = spark.read.parquet(f"{path}.doclen")
+    from .similarity import _read_index_or_empty
+
+    dl = _read_index_or_empty(spark, f"{path}.doclen", "doc_id bigint, dl bigint")
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t_tok"),
@@ -1442,8 +1431,6 @@ def _assert_fresh_doc_ids(
       (the replay-idempotent ingest path re-lands its own (bucket, batch)
       slices — those rows are replaced, not duplicated, so a replay must
       pass)."""
-    from pathlib import Path
-
     from pyspark.sql import functions as F
 
     ids = new_docs.select("doc_id")
@@ -1455,13 +1442,16 @@ def _assert_fresh_doc_ids(
             "rows would inflate N/T and double-count tf in every score); "
             "dedup the batch before indexing"
         )
-    # rglob, not exists(): after a delete of EVERY doc the doclen dir
-    # still exists but holds no parquet files — nothing to collide with,
-    # and reading it would fail schema inference (round-9 fuzz-found:
-    # [ingest, delete-all, ingest])
-    if not any(Path(f"{path}.doclen").rglob("*.parquet")):
-        return  # first landing (or emptied index) — nothing to collide with
-    existing = spark.read.parquet(f"{path}.doclen")
+    # the shared emptiness-tolerant read: after a delete of EVERY doc the
+    # doclen dir still exists but holds no Spark-visible parquet files —
+    # nothing to collide with, and a raw read would fail schema inference
+    # (round-9 fuzz-found: [ingest, delete-all, ingest]); the empty frame
+    # makes both probes below no-ops
+    from .similarity import _read_index_or_empty
+
+    existing = _read_index_or_empty(
+        spark, f"{path}.doclen", "doc_id bigint, dl bigint"
+    )
     if exclude_batch_id is not None and "batch_id" in existing.columns:
         existing = existing.filter(F.col("batch_id") != int(exclude_batch_id))
     head = ids.limit(_FRESH_PROBE_INLIST + 1).collect()

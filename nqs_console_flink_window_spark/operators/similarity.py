@@ -40,15 +40,23 @@ def dot_spark(a: str, b: str) -> str:
     )
 
 
-def cosine_spark(a: str, b: str) -> str:
+def cosine_from_parts(dot: str, na: str, nb: str) -> str:
+    """THE cosine assembly — one definition of the zero-norm guard, the
+    division/SQRT association order, and the 1e-8 rounding, shared by
+    cosine_spark and every norm-hoisted form (the dense legs of the
+    dense+sparse fusions), so the cross-form bit-stability contract is
+    enforced by construction, not by comment."""
     from ..functions.dialect import fround
 
-    dot = dot_spark(a, b)
-    na = dot_spark(a, a)
-    nb = dot_spark(b, b)
     return (
         f"(CASE WHEN {na} = 0.0 OR {nb} = 0.0 THEN 0.0 "
         f"ELSE {fround(f'{dot} / (SQRT({na}) * SQRT({nb}))', 8)} END)"
+    )
+
+
+def cosine_spark(a: str, b: str) -> str:
+    return cosine_from_parts(
+        dot_spark(a, b), dot_spark(a, a), dot_spark(b, b)
     )
 
 
@@ -610,11 +618,29 @@ def _read_index_or_empty(spark, path: str, empty_schema: str) -> DataFrame:
     index must stay QUERYABLE (zero results), not raise (the round-9
     lifecycle fuzz found exactly this: [ingest, delete-all, query]).  Only
     the columns the query paths consume need to exist on the empty frame."""
-    from pathlib import Path
-
-    if not any(Path(path).rglob("*.parquet")):
+    if not index_parquet_files(path):
         return spark.createDataFrame([], empty_schema)
     return spark.read.parquet(path)
+
+
+def index_parquet_files(path: str) -> list:
+    """Parquet files Spark's FileIndex would actually list under ``path``:
+    underscore/dot-prefixed path segments (``__delete_staging``, fold
+    staging, metadata dirs) are invisible to Spark, so a crashed delete's
+    staged files must not make an otherwise-emptied index look
+    non-empty (the read would then fail schema inference at query
+    time)."""
+    from pathlib import Path
+
+    root = Path(path)
+    return [
+        p
+        for p in root.rglob("*.parquet")
+        if not any(
+            seg.startswith(("_", "."))
+            for seg in p.relative_to(root).parts
+        )
+    ]
 
 
 def ivf_topk_indexed(

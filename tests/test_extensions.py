@@ -3263,18 +3263,15 @@ def test_image_near_dup_hamming_gradient_and_pigeonhole(spark) -> None:
     grid = _grid_from_text(base)
     rows_flippable = [r for r in range(8) if grid[r][7] >= grid[r][8]]
     assert len(rows_flippable) >= 7, rows_flippable
+    # 4 flips in four DIFFERENT bands: no band agrees -> not a candidate
+    four_rows = sorted({r // 2: r for r in rows_flippable}.values())[:4]
     texts = {
         0: base,
         1: flip(rows_flippable[:1]),          # hamming 1
         2: flip(rows_flippable[:2]),          # hamming 2 (vs base)
         3: flip(rows_flippable[:3]),          # hamming 3
-        # 4 flips in four DIFFERENT bands (rows 0,2,4,6-ish): no band agrees
-        4: flip([r for r in rows_flippable if True][:4])
-        if len({r // 2 for r in rows_flippable[:4]}) == 4
-        else flip(sorted({r // 2: r for r in rows_flippable}.values())[:4]),
+        4: flip(four_rows),                   # hamming 4, 4 distinct bands
     }
-    four_rows = sorted({r // 2: r for r in rows_flippable}.values())[:4]
-    texts[4] = flip(four_rows)  # guaranteed four distinct bands
     df = spark.createDataFrame(
         [(k, v) for k, v in texts.items()], "doc_id long, text string"
     )
@@ -3382,3 +3379,35 @@ def test_ivfpq_persisted_index_lifecycle(spark, tmp_path) -> None:
     assert spark.read.parquet(idx).filter(
         F.col("vec_id") == top
     ).count() == 0
+
+
+def test_image_near_dup_handles_newline_nonascii_and_null_text(spark) -> None:
+    """Review-pass regression (round 9): the engine's PPM raster and the
+    SQL oracle must agree on corpora OUTSIDE the clean fixture class —
+    newline in the first 72 chars (the '(.)' regex skips line
+    terminators), multi-byte UTF-8 (would shift the byte raster off the
+    ascii() code points), and NULL text (no image on either side).  Both
+    sides now share the printable-ASCII projection `_dhash_text_sql` and
+    the NULL filter, so pairs match exactly."""
+    rows = [
+        (0, "alpha beta\ngamma delta " * 4),   # newline in the grid window
+        (1, "alpha beta\ngamma delta " * 4),   # exact dup of 0
+        (2, "café au lait résumé " * 5),  # multi-byte chars
+        (3, "café au lait résumé " * 5),  # exact dup of 2
+        (4, None),                              # NULL text: no image
+        (5, "completely unrelated filler words here " * 3),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.image_near_dup_df(spark).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(MM.image_near_dup_sql(X.DUCK)).fetchall()]
+    assert got == want
+    assert (0, 1, 0) in got and (2, 3, 0) in got  # the dups surface
+    assert not any(4 in (a, b) for a, b, _ in got)  # NULL text: no pairs
