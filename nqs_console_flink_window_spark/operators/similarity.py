@@ -1184,6 +1184,88 @@ def pq_encode(
     return df.withColumn("pq_code", codes(F.col(vec_col)))
 
 
+_IVFPQ_BOOKS: dict = {}
+
+
+def _assign_cells_np(mat: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """THE assignment rule as a plain numpy call (the driver-side twin of
+    assign_cells_udf, shared by the residual codebook fit): argmin over
+    ||c||^2 - 2 x.c, ties to the lowest cell id."""
+    c_sq = (centers**2).sum(axis=1)
+    return (c_sq[None, :] - 2.0 * (mat @ centers.T)).argmin(axis=1)
+
+
+def _ivfpq_books(
+    df: DataFrame, centers: np.ndarray, vec_col: str = "embedding"
+) -> np.ndarray:
+    """RESIDUAL codebooks — canonical IVF-PQ (the form Jegou et al. 2011
+    actually specify, closing the raw-subvector simplification documented
+    since round 5): the fine quantizer trains on (vector - its cell
+    centroid), coupling it to the coarse quantizer so the codes spend
+    their bits on what the cell assignment did NOT explain.  Same bounded
+    deterministic sample, same ONE-rng sequential per-subspace Lloyd as
+    _pq_codebooks (the Python oracle reproduces bit-for-bit); cache keyed
+    like _pq_codebooks plus the residual marker."""
+    files = tuple(sorted(df.inputFiles()))
+    key = (
+        (files, df.count(), vec_col, PQ_M, PQ_K, PQ_SEED, "residual")
+        if files
+        else None
+    )
+    hit = _IVFPQ_BOOKS.get(key) if key is not None else None
+    if hit is not None:
+        return hit
+    mat = _train_matrix(df, vec_col)
+    res = mat - centers[_assign_cells_np(mat, centers)]
+    dim = res.shape[1]
+    assert dim % PQ_M == 0, f"dim {dim} not divisible by PQ_M {PQ_M}"
+    dsub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, dsub))
+    rng = np.random.RandomState(PQ_SEED)
+    for m in range(PQ_M):
+        books[m] = lloyd_fit(res[:, m * dsub : (m + 1) * dsub], PQ_K, rng)
+    if key is not None:
+        _IVFPQ_BOOKS[key] = books
+    return books
+
+
+def pq_encode_residual(
+    df: DataFrame,
+    books: np.ndarray,
+    centers: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual PQ encode: code_m = argmin over the RESIDUAL subvector
+    (vector - cell centroid).  Expects a ``cell`` column (the coarse
+    assignment); one vectorized numpy pass per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dsub = books.shape[2]
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series, cell: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())
+        res = mat - centers[cell.to_numpy(dtype=np.int64)]
+        out = np.empty((len(res), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = res[:, m * dsub : (m + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+            out[:, m] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return df.withColumn("pq_code", codes(F.col(vec_col), F.col("cell")))
+
+
+def _adc_cell_expr(lut: np.ndarray, qc: np.ndarray) -> str:
+    """The residual form's ADC estimate: q.v_hat = q.c_cell + q.r_hat =
+    element_at(<per-cell q.c literals>, cell + 1) + the shared subspace
+    gathers — the cell term restores what residual encoding moved out of
+    the codes.  Left-associated like _adc_expr (the oracle mirrors)."""
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in qc) + ")"
+    return f"element_at({arr}, cell + 1) + " + _adc_expr(lut)
+
+
 def _adc_lut(books: np.ndarray, q: np.ndarray) -> np.ndarray:
     """The query's M x K dot-product lookup table (built once per query)."""
     dsub = books.shape[2]
@@ -1249,27 +1331,34 @@ def ivfpq_topk(
     100 TB: (nprobe/IVF_CLUSTERS) of the corpus touched, and what is
     touched is 8-byte codes, not float vectors.
 
-    Simplification vs canonical IVF-PQ, documented: codebooks quantize the
-    RAW subvectors, not the cell residuals (residual encoding couples the
-    codebook fit to the coarse quantizer for better accuracy at the same
-    bits; the plumbing here is identical and the recall gate still
-    passes)."""
-    # Codebooks fit on the FULL corpus, then passed down: the cell-filtered
-    # frame shares the full table's inputFiles, so letting pq_topk fit from
-    # it would poison (or be poisoned by) the full-corpus cache entry
-    # depending on call order — and canonical IVF-PQ trains its codebooks
-    # corpus-wide anyway.
-    books = _pq_codebooks(df)
+    RESIDUAL encoding (round 9 — the canonical Jegou et al. 2011 form,
+    closing the raw-subvector simplification documented since round 5):
+    codebooks quantize (vector - cell centroid), and the ADC estimate
+    restores the cell term — q.v_hat = q.c_cell + sum_m lut[m][code_m]
+    (_adc_cell_expr).  Codebooks fit corpus-wide on residuals against the
+    same frozen coarse quantizer every routing path uses."""
     assigned, centers = ivf_assignments(df)
+    books = _ivfpq_books(df, centers)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centers - q) ** 2).sum(1)
     probe_cells = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
-    return pq_topk(
-        assigned.filter(F.col("cell").isin(probe_cells)).drop("cell"),
-        query_vec,
-        k=k,
-        rerank=rerank,
-        books=books,
+    coded = pq_encode_residual(
+        assigned.filter(F.col("cell").isin(probe_cells)), books, centers
+    )
+    est = _adc_cell_expr(_adc_lut(books, q), centers @ q)
+    short = (
+        coded.withColumn("est_dot", F.expr(est))
+        .orderBy(F.col("est_dot").desc(), F.col("vec_id"))
+        .limit(rerank * k)
+    )
+    q_lit = "array(" + ", ".join(
+        f"CAST({float(x)!r} AS FLOAT)" for x in query_vec
+    ) + ")"
+    return (
+        short.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .select("vec_id", "est_dot", "cosine")
+        .limit(k)
     )
 
 
@@ -1321,22 +1410,24 @@ def _read_codebooks(spark, path: str) -> np.ndarray:
 
 
 def ivfpq_fit(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
-    """Fit-and-persist BOTH quantizers (coarse centroids + PQ codebooks,
-    bounded deterministic Lloyd on <= IVF_TRAIN_SAMPLE vectors) without
-    landing any codes — the bootstrap a pure streaming IVF-PQ build needs
-    (the ``ivf_fit_centroids`` contract extended to the fine quantizer)."""
-    _write_centroids(df.sparkSession, _ivf_centers(df, vec_col), path)
-    _write_codebooks(df.sparkSession, _pq_codebooks(df, vec_col), path)
+    """Fit-and-persist BOTH quantizers (coarse centroids + RESIDUAL PQ
+    codebooks, bounded deterministic Lloyd on <= IVF_TRAIN_SAMPLE
+    vectors) without landing any codes — the bootstrap a pure streaming
+    IVF-PQ build needs (the ``ivf_fit_centroids`` contract extended to
+    the fine quantizer)."""
+    centers = _ivf_centers(df, vec_col)
+    _write_centroids(df.sparkSession, centers, path)
+    _write_codebooks(df.sparkSession, _ivfpq_books(df, centers, vec_col), path)
 
 
 def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding") -> None:
-    """Materialize the IVF-PQ index: codes-only rows (vec_id, pq_code)
-    partitioned by ``cell``, both quantizer sidecars alongside.  The
-    float column never lands in the index — the standing artifact is
-    M bytes per vector."""
-    books = _pq_codebooks(df, vec_col)
+    """Materialize the IVF-PQ index: codes-only rows (vec_id, pq_code —
+    RESIDUAL codes against the cell centroid) partitioned by ``cell``,
+    both quantizer sidecars alongside.  The float column never lands in
+    the index — the standing artifact is M bytes per vector."""
     assigned, centers = ivf_assignments(df, vec_col)
-    coded = pq_encode(assigned, vec_col, books=books).select(
+    books = _ivfpq_books(df, centers, vec_col)
+    coded = pq_encode_residual(assigned, books, centers, vec_col).select(
         "vec_id", "pq_code", "cell"
     )
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -1365,10 +1456,11 @@ def ivfpq_index_ingest_batch(
         )
     centers = _read_centroids(bspark, path)
     books = _read_codebooks(bspark, path)
-    coded = pq_encode(
+    coded = pq_encode_residual(
         batch_df.withColumn("cell", assign_cells_udf(centers)(F.col(vec_col))),
+        books,
+        centers,
         vec_col,
-        books=books,
     ).select("vec_id", "pq_code", "cell")
     (
         coded.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
@@ -1402,7 +1494,7 @@ def ivfpq_topk_indexed(
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centers - q) ** 2).sum(1)
     probe_cells = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
-    est = _adc_expr(_adc_lut(books, q))
+    est = _adc_cell_expr(_adc_lut(books, q), centers @ q)
     short = (
         _read_index_or_empty(
             spark, path, "vec_id bigint, pq_code array<int>, cell int"

@@ -201,14 +201,60 @@ def ann_pq_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
     )
 
 
-def ann_ivfpq_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
+def ann_ivfpq_topk_oracle(con, sf_dir: str, k: int = 10, rerank: int = 4) -> pd.DataFrame:
+    """Twin of similarity.ivfpq_topk, RESIDUAL form (round 9): centers via
+    the shared Lloyd fit; residual codebooks (ONE rng, subspaces in order)
+    on the train rows' residuals against their assigned cells; candidates
+    = probe-cell rows, codes from THEIR residuals; ADC estimate =
+    q.c_cell + left-assoc subspace gathers (the engine's _adc_cell_expr
+    parse order); exact-cosine top k of the rerank*k short list."""
     ids, mat, q = _corpus_and_query(con)
-    books, dsub = _pq_books(ids, mat)  # codebooks fit corpus-wide
-    cells, probe = _ivf_cells(ids, mat, q)
+    centers = SIM.lloyd_fit(
+        _train_rows(ids, mat), SIM.IVF_CLUSTERS, np.random.RandomState(SIM.IVF_SEED)
+    )
+    c_sq = (centers**2).sum(axis=1)
+
+    def assign(rows: np.ndarray) -> np.ndarray:
+        return (c_sq[None, :] - 2.0 * (rows @ centers.T)).argmin(axis=1)
+
+    dim = mat.shape[1]
+    dsub = dim // SIM.PQ_M
+    tm = _train_rows(ids, mat)
+    tres = tm - centers[assign(tm)]
+    rng = np.random.RandomState(SIM.PQ_SEED)
+    books = np.empty((SIM.PQ_M, SIM.PQ_K, dsub))
+    for m in range(SIM.PQ_M):
+        books[m] = SIM.lloyd_fit(tres[:, m * dsub : (m + 1) * dsub], SIM.PQ_K, rng)
+
+    cells = assign(mat)
+    qd2 = ((centers - q) ** 2).sum(axis=1)
+    probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
     keep = [i for i in range(len(ids)) if int(cells[i]) in probe]
+
+    res = mat[keep] - centers[cells[keep]]
+    n = len(keep)
+    codes = np.empty((n, SIM.PQ_M), dtype=np.int64)
+    for m in range(SIM.PQ_M):
+        sub = res[:, m * dsub : (m + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d2.argmin(1)
+    lut = np.empty((SIM.PQ_M, SIM.PQ_K))
+    for m in range(SIM.PQ_M):
+        lut[m] = books[m] @ q[m * dsub : (m + 1) * dsub]
+    qc = centers @ q
+    est = []
+    for j in range(n):
+        acc = float(qc[cells[keep[j]]])
+        for m in range(SIM.PQ_M):
+            acc = acc + float(lut[m][codes[j, m]])
+        est.append(acc)
+    short = sorted(range(n), key=lambda j: (-est[j], ids[keep[j]]))[: rerank * k]
+    rows = [
+        (int(ids[keep[j]]), est[j], _cosine(mat[keep[j]], q)) for j in short
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
     return pd.DataFrame(
-        _pq_rows(ids[keep], mat[keep], q, books, dsub),
-        columns=["vec_id", "est_dot", "cosine"],
+        rows[:k], columns=["vec_id", "est_dot", "cosine"]
     )
 
 

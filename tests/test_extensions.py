@@ -1434,7 +1434,10 @@ def test_ann_recall_audit_floor(spark) -> None:
     just the hash gate.  Floors are calibrated to THIS fixture: the
     synthetic embeddings are uniform random (no cluster structure — the
     ANN-hostile worst case), so absolute recall is inherently modest
-    (measured ivf 0.7 / pq 0.6 / ivfpq 0.5 / lsh 0.6 at sf0.001);
+    (measured ivf 0.7 / pq 0.6 / ivfpq 0.7 / lsh 0.6 at sf0.001 — ivfpq
+    rose 0.5 -> 0.7 when round 9 switched to residual encoding, reaching
+    the IVF probe ceiling: the gate-visible number the canonical form is
+    FOR);
     production embeddings cluster and recall rises with nprobe.  The
     floor sits one notch under measured so only a REGRESSION trips it,
     not fixture noise."""
@@ -1452,8 +1455,8 @@ def test_ann_recall_audit_floor(spark) -> None:
     floors = {
         "ivf": 0.6,
         "pq": 0.5,
-        "ivfpq": 0.4,
-        "ivfpq_indexed": 0.4,
+        "ivfpq": 0.6,  # residual encoding (round 9): one notch under 0.7
+        "ivfpq_indexed": 0.6,
         "lsh": 0.5,
     }
     for method, floor in floors.items():
