@@ -1122,6 +1122,57 @@ def hybrid_dense_sparse_multi_indexed(
         )
 
 
+def hybrid_dense_sparse_ann_indexed(
+    spark,
+    text_path: str,
+    ivf_path: str,
+    query_vecs: dict[int, list[float]],
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """The FULLY-indexed hybrid — both legs on standing indexes, nothing
+    scans the corpus at query time: the dense leg is IVF-probed ANN ranks
+    from the persisted cell-partitioned vector index (ivf_multi_indexed —
+    |Q| pruned cell scans), the sparse leg is BM25 over pruned postings
+    buckets + sidecar stats, fused through the SAME
+    ``_dense_sparse_multi_ctes`` fragment as the exact forms.  The dense
+    leg is APPROXIMATE by design (nprobe cells, not the whole corpus) —
+    standard RRF semantics absorb that: a doc outside the probed cells
+    simply contributes no dense-leg term, exactly like a doc outside a
+    leg's top-leg_k.  This is the production query path at 100 TB: per
+    query set, |Q| postings buckets + nprobe cell partitions, zero
+    corpus passes."""
+    from pyspark.sql import functions as F
+
+    from .similarity import ivf_multi_indexed
+    from .staging import staged_views
+
+    dr = ivf_multi_indexed(spark, ivf_path, query_vecs, k=leg_k).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rn"),
+    )
+    post, dl, n_body, t_body = _indexed_inputs(
+        spark, text_path, bm25_queryset_terms(queries)
+    )
+    with staged_views(spark, tf=post, dl=dl, drm=dr, checkpoint=False) as v:
+        return spark.sql(
+            f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+            + _dense_sparse_multi_ctes(
+                X.SPARK,
+                v.tf,
+                v.dl,
+                "qt",
+                v.drm,
+                leg_k=leg_k,
+                k=k,
+                n_body=n_body,
+                t_body=t_body,
+            )
+        )
+
+
 # ---------------------------------------------------------------------------
 # PMI collocations
 # ---------------------------------------------------------------------------

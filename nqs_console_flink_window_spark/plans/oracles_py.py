@@ -297,3 +297,127 @@ SELECT vec_id FROM lsh_ranked WHERE rn <= 10
     return pd.DataFrame(
         rows, columns=["method", "k", "hits", "recall_at_k"]
     ).astype({"k": "int64", "hits": "int64"})
+
+
+def hybrid_dense_sparse_ann_oracle(
+    con, sf_dir: str, corpus_min: int = 8
+) -> pd.DataFrame:
+    """Twin of the FULLY-indexed hybrid (retrieval.
+    hybrid_dense_sparse_ann_indexed over the registry's standing
+    indexes): the dense leg is the deterministic IVF recompute
+    (ann_ivf_multi_oracle's machinery — quantizer on the vec_id >=
+    corpus_min corpus, per-query nprobe routing, exact-decimal cosine,
+    (cosine desc, vec_id) ranks cut at HYBRID_LEG_K); the sparse leg is
+    the pure-Python integer BM25 the hypothesis suite pins (doubled-idf
+    micro-nats, scaled-BIGINT saturation, floor(contrib + 0.5) per-term
+    rounding) ranked per query; fusion is the exact-integer rrf_pico rule
+    with the engine's tie orders and the fround-9 score."""
+    from ..operators import retrieval as RT
+
+    leg_k, k = RT.HYBRID_LEG_K, RT.HYBRID_K
+    qids = sorted(RT.BM25_QUERYSET)
+
+    # dense leg: IVF ranks per query over the vec_id >= corpus_min corpus
+    ids, mat = _load(con)
+    cmask = ids >= corpus_min
+    cids, cmat = ids[cmask], mat[cmask]
+    centers = SIM.lloyd_fit(
+        _train_rows(cids, cmat),
+        SIM.IVF_CLUSTERS,
+        np.random.RandomState(SIM.IVF_SEED),
+    )
+    c_sq = (centers**2).sum(axis=1)
+    cells = (c_sq[None, :] - 2.0 * (cmat @ centers.T)).argmin(axis=1)
+    dense: dict[tuple[int, int], int] = {}
+    by_id = {int(v): i for i, v in enumerate(ids)}
+    for qid in qids:
+        q = mat[by_id[qid]]
+        qd2 = ((centers - q) ** 2).sum(axis=1)
+        probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
+        rows = [
+            (int(cids[i]), _cosine(cmat[i], q))
+            for i in range(len(cids))
+            if int(cells[i]) in probe
+        ]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for rn, (doc, _c) in enumerate(rows[:leg_k], start=1):
+            dense[(qid, doc)] = rn
+
+    # sparse leg: integer-exact BM25 per query (the hypothesis twin)
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    toks = {int(d): (t or "").lower().split(" ") for d, t in docs}
+    n = len(docs)
+    dl = {d: len(ws) for d, ws in toks.items()}
+    t_tok = sum(dl.values())
+    union_terms = set(RT.bm25_queryset_terms(RT.BM25_QUERYSET))
+    tf: dict[tuple[int, str], int] = {}
+    for d, ws in toks.items():
+        for w in ws:
+            if w in union_terms:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+
+    def _qln(x: int) -> int:
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    sparse: dict[tuple[int, int], int] = {}
+    for qid in qids:
+        scores: dict[int, int] = {}
+        for d in toks:
+            s = 0
+            hit = False
+            for w in RT.BM25_QUERYSET[qid]:
+                f = tf.get((d, w), 0)
+                if f == 0:
+                    continue
+                hit = True
+                idf = _qln(2 * n + 2) - _qln(2 * df[w] + 1)
+                contrib = (
+                    float(idf)
+                    * (22.0 * t_tok * f)
+                    / (10.0 * t_tok * f + 3.0 * t_tok + 9.0 * dl[d] * n)
+                )
+                s += math.floor(contrib + 0.5)
+            if hit:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda p: (-p[1], p[0]))
+        for rn, (d, _s) in enumerate(ranked[:leg_k], start=1):
+            sparse[(qid, d)] = rn
+
+    # fusion: exact-integer RRF, engine tie orders, fround-9 score
+    out = []
+    for qid in qids:
+        fused: dict[int, tuple[int, int, int, int]] = {}
+        cand = {d for (q2, d) in list(sparse) + list(dense) if q2 == qid}
+        rowset = []
+        for d in cand:
+            srn = sparse.get((qid, d), 0)
+            drn = dense.get((qid, d), 0)
+            pico = 0
+            legs = 0
+            for rn in (srn, drn):
+                if rn:
+                    pico += RT.RRF_SCALE // (RT.RRF_K + rn)
+                    legs += 1
+            rowset.append((d, pico, srn, drn, legs))
+        rowset.sort(key=lambda r: (-r[1], r[0]))
+        for rk, (d, pico, srn, drn, legs) in enumerate(rowset[:k], start=1):
+            score = math.floor(pico / 1.0e12 * 1.0e9 + 0.5) / 1.0e9
+            out.append((qid, d, pico, srn, drn, legs, rk, score))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "query_id",
+            "doc_id",
+            "rrf_pico",
+            "bm25_rank",
+            "dense_rank",
+            "n_legs",
+            "rk",
+            "rrf_score",
+        ],
+    )

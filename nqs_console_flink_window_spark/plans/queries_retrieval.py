@@ -273,3 +273,45 @@ def hybrid_dense_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.hybrid_dense_sparse_multi_indexed(
         spark, _ensure_text_index(spark, sf_dir)
     )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from . import oracles_py as ORC  # noqa: E402
+
+
+@register(
+    "hybrid_dense_sparse_ann",
+    sql=None,  # IVF dense leg = seeded k-means — value-oracled in Python
+    oracle_py=ORC.hybrid_dense_sparse_ann_oracle,
+    doc="Extension — the FULLY-indexed hybrid (round 9): dense leg = "
+    "IVF-probed ANN ranks from the persisted cell-partitioned vector "
+    "index (|Q| pruned cell scans, approximate by design — standard RRF "
+    "absence semantics absorb the probe cut), sparse leg = BM25 over "
+    "pruned postings buckets + sidecar stats, fused through the same "
+    "_dense_sparse_multi_ctes fragment as the exact forms.  The "
+    "production query path at 100 TB: per query set, |Q| postings "
+    "buckets + nprobe cell partitions, ZERO corpus passes.  The oracle "
+    "recomputes both legs deterministically in Python (the IVF family's "
+    "seeded-Lloyd recompute + the hypothesis suite's integer BM25 twin) "
+    "and fuses with the exact-integer rrf_pico rule.  driver-gated via "
+    "hybrid_dense_sparse_multi (the same fusion fragment, exact legs) + "
+    "ann_topk (the ANN family's driver row)",
+    tier=2,
+)
+def hybrid_dense_sparse_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_ext import _ensure_ivf_index
+
+    register_temp_views(spark, sf_dir, ("documents", "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [int(q) for q in sorted(RT.BM25_QUERYSET)]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    return RT.hybrid_dense_sparse_ann_indexed(
+        spark,
+        _ensure_text_index(spark, sf_dir),
+        _ensure_ivf_index(spark, sf_dir),
+        qvecs,
+    )

@@ -91,6 +91,7 @@ def test_python_oracle_coverage_is_total() -> None:
         "ann_ivfpq_topk",
         "ann_pq_topk",
         "ann_recall_audit",
+        "hybrid_dense_sparse_ann",
     ]
 
 
