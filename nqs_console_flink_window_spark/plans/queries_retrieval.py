@@ -284,6 +284,7 @@ from . import oracles_py as ORC  # noqa: E402
     "hybrid_dense_sparse_ann",
     sql=None,  # IVF dense leg = seeded k-means — value-oracled in Python
     oracle_py=ORC.hybrid_dense_sparse_ann_oracle,
+    headline=True,  # the zero-corpus-pass hybrid query path — benched
     doc="Extension — the FULLY-indexed hybrid (round 9): dense leg = "
     "IVF-probed ANN ranks from the persisted cell-partitioned vector "
     "index (|Q| pruned cell scans, approximate by design — standard RRF "
