@@ -1145,9 +1145,36 @@ def hybrid_dense_sparse_ann_indexed(
     corpus passes."""
     from pyspark.sql import functions as F
 
-    from .similarity import ivf_multi_indexed
+    from .similarity import _read_index_or_empty, ivf_multi_indexed
     from .staging import staged_views
 
+    if set(query_vecs) != set(queries):
+        raise ValueError(
+            "hybrid_dense_sparse_ann_indexed: query_vecs and queries must "
+            f"share one query_id set (got dense {sorted(query_vecs)} vs "
+            f"sparse {sorted(queries)}) — a mismatch would silently emit "
+            "single-leg fusions"
+        )
+    # the exact dense legs exclude each query's own vector from the
+    # corpus; the ANN leg's ranks come from the standing index, so the
+    # same semantics require the index to NOT contain the query vectors.
+    # Make that dependency loud with a bounded pushed-down probe (vec_id
+    # IN-list + limit 1 — row-group min/max pruned).
+    qids = [int(i) for i in query_vecs]
+    clash = (
+        _read_index_or_empty(
+            spark, ivf_path, "vec_id bigint, embedding array<float>, cell int"
+        )
+        .filter(F.col("vec_id").isin(qids))
+        .limit(1)
+    )
+    if clash.count() > 0:
+        raise ValueError(
+            "hybrid_dense_sparse_ann_indexed: the dense index contains a "
+            "query vector — build it on the corpus slice excluding the "
+            "query ids (the exact forms' self-exclusion convention), or "
+            "the query's own doc takes dense rank 1 for its own query"
+        )
     dr = ivf_multi_indexed(spark, ivf_path, query_vecs, k=leg_k).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),

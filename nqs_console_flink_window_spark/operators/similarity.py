@@ -1206,9 +1206,16 @@ def _ivfpq_books(
     deterministic sample, same ONE-rng sequential per-subspace Lloyd as
     _pq_codebooks (the Python oracle reproduces bit-for-bit); cache keyed
     like _pq_codebooks plus the residual marker."""
+    import hashlib
+
     files = tuple(sorted(df.inputFiles()))
+    # the books are a function of CENTERS too (residuals are computed
+    # against them) — fingerprint them into the key or a caller passing
+    # externally-loaded centers over the same file set would get books
+    # fit against different centers
+    cfp = hashlib.md5(np.ascontiguousarray(centers).tobytes()).hexdigest()
     key = (
-        (files, df.count(), vec_col, PQ_M, PQ_K, PQ_SEED, "residual")
+        (files, df.count(), vec_col, PQ_M, PQ_K, PQ_SEED, "residual", cfp)
         if files
         else None
     )
@@ -1308,12 +1315,24 @@ def pq_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     est = _adc_expr(_adc_lut(books, q))
     coded = pq_encode(df, books=books)
+    return _shortlist_rerank(coded, est, query_vec, k, rerank)
+
+
+def _shortlist_rerank(
+    coded: DataFrame, est: str, query_vec: list[float], k: int, rerank: int
+) -> DataFrame:
+    """THE ADC shortlist + exact re-rank tail shared by pq_topk and
+    ivfpq_topk (one home for the (est_dot DESC, vec_id) cut, the FLOAT
+    literal cast discipline, and the (cosine DESC, vec_id) tie rules the
+    oracles mirror)."""
     short = (
         coded.withColumn("est_dot", F.expr(est))
         .orderBy(F.col("est_dot").desc(), F.col("vec_id"))
         .limit(rerank * k)
     )
-    q_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in query_vec) + ")"
+    q_lit = "array(" + ", ".join(
+        f"CAST({float(x)!r} AS FLOAT)" for x in query_vec
+    ) + ")"
     return (
         short.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -1346,20 +1365,7 @@ def ivfpq_topk(
         assigned.filter(F.col("cell").isin(probe_cells)), books, centers
     )
     est = _adc_cell_expr(_adc_lut(books, q), centers @ q)
-    short = (
-        coded.withColumn("est_dot", F.expr(est))
-        .orderBy(F.col("est_dot").desc(), F.col("vec_id"))
-        .limit(rerank * k)
-    )
-    q_lit = "array(" + ", ".join(
-        f"CAST({float(x)!r} AS FLOAT)" for x in query_vec
-    ) + ")"
-    return (
-        short.withColumn("cosine", F.expr(cosine_spark("embedding", q_lit)))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .select("vec_id", "est_dot", "cosine")
-        .limit(k)
-    )
+    return _shortlist_rerank(coded, est, query_vec, k, rerank)
 
 
 # ---------------------------------------------------------------------------
@@ -1383,22 +1389,40 @@ def ivfpq_topk(
 # ---------------------------------------------------------------------------
 
 
+PQ_CODE_FORMAT = "residual"  # codes encode (vector - cell centroid)
+
+
 def _write_codebooks(spark, books: np.ndarray, path: str) -> None:
     rows = [
-        (m, j, [float(x) for x in books[m][j]])
+        (m, j, [float(x) for x in books[m][j]], PQ_CODE_FORMAT)
         for m in range(books.shape[0])
         for j in range(books.shape[1])
     ]
     spark.createDataFrame(
-        rows, "m int, j int, centroid array<double>"
+        rows, "m int, j int, centroid array<double>, enc string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}.codebooks")
 
 
 def _read_codebooks(spark, path: str) -> np.ndarray:
-    rows = sorted(
-        (r["m"], r["j"], r["centroid"])
-        for r in spark.read.parquet(f"{path}.codebooks").collect()
-    )
+    """Load the fine quantizer, REFUSING a foreign code format: a
+    pre-residual (raw-subvector) index read by residual-aware code would
+    silently mis-score every estimate (the q.c_cell term double-counts
+    what raw codes already encode) — the same loud-refusal contract as
+    the flat/batched layout guards."""
+    df = spark.read.parquet(f"{path}.codebooks")
+    if "enc" not in df.columns:
+        raise ValueError(
+            f"codebooks at {path} carry no code-format marker — a "
+            "pre-residual index; rebuild it (build_ivfpq_index/ivfpq_fit)"
+        )
+    collected = df.collect()
+    bad = {r["enc"] for r in collected} - {PQ_CODE_FORMAT}
+    if bad:
+        raise ValueError(
+            f"codebooks at {path} encode {sorted(bad)}, this engine "
+            f"expects {PQ_CODE_FORMAT!r} — rebuild the index"
+        )
+    rows = sorted((r["m"], r["j"], r["centroid"]) for r in collected)
     ms = 1 + max(m for m, _, _ in rows)
     ks = 1 + max(j for _, j, _ in rows)
     assert [(m, j) for m, j, _ in rows] == [

@@ -97,19 +97,44 @@ def _cosine(a: np.ndarray, b: np.ndarray) -> float:
     return math.floor(c * 1.0e8 + 0.5) / 1.0e8
 
 
-def _ivf_cells(ids, mat, q):
-    """(cells per corpus row, probe-cell set) with the engine's exact
-    formulas: lloyd_fit centers, argmin over ||c||^2 - 2 x.c, probe =
-    np.argsort(centroid d2)[:nprobe]."""
+def _ivf_fit(ids, mat):
+    """(centers, cells per corpus row) — THE oracle-side coarse-quantizer
+    recompute (lloyd_fit on the bounded sample, argmin over
+    ||c||^2 - 2 x.c), one definition for every IVF-family oracle."""
     centers = SIM.lloyd_fit(
         _train_rows(ids, mat), SIM.IVF_CLUSTERS, np.random.RandomState(SIM.IVF_SEED)
     )
+    return centers, _assign_np(mat, centers)
+
+
+def _assign_np(rows: np.ndarray, centers: np.ndarray) -> np.ndarray:
     c_sq = (centers**2).sum(axis=1)
-    d = c_sq[None, :] - 2.0 * (mat @ centers.T)
-    cells = d.argmin(axis=1)
+    return (c_sq[None, :] - 2.0 * (rows @ centers.T)).argmin(axis=1)
+
+
+def _probe_set(centers: np.ndarray, q: np.ndarray) -> set[int]:
     qd2 = ((centers - q) ** 2).sum(axis=1)
-    probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
-    return cells, probe
+    return {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
+
+
+def _ivf_query_ranks(centers, cells, cids, cmat, q, k):
+    """Per-query IVF ranked rows [(doc_id, cosine, rn)]: probe-cell
+    candidates, exact-decimal cosine, (cosine desc, vec_id) order — the
+    shared dense-leg rule (ann_ivf_multi + the ANN hybrid's dense leg)."""
+    probe = _probe_set(centers, q)
+    rows = [
+        (int(cids[i]), _cosine(cmat[i], q))
+        for i in range(len(cids))
+        if int(cells[i]) in probe
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return [(d, c, rn + 1) for rn, (d, c) in enumerate(rows[:k])]
+
+
+def _ivf_cells(ids, mat, q):
+    """(cells per corpus row, probe-cell set) — legacy 2-tuple wrapper."""
+    centers, cells = _ivf_fit(ids, mat)
+    return cells, _probe_set(centers, q)
 
 
 def ann_ivf_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
@@ -133,25 +158,16 @@ def ann_ivf_multi_oracle(con, sf_dir: str, nq: int = 8, k: int = 10) -> pd.DataF
     qmask = ids < nq
     qids, qmat = ids[qmask], mat[qmask]
     cids, cmat = ids[~qmask], mat[~qmask]
-    centers = SIM.lloyd_fit(
-        _train_rows(cids, cmat),
-        SIM.IVF_CLUSTERS,
-        np.random.RandomState(SIM.IVF_SEED),
-    )
-    c_sq = (centers**2).sum(axis=1)
-    cells = (c_sq[None, :] - 2.0 * (cmat @ centers.T)).argmin(axis=1)
+    centers, cells = _ivf_fit(cids, cmat)
+    cell_of = {int(cids[i]): int(cells[i]) for i in range(len(cids))}
     out = []
     for qi in range(len(qids)):
-        q = qmat[qi]
-        qd2 = ((centers - q) ** 2).sum(axis=1)
-        probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
-        rows = [
-            (int(qids[qi]), int(cids[i]), int(cells[i]), _cosine(cmat[i], q))
-            for i in range(len(cids))
-            if int(cells[i]) in probe
+        out += [
+            (int(qids[qi]), d, cell_of[d], c, rn)
+            for d, c, rn in _ivf_query_ranks(
+                centers, cells, cids, cmat, qmat[qi], k
+            )
         ]
-        rows.sort(key=lambda r: (-r[3], r[1]))
-        out += [r + (rk + 1,) for rk, r in enumerate(rows[:k])]
     return pd.DataFrame(
         out, columns=["query_id", "vec_id", "cell", "cosine", "rank"]
     )
@@ -209,26 +225,17 @@ def ann_ivfpq_topk_oracle(con, sf_dir: str, k: int = 10, rerank: int = 4) -> pd.
     q.c_cell + left-assoc subspace gathers (the engine's _adc_cell_expr
     parse order); exact-cosine top k of the rerank*k short list."""
     ids, mat, q = _corpus_and_query(con)
-    centers = SIM.lloyd_fit(
-        _train_rows(ids, mat), SIM.IVF_CLUSTERS, np.random.RandomState(SIM.IVF_SEED)
-    )
-    c_sq = (centers**2).sum(axis=1)
-
-    def assign(rows: np.ndarray) -> np.ndarray:
-        return (c_sq[None, :] - 2.0 * (rows @ centers.T)).argmin(axis=1)
-
+    centers, cells = _ivf_fit(ids, mat)
     dim = mat.shape[1]
     dsub = dim // SIM.PQ_M
     tm = _train_rows(ids, mat)
-    tres = tm - centers[assign(tm)]
+    tres = tm - centers[_assign_np(tm, centers)]
     rng = np.random.RandomState(SIM.PQ_SEED)
     books = np.empty((SIM.PQ_M, SIM.PQ_K, dsub))
     for m in range(SIM.PQ_M):
         books[m] = SIM.lloyd_fit(tres[:, m * dsub : (m + 1) * dsub], SIM.PQ_K, rng)
 
-    cells = assign(mat)
-    qd2 = ((centers - q) ** 2).sum(axis=1)
-    probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
+    probe = _probe_set(centers, q)
     keep = [i for i in range(len(ids)) if int(cells[i]) in probe]
 
     res = mat[keep] - centers[cells[keep]]
@@ -321,26 +328,13 @@ def hybrid_dense_sparse_ann_oracle(
     ids, mat = _load(con)
     cmask = ids >= corpus_min
     cids, cmat = ids[cmask], mat[cmask]
-    centers = SIM.lloyd_fit(
-        _train_rows(cids, cmat),
-        SIM.IVF_CLUSTERS,
-        np.random.RandomState(SIM.IVF_SEED),
-    )
-    c_sq = (centers**2).sum(axis=1)
-    cells = (c_sq[None, :] - 2.0 * (cmat @ centers.T)).argmin(axis=1)
+    centers, cells = _ivf_fit(cids, cmat)
     dense: dict[tuple[int, int], int] = {}
     by_id = {int(v): i for i, v in enumerate(ids)}
     for qid in qids:
-        q = mat[by_id[qid]]
-        qd2 = ((centers - q) ** 2).sum(axis=1)
-        probe = {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
-        rows = [
-            (int(cids[i]), _cosine(cmat[i], q))
-            for i in range(len(cids))
-            if int(cells[i]) in probe
-        ]
-        rows.sort(key=lambda r: (-r[1], r[0]))
-        for rn, (doc, _c) in enumerate(rows[:leg_k], start=1):
+        for doc, _c, rn in _ivf_query_ranks(
+            centers, cells, cids, cmat, mat[by_id[qid]], leg_k
+        ):
             dense[(qid, doc)] = rn
 
     # sparse leg: integer-exact BM25 per query (the hypothesis twin)
@@ -391,7 +385,6 @@ def hybrid_dense_sparse_ann_oracle(
     # fusion: exact-integer RRF, engine tie orders, fround-9 score
     out = []
     for qid in qids:
-        fused: dict[int, tuple[int, int, int, int]] = {}
         cand = {d for (q2, d) in list(sparse) + list(dense) if q2 == qid}
         rowset = []
         for d in cand:

@@ -2112,11 +2112,12 @@ JOIN {v.sizes} nb ON co.doc_b = nb.doc_id
     sql=None,  # k-means coarse + PQ codebooks — value-oracled in Python
     oracle_py=ORC.ann_ivfpq_topk_oracle,
     doc="Extension — IVF-PQ composed ANN (the canonical production index "
-    "shape): coarse quantizer routes to nprobe cells, ADC scores only "
-    "those cells' 8-byte code arrays, exact-cosine re-rank of the short "
-    "list; raw-subvector (no-residual) simplification documented in "
-    "similarity.ivfpq_topk; ANN family driver-gated via ann_topk / "
-    "cosine_topk, recall pytest-gated (test_ivfpq_recall)",
+    "shape, RESIDUAL-encoded since round 9 — codebooks quantize vector "
+    "minus cell centroid and the ADC estimate restores the cell term): "
+    "coarse quantizer routes to nprobe cells, ADC scores only those "
+    "cells' 8-byte code arrays, exact-cosine re-rank of the short list; "
+    "ANN family driver-gated via ann_topk / cosine_topk, recall "
+    "pytest-gated (test_ivfpq_recall + ann_recall_audit floors)",
     tier=2,
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3414,3 +3414,38 @@ def test_image_near_dup_handles_newline_nonascii_and_null_text(spark) -> None:
     assert got == want
     assert (0, 1, 0) in got and (2, 3, 0) in got  # the dups surface
     assert not any(4 in (a, b) for a, b, _ in got)  # NULL text: no pairs
+
+
+def test_ann_hybrid_and_codebook_guards(spark, tmp_path) -> None:
+    """Round-9 review regressions: (a) the ANN hybrid refuses a dense/
+    sparse query-id mismatch (silent single-leg fusions otherwise);
+    (b) it refuses a dense index containing a query vector (the exact
+    forms' self-exclusion convention, made loud); (c) _read_codebooks
+    refuses a codebooks sidecar with no/foreign code-format marker (a
+    pre-residual index silently mis-scores under residual ADC)."""
+    from nqs_console_flink_window_spark.operators import retrieval as RT
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    qvec = {1: [float(x) for x in emb.filter("vec_id = 1").first()["embedding"]]}
+
+    with pytest.raises(ValueError, match="share one query_id set"):
+        RT.hybrid_dense_sparse_ann_indexed(spark, "/nope", "/nope", qvec)
+
+    # (b) an index built on the FULL table contains the query ids
+    full_idx = str(tmp_path / "full_ivf")
+    SIM.build_ivf_index(emb, full_idx)
+    qvecs3 = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([1, 2, 3])).collect()
+    }
+    with pytest.raises(ValueError, match="contains a query vector"):
+        RT.hybrid_dense_sparse_ann_indexed(spark, "/nope", full_idx, qvecs3)
+
+    # (c) a markerless (pre-residual-format) codebooks sidecar refuses
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(0, 0, [0.0] * 8)], "m int, j int, centroid array<double>"
+    ).write.parquet(f"{legacy}.codebooks")
+    with pytest.raises(ValueError, match="no code-format marker"):
+        SIM._read_codebooks(spark, legacy)
