@@ -1157,7 +1157,7 @@ def dhash_grid_sql(d: str, table: str = "documents") -> str:
     """CTE-list (no leading WITH, no trailing comma) computing the dHash
     bands of the FIXTURE image: each document's first 72 printable-ASCII
     codes (the shared ``_dhash_text_sql`` projection; pad-with-0 beyond
-    the text, the same rule as the PPM encoding in ``documents_as_ppm``;
+    the text, the same rule as the encoders in ``documents_as_images``;
     NULL-text docs carry no image on either side) read as a 9x8
     grayscale thumbnail.  Exposes ``bands`` (doc_id, band, bv) — for a
     gray thumbnail the decoder's integer luma is exactly the ascii code,
@@ -1235,42 +1235,134 @@ ham AS (
 )"""
 
 
-def documents_as_ppm(docs: DataFrame) -> DataFrame:
-    """Fixture adapter, image edition: encode each document's first 72
-    ASCII codes as a REAL 9x8 grayscale P6 PPM (header + raw RGB triples,
-    each pixel's three channels = the character code; short docs pad with
-    NUL = black).  Unlike ``documents_as_media`` (opaque octet-stream ->
-    stub histogram), these payloads take the REAL image decode path — the
-    registry's image_near_dup query runs decode -> dHash -> band join ->
-    Hamming verify end-to-end against a pure-SQL oracle recomputing the
-    same bands from the text."""
-    gray = F.expr(
-        f"rpad({_dhash_text_sql(X.SPARK)}, 72, chr(0))"
-    )  # the shared printable-ASCII projection, NUL-padded to 72
-    raster = F.regexp_replace(gray, "(.)", "$1$1$1")  # gray -> RGB triples
-    payload = F.concat(F.lit("P6 9 8 255\n"), raster).cast("binary")
-    return docs.filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").alias("media_id"),
-        payload.alias("payload"),
+def _fixture_grid(text: str | None) -> list[list[int]]:
+    """Python twin of ``_dhash_text_sql`` + the 0-pad rule: first 72 chars,
+    non-printable-ASCII mapped to space, NUL-padded, as a 9x8 gray grid."""
+    t = text or ""
+    codes = [
+        ord(c) if " " <= c <= "~" else 0x20 for c in t[:72]
+    ] + [0] * max(0, 72 - len(t[:72]))
+    return [codes[r * 9 : r * 9 + 9] for r in range(DHASH_GRID_H)]
+
+
+def encode_ppm_gray(grid: list[list[int]]) -> bytes:
+    """Writer twin of ``_ppm_channels`` (gray pixels as RGB triples)."""
+    h, w = len(grid), len(grid[0])
+    raster = bytes(c for row in grid for c in row for _ in range(3))
+    return f"P6 {w} {h} 255\n".encode() + raster
+
+
+def encode_bmp_gray(grid: list[list[int]]) -> bytes:
+    """Writer twin of ``_bmp_channels``: 24-bit uncompressed BMP from
+    top-down gray rows, stored bottom-up (positive height) — exercising
+    the decoder's orientation flip."""
+    import struct
+
+    h, w = len(grid), len(grid[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for row in reversed(grid):
+        line = bytearray()
+        for c in row:
+            line += bytes([c, c, c])
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0
+        )
+        + bytes(raster)
+    )
+
+
+def encode_png_gray(grid: list[list[int]]) -> bytes:
+    """Writer twin of ``_png_channels``: 8-bit grayscale non-interlaced
+    PNG, filter-0 scanlines.  Compression bytes are zlib-version-
+    dependent but the DECODED pixels (all any consumer reads) are not."""
+    import struct
+    import zlib
+
+    h, w = len(grid), len(grid[0])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = b"".join(b"\x00" + bytes(row) for row in grid)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_FIXTURE_IMAGE_FORMATS = (
+    ("image/x-portable-pixmap", encode_ppm_gray),
+    ("image/bmp", encode_bmp_gray),
+    ("image/png", encode_png_gray),
+)
+
+
+def documents_as_images(docs: DataFrame) -> DataFrame:
+    """Fixture adapter, MIXED-FORMAT edition: each document's fixture
+    grid (``_fixture_grid`` — the Python twin of the SQL projection)
+    encodes as a REAL image whose container rotates by doc_id % 3
+    (PPM / bottom-up BMP / grayscale PNG), so the registry's
+    image_near_dup query drives three decoders — including the BMP
+    orientation flip and the PNG inflate+filter path — not just the PPM
+    header walk.  One Arrow mapInPandas pass; NULL-text docs are
+    excluded (no image on either side, the dhash_grid_sql contract)."""
+    cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads, mimes = [], [], []
+            for did, text in zip(b["doc_id"], b["text"]):
+                mime, enc = _FIXTURE_IMAGE_FORMATS[int(did) % 3]
+                ids.append(int(did))
+                payloads.append(enc(_fixture_grid(text)))
+                mimes.append(mime)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    flat = cols.mapInPandas(
+        kernel, "media_id long, payload binary, mime string"
+    )
+    return flat.select(
+        "media_id",
+        "payload",
         F.struct(
-            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.col("mime").alias("mime"),
             F.lit(DHASH_GRID_W).cast("int").alias("width"),
             F.lit(DHASH_GRID_H).cast("int").alias("height"),
-            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
 
 
 def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
-    """Engine side of image_near_dup: documents -> PPM payloads -> REAL
-    decode + dHash through the Arrow mapInPandas stage -> staged bands ->
-    the shared Hamming-band pairs fragment.  The bands relation is
+    """Engine side of image_near_dup: documents -> REAL mixed-format
+    images (PPM / bottom-up BMP / grayscale PNG rotating by doc_id % 3)
+    -> decode + dHash through the Arrow mapInPandas stage -> staged
+    bands -> the shared Hamming-band pairs fragment.  The bands relation is
     referenced four times by the fragment (two candidate sides, two
     verify sides) — staged once (localCheckpoint) so Spark's CTE inlining
     cannot re-run the decode per reference."""
     from .staging import staged_views
 
-    media = documents_as_ppm(spark.table(table))
+    media = documents_as_images(spark.table(table))
     bands = (
         extract_dhash(media)
         .filter(F.col("decode_ok"))
