@@ -1122,6 +1122,117 @@ def hybrid_dense_sparse_multi_indexed(
         )
 
 
+# weighted-RRF leg weights (exact integers — the fusion stays in BIGINT
+# picos: each leg contributes w * RRF_SCALE DIV (RRF_K + rank)).  Sparse
+# ahead of dense is the common production prior for keyword-ish queries;
+# the weights are config, the FRAGMENT is the deliverable.
+HYBRID_W_SPARSE = 3
+HYBRID_W_DENSE = 2
+
+
+def _dense_sparse_weighted_ctes(
+    d: str,
+    tf: str,
+    dl: str,
+    qt: str,
+    drm: str,
+    table: str | None = None,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+    w_sparse: int = HYBRID_W_SPARSE,
+    w_dense: int = HYBRID_W_DENSE,
+    n_body: str | None = None,
+    t_body: str | None = None,
+) -> str:
+    """CTE-list + final SELECT (no leading WITH): WEIGHTED reciprocal rank
+    fusion — the leg-weighted generalization of the multi dense+sparse
+    fragment (rrf = sum of w_leg / (K + rank), the form production stacks
+    tune when one leg is known stronger for the workload).  Same shared
+    BM25 leg, same ``drm`` dense relation contract, exact integers
+    throughout: each leg's contribution is w * RRF_SCALE DIV (K + rn)."""
+    rrf = X.idiv(d, f"w * {RRF_SCALE}", f"{RRF_K} + rn")
+    return f"""
+{_bm25_multi_leg_ctes(tf, dl, qt, table, n_body, t_body).strip()},
+legs AS (
+  SELECT query_id, doc_id, rn, {w_sparse} AS w, 1 AS is_sparse, 0 AS is_dense
+  FROM bm25r WHERE rn <= {leg_k}
+  UNION ALL
+  SELECT query_id, doc_id, rn, {w_dense} AS w, 0 AS is_sparse, 1 AS is_dense
+  FROM {drm} WHERE rn <= {leg_k}
+),
+fused AS (
+  SELECT query_id, doc_id,
+    CAST(SUM({rrf}) AS BIGINT) AS rrf_pico,
+    CAST(MAX(is_sparse * rn) AS BIGINT) AS bm25_rank,
+    CAST(MAX(is_dense * rn) AS BIGINT) AS dense_rank,
+    CAST(COUNT(*) AS BIGINT) AS n_legs
+  FROM legs GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT fused.*,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rrf_pico DESC, doc_id) AS rk
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_pico, bm25_rank, dense_rank, n_legs, rk,
+  {X.fround("CAST(rrf_pico AS DOUBLE) / 1.0E12", 9)} AS rrf_score
+FROM ranked WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+def hybrid_weighted_sql(
+    d: str,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+) -> str:
+    """Oracle form: plain CTEs (the multi dense+sparse oracle with the
+    weighted fusion tail)."""
+    return (
+        f"WITH tok AS ({tok_cte(d, table)}), "
+        f"qt AS ({bm25_queryset_sql(queries)}), "
+        f"tfq AS ({bm25_tf_sql('tok', bm25_queryset_terms(queries))}), "
+        f"dlt AS ({bm25_dl_sql('tok')}), "
+        f"dcosm AS ({_dense_multi_scored_sql(d, vec_table, tuple(sorted(queries)))}), "
+        f"drm AS (SELECT query_id, vec_id AS doc_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, vec_id) AS rn FROM dcosm), "
+        + _dense_sparse_weighted_ctes(
+            d, "tfq", "dlt", "qt", "drm", table, leg_k, k
+        )
+    )
+
+
+def hybrid_weighted_df(
+    spark,
+    table: str = "documents",
+    vec_table: str = "embeddings",
+    queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
+    leg_k: int = HYBRID_LEG_K,
+    k: int = HYBRID_K,
+):
+    """Engine side: identical staging to hybrid_dense_sparse_multi_df,
+    the weighted fusion fragment on top."""
+    from .staging import staged_views
+
+    d = X.SPARK
+    dr = _dense_multi_leg_df(spark, vec_table, sorted(queries), leg_k)
+    tok_df = spark.sql(tok_cte(d, table))
+    with staged_views(spark, tok=tok_df) as v1:
+        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
+        dl_df = spark.sql(bm25_dl_sql(v1.tok))
+        with staged_views(spark, tf=tf_df, dl=dl_df, drm=dr) as v2:
+            return spark.sql(
+                f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+                + _dense_sparse_weighted_ctes(
+                    d, v2.tf, v2.dl, "qt", v2.drm, table, leg_k, k
+                )
+            )
+
+
 def hybrid_dense_sparse_ann_indexed(
     spark,
     text_path: str,

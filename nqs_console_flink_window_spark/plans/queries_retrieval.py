@@ -316,3 +316,22 @@ def hybrid_dense_sparse_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_ivf_index(spark, sf_dir),
         qvecs,
     )
+
+
+@register(
+    "hybrid_weighted",
+    sql=RT.hybrid_weighted_sql(X.DUCK),
+    doc="Extension — WEIGHTED reciprocal rank fusion of the dense+sparse "
+    "legs (the leg-weighted generalization production stacks tune when "
+    "one leg is known stronger for the workload: rrf = sum of "
+    "w_leg/(K + rank), sparse w=3 / dense w=2 here, weights are config): "
+    "each leg contributes w * RRF_SCALE DIV (60 + rank) — exact BIGINT "
+    "picos end-to-end, same shared BM25 leg and per_query_topk dense "
+    "pre-cut as the unweighted form.  driver-gated via "
+    "hybrid_dense_sparse_multi (the identical legs; only the fusion "
+    "weights differ)",
+    tier=2,
+)
+def hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, ("documents", "embeddings"))
+    return RT.hybrid_weighted_df(spark)
