@@ -777,13 +777,17 @@ def ivf_multi_indexed(
     return per_query_topk(scored, k)
 
 
-def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+def ivf_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF search: rank cells by centroid distance to the query, scan only
-    the IVF_NPROBE nearest cells, exact cosine re-rank inside them."""
+    the ``nprobe`` nearest cells, exact cosine re-rank inside them.
+    ``nprobe`` is THE recall/cost knob (more cells = more recall, more
+    scan) — the audit sweeps it to pin the knob's monotonicity."""
     assigned, centers = ivf_assignments(df)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centers - q) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+    probe_cells = [int(c) for c in np.argsort(d2)[:nprobe]]
 
     q_lit = "array(" + ", ".join(f"CAST({float(x)!r} AS FLOAT)" for x in query_vec) + ")"
     cand = assigned.filter(F.col("cell").isin(probe_cells))

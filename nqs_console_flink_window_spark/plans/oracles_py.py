@@ -112,9 +112,14 @@ def _assign_np(rows: np.ndarray, centers: np.ndarray) -> np.ndarray:
     return (c_sq[None, :] - 2.0 * (rows @ centers.T)).argmin(axis=1)
 
 
-def _probe_set(centers: np.ndarray, q: np.ndarray) -> set[int]:
+def _probe_set(
+    centers: np.ndarray, q: np.ndarray, nprobe: int | None = None
+) -> set[int]:
     qd2 = ((centers - q) ** 2).sum(axis=1)
-    return {int(c) for c in np.argsort(qd2)[: SIM.IVF_NPROBE]}
+    return {
+        int(c)
+        for c in np.argsort(qd2)[: SIM.IVF_NPROBE if nprobe is None else nprobe]
+    }
 
 
 def _ivf_query_ranks(centers, cells, cids, cmat, q, k):
@@ -287,10 +292,30 @@ SELECT vec_id FROM lsh_ranked WHERE rn <= 10
     lsh_ids = pd.DataFrame(
         {"vec_id": [int(v) for (v,) in con.execute(lsh_sql).fetchall()]}
     )
+    # the nprobe-8 sweep row: same fit/assign, wider probe set
+    ids, mat, q = _corpus_and_query(con)
+    centers, cells = _ivf_fit(ids, mat)
+    probe8 = _probe_set(centers, q, nprobe=8)
+    ivf8 = pd.DataFrame(
+        {
+            "vec_id": [
+                d
+                for d, _c, _rn in sorted(
+                    (
+                        (int(ids[i]), _cosine(mat[i], q), 0)
+                        for i in range(len(ids))
+                        if int(cells[i]) in probe8
+                    ),
+                    key=lambda r: (-r[1], r[0]),
+                )[:10]
+            ]
+        }
+    )
     rows = []
     ivfpq = ann_ivfpq_topk_oracle(con, sf_dir)
     for method, odf in (
         ("ivf", ann_ivf_topk_oracle(con, sf_dir)),
+        ("ivf_nprobe8", ivf8),
         ("ivfpq", ivfpq),
         # the persisted codes path is bit-identical to the online form by
         # construction — the audit row exists to catch index/recompute

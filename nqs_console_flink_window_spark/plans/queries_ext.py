@@ -2218,6 +2218,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for method, adf in (
         ("ivf", SIM.ivf_topk(corpus, qvec, k=10)),
+        # the nprobe sweep: doubling the probed cells must not LOSE recall
+        # (the knob's monotonicity, floor-pinned) — the quality/cost trade
+        # every IVF deployment tunes, now gate-visible
+        ("ivf_nprobe8", SIM.ivf_topk(corpus, qvec, k=10, nprobe=8)),
         ("ivfpq", SIM.ivfpq_topk(corpus, qvec, k=10)),
         # the PERSISTED codes path audited next to its online twin: a
         # drift between the standing index and the in-memory recompute

@@ -1444,7 +1444,19 @@ def test_ann_recall_audit_floor(spark) -> None:
     from nqs_console_flink_window_spark.plans.queries_ext import ann_recall_audit
 
     rows = {r["method"]: r for r in ann_recall_audit(spark, SMOKE_SF_DIR).collect()}
-    assert set(rows) == {"ivf", "pq", "ivfpq", "ivfpq_indexed", "lsh"}
+    assert set(rows) == {
+        "ivf",
+        "ivf_nprobe8",
+        "pq",
+        "ivfpq",
+        "ivfpq_indexed",
+        "lsh",
+    }
+    # the nprobe knob is MONOTONE: probing more cells never loses recall
+    # (measured 0.7 -> 0.9 at nprobe 4 -> 8 on the smoke fixture)
+    assert (
+        rows["ivf_nprobe8"]["recall_at_k"] >= rows["ivf"]["recall_at_k"]
+    )
     # the persisted codes path shares the online ivfpq's floor — it is
     # bit-identical by construction, so a LOWER number here means the
     # standing index drifted from the recompute (exactly what the row
@@ -1454,6 +1466,7 @@ def test_ann_recall_audit_floor(spark) -> None:
     )
     floors = {
         "ivf": 0.6,
+        "ivf_nprobe8": 0.8,  # measured 0.9; the sweep row's own floor
         "pq": 0.5,
         "ivfpq": 0.6,  # residual encoding (round 9): one notch under 0.7
         "ivfpq_indexed": 0.6,
