@@ -368,6 +368,10 @@ def compact_batch_landings(spark, base_dir: str, upto_batch_id: int) -> int:
 
 DELETE_MANIFEST = "__delete_manifest.json"
 DELETE_STAGING = "__delete_staging"
+# max ids inlined as a pushed-down IN filter; above this the delete
+# switches to semi/anti joins against a distributed id frame (same
+# threshold role as retrieval._FRESH_PROBE_INLIST)
+_DELETE_INLIST = 10_000
 
 
 def _delete_part_dir(path: str, partition_cols: list[str], values):
@@ -484,10 +488,15 @@ def delete_rows_partitioned(
     a partition mid-swap: deletion is an offline maintenance operation,
     exactly like compaction.
 
-    Cost model: ids is a bounded compliance batch (an IN-list the scan
-    pushes down to find hits) and the rewrite touches only affected
-    partitions.  ``partition_cols=[]`` degrades to a staged full rewrite
-    — only for bounded side tables (the flat doclen sidecar), never for
+    Cost model: up to ``_DELETE_INLIST`` ids inline as an IN-list the
+    scan pushes down to find hits (row-group min/max pruning — the
+    right-to-be-forgotten shape, cost tracks the id batch); above it,
+    the same ids become a distributed frame and every hit/keep filter
+    switches to a semi/anti join (a 10M-literal IN would blow up the
+    expression tree and defeat pushdown anyway — the bulk-delete
+    shape).  Both forms rewrite only affected partitions.
+    ``partition_cols=[]`` degrades to a staged full rewrite — only for
+    bounded side tables (the flat doclen sidecar), never for
     corpus-scale data.
     """
     import os as _os
@@ -499,6 +508,29 @@ def delete_rows_partitioned(
     # doc ids work unchanged (coercing via int() would silently constrain
     # the compliance key to integers)
     ids = list(ids)
+    bulk = len(ids) > _DELETE_INLIST
+    if bulk:
+        # distinct: a repeated id must not repeat semi-join hit rows
+        # (affected-partition discovery would still dedup, but the keep
+        # anti-join is cheaper against a deduped build side)
+        ids_df = (
+            spark.createDataFrame([(i,) for i in ids], [key_col]).distinct()
+        )
+
+        def _hits(d):
+            return d.join(ids_df, key_col, "left_semi")
+
+        def _keep(d):
+            return d.join(ids_df, key_col, "left_anti")
+
+    else:
+
+        def _hits(d):
+            return d.filter(F.col(key_col).isin(ids))
+
+        def _keep(d):
+            return d.filter(~F.col(key_col).isin(ids))
+
     _repair_crashed_delete(path)
     # both repair and commit move files BEHIND Spark's FileIndex cache —
     # refresh or this very function would plan against a stale listing
@@ -520,22 +552,34 @@ def delete_rows_partitioned(
             )
         # a no-op delete must be an actual no-op (the idempotent re-run
         # case): probe before rewriting the whole side table
-        if df.filter(F.col(key_col).isin(ids)).limit(1).count() == 0:
+        if _hits(df).limit(1).count() == 0:
             return (0, 0)
-        keep = df.filter(~F.col(key_col).isin(ids))
+        keep = _keep(df)
         # snapshot the exact files this rewrite read BEFORE staging: the
         # commit unlinks only these, so a file appended mid-delete is
         # left alone (extra rows, never silent loss)
         inputs = sorted(_os.path.basename(f) for f in df.inputFiles())
         keep.write.mode("overwrite").parquet(str(staging / "__flat"))
+        # bulk manifests carry a digest, not the id list itself — a
+        # multi-million-id JSON manifest would make every fsync/commit
+        # step O(ids); the digest keeps the flat path's generation
+        # prefix unique without the payload
+        import hashlib as _hl
+
+        # distinct: the manifest describes the EFFECTIVE delete set, so a
+        # duplicate-carrying request hashes the same as its deduped twin
+        id_strs = sorted({str(i) for i in ids})
+        id_field = (
+            {
+                "ids_md5": _hl.md5("\n".join(id_strs).encode()).hexdigest(),
+                "n_ids": len(id_strs),
+            }
+            if bulk
+            else {"ids": id_strs}
+        )
         manifest = _write_delete_manifest(
             path,
-            {
-                "flat": True,
-                "key_col": key_col,
-                "ids": sorted(str(i) for i in ids),
-                "inputs": inputs,
-            },
+            {"flat": True, "key_col": key_col, "inputs": inputs, **id_field},
         )
         _commit_delete(path, manifest)
         spark.catalog.refreshByPath(path)
@@ -543,17 +587,12 @@ def delete_rows_partitioned(
 
     aff = [
         tuple(r)
-        for r in df.filter(F.col(key_col).isin(ids))
-        .select(*partition_cols)
-        .distinct()
-        .collect()
+        for r in _hits(df).select(*partition_cols).distinct().collect()
     ]
     if not aff:
         return (0, 0)
     aff_df = spark.createDataFrame([list(t) for t in aff], partition_cols)
-    keep = df.join(F.broadcast(aff_df), partition_cols, "left_semi").filter(
-        ~F.col(key_col).isin(ids)
-    )
+    keep = _keep(df.join(F.broadcast(aff_df), partition_cols, "left_semi"))
     keep.write.mode("overwrite").partitionBy(*partition_cols).parquet(
         str(staging)
     )

@@ -3098,6 +3098,104 @@ def test_delete_crash_recovery(spark, tmp_path) -> None:
         W.delete_rows_partitioned(spark, p4, "k", [1], [])
 
 
+def test_bulk_delete_semi_join_parity(spark, tmp_path) -> None:
+    """r9-verdict item (writers.py delete_rows_partitioned): above
+    ``_DELETE_INLIST`` the delete's hit/keep filters switch from a
+    pushed-down IN-list to semi/anti joins against a distributed id
+    frame (a multi-million-literal IN would blow up Catalyst's
+    expression tree and defeat pushdown).  Parity at both sizes: same
+    rows removed, same (affected, emptied) accounting, on both layouts;
+    duplicate and string ids included; the bulk flat manifest carries an
+    id digest, never the id payload; and the switch propagates through
+    ``text_index_delete`` (which rides this core)."""
+    import pytest as _pytest
+
+    from nqs_console_flink_window_spark.sinks import writers as W
+
+    def build(path, partitioned=True):
+        w = spark.createDataFrame(
+            [(k, k % 3) for k in range(40)], "k long, p int"
+        ).write.mode("overwrite")
+        (w.partitionBy("p") if partitioned else w).parquet(path)
+
+    def keys(path):
+        return sorted(r["k"] for r in spark.read.parquet(path).collect())
+
+    ids = [1, 5, 9, 33, 12, 5]  # repeated id: must not double-hit
+    expect = [k for k in range(40) if k not in ids]
+    for pcols, tag in ((["p"], "part"), ([], "flat")):
+        inl = str(tmp_path / f"{tag}_in")
+        blk = str(tmp_path / f"{tag}_blk")
+        build(inl, partitioned=bool(pcols))
+        build(blk, partitioned=bool(pcols))
+        r_in = W.delete_rows_partitioned(spark, inl, "k", ids, pcols)
+        captured = {}
+        real_manifest = W._write_delete_manifest
+
+        def capture(path, manifest, _c=captured, _r=real_manifest):
+            _c.update(manifest)
+            return _r(path, manifest)
+
+        with _pytest.MonkeyPatch.context() as mp:
+            mp.setattr(W, "_DELETE_INLIST", 3)  # force the bulk path
+            mp.setattr(W, "_write_delete_manifest", capture)
+            r_blk = W.delete_rows_partitioned(spark, blk, "k", ids, pcols)
+            assert r_in == r_blk
+            assert keys(inl) == keys(blk) == expect
+            if not pcols:
+                assert "ids" not in captured and "ids_md5" in captured
+                assert captured["n_ids"] == len(set(ids))
+            # idempotent re-run stays a no-op on the bulk path too
+            assert W.delete_rows_partitioned(spark, blk, "k", ids, pcols) == (
+                0,
+                0,
+            )
+
+    # string keys survive the bulk path (r8-advice invariant carried over)
+    sflat = str(tmp_path / "sflat")
+    spark.createDataFrame(
+        [(f"doc-{k}", k) for k in range(12)], "k string, v int"
+    ).write.mode("overwrite").parquet(sflat)
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(W, "_DELETE_INLIST", 2)
+        W.delete_rows_partitioned(
+            spark, sflat, "k", ["doc-1", "doc-6", "doc-9"], []
+        )
+    assert sorted(r["k"] for r in spark.read.parquet(sflat).collect()) == (
+        sorted(f"doc-{k}" for k in range(12) if k not in (1, 6, 9))
+    )
+
+    # through-path: text_index_delete rides this core — a bulk delete
+    # must leave the index bit-identical to a fresh build on the
+    # filtered corpus (the standing delete==rebuild contract)
+    from nqs_console_flink_window_spark.operators import retrieval as RT
+    from nqs_console_flink_window_spark.sources.batch import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    gone = [r["doc_id"] for r in docs.select("doc_id").collect()][::2]
+    idx = str(tmp_path / "bulkidx")
+    RT.build_text_index(spark, docs, idx)
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(W, "_DELETE_INLIST", 3)
+        RT.text_index_delete(spark, idx, gone)
+    fresh = str(tmp_path / "freshidx")
+    RT.build_text_index(
+        spark, docs.filter(~docs.doc_id.isin(gone)), fresh
+    )
+    assert (
+        spark.read.parquet(f"{idx}.stats").collect()
+        == spark.read.parquet(f"{fresh}.stats").collect()
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}.doclen").collect()
+    ) == sorted(
+        tuple(r) for r in spark.read.parquet(f"{fresh}.doclen").collect()
+    )
+    assert [tuple(r) for r in RT.bm25_topk_indexed(spark, idx).collect()] == [
+        tuple(r) for r in RT.bm25_topk_indexed(spark, fresh).collect()
+    ]
+
+
 def test_flat_delete_spares_late_arriving_file(spark, tmp_path) -> None:
     """r8-advice regression (writers.py _commit_delete, flat branch): the
     commit must unlink exactly the files the staged snapshot READ — a
