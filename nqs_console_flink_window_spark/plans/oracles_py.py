@@ -326,6 +326,28 @@ SELECT vec_id FROM lsh_ranked WHERE rn <= 10
     ):
         hits = len({int(v) for v in odf["vec_id"]} & exact)
         rows.append((method, 10, hits, hits / 10.0))
+    # round-10 end-to-end fusion row: fused ANN-hybrid output vs the
+    # exact hybrid on the same query set, hits by (query_id, doc_id)
+    # pair, denominator = the exact hybrid's own output size — the twin
+    # of the engine's left-join agg
+    from ..functions import dialect as X
+    from ..operators import retrieval as RT
+
+    ann_pairs = {
+        (int(q), int(d))
+        for q, d in hybrid_dense_sparse_ann_oracle(con, sf_dir)[
+            ["query_id", "doc_id"]
+        ].itertuples(index=False)
+    }
+    exact_h = con.execute(RT.hybrid_dense_sparse_multi_sql(X.DUCK)).fetchdf()
+    exact_pairs = {
+        (int(q), int(d))
+        for q, d in exact_h[["query_id", "doc_id"]].itertuples(index=False)
+    }
+    h_hits = len(ann_pairs & exact_pairs)
+    rows.append(
+        ("hybrid_ann", RT.HYBRID_K, h_hits, h_hits / len(exact_pairs))
+    )
     return pd.DataFrame(
         rows, columns=["method", "k", "hits", "recall_at_k"]
     ).astype({"k": "int64", "hits": "int64"})

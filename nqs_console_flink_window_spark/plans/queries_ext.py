@@ -2185,7 +2185,11 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_py=ORC.ann_recall_audit_oracle,
     doc="Extension — index-quality audit: recall@10 of each approximate "
     "ANN family (IVF, PQ-ADC, IVF-PQ) against brute-force exact cosine, "
-    "one row per method.  Makes index-quality regressions GATE-visible "
+    "one row per method, plus the round-10 ``hybrid_ann`` row — the "
+    "FULLY-indexed hybrid's fused top-k vs the exact hybrid on the same "
+    "query set, so the probe cut's END-TO-END retrieval quality (not "
+    "just the dense leg's) is gate-visible.  Makes index-quality "
+    "regressions GATE-visible "
     "(a broken quantizer/codebook now flips a value-hashed number) "
     "instead of pytest-only; the exact set is the hash-green cosine_topk "
     "machinery, each approximate set its registered deterministic "
@@ -2247,6 +2251,44 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("hits").cast("double") / 10.0).alias("recall_at_k"),
             )
         )
+    # round-10 end-to-end fusion row: the FULLY-indexed hybrid's fused
+    # top-k vs the exact hybrid on the same query set — gate-visibility
+    # for the probe cut's END-TO-END retrieval quality (the per-leg rows
+    # above can all hold while a fusion regression silently reorders the
+    # final ranking).  hits counted by (query_id, doc_id) pair; the
+    # denominator is the exact hybrid's own output size (recall's
+    # standard form — robust to a query with < k candidates)
+    from ..operators.retrieval import HYBRID_K
+    from .queries_retrieval import (
+        hybrid_dense_sparse_ann,
+        hybrid_dense_sparse_multi,
+    )
+
+    exact_h = hybrid_dense_sparse_multi(spark, sf_dir).select(
+        "query_id", "doc_id"
+    )
+    ann_h = hybrid_dense_sparse_ann(spark, sf_dir).select(
+        "query_id", "doc_id", F.lit(1).alias("hit")
+    )
+    # left equi-join (1:at-most-1 — both sides are per-query top-k sets),
+    # never a cross join: one agg yields hits AND the denominator
+    parts.append(
+        exact_h.join(ann_h, ["query_id", "doc_id"], "left")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .select(
+            F.lit("hybrid_ann").alias("method"),
+            F.lit(HYBRID_K).cast("long").alias("k"),
+            "hits",
+            (F.col("hits").cast("double") / F.col("total").cast("double")).alias(
+                "recall_at_k"
+            ),
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

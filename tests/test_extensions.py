@@ -1451,6 +1451,7 @@ def test_ann_recall_audit_floor(spark) -> None:
         "ivfpq",
         "ivfpq_indexed",
         "lsh",
+        "hybrid_ann",
     }
     # the nprobe knob is MONOTONE: probing more cells never loses recall
     # (measured 0.7 -> 0.9 at nprobe 4 -> 8 on the smoke fixture)
@@ -1476,6 +1477,15 @@ def test_ann_recall_audit_floor(spark) -> None:
         r = rows[method]
         assert r["k"] == 10 and r["hits"] == round(r["recall_at_k"] * 10)
         assert r["recall_at_k"] >= floor, (method, r["recall_at_k"])
+    # round-10 end-to-end fusion floor: the FULLY-indexed hybrid's fused
+    # top-k vs the exact hybrid across the whole query set (hits by
+    # (query_id, doc_id) pair, denominator = |Q| x k).  Measured 0.533 on
+    # the hostile uniform fixture (the sparse leg is shared verbatim, so
+    # every miss is the dense probe cut reshuffling fusion ranks); floor
+    # one notch under so only a fusion/probe regression trips it
+    h = rows["hybrid_ann"]
+    assert h["k"] == 10 and h["hits"] >= 1
+    assert h["recall_at_k"] >= 0.4, h["recall_at_k"]
 
 
 def test_ivf_streamed_ingest_matches_rebuild_replays_and_compacts(
