@@ -1303,50 +1303,172 @@ def encode_png_gray(grid: list[list[int]]) -> bytes:
     )
 
 
+def encode_gif_gray(grid: list[list[int]]) -> bytes:
+    """Writer twin of ``_gif_channels``: GIF89a with a 256-entry gray
+    global color table and an uncompressed-style LZW stream — one CLEAR,
+    then each pixel as a literal code, then END, all at the initial
+    9-bit width (72 literals grow the decoder table to 329 < 512, so the
+    width never changes — a valid stream every GIF LZW decoder accepts,
+    and byte-deterministic with no compressor in the loop)."""
+    import struct
+
+    h, w = len(grid), len(grid[0])
+    pal = bytes(c for i in range(256) for c in (i, i, i))
+    codes = [256] + [c for row in grid for c in row] + [257]
+    acc = nbits = 0
+    lzw = bytearray()
+    for code in codes:  # GIF packs codes LSB-first
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 grays
+        + pal
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])  # LZW min code size
+        + bytes(sub)
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def encode_jpeg_gray_blocks(grid: list[list[int]]) -> bytes:
+    """Writer twin of the BASELINE JPEG decode path, restricted to the
+    one JPEG shape whose float-DCT round-trip is EXACT: each grid cell
+    becomes a constant 8x8 block, so every block is DC-only with an
+    integer coefficient (8 x (v - 128)) and zero AC — FDCT introduces no
+    rounding and the decoder's IDCT reproduces v bit-for-bit.  The dHash
+    thumbnail sampler reads pixel (8r, 8c) = the block's constant, so
+    the decoded 9x8 grid equals the input grid exactly (what lets a
+    LOSSY container sit under the cross-engine text oracle).  Layout:
+    single-component SOF0 at (w*8)x(h*8), all-ones quant, 12 DC symbols
+    at code length 4, a 1-bit EOB-only AC table."""
+    import struct
+
+    h, w = len(grid), len(grid[0])
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, h * 8, w * 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # symbols 0..11 (DC diff magnitudes) at length 4
+    dht_dc = (
+        b"\xff\xc4"
+        + struct.pack(">H", 31)
+        + b"\x00"
+        + bytes(dc_bits)
+        + bytes(range(12))
+    )
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # the single EOB symbol at code length 1 (code 0)
+    dht_ac = (
+        b"\xff\xc4" + struct.pack(">H", 20) + b"\x10" + bytes(ac_bits) + b"\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bits: list[int] = []
+
+    def emit(length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    pred = 0
+    for row in grid:  # decoder blits blocks row-major over the block grid
+        for v in row:
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            emit(4, t)  # canonical: 12 same-length symbols -> code == t
+            if t:
+                emit(t, diff if diff >= 0 else diff + (1 << t) - 1)
+            emit(1, 0)  # EOB
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s (T.81 F.1.2.3)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        scan.append(byte)
+        if byte == 0xFF:
+            scan.append(0x00)  # byte stuffing
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(scan) + b"\xff\xd9"
+    )
+
+
 _FIXTURE_IMAGE_FORMATS = (
     ("image/x-portable-pixmap", encode_ppm_gray),
     ("image/bmp", encode_bmp_gray),
     ("image/png", encode_png_gray),
+    ("image/gif", encode_gif_gray),
+    ("image/jpeg", encode_jpeg_gray_blocks),
 )
 
 
 def documents_as_images(docs: DataFrame) -> DataFrame:
     """Fixture adapter, MIXED-FORMAT edition: each document's fixture
     grid (``_fixture_grid`` — the Python twin of the SQL projection)
-    encodes as a REAL image whose container rotates by doc_id % 3
-    (PPM / bottom-up BMP / grayscale PNG), so the registry's
-    image_near_dup query drives three decoders — including the BMP
-    orientation flip and the PNG inflate+filter path — not just the PPM
-    header walk.  One Arrow mapInPandas pass; NULL-text docs are
-    excluded (no image on either side, the dhash_grid_sql contract)."""
+    encodes as a REAL image whose container rotates by doc_id % 5
+    (PPM / bottom-up BMP / grayscale PNG / LZW GIF / baseline JPEG), so
+    the registry's image_near_dup query drives all five decoders —
+    including the BMP orientation flip, the PNG inflate+filter path, the
+    GIF LZW+palette walk, and the JPEG entropy+IDCT pipeline.  JPEG is
+    lossy in general, so its fixture is the block-constant expansion
+    (``encode_jpeg_gray_blocks``) whose round-trip is exact — the
+    decoded thumbnail still equals the text grid, which is what keeps
+    every format under the SAME cross-engine text oracle.  One Arrow
+    mapInPandas pass; NULL-text docs are excluded (no image on either
+    side, the dhash_grid_sql contract)."""
     cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, payloads, mimes = [], [], []
+            ids, payloads, mimes, ws, hs = [], [], [], [], []
             for did, text in zip(b["doc_id"], b["text"]):
-                mime, enc = _FIXTURE_IMAGE_FORMATS[int(did) % 3]
+                mime, enc = _FIXTURE_IMAGE_FORMATS[
+                    int(did) % len(_FIXTURE_IMAGE_FORMATS)
+                ]
+                grid = _fixture_grid(text)
+                scale = 8 if mime == "image/jpeg" else 1
                 ids.append(int(did))
-                payloads.append(enc(_fixture_grid(text)))
+                payloads.append(enc(grid))
                 mimes.append(mime)
+                ws.append(len(grid[0]) * scale)
+                hs.append(len(grid) * scale)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "payload": payloads,
                     "mime": mimes,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
                 }
             )
 
     flat = cols.mapInPandas(
-        kernel, "media_id long, payload binary, mime string"
+        kernel,
+        "media_id long, payload binary, mime string, width int, height int",
     )
     return flat.select(
         "media_id",
         "payload",
         F.struct(
             F.col("mime").alias("mime"),
-            F.lit(DHASH_GRID_W).cast("int").alias("width"),
-            F.lit(DHASH_GRID_H).cast("int").alias("height"),
+            F.col("width").alias("width"),
+            F.col("height").alias("height"),
             F.octet_length("payload").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
@@ -1354,7 +1476,8 @@ def documents_as_images(docs: DataFrame) -> DataFrame:
 
 def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
     """Engine side of image_near_dup: documents -> REAL mixed-format
-    images (PPM / bottom-up BMP / grayscale PNG rotating by doc_id % 3)
+    images (PPM / bottom-up BMP / grayscale PNG / LZW GIF / baseline
+    JPEG rotating by doc_id % 5)
     -> decode + dHash through the Arrow mapInPandas stage -> staged
     bands -> the shared Hamming-band pairs fragment.  The bands relation is
     referenced four times by the fragment (two candidate sides, two

@@ -534,11 +534,13 @@ from ..operators.multimodal import image_near_dup_sql as _ind_sql  # noqa: E402
     sql=_ind_sql(X.DUCK),
     doc="Extension — image near-dup via perceptual hash (dHash), the "
     "standing first stage of multimodal training-corpus dedup "
-    "(LAION-style): documents' first 72 ASCII codes encode as REAL 9x8 "
-    "grayscale P6 PPMs, the engine runs decode -> integer-luma thumbnail "
-    "-> dHash -> Hamming-band candidate equi-join -> exact bit_count "
-    "verify end-to-end through the Arrow mapInPandas stage, and the "
-    "oracle recomputes the same bands from the text in pure SQL "
+    "(LAION-style): documents' first 72 ASCII codes encode as REAL "
+    "images rotating through FIVE containers by doc_id % 5 (P6 PPM, "
+    "bottom-up BMP, grayscale PNG, LZW GIF, baseline JPEG as the exact "
+    "block-constant shape), the engine runs decode -> integer-luma "
+    "thumbnail -> dHash -> Hamming-band candidate equi-join -> exact "
+    "bit_count verify end-to-end through the Arrow mapInPandas stage, "
+    "and the oracle recomputes the same bands from the text in pure SQL "
     "(decoder==SQL band parity pytest-pinned per format).  Pigeonhole: "
     "4 x 16-bit bands make the candidate join provably complete for "
     "Hamming <= 3 — never all-pairs (the simhash_hamming_hist "

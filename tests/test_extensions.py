@@ -3354,6 +3354,15 @@ def test_dhash_decoder_matches_sql_grid_per_format(spark) -> None:
         idx = [values.index(c) for r in grid for c in r]
         gif = _gif_encode(idx, pal, 9, 8)
         assert MM.decode_dhash(gif, "image/gif") == want
+        # the round-10 fixture writers: package-side GIF (uncompressed-
+        # style LZW, 256-gray palette) and block-constant baseline JPEG —
+        # the one LOSSY shape whose decode is exact (DC-only blocks), so
+        # even JPEG sits under the text oracle
+        assert MM.decode_dhash(MM.encode_gif_gray(grid), "image/gif") == want
+        assert (
+            MM.decode_dhash(MM.encode_jpeg_gray_blocks(grid), "image/jpeg")
+            == want
+        )
 
 
 def test_dhash_resize_is_nearest_neighbor() -> None:
