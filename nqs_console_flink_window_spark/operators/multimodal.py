@@ -1235,6 +1235,83 @@ ham AS (
 )"""
 
 
+def _dhash_split_ctes(d: str, bands: str) -> str:
+    """ENGINE-side CTE-list (no leading WITH, no trailing comma): the
+    zero-variance hot-bucket prefilter the pairs docstring documents.
+    Near-constant images have no gradients, so ALL their bands are 0 and
+    they pile into one band bucket — at production scale the band
+    equi-join's bv=0 bucket goes quadratic in that group's size.  The
+    split routes them around the join:
+
+    - ``zd``: the all-zero-hash group (an EXACT group — every member
+      pair is Hamming 0).  Its pairs come from an equi-join on the
+      data-derived ``hsum`` key (never a foldable literal — Catalyst
+      would constant-propagate a literal key into a cartesian).
+    - ``nzb``: bands of everything else, through the UNCHANGED
+      cand/ham fragment — the hot group's mass is gone from the join.
+    - ``xlow``: non-zero docs within DHASH_MAX_HAMMING of the zero hash
+      (total popcount <= 3 — a provably tiny shape: <= 3 bits set).
+      Each pairs with EVERY zero doc (hamming = its popcount, and a
+      zero band is guaranteed by pigeonhole), joined on its zero band
+      against the zero group's band rows — one candidate row per pair,
+      output-bound.
+
+    Output-identical to ``_dhash_cand_ham_ctes`` over the full bands
+    relation (the ORACLE keeps that form — the cross-engine gate proves
+    the equality); the pair form's Z x Z output is inherently quadratic
+    in |Z|, so the cluster form star-reduces it (``z_star``)."""
+    return f"""
+perdoc AS (
+  SELECT doc_id, SUM(bv) AS hsum,
+    CAST(SUM(bit_count(bv)) AS BIGINT) AS pc
+  FROM {bands} GROUP BY doc_id
+),
+zd AS (SELECT doc_id, hsum FROM perdoc WHERE hsum = 0),
+nzb AS (
+  SELECT b.doc_id, b.band, b.bv
+  FROM {bands} b JOIN perdoc p ON b.doc_id = p.doc_id AND p.hsum <> 0
+),
+{_dhash_cand_ham_ctes(d, "nzb").strip()},
+z_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+  FROM zd a JOIN zd b ON a.hsum = b.hsum AND a.doc_id < b.doc_id
+),
+xlow AS (
+  SELECT b.doc_id, MIN(b.band) AS band, MIN(p.pc) AS pc
+  FROM {bands} b
+  JOIN perdoc p ON b.doc_id = p.doc_id
+  WHERE p.hsum <> 0 AND p.pc <= {DHASH_MAX_HAMMING} AND b.bv = 0
+  GROUP BY b.doc_id
+),
+zbands AS (
+  SELECT b.doc_id, b.band FROM {bands} b
+  JOIN zd ON b.doc_id = zd.doc_id
+),
+cross_pairs AS (
+  SELECT LEAST(x.doc_id, z.doc_id) AS doc_a,
+    GREATEST(x.doc_id, z.doc_id) AS doc_b,
+    x.pc AS hamming
+  FROM xlow x JOIN zbands z ON z.band = x.band
+)"""
+
+
+def dhash_pairs_split_sql(d: str, bands: str) -> str:
+    """Engine form of ``dhash_pairs_sql`` with the zero-variance
+    prefilter: NZ band-join pairs + exact-group zero pairs + the tiny
+    cross slice, same output contract (doc_a < doc_b, hamming <=
+    DHASH_MAX_HAMMING, ordered)."""
+    return f"""
+{_dhash_split_ctes(d, bands).strip()}
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, hamming FROM ham
+  WHERE hamming <= {DHASH_MAX_HAMMING}
+  UNION ALL SELECT doc_a, doc_b, hamming FROM z_pairs
+  UNION ALL SELECT doc_a, doc_b, hamming FROM cross_pairs
+)
+ORDER BY doc_a, doc_b
+"""
+
+
 def _fixture_grid(text: str | None) -> list[list[int]]:
     """Python twin of ``_dhash_text_sql`` + the 0-pad rule: first 72 chars,
     non-printable-ASCII mapped to space, NUL-padded, as a 9x8 gray grid."""
@@ -1492,7 +1569,9 @@ def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
         .select(F.col("media_id").alias("doc_id"), "band", "bv")
     )
     with staged_views(spark, bands=bands) as v:
-        return spark.sql("WITH " + dhash_pairs_sql(X.SPARK, v.bands).lstrip())
+        return spark.sql(
+            "WITH " + dhash_pairs_split_sql(X.SPARK, v.bands).lstrip()
+        )
 
 
 def image_near_dup_sql(d: str, table: str = "documents") -> str:
@@ -1514,11 +1593,42 @@ def image_dup_clusters_df(spark, table: str = "documents") -> DataFrame:
     families: the dHash Hamming-band pairs feed the shared
     connected-components core (bounded min-label propagation with pointer
     doubling, dedup_cluster.py) over ALL documents as nodes (clean images
-    = singleton clusters)."""
-    from .dedup_cluster import dedup_clusters_df
+    = singleton clusters).
 
-    pairs = image_near_dup_df(spark, table).select("doc_a", "doc_b")
-    return dedup_clusters_df(pairs, spark.table(table).select("doc_id"))
+    Round-10 scale upgrade: the zero-variance group's CLIQUE edges are
+    star-reduced here (``z_star`` — each zero-hash image to the group's
+    min doc_id), which is component-equivalent but LINEAR in the group
+    size, so the cluster form stays linear even on a corpus that is
+    mostly near-constant thumbnails (the documented bv=0 hot bucket)."""
+    from .dedup_cluster import dedup_clusters_df
+    from .staging import staged_views
+
+    media = documents_as_images(spark.table(table))
+    bands = (
+        extract_dhash(media)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("doc_id"), "band", "bv")
+    )
+    with staged_views(spark, bands=bands) as v:
+        edges = spark.sql(f"""
+WITH {_dhash_split_ctes(X.SPARK, v.bands).strip()},
+zroot AS (SELECT hsum, MIN(doc_id) AS doc_a FROM zd GROUP BY hsum),
+z_star AS (
+  SELECT r.doc_a, z.doc_id AS doc_b
+  FROM zd z JOIN zroot r ON z.hsum = r.hsum
+  WHERE z.doc_id <> r.doc_a
+)
+SELECT doc_a, doc_b FROM ham WHERE hamming <= {DHASH_MAX_HAMMING}
+UNION ALL SELECT doc_a, doc_b FROM z_star
+UNION ALL SELECT doc_a, doc_b FROM cross_pairs
+""")
+        # the components core iterates over the edges — materialize them
+        # once (staged_views' localCheckpoint discipline) so each CC step
+        # does not re-run the decode stage
+        with staged_views(spark, edges=edges) as ev:
+            return dedup_clusters_df(
+                spark.table(ev.edges), spark.table(table).select("doc_id")
+            )
 
 
 def image_dup_clusters_sql(d: str, table: str = "documents") -> str:

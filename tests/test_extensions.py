@@ -3546,6 +3546,69 @@ def test_image_near_dup_handles_newline_nonascii_and_null_text(spark) -> None:
     assert not any(4 in (a, b) for a, b, _ in got)  # NULL text: no pairs
 
 
+def test_image_near_dup_zero_variance_prefilter(spark) -> None:
+    """Round-10 (verdict item 3): near-constant thumbnails have no
+    gradients, so ALL their dHash bands are 0 and they pile into one
+    band bucket — the documented bv=0 hot bucket.  The engine now routes
+    them around the band join: exact-group z_pairs (equi-join on the
+    data-derived hsum key), a popcount<=3 cross slice joined on its zero
+    band, and the unchanged cand/ham fragment over the non-zero
+    remainder; the cluster form star-reduces the zero clique.  The
+    ORACLE keeps the plain full-band-join form, so equality here (and in
+    the hash gate) proves the split is output-identical — exercised on a
+    corpus DOMINATED by the hot group."""
+    rows = [
+        (0, "a" * 40),  # constant -> bands (0,0,0,0)
+        (1, "b" * 72),
+        (2, "cc"),
+        (3, "dddddddd"),
+        (4, "e"),
+        (5, "ab"),  # exactly one ascent -> popcount 1 (the cross slice)
+        (6, "ababababab"),  # popcount > 3: outside the zero ball
+        (7, "rich and varied text with real gradients here " * 2),
+        (8, "rich and varied text with real gradients here " * 2),
+        (9, None),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.image_near_dup_df(spark).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(MM.image_near_dup_sql(X.DUCK)).fetchall()]
+    assert got == want
+    # the exact group: all 10 zero-pair combinations, hamming 0
+    for a in range(5):
+        for b in range(a + 1, 5):
+            assert (a, b, 0) in got
+    # the cross slice: doc 5 is Hamming-1 from the zero hash -> pairs
+    # with EVERY zero doc; doc 6 (popcount 4) pairs with none of them
+    for z in range(5):
+        assert (z, 5, 1) in got
+        assert not any({a, b} == {z, 6} for a, b, _ in got)
+    assert (7, 8, 0) in got  # the band join still finds NZ dups
+    # cluster form: star-reduced zero clique is component-equivalent
+    got_c = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in MM.image_dup_clusters_df(spark).collect()
+    )
+    want_c = sorted(
+        (int(r[0]), int(r[1]))
+        for r in con.execute(MM.image_dup_clusters_sql(X.DUCK)).fetchall()
+    )
+    assert got_c == want_c
+    # docs 0-5 one component rooted at 0, and 6 joins it transitively
+    # (6 is Hamming-3 from 5 via the band join — no DIRECT zero pair,
+    # but near-dup components chain); 7,8 their own pair; 9 a singleton
+    comp = dict(got_c)
+    assert {comp[i] for i in range(7)} == {0}
+    assert comp[7] == comp[8] != 0 and comp[9] == 9
+
+
 def test_ann_hybrid_and_codebook_guards(spark, tmp_path) -> None:
     """Round-9 review regressions: (a) the ANN hybrid refuses a dense/
     sparse query-id mismatch (silent single-leg fusions otherwise);
