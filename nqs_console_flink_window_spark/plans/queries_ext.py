@@ -1355,6 +1355,66 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import image_index as II  # noqa: E402
+
+
+@register(
+    "incremental_image_dedup_batches",
+    sql=II.incremental_image_dedup_sql(X.DUCK, _INC_SPLIT),
+    doc="Extension — ingest-time incremental IMAGE dedup against the "
+    "PERSISTED dHash band index (operators/image_index.py, round 10 — "
+    "the third standing index family, after text postings and IVF/"
+    "IVF-PQ): batch 1's images decode -> dHash -> within-batch verified "
+    "near-dup gate, survivors' bands LAND in the bband/batch_id index "
+    "(replay-idempotent dynamic overwrite); batch 2 probes the index it "
+    "reads back from disk (one (band,bv) equi-join, candidates verified "
+    "by exact Hamming <= 3 — never a corpus re-decode) plus itself; the "
+    "output reads survivors back FROM the landed index, so persistence "
+    "is end-to-end in the hash.  Oracle recomputes bands from text and "
+    "mirrors the s1/dup2/s2 two-batch rule in one statement.  Image/"
+    "dedup families driver-gated via dedup_clusters + multimodal_"
+    "features; lifecycle verbs (ingest/append/compact/delete) share the "
+    "fold/manifest cores and are fuzz-pinned "
+    "(test_index_lifecycle_fuzz)",
+    tier=2,
+)
+def incremental_image_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media1 = MM.documents_as_images(docs.filter(F.col("doc_id") < _INC_SPLIT))
+    media2 = MM.documents_as_images(
+        docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    )
+    base = tempfile.mkdtemp(prefix="nqs_image_index_")
+    try:
+        idx = f"{base}/index"
+        _kept1, bands1 = II.incremental_image_dedup(spark, media1, None)
+        II._ingest_bands(spark, bands1, 0, idx)
+        _kept2, bands2 = II.incremental_image_dedup(
+            spark, media2, II.read_image_index(spark, idx)
+        )
+        II._ingest_bands(spark, bands2, 1, idx)
+        # survivors come back FROM the landed index — the whole persisted
+        # path sits inside the value hash (the web_curate_pipeline rule)
+        out = (
+            II.read_image_index(spark, idx)
+            .select(
+                "doc_id", (F.col("batch_id") + 1).cast("int").alias("batch")
+            )
+            .distinct()
+            .orderBy("doc_id")
+        )
+        # localCheckpoint: the temp index is removed on return — the
+        # result must not re-scan it
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _EMB_SPLIT = 250
 
 

@@ -213,3 +213,86 @@ def test_ivfpq_index_lifecycle_interleavings(spark, ops) -> None:
             assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _media_df(spark, ids):
+    """Deterministic mixed-format images via the fixture adapter — the
+    texts vary enough that distinct ids are nowhere near Hamming-3."""
+    from nqs_console_flink_window_spark.operators import multimodal as MM
+
+    rows = [
+        (int(i), " ".join(_VOCAB[(i + j) % len(_VOCAB)] + str(i * 7 + j) for j in range(9)))
+        for i in sorted(ids)
+    ]
+    return MM.documents_as_images(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_image_index_lifecycle_interleavings(spark, ops) -> None:
+    """The third index family (round 10) under the same randomized
+    interleaving gate: band rows track the live set exactly (DHASH_BANDS
+    per image) after every verb, no maintenance leftovers, maintained ==
+    fresh-re-ingest parity at the end, and an emptied index stays
+    probe-able through the dedup gate."""
+    from nqs_console_flink_window_spark.operators import image_index as II
+    from nqs_console_flink_window_spark.operators.multimodal import DHASH_BANDS
+
+    base = tempfile.mkdtemp(prefix="fuzz_image_idx_")
+    try:
+        idx = f"{base}/index"
+        live: set[int] = set()
+        next_batch = 0
+        next_id = 0
+        for verb, sel in [("ingest", 0), *ops]:
+            if verb == "ingest":
+                new_ids = list(range(next_id, next_id + 4 + sel % 3))
+                next_id = new_ids[-1] + 1
+                II.image_index_ingest_batch(
+                    spark, _media_df(spark, new_ids), next_batch, idx
+                )
+                live |= set(new_ids)
+                next_batch += 1
+            elif verb == "delete":
+                if live:
+                    victims = sorted(live)[:: (sel % 3) + 1][: 1 + sel % 4]
+                    II.image_index_delete(spark, idx, victims)
+                    live -= set(victims)
+            else:
+                II.compact_streamed_image_index(spark, idx, next_batch)
+            spark.catalog.refreshByPath(idx)
+            assert (
+                II.read_image_index(spark, idx).count()
+                == DHASH_BANDS * len(live)
+            )
+            _no_maintenance_leftovers(base)
+
+        probe = _media_df(spark, [100000])
+        if live:
+            # maintained == fresh re-ingest of the live set: identical
+            # band ROWS (the probe surface is a pure function of them)
+            fresh = f"{base}/fresh"
+            II.image_index_ingest_batch(spark, _media_df(spark, live), 0, fresh)
+            got = sorted(
+                (r["doc_id"], r["band"], r["bv"], r["bband"])
+                for r in II.read_image_index(spark, idx).collect()
+            )
+            want = sorted(
+                (r["doc_id"], r["band"], r["bv"], r["bband"])
+                for r in II.read_image_index(spark, fresh).collect()
+            )
+            assert got == want
+        else:
+            # emptied index stays probe-able: the gate keeps everything
+            kept, _ = II.incremental_image_dedup(
+                spark, probe, II.read_image_index(spark, idx)
+            )
+            assert [r["doc_id"] for r in kept.collect()] == [100000]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
