@@ -29,6 +29,19 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def reset_per_pass_state(name: str) -> None:
+    """Per-query pre-pass reset.  The standing-INDEX queries keep their
+    per-process caches across passes by design (build outside the timed
+    region — querying the index is the number).  web_curate_pipeline is
+    the opposite: the pipeline IS the ingest, so its per-process result
+    cache is cleared before every timed pass — the number is the full
+    WARC -> parse -> extract -> curate -> index-landing run."""
+    if name == "web_curate_pipeline":
+        from nqs_console_flink_window_spark.plans import queries_ext as QE
+
+        QE._WEB_CURATE_CACHE.clear()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -66,6 +79,7 @@ def main() -> None:
         best = None
         try:
             for _ in range(3):
+                reset_per_pass_state(name)
                 t0 = time.perf_counter()
                 force(q.spark(spark, sf_dir))
                 dt = time.perf_counter() - t0

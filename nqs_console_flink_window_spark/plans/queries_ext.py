@@ -2754,6 +2754,9 @@ def _web_curate_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 @register(
     "web_curate_pipeline",
     sql=_web_curate_duck(),
+    headline=True,  # the end-to-end ingest throughput story — benched
+    # (bench.py clears _WEB_CURATE_CACHE before each timed pass so the
+    # number is the full WARC->curated-index ingest, not the cached read)
     doc="Extension — the END-TO-END web-corpus pipeline as one streaming "
     "job (round 9, the every-family-interoperates demo): documents wrap "
     "into HTML pages, pack into byte-exact WARC/1.0 crawl files "
