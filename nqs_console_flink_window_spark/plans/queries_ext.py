@@ -2772,11 +2772,10 @@ def _web_curate_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     "statement over raw documents (extraction == whitespace-norm, the "
     "html_extract_roundtrip contract; every scoring/dedup fragment is "
     "the same two-dialect SQL its standalone query trusts).  "
-    "driver-gated via html_extract_roundtrip (extraction), "
-    "dsir_importance / text_stats / lm_perplexity (the cuts), "
-    "dedup_clusters (banded dedup), bm25_indexed (the landed index "
-    "family); stream==batch parity + replay pytest-pinned",
-    tier=2,
+    "Promoted tier-1 in round 10 (the end-to-end ingest is the "
+    "production pipeline shape — the driver now hashes the whole "
+    "WARC->curated-index flow directly; bm25_multi rotated out in "
+    "exchange); stream==batch parity + replay pytest-pinned",
 )
 def web_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))

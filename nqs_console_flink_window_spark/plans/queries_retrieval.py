@@ -60,9 +60,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contribution is the SAME _bm25_contrib_expr fragment as bm25_topk, "
     "per-query top-k via a rank window PARTITIONED BY query_id over the "
     "post-aggregation candidate set (bounded by |queries| x candidates, "
-    "never corpus-wide).  tf still shuffles only the term-union rows "
-    "(tier-1 since round 8: the driver gate hashes the multi-query "
-    "production shape directly)",
+    "never corpus-wide).  tf still shuffles only the term-union rows.  "
+    "Rotated tier-2 in round 10 to admit the round-9 production shapes: "
+    "driver-gated via bm25_indexed (the same BM25 math over the standing "
+    "index) + hybrid_dense_sparse_multi (whose sparse leg IS "
+    "_bm25_multi_leg_ctes, shared verbatim)",
+    tier=2,
 )
 def bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -98,9 +101,13 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of hybrid_rrf_topk with a query_id key threaded through (per-query "
     "candidates, per-query leg rank windows, per-query fused cut), the "
     "(query_id, term) table broadcast exactly like bm25_multi.  The "
-    "hard-negative-mining production shape for hybrid retrieval; "
-    "per-query parity with hybrid_rrf_topk pytest-pinned (tier-1 since "
-    "round 8)",
+    "hard-negative-mining production shape for LEXICAL hybrid retrieval; "
+    "per-query parity with hybrid_rrf_topk pytest-pinned.  Rotated "
+    "tier-2 in round 10 to admit the round-9 production shapes: "
+    "driver-gated via hybrid_rrf_indexed (the same fusion over the "
+    "standing index) + hybrid_dense_sparse_multi (the same rrf_pico "
+    "fusion fragment and shared BM25 leg CTEs)",
+    tier=2,
 )
 def hybrid_rrf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -264,9 +271,9 @@ def hybrid_dense_sparse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the doclen/stats sidecars (no corpus text pass), the dense leg is "
     "the same broadcast exact-cosine scan, the fusion fragment is shared "
     "— results bit-identical to the online form, so the oracle IS its "
-    "SQL.  driver-gated via hybrid_dense_sparse_multi (same fragments) "
-    "+ bm25_indexed (the pruned-scan sparse path)",
-    tier=2,
+    "SQL.  Promoted tier-1 in round 10 (the standing-index fusion is the "
+    "production query shape — the driver now hashes it directly; "
+    "hybrid_rrf_multi rotated out in exchange)",
 )
 def hybrid_dense_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents", "embeddings"))
