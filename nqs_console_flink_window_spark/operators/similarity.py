@@ -1346,7 +1346,8 @@ def _shortlist_rerank(
 
 
 def ivfpq_topk(
-    df: DataFrame, query_vec: list[float], k: int = 10, rerank: int = 4
+    df: DataFrame, query_vec: list[float], k: int = 10, rerank: int = 4,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF-PQ composition — the canonical production ANN index shape
     (coarse quantizer routes the query to nprobe cells; ADC scores only
@@ -1364,7 +1365,9 @@ def ivfpq_topk(
     books = _ivfpq_books(df, centers)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centers - q) ** 2).sum(1)
-    probe_cells = [int(c) for c in d2.argsort()[:IVF_NPROBE]]
+    probe_cells = [
+        int(c) for c in d2.argsort()[: (nprobe or IVF_NPROBE)]
+    ]
     coded = pq_encode_residual(
         assigned.filter(F.col("cell").isin(probe_cells)), books, centers
     )

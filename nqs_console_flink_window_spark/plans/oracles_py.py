@@ -222,7 +222,9 @@ def ann_pq_topk_oracle(con, sf_dir: str) -> pd.DataFrame:
     )
 
 
-def ann_ivfpq_topk_oracle(con, sf_dir: str, k: int = 10, rerank: int = 4) -> pd.DataFrame:
+def ann_ivfpq_topk_oracle(
+    con, sf_dir: str, k: int = 10, rerank: int = 4, nprobe: int | None = None
+) -> pd.DataFrame:
     """Twin of similarity.ivfpq_topk, RESIDUAL form (round 9): centers via
     the shared Lloyd fit; residual codebooks (ONE rng, subspaces in order)
     on the train rows' residuals against their assigned cells; candidates
@@ -240,7 +242,7 @@ def ann_ivfpq_topk_oracle(con, sf_dir: str, k: int = 10, rerank: int = 4) -> pd.
     for m in range(SIM.PQ_M):
         books[m] = SIM.lloyd_fit(tres[:, m * dsub : (m + 1) * dsub], SIM.PQ_K, rng)
 
-    probe = _probe_set(centers, q)
+    probe = _probe_set(centers, q, nprobe=nprobe)
     keep = [i for i in range(len(ids)) if int(cells[i]) in probe]
 
     res = mat[keep] - centers[cells[keep]]
@@ -321,6 +323,9 @@ SELECT vec_id FROM lsh_ranked WHERE rn <= 10
         # construction — the audit row exists to catch index/recompute
         # drift on the ENGINE side, so the oracle reuses the recompute
         ("ivfpq_indexed", ivfpq),
+        # the residual-IVF-PQ nprobe sweep (round 10): the knob's
+        # monotonicity for the COMPRESSED family, floor-pinned like ivf's
+        ("ivfpq_nprobe8", ann_ivfpq_topk_oracle(con, sf_dir, nprobe=8)),
         ("lsh", lsh_ids),
         ("pq", ann_pq_topk_oracle(con, sf_dir)),
     ):

@@ -2299,6 +2299,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, _ensure_ivfpq_index(spark, sf_dir), corpus, qvec, k=10
             ),
         ),
+        # the residual-IVF-PQ nprobe sweep (round 10): monotonicity of the
+        # probe knob for the COMPRESSED family too — the one tuning lever
+        # every IVF-PQ deployment turns, now gate-visible next to ivf's
+        ("ivfpq_nprobe8", SIM.ivfpq_topk(corpus, qvec, k=10, nprobe=8)),
         ("lsh", lsh10),
         ("pq", SIM.pq_topk(corpus, qvec, k=10)),
     ):

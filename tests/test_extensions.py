@@ -1450,9 +1450,14 @@ def test_ann_recall_audit_floor(spark) -> None:
         "pq",
         "ivfpq",
         "ivfpq_indexed",
+        "ivfpq_nprobe8",
         "lsh",
         "hybrid_ann",
     }
+    # the nprobe knob is monotone for the compressed family too
+    assert (
+        rows["ivfpq_nprobe8"]["recall_at_k"] >= rows["ivfpq"]["recall_at_k"]
+    )
     # the nprobe knob is MONOTONE: probing more cells never loses recall
     # (measured 0.7 -> 0.9 at nprobe 4 -> 8 on the smoke fixture)
     assert (
@@ -1471,6 +1476,7 @@ def test_ann_recall_audit_floor(spark) -> None:
         "pq": 0.5,
         "ivfpq": 0.6,  # residual encoding (round 9): one notch under 0.7
         "ivfpq_indexed": 0.6,
+        "ivfpq_nprobe8": 0.7,  # measured 0.8; the sweep row's own floor
         "lsh": 0.5,
     }
     for method, floor in floors.items():
