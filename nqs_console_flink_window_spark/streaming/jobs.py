@@ -499,6 +499,70 @@ def ingest_dedup_batch(
     W.idempotent_batch_write(kept_bands, index_dir, batch_id)
 
 
+def ingest_image_dedup_batch(
+    bspark: SparkSession,
+    batch_docs: DataFrame,
+    batch_id: int,
+    kept_dir: str,
+    index_dir: str,
+) -> None:
+    """One micro-batch's IMAGE ingest (round 10 — the multimodal twin of
+    ``ingest_dedup_batch``): decode the batch ONCE, near-dup-gate it
+    against the standing dHash band index (verified Hamming <=
+    DHASH_MAX_HAMMING — never a corpus re-decode), land survivor ids
+    under an idempotent batch_id subpath and the survivors' bands under
+    the index's own (bband, batch_id) slices.  Replay-convergent: the
+    index read excludes batch_id >= current (the ``_read_prior_batches``
+    ``<`` rule — a replay must not see its first attempt's bands and drop
+    every survivor as a self-duplicate), and the band landing overwrites
+    exactly its own slices."""
+    from ..operators.image_index import (
+        _ingest_bands,
+        incremental_image_dedup,
+        read_image_index,
+    )
+    from ..operators.multimodal import documents_as_images
+
+    media = documents_as_images(batch_docs)
+    index = read_image_index(bspark, index_dir)
+    if "batch_id" in index.columns:
+        index = index.filter(F.col("batch_id") < int(batch_id))
+    else:
+        index = None  # nothing landed yet (empty frame lacks batch_id)
+    kept, kept_bands = incremental_image_dedup(bspark, media, index)
+    W.idempotent_batch_write(kept, kept_dir, batch_id)
+    _ingest_bands(bspark, kept_bands, batch_id, index_dir)
+
+
+def run_image_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    kept_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming image-corpus ingest gate: per micro-batch, decode ->
+    dHash -> verified near-dup check against the persisted band index ->
+    land survivors + their bands (``ingest_image_dedup_batch``).  The
+    run_incremental_dedup_stream shape applied to the multimodal column —
+    the third index family's streaming front door."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        ingest_image_dedup_batch(
+            batch_df.sparkSession, batch_df, batch_id, kept_dir, index_dir
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,

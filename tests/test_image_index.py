@@ -188,3 +188,90 @@ def test_incremental_image_dedup_drops_near_dups_not_exact_only(spark) -> None:
     shared = any(a == c for a, c in zip(h0, hf))
     assert d2 <= MM.DHASH_MAX_HAMMING < df_ and shared, (d2, df_, shared, b)
     assert kept_ids == {20}
+
+
+def test_image_dedup_stream_across_batches_and_replay(spark, tmp_path) -> None:
+    """Streaming image ingest (round 10): three micro-batches decode and
+    near-dup-gate against the persisted dHash band index; the final
+    survivor set matches the sequential batch composition exactly, no two
+    survivors are within DHASH_MAX_HAMMING (the cross-batch guarantee),
+    the landed index is exactly the survivors' bands, and an at-least-once
+    replay of a batch reproduces identical survivors (the index read
+    excludes its own landings)."""
+    from nqs_console_flink_window_spark.streaming import jobs as J
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.select("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    J.run_image_dedup_stream(
+        spark, stream, kept_dir, index_dir, str(tmp_path / "cp")
+    )
+
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    }
+    landed = II.read_image_index(spark, index_dir)
+    assert {r["doc_id"] for r in landed.select("doc_id").collect()} == kept_ids
+    assert landed.count() == MM.DHASH_BANDS * len(kept_ids)
+
+    # no two survivors within the Hamming threshold — order-independent
+    surv = MM.documents_as_images(
+        docs.join(
+            spark.createDataFrame([(i,) for i in kept_ids], "doc_id long"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    bands = II.image_bands(surv).localCheckpoint()
+    bands.createOrReplaceTempView("__surv_bands")
+    from nqs_console_flink_window_spark.functions import dialect as X
+    from nqs_console_flink_window_spark.operators.multimodal import (
+        _dhash_cand_ham_ctes,
+    )
+
+    n_close = spark.sql(
+        "WITH " + _dhash_cand_ham_ctes(X.SPARK, "__surv_bands").strip()
+        + f" SELECT COUNT(*) AS n FROM ham WHERE hamming <= {MM.DHASH_MAX_HAMMING}"
+    ).first()["n"]
+    spark.catalog.dropTempView("__surv_bands")
+    assert n_close == 0
+
+    # replay convergence: re-ingest one arrival's content under its own
+    # batch id — survivors and index rows must not change
+    before_kept = sorted(kept_ids)
+    arrivals = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in __import__("pathlib").Path(kept_dir).glob("batch_id=*")
+    )
+    last = arrivals[-1]
+    replay_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept_dir}/batch_id={last}").collect()
+    }
+    # the arrival's full content = the partition file the stream fed it;
+    # recover it from the kept+dropped union: every doc of that part value
+    part_of = {r["doc_id"]: r["doc_id"] % 3 for r in docs.select("doc_id").collect()}
+    # find which part this batch carried (all its survivors share it)
+    parts = {part_of[i] for i in replay_ids}
+    assert len(parts) == 1
+    replay_docs = docs.filter(F.col("doc_id") % 3 == parts.pop())
+    J.ingest_image_dedup_batch(spark, replay_docs, last, kept_dir, index_dir)
+    spark.catalog.refreshByPath(kept_dir)
+    spark.catalog.refreshByPath(index_dir)
+    after_kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    )
+    assert after_kept == before_kept
+    assert II.read_image_index(spark, index_dir).count() == MM.DHASH_BANDS * len(
+        before_kept
+    )
