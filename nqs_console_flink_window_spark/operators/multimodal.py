@@ -1568,6 +1568,16 @@ def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
         .filter(F.col("decode_ok"))
         .select(F.col("media_id").alias("doc_id"), "band", "bv")
     )
+    return dhash_pairs_from_bands(spark, bands)
+
+
+def dhash_pairs_from_bands(spark, bands: DataFrame) -> DataFrame:
+    """The pairs core over ANY (doc_id, band, bv) relation — shared by the
+    decode-on-the-fly query form and the standing-index form (which reads
+    bands straight off the persisted image index, zero decode at query
+    time)."""
+    from .staging import staged_views
+
     with staged_views(spark, bands=bands) as v:
         return spark.sql(
             "WITH " + dhash_pairs_split_sql(X.SPARK, v.bands).lstrip()
