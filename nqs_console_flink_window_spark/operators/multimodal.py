@@ -1551,6 +1551,248 @@ def documents_as_images(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio near-dup (round 10) — the dHash discipline applied to the 1-D
+# signal: a PCM16 waveform downsamples to AFP_WINDOWS nearest-neighbor
+# sample points, adjacent-point comparisons give a 64-bit fingerprint
+# (robust to global gain: comparisons are monotone-invariant), packed
+# into the SAME 4 x 16-bit band representation the image family uses —
+# so the candidate join, the Hamming verify, the zero-variance split and
+# the pairs fragment are all shared verbatim (dhash_pairs_from_bands).
+# The fixture synthesizes REAL RIFF/WAVE files from document text
+# (block-constant samples, the JPEG-fixture trick: nearest-neighbor
+# downsampling is exact on block-constant signals), so the oracle
+# recomputes the fingerprint from text in pure SQL.
+# ---------------------------------------------------------------------------
+
+AFP_WINDOWS = 65  # 65 sample points -> 64 adjacent comparisons
+AFP_SAMPLES_PER_CODE = 4  # fixture block length per text code
+AFP_RATE = 8000
+
+
+def _wav_samples(payload: bytes) -> list[int]:
+    """PCM16 WAV -> channel-0 samples (the ``decode_wav_features``
+    reader, yielding the raw signal instead of aggregate features)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw != 2:
+        raise ValueError(f"only PCM16 supported, got sampwidth={sw}")
+    n = len(raw) // 2
+    return list(struct.unpack(f"<{n}h", raw[: 2 * n]))[::nch]
+
+
+def audio_fp_from_samples(xs: list[int]) -> list[int]:
+    """Samples -> DHASH_BANDS 16-bit band values: nearest-neighbor
+    downsample to AFP_WINDOWS points (v_i = xs[i*n DIV 65] — pure integer
+    indexing, the image thumbnail rule on one axis), bit i = (v_i <
+    v_{i+1}), band i DIV 16 at local position i % 16."""
+    n = len(xs)
+    if n < 1:
+        raise ValueError("empty audio stream")
+    v = [xs[i * n // AFP_WINDOWS] for i in range(AFP_WINDOWS)]
+    bands = [0] * DHASH_BANDS
+    for i in range(AFP_WINDOWS - 1):
+        if v[i] < v[i + 1]:
+            bands[i // 16] |= 1 << (i % 16)
+    return bands
+
+
+def decode_audio_fp(payload: bytes, mime: str | None = None) -> list[int]:
+    """Typed dispatch to samples -> fingerprint bands.  Audio only (the
+    waveform hash of an image is meaningless) — mirrors decode_dhash's
+    gating; raises on non-audio payloads (the kernel flags, never dies)."""
+    audio_ok = mime is None or mime.startswith("audio/")
+    if not (
+        audio_ok
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        raise ValueError("not a wav payload")
+    return audio_fp_from_samples(_wav_samples(payload))
+
+
+def _audio_codes(text: str | None) -> list[int]:
+    """Python twin of the SQL projection: first AFP_WINDOWS chars,
+    non-printable-ASCII mapped to space, 0-padded."""
+    t = text or ""
+    codes = [
+        ord(c) if " " <= c <= "~" else 0x20 for c in t[: AFP_WINDOWS]
+    ]
+    return codes + [0] * (AFP_WINDOWS - len(codes))
+
+
+def encode_wav_codes(codes: list[int]) -> bytes:
+    """Writer twin of ``_wav_samples``: mono PCM16 WAV at AFP_RATE where
+    code k becomes AFP_SAMPLES_PER_CODE identical samples of value
+    k * 256 — block-constant, so the nearest-neighbor downsample lands on
+    a block start and recovers k * 256 exactly; comparisons are monotone
+    in k, so the SQL twin compares the codes directly."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AFP_RATE)
+        w.writeframes(
+            struct.pack(
+                f"<{len(codes) * AFP_SAMPLES_PER_CODE}h",
+                *(c * 256 for c in codes for _ in range(AFP_SAMPLES_PER_CODE)),
+            )
+        )
+    return buf.getvalue()
+
+
+def documents_as_audio(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the audio family: each document's first
+    AFP_WINDOWS printable-ASCII codes synthesize a REAL mono PCM16 WAV
+    (one Arrow mapInPandas pass; NULL-text docs excluded — no clip on
+    either side, the image fixture's contract)."""
+    cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, text in zip(b["doc_id"], b["text"]):
+                ids.append(int(did))
+                payloads.append(encode_wav_codes(_audio_codes(text)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    flat = cols.mapInPandas(kernel, "media_id long, payload binary")
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(AFP_RATE).cast("int").alias("sample_rate"),
+            F.lit(AFP_WINDOWS * AFP_SAMPLES_PER_CODE)
+            .cast("long")
+            .alias("n_frames"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_audio_fp(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """(media_id, payload, meta.mime) -> DHASH_BANDS rows per clip
+    (media_id, band, bv, decode_ok) — the extract_dhash kernel shape on
+    the audio dispatch; undecodable payloads flag, never kill the stage."""
+
+    cols = media.select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, bandix, bvs, oks = [], [], [], []
+            for mid, payload, mime in zip(
+                b["media_id"], b["payload"], b["mime"]
+            ):
+                try:
+                    bands = decode_audio_fp(
+                        bytes(payload) if payload is not None else b"", mime
+                    )
+                    ok = True
+                except Exception:  # noqa: BLE001 - flagged, not fatal
+                    bands, ok = [0] * DHASH_BANDS, False
+                for j, bv in enumerate(bands):
+                    ids.append(int(mid))
+                    bandix.append(j)
+                    bvs.append(int(bv))
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "band": pd.Series(bandix, dtype="int32"),
+                    "bv": pd.Series(bvs, dtype="int64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return cols.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def _audio_text_sql(d: str) -> str:
+    """The audio fixture's canonical sample source — the image
+    projection's rule at AFP_WINDOWS chars."""
+    return X.regex_replace_all(
+        d, f"substr(text, 1, {AFP_WINDOWS})", "[^ -~]", " "
+    )
+
+
+def audio_fp_grid_sql(d: str, table: str = "documents") -> str:
+    """CTE-list (no leading WITH, no trailing comma) exposing ``bands``
+    (doc_id, band, bv): the audio fingerprint recomputed from text in
+    pure SQL — the oracle half of audio_near_dup (the synthesized
+    samples are code * 256, a monotone scaling, so the comparisons run
+    on the codes directly)."""
+    px_src = X.explode_range(
+        d,
+        f"(SELECT doc_id, {_audio_text_sql(d)} AS itext FROM {table} "
+        "WHERE text IS NOT NULL)",
+        "doc_id, itext",
+        "0",
+        str(AFP_WINDOWS - 1),
+        "p",
+    )
+    v = (
+        "CASE WHEN p + 1 <= length(itext) "
+        "THEN ascii(substr(itext, p + 1, 1)) ELSE 0 END"
+    )
+    band = X.idiv(d, "i", "16")
+    return f"""
+apx AS (SELECT doc_id, p, {v} AS v FROM {px_src} t),
+abits AS (
+  SELECT l.doc_id, l.p AS i,
+         CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS bit
+  FROM apx l JOIN apx rr ON rr.doc_id = l.doc_id AND rr.p = l.p + 1
+),
+bands AS (
+  SELECT doc_id, {band} AS band,
+    CAST(SUM(bit * {X.shiftleft(d, "1", "i % 16")}) AS BIGINT) AS bv
+  FROM abits GROUP BY doc_id, {band}
+)"""
+
+
+def audio_near_dup_df(spark, table: str = "documents") -> DataFrame:
+    """Engine side of audio_near_dup: documents -> REAL mono PCM16 WAVs
+    -> decode + 1-D fingerprint through the Arrow mapInPandas stage ->
+    the SHARED banded pairs core (zero-variance split included — silent
+    or constant-tone clips are the audio hot group, same as near-constant
+    thumbnails)."""
+    media = documents_as_audio(spark.table(table))
+    bands = (
+        extract_audio_fp(media)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("doc_id"), "band", "bv")
+    )
+    return dhash_pairs_from_bands(spark, bands)
+
+
+def audio_near_dup_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the text-recomputed fingerprint + the same pairs
+    fragment."""
+    return (
+        f"WITH {audio_fp_grid_sql(d, table).strip()},\n"
+        + dhash_pairs_sql(d, "bands").lstrip()
+    )
+
+
 def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
     """Engine side of image_near_dup: documents -> REAL mixed-format
     images (PPM / bottom-up BMP / grayscale PNG / LZW GIF / baseline

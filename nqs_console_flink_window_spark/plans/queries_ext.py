@@ -555,6 +555,34 @@ def image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_near_dup_df(spark)
 
 
+from ..operators.multimodal import audio_near_dup_sql as _and_sql  # noqa: E402
+
+
+@register(
+    "audio_near_dup",
+    sql=_and_sql(X.DUCK),
+    doc="Extension — AUDIO near-dup via a 1-D waveform fingerprint "
+    "(round 10, the dHash discipline on the signal axis): documents "
+    "synthesize REAL mono PCM16 WAVs (block-constant samples — the "
+    "exact-round-trip fixture trick), the engine decodes through the "
+    "stdlib wave reader, nearest-neighbor-downsamples to 65 points, and "
+    "the 64 adjacent-sample comparisons (gain-invariant: monotone in "
+    "amplitude) pack into the SAME 4 x 16-bit bands as the image hash — "
+    "candidate join, Hamming verify, zero-variance split (silent / "
+    "constant-tone clips are the audio hot group) and pairs fragment all "
+    "shared verbatim via dhash_pairs_from_bands.  The oracle recomputes "
+    "the fingerprint from text in pure SQL.  driver-gated via "
+    "multimodal_features (the WAV decode plumbing) + dedup_clusters "
+    "(the banded-candidate machinery)",
+    tier=2,
+)
+def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.audio_near_dup_df(spark)
+
+
 _IMAGE_INDEX_CACHE: dict[str, str] = {}
 
 

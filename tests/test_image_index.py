@@ -275,3 +275,61 @@ def test_image_dedup_stream_across_batches_and_replay(spark, tmp_path) -> None:
     assert II.read_image_index(spark, index_dir).count() == MM.DHASH_BANDS * len(
         before_kept
     )
+
+
+def test_audio_near_dup_matches_oracle_and_is_gain_invariant(spark) -> None:
+    """The audio fingerprint family (round 10): engine pairs over REAL
+    synthesized WAVs equal the DuckDB text-recomputed oracle on a hostile
+    corpus (exact dups, newline/multi-byte text, NULL text, silent clips
+    — the zero-variance audio hot group routed through the shared split);
+    and the fingerprint is GAIN-invariant (scaling every sample leaves
+    the comparisons, hence the bands, unchanged)."""
+    import duckdb
+
+    from nqs_console_flink_window_spark.functions import dialect as X
+
+    rows = [
+        (0, "alpha beta\ngamma delta " * 3),
+        (1, "alpha beta\ngamma delta " * 3),   # exact dup of 0
+        (2, "café au lait résumé " * 4),       # multi-byte chars
+        (3, None),                              # NULL text: no clip
+        (4, "s" * 50),                          # silent/constant clip
+        (5, "t" * 70),                          # another zero-variance clip
+        (6, "completely different filler words that vary a lot here ok"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.audio_near_dup_df(spark).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(MM.audio_near_dup_sql(X.DUCK)).fetchall()]
+    assert got == want
+    assert (0, 1, 0) in got           # the exact dup surfaces
+    assert (4, 5, 0) in got           # the zero-variance group pairs
+    assert not any(3 in (a, b) for a, b, _ in got)
+
+    # gain invariance: halve the amplitude (no int16 clipping — doubling
+    # would clamp at 32767 and genuinely collapse the order), same bands
+    import struct
+
+    codes = MM._audio_codes(rows[6][1])
+    base = MM.decode_audio_fp(MM.encode_wav_codes(codes), "audio/wav")
+    xs = MM._wav_samples(MM.encode_wav_codes(codes))
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(MM.AFP_RATE)
+        w.writeframes(struct.pack(f"<{len(xs)}h", *(x // 2 for x in xs)))
+    assert MM.decode_audio_fp(buf.getvalue(), "audio/wav") == base
+    # and the dispatch refuses a non-audio payload
+    with pytest.raises(ValueError):
+        MM.decode_audio_fp(MM.encode_ppm_gray(MM._fixture_grid("abc")), "image/ppm")
