@@ -1037,14 +1037,15 @@ DHASH_BANDS = 4  # 16 bits each; candidate join provably complete <= 3
 DHASH_MAX_HAMMING = 3
 
 
-def dhash_bands_from_channels(rs, gs, bs, width: int, height: int) -> list[int]:
-    """(rs, gs, bs, w, h) row-major top-down channels -> DHASH_BANDS
-    16-bit band values.  Integer luma (299r+587g+114b) DIV 1000 — for a
-    gray pixel (c, c, c) the luma is exactly c, which is what pins the
-    SQL fixture-grid twin bit-for-bit; nearest-neighbor resize
+def dhash_grid_from_channels(
+    rs, gs, bs, width: int, height: int
+) -> list[list[int]]:
+    """(rs, gs, bs, w, h) row-major top-down channels -> 8x9 integer-luma
+    thumbnail.  Luma is (299r+587g+114b) DIV 1000 — for a gray pixel
+    (c, c, c) the luma is exactly c, which is what pins the SQL
+    fixture-grid twin bit-for-bit; nearest-neighbor resize
     (src_y = r*h DIV 8, src_x = c*w DIV 9) so the thumbnail is pure
-    integer indexing, no filtering to drift cross-implementation.  Band b
-    covers thumbnail rows 2b/2b+1; local bit index (r%2)*8 + c."""
+    integer indexing, no filtering to drift cross-implementation."""
     if width < 1 or height < 1:
         raise ValueError("empty image")
 
@@ -1052,16 +1053,29 @@ def dhash_bands_from_channels(rs, gs, bs, width: int, height: int) -> list[int]:
         i = (r * height // DHASH_GRID_H) * width + (c * width // DHASH_GRID_W)
         return (299 * rs[i] + 587 * gs[i] + 114 * bs[i]) // 1000
 
-    grid = [
+    return [
         [_luma_at(r, c) for c in range(DHASH_GRID_W)]
         for r in range(DHASH_GRID_H)
     ]
+
+
+def dhash_bands_from_grid(grid: list[list[int]]) -> list[int]:
+    """8x9 luma thumbnail -> DHASH_BANDS 16-bit band values.  Band b
+    covers thumbnail rows 2b/2b+1; local bit index (r%2)*8 + c."""
     bands = [0] * DHASH_BANDS
     for r in range(DHASH_GRID_H):
         for c in range(DHASH_GRID_W - 1):
             if grid[r][c] < grid[r][c + 1]:
                 bands[r // 2] |= 1 << ((r % 2) * 8 + c)
     return bands
+
+
+def dhash_bands_from_channels(rs, gs, bs, width: int, height: int) -> list[int]:
+    """Channels -> dHash bands (grid extraction + band packing — split so
+    the video family can reuse the thumbnail on a per-frame basis)."""
+    return dhash_bands_from_grid(
+        dhash_grid_from_channels(rs, gs, bs, width, height)
+    )
 
 
 def decode_dhash(payload: bytes, mime: str | None = None) -> list[int]:
@@ -1312,14 +1326,23 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _fixture_grid_at(text: str | None, off: int) -> list[list[int]]:
+    """Python twin of the SQL char projection at a given offset: 72 chars
+    starting at ``off``, non-printable-ASCII mapped to space, NUL-padded,
+    as a 9x8 gray grid — the video fixture's per-frame pixel source
+    (``off=0`` is the classic image fixture)."""
+    t = text or ""
+    sl = t[off : off + 72]
+    codes = [ord(c) if " " <= c <= "~" else 0x20 for c in sl] + [0] * (
+        72 - len(sl)
+    )
+    return [codes[r * 9 : r * 9 + 9] for r in range(DHASH_GRID_H)]
+
+
 def _fixture_grid(text: str | None) -> list[list[int]]:
     """Python twin of ``_dhash_text_sql`` + the 0-pad rule: first 72 chars,
     non-printable-ASCII mapped to space, NUL-padded, as a 9x8 gray grid."""
-    t = text or ""
-    codes = [
-        ord(c) if " " <= c <= "~" else 0x20 for c in t[:72]
-    ] + [0] * max(0, 72 - len(t[:72]))
-    return [codes[r * 9 : r * 9 + 9] for r in range(DHASH_GRID_H)]
+    return _fixture_grid_at(text, 0)
 
 
 def encode_ppm_gray(grid: list[list[int]]) -> bytes:
@@ -2050,4 +2073,412 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             f"transform(sequence(1, greatest(octet_length(payload), 1), {every_n_bytes}), "
             f"i -> substring(payload, i, 8))"
         ).alias("frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VIDEO near-dup (round 10): a REAL pure-stdlib video decode path.
+#
+# MJPEG-in-AVI is the one video codec this container can genuinely decode:
+# the RIFF/AVI container is plain chunk walking (the WAV reader's RIFF with
+# LISTs), and every frame payload is a baseline JPEG — the T.81 decoder this
+# file already carries.  That upgrades "video" from a mime-gated stub to a
+# real decode for one honest codec; inter-frame codecs (H.264/VP9/AV1...)
+# remain codec-bound stubs.
+#
+# The fingerprint is the image dHash applied per sampled frame: a video's
+# signature is the SEQUENCE of frame hashes, and two videos are near-dups
+# when enough aligned frames match within DHASH_MAX_HAMMING.  Uninformative
+# frames — hash 0, i.e. no strictly-increasing luma step anywhere in the
+# thumbnail (constant/black frames, pad frames, monotone-flat gradients) —
+# carry no evidence of shared content and are excluded on BOTH sides, which
+# is also what keeps the band join away from the zero-hash hot bucket the
+# image family routes around (same trade, applied at the frame grain).
+#
+# The fixture synthesizes REAL MJPEG AVIs from document text: frame f's
+# 9x8 grid is the chars at offset f*VIDEO_FRAME_STRIDE (overlapping slices,
+# so consecutive frames of one document resemble a slow pan), each frame
+# encoded with the exact-round-trip block-constant JPEG writer — the oracle
+# recomputes every frame hash from text in pure SQL.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 3
+VIDEO_FRAME_STRIDE = 48  # chars between frame starts (overlapping slices)
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int) -> bytes:
+    """Writer twin of ``_avi_mjpeg_frames``: a minimal spec-shaped
+    RIFF/AVI — LIST hdrl (avih + LIST strl: strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER) + LIST movi of '00dc' JPEG chunks + an idx1 index.
+    Chunks are word-aligned per RIFF (odd-length data gets a pad byte the
+    size field does not count)."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    n = len(frames)
+    buf_size = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        100_000,  # dwMicroSecPerFrame (10 fps)
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, buf_size, width, height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG",
+        0, 0, 0, 0,
+        1, 10,  # dwScale/dwRate = 10 fps
+        0, n, buf_size, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_chunks(buf: bytes, off: int, end: int):
+    """RIFF chunk walk over buf[off:end): yields (fourcc, data_off, size).
+    Raises on truncation — callers decide whether that kills the payload."""
+    import struct
+
+    while off + 8 <= end:
+        fourcc = buf[off : off + 4]
+        size = struct.unpack("<I", buf[off + 4 : off + 8])[0]
+        data_off = off + 8
+        if data_off + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, data_off, size
+        off = data_off + size + (size & 1)  # word alignment
+
+
+def _avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """RIFF/AVI -> the MJPEG frame payloads, strictly validated: the
+    stream header must declare a 'vids' stream with handler 'MJPG'
+    (inter-frame codecs raise -> the dispatch stays honest about what it
+    can decode), and truncated containers raise rather than emit a
+    partial frame list."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    end = 8 + riff_size
+    if end > len(payload):
+        raise ValueError("truncated RIFF container")
+    frames: list[bytes] = []
+    handler_ok = False
+    for fourcc, doff, size in _avi_chunks(payload, 12, end):
+        if fourcc != b"LIST":
+            continue
+        ltype = payload[doff : doff + 4]
+        if ltype == b"hdrl":
+            for f2, d2, s2 in _avi_chunks(payload, doff + 4, doff + size):
+                if f2 == b"LIST" and payload[d2 : d2 + 4] == b"strl":
+                    for f3, d3, _s3 in _avi_chunks(payload, d2 + 4, d2 + s2):
+                        if f3 == b"strh" and payload[d3 : d3 + 4] == b"vids":
+                            if payload[d3 + 4 : d3 + 8] != b"MJPG":
+                                raise ValueError(
+                                    "only MJPEG video streams are decodable"
+                                )
+                            handler_ok = True
+        elif ltype == b"movi":
+            for f2, d2, s2 in _avi_chunks(payload, doff + 4, doff + size):
+                if f2 in (b"00dc", b"00db"):
+                    frames.append(payload[d2 : d2 + s2])
+    if not handler_ok:
+        raise ValueError("no MJPG 'vids' stream header")
+    if not frames:
+        raise ValueError("no video frames")
+    return frames
+
+
+def decode_video_fp(
+    payload: bytes, mime: str | None = None, every_n: int = 1
+) -> list[tuple[int, list[int], bool]]:
+    """Typed dispatch to frames -> per-frame dHash: (frame_idx, bands,
+    content) per SAMPLED frame (every ``every_n``-th, original indices
+    kept so two videos sampled at the same stride stay aligned).  Video
+    only — mirrors decode_dhash's gating; raises on non-AVI payloads
+    (the kernel flags, never dies).  ``content`` is False for hash-zero
+    frames (see the section header: uninformative for this fingerprint)."""
+    video_ok = mime is None or mime.startswith("video/")
+    if not (
+        video_ok
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    ):
+        raise ValueError("not an avi payload")
+    out: list[tuple[int, list[int], bool]] = []
+    for idx, jpeg in enumerate(_avi_mjpeg_frames(payload)):
+        if idx % every_n:
+            continue
+        bands = dhash_bands_from_grid(
+            dhash_grid_from_channels(*_jpeg_decode_channels(jpeg))
+        )
+        out.append((idx, bands, any(bands)))
+    return out
+
+
+def documents_as_videos(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the video family: each document becomes a REAL
+    MJPEG AVI of VIDEO_FRAMES frames, frame f's grid drawn from the text
+    at offset f*VIDEO_FRAME_STRIDE (the overlapping-slice 'slow pan'),
+    each frame the exact-round-trip block-constant JPEG.  One Arrow
+    mapInPandas pass; NULL-text docs excluded (no clip on either side,
+    the image fixture's contract)."""
+    cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, text in zip(b["doc_id"], b["text"]):
+                frames = [
+                    encode_jpeg_gray_blocks(
+                        _fixture_grid_at(text, f * VIDEO_FRAME_STRIDE)
+                    )
+                    for f in range(VIDEO_FRAMES)
+                ]
+                ids.append(int(did))
+                payloads.append(
+                    encode_avi_mjpeg(
+                        frames, DHASH_GRID_W * 8, DHASH_GRID_H * 8
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    flat = cols.mapInPandas(kernel, "media_id long, payload binary")
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.lit(DHASH_GRID_W * 8).cast("int").alias("width"),
+            F.lit(DHASH_GRID_H * 8).cast("int").alias("height"),
+            F.lit(VIDEO_FRAMES).cast("long").alias("n_frames"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+VDHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bv", T.LongType()),
+        T.StructField("content", T.BooleanType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_video_fp(
+    media: DataFrame, every_n: int = 1, batch_hint: int = 1024
+) -> DataFrame:
+    """(media_id, payload, meta.mime) -> DHASH_BANDS rows per SAMPLED
+    frame (media_id, frame_idx, band, bv, content, decode_ok) — the
+    extract_dhash kernel shape with the frame axis added; undecodable
+    payloads emit one zero-frame's worth of flagged rows so corpus
+    accounting stays row-exact."""
+    cols = media.select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, fidx, bandix, bvs, cts, oks = [], [], [], [], [], []
+            for mid, payload, mime in zip(
+                b["media_id"], b["payload"], b["mime"]
+            ):
+                try:
+                    fps = decode_video_fp(
+                        bytes(payload) if payload is not None else b"",
+                        mime,
+                        every_n,
+                    )
+                    ok = True
+                except Exception:  # noqa: BLE001 - flagged, not fatal
+                    fps, ok = [(0, [0] * DHASH_BANDS, False)], False
+                for idx, bands, content in fps:
+                    for j, bv in enumerate(bands):
+                        ids.append(int(mid))
+                        fidx.append(int(idx))
+                        bandix.append(j)
+                        bvs.append(int(bv))
+                        cts.append(bool(content))
+                        oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "band": pd.Series(bandix, dtype="int32"),
+                    "bv": pd.Series(bvs, dtype="int64"),
+                    "content": pd.Series(cts, dtype="bool"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return cols.mapInPandas(kernel, VDHASH_SCHEMA)
+
+
+def video_fp_grid_sql(d: str, table: str = "documents") -> str:
+    """CTE-list (no leading WITH, no trailing comma) exposing ``vbands``
+    (doc_id, frame_idx, band, bv) — the per-frame video fingerprint
+    recomputed from text in pure SQL, content frames only (hash-zero
+    frames filtered on both sides, the engine's ``content`` flag).  Each
+    frame's pixel source is the 72 chars at offset
+    frame_idx*VIDEO_FRAME_STRIDE under the shared printable-ASCII
+    projection + 0-pad rule."""
+    fdocs = X.explode_range(
+        d,
+        f"(SELECT doc_id, text FROM {table} WHERE text IS NOT NULL)",
+        "doc_id, text",
+        "0",
+        str(VIDEO_FRAMES - 1),
+        "f",
+    )
+    itext = X.regex_replace_all(
+        d,
+        f"substr(text, f * {VIDEO_FRAME_STRIDE} + 1, 72)",
+        "[^ -~]",
+        " ",
+    )
+    vpx_src = X.explode_range(
+        d, "(SELECT * FROM vframes)", "doc_id, frame_idx, itext", "0", "71", "p"
+    )
+    v = (
+        "CASE WHEN p + 1 <= length(itext) "
+        "THEN ascii(substr(itext, p + 1, 1)) ELSE 0 END"
+    )
+    band = X.idiv(d, "r", "2")
+    return f"""
+vframes AS (
+  SELECT doc_id, f AS frame_idx, {itext} AS itext FROM {fdocs} t
+),
+vpx AS (SELECT doc_id, frame_idx, p, {v} AS v FROM {vpx_src} t),
+vbits AS (
+  SELECT l.doc_id, l.frame_idx, {X.idiv(d, "l.p", "9")} AS r, (l.p % 9) AS c,
+         CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS bit
+  FROM vpx l
+  JOIN vpx rr ON rr.doc_id = l.doc_id AND rr.frame_idx = l.frame_idx
+             AND rr.p = l.p + 1
+  WHERE l.p % 9 < 8
+),
+vball AS (
+  SELECT doc_id, frame_idx, {band} AS band,
+    CAST(SUM(bit * {X.shiftleft(d, "1", "(r % 2) * 8 + c")}) AS BIGINT) AS bv
+  FROM vbits GROUP BY doc_id, frame_idx, {band}
+),
+vinfo AS (
+  SELECT doc_id, frame_idx FROM vball
+  GROUP BY doc_id, frame_idx HAVING SUM(bv) > 0
+),
+vbands AS (
+  SELECT b.doc_id, b.frame_idx, b.band, b.bv
+  FROM vball b
+  JOIN vinfo i ON i.doc_id = b.doc_id AND i.frame_idx = b.frame_idx
+)"""
+
+
+def video_pairs_sql(d: str, vb: str) -> str:
+    """CTE-list + final SELECT (no leading WITH) over a ``vb`` relation
+    (doc_id, frame_idx, band, bv; content frames only): per-frame
+    Hamming-band candidates + exact verify + the aligned-frame match
+    count.  Pigeonhole per frame: a frame pair within Hamming
+    DHASH_MAX_HAMMING agrees on >= 1 whole band, so every pair with >= 1
+    matched frame surfaces from the (frame_idx, band, bv) equi-join —
+    never all-pairs.  Pair rule: matched_frames >= least(2, min content
+    frames of the two) — long videos need two aligned matching frames,
+    single-content-frame clips degrade to the image rule."""
+    ham = X.xor(d, "ba.bv", "bb.bv")
+    return f"""
+vcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {vb} a JOIN {vb} b
+    ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.bv = b.bv
+   AND a.doc_id < b.doc_id
+),
+vfham AS (
+  SELECT c.doc_a, c.doc_b, ba.frame_idx,
+    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+  FROM vcand c
+  JOIN {vb} ba ON ba.doc_id = c.doc_a
+  JOIN {vb} bb ON bb.doc_id = c.doc_b AND bb.frame_idx = ba.frame_idx
+              AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b, ba.frame_idx
+),
+vnc AS (SELECT doc_id, COUNT(DISTINCT frame_idx) AS n FROM {vb} GROUP BY doc_id),
+vmatched AS (
+  SELECT doc_a, doc_b,
+    CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
+         AS BIGINT) AS matched_frames
+  FROM vfham GROUP BY doc_a, doc_b
+)
+SELECT m.doc_a, m.doc_b, m.matched_frames
+FROM vmatched m
+JOIN vnc na ON na.doc_id = m.doc_a
+JOIN vnc nb ON nb.doc_id = m.doc_b
+WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+ORDER BY doc_a, doc_b
+"""
+
+
+def video_near_dup_df(spark, table: str = "documents") -> DataFrame:
+    """Engine side of video_near_dup: documents -> REAL MJPEG AVIs ->
+    RIFF walk + per-frame JPEG decode + per-frame dHash through the Arrow
+    mapInPandas stage -> staged content-frame bands -> the per-frame
+    banded pairs fragment.  Staged once (the image family's discipline):
+    the fragment references the bands relation five times and Spark's CTE
+    inlining must not re-run the decode per reference."""
+    from .staging import staged_views
+
+    media = documents_as_videos(spark.table(table))
+    vb = (
+        extract_video_fp(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"), "frame_idx", "band", "bv"
+        )
+    )
+    with staged_views(spark, vbands=vb) as v:
+        return spark.sql(
+            "WITH " + video_pairs_sql(X.SPARK, v.vbands).lstrip()
+        )
+
+
+def video_near_dup_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the per-frame fingerprint recomputed from text + the
+    same pairs fragment."""
+    return (
+        f"WITH {video_fp_grid_sql(d, table).strip()},\n"
+        + video_pairs_sql(d, "vbands").lstrip()
     )

@@ -583,6 +583,36 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_near_dup_df(spark)
 
 
+from ..operators.multimodal import video_near_dup_sql as _vnd_sql  # noqa: E402
+
+
+@register(
+    "video_near_dup",
+    sql=_vnd_sql(X.DUCK),
+    doc="Extension — VIDEO near-dup over a REAL pure-stdlib video decode "
+    "path (round 10): MJPEG-in-AVI is the one video codec this container "
+    "can honestly decode — RIFF chunk walking for the container, the "
+    "repo's own T.81 baseline JPEG decoder per frame.  Documents "
+    "synthesize REAL MJPEG AVIs (3 overlapping text-slice frames, each "
+    "the exact-round-trip block-constant JPEG), the engine decodes and "
+    "dHashes every sampled frame, and two videos pair when enough "
+    "ALIGNED frames match within Hamming 3: candidates from the "
+    "(frame_idx, band, bv) equi-join (pigeonhole-complete per frame, "
+    "never all-pairs), hash-zero frames excluded on both sides (the "
+    "uninformative-frame rule, which is also what keeps the join away "
+    "from the zero-hash hot bucket), threshold least(2, min content "
+    "frames).  The oracle recomputes every frame hash from text in pure "
+    "SQL.  driver-gated via multimodal_features (the Arrow decode "
+    "plumbing) + dedup_clusters (the banded-candidate machinery)",
+    tier=2,
+)
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.video_near_dup_df(spark)
+
+
 _IMAGE_INDEX_CACHE: dict[str, str] = {}
 
 
