@@ -124,10 +124,15 @@ def _assert_fresh_image_ids(
     threshold; ``exclude_batch_id`` exempts a replay's own landings."""
     from .retrieval import _FRESH_PROBE_INLIST
 
+    # per-(doc_id, band) multiplicity — equivalent to the old
+    # rows-per-doc > DHASH_BANDS rule for images (4 distinct bands each,
+    # a repeat doubles every one) and ALSO exact for the video family,
+    # whose frame-augmented band tables legitimately carry a variable
+    # number of rows per doc (content frames only)
     dup = (
-        bands.groupBy("doc_id")
+        bands.groupBy("doc_id", "band")
         .count()
-        .filter(F.col("count") > DHASH_BANDS)
+        .filter(F.col("count") > 1)
         .limit(1)
     )
     if dup.count() > 0:
@@ -156,17 +161,23 @@ def _assert_fresh_image_ids(
         )
 
 
-def build_image_index(spark, media: DataFrame, path: str) -> None:
+def build_image_index(
+    spark, media: DataFrame, path: str, bands_fn=None
+) -> None:
     """Materialize the band table partitioned by ``bband`` — the offline
     bulk build.  Once stored bucketed, an ingest probe's (band, bv) keys
     prune at the file listing (the build_text_index argument applied to
-    the perceptual hash)."""
-    image_bands(media).write.mode("overwrite").partitionBy("bband").parquet(
-        path
-    )
+    the perceptual hash).  ``bands_fn`` swaps the band extractor (the
+    video family rides these verbs with its frame-augmented band space —
+    video_index.py)."""
+    (bands_fn or image_bands)(media).write.mode("overwrite").partitionBy(
+        "bband"
+    ).parquet(path)
 
 
-def image_index_append(spark, path: str, media: DataFrame) -> None:
+def image_index_append(
+    spark, path: str, media: DataFrame, bands_fn=None
+) -> None:
     """Incremental maintenance of the FLAT layout: hash NEW images and
     append their bands into the bband partitions (small-file debt settled
     by ``compact_image_index``).  Refuses the streamed layout — mixing
@@ -177,7 +188,7 @@ def image_index_append(spark, path: str, media: DataFrame) -> None:
             "would mix partition depths — route new images through "
             "image_index_ingest_batch instead"
         )
-    bands = image_bands(media)
+    bands = (bands_fn or image_bands)(media)
     _assert_fresh_image_ids(spark, bands, path, "image_index_append")
     bands.write.mode("append").partitionBy("bband").parquet(path)
 
@@ -199,7 +210,7 @@ def _ingest_bands(
 
 
 def image_index_ingest_batch(
-    bspark, batch_media: DataFrame, batch_id: int, path: str
+    bspark, batch_media: DataFrame, batch_id: int, path: str, bands_fn=None
 ) -> None:
     """One micro-batch's landing — the REPLAY-IDEMPOTENT streaming form:
     an at-least-once replay overwrites exactly its own (bband, batch)
@@ -210,7 +221,7 @@ def image_index_ingest_batch(
             "would mix partition depths — keep maintaining it via "
             "image_index_append, or rebuild as a streamed index"
         )
-    bands = image_bands(batch_media).localCheckpoint()
+    bands = (bands_fn or image_bands)(batch_media).localCheckpoint()
     _assert_fresh_image_ids(
         bspark, bands, path, "image_index_ingest_batch",
         exclude_batch_id=batch_id,

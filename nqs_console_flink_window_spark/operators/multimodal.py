@@ -2409,16 +2409,10 @@ vbands AS (
 )"""
 
 
-def video_pairs_sql(d: str, vb: str) -> str:
-    """CTE-list + final SELECT (no leading WITH) over a ``vb`` relation
-    (doc_id, frame_idx, band, bv; content frames only): per-frame
-    Hamming-band candidates + exact verify + the aligned-frame match
-    count.  Pigeonhole per frame: a frame pair within Hamming
-    DHASH_MAX_HAMMING agrees on >= 1 whole band, so every pair with >= 1
-    matched frame surfaces from the (frame_idx, band, bv) equi-join —
-    never all-pairs.  Pair rule: matched_frames >= least(2, min content
-    frames of the two) — long videos need two aligned matching frames,
-    single-content-frame clips degrade to the image rule."""
+def _video_match_ctes(d: str, vb: str) -> str:
+    """vcand/vfham/vnc/vmatched CTE-list (no leading WITH, no trailing
+    comma) — the per-frame candidate + verify + aligned-match core shared
+    by the pairs query and the cluster form."""
     ham = X.xor(d, "ba.bv", "bb.bv")
     return f"""
 vcand AS (
@@ -2442,7 +2436,21 @@ vmatched AS (
     CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
          AS BIGINT) AS matched_frames
   FROM vfham GROUP BY doc_a, doc_b
-)
+)"""
+
+
+def video_pairs_sql(d: str, vb: str) -> str:
+    """CTE-list + final SELECT (no leading WITH) over a ``vb`` relation
+    (doc_id, frame_idx, band, bv; content frames only): per-frame
+    Hamming-band candidates + exact verify + the aligned-frame match
+    count.  Pigeonhole per frame: a frame pair within Hamming
+    DHASH_MAX_HAMMING agrees on >= 1 whole band, so every pair with >= 1
+    matched frame surfaces from the (frame_idx, band, bv) equi-join —
+    never all-pairs.  Pair rule: matched_frames >= least(2, min content
+    frames of the two) — long videos need two aligned matching frames,
+    single-content-frame clips degrade to the image rule."""
+    return f"""
+{_video_match_ctes(d, vb).strip()}
 SELECT m.doc_a, m.doc_b, m.matched_frames
 FROM vmatched m
 JOIN vnc na ON na.doc_id = m.doc_a
@@ -2482,3 +2490,65 @@ def video_near_dup_sql(d: str, table: str = "documents") -> str:
         f"WITH {video_fp_grid_sql(d, table).strip()},\n"
         + video_pairs_sql(d, "vbands").lstrip()
     )
+
+
+def video_dup_clusters_df(spark, table: str = "documents") -> DataFrame:
+    """The CLUSTER form of video near-dup — one row per document with its
+    component id (linear output regardless of duplicate density, the
+    image family's pairs-vs-clusters trade): aligned-frame match pairs
+    feed the shared connected-components core over ALL documents as nodes
+    (clips with no content frames — every frame hash-zero — are
+    singletons by the uninformative-frame rule, so no zero-group star is
+    needed here; the exclusion happens before the join)."""
+    from .dedup_cluster import dedup_clusters_df
+    from .staging import staged_views
+
+    media = documents_as_videos(spark.table(table))
+    vb = (
+        extract_video_fp(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"), "frame_idx", "band", "bv"
+        )
+    )
+    with staged_views(spark, vbands=vb) as v:
+        pairs = spark.sql(
+            "WITH " + video_pairs_sql(X.SPARK, v.vbands).lstrip()
+        ).select("doc_a", "doc_b")
+        # the components core iterates over the edges — materialize once
+        # so each CC step does not re-run the decode stage
+        with staged_views(spark, edges=pairs) as ev:
+            return dedup_clusters_df(
+                spark.table(ev.edges), spark.table(table).select("doc_id")
+            )
+
+
+def video_dup_clusters_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the per-frame fingerprint + match CTEs + the same
+    recursive min-label component CTE the image cluster oracle uses."""
+    return f"""
+WITH RECURSIVE {video_fp_grid_sql(d, table).strip()},
+{_video_match_ctes(d, "vbands").strip()},
+vpairs AS (
+  SELECT m.doc_a, m.doc_b
+  FROM vmatched m
+  JOIN vnc na ON na.doc_id = m.doc_a
+  JOIN vnc nb ON nb.doc_id = m.doc_b
+  WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM vpairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""

@@ -1,0 +1,209 @@
+"""Standing video-dedup index (round 10) — the video family riding the
+image index's machinery VERBATIM by folding the frame axis into the band
+key: a per-frame band row (doc_id, frame_idx, band, bv) stores as
+(doc_id, band = frame_idx * DHASH_BANDS + band, bv), which makes a video
+index literally an image index over the frame-augmented band space —
+
+- same ``bband`` partition bucketing, so probes prune at the file
+  listing;
+- same lifecycle verbs (``build_image_index`` / ``image_index_append`` /
+  ``image_index_ingest_batch`` with the ``bands_fn`` hook;
+  ``compact_image_index`` / ``compact_streamed_image_index`` /
+  ``image_index_delete`` reused unchanged — they never look at band
+  semantics);
+- same uniqueness contract (the per-(doc_id, band) multiplicity check
+  is exact even though video docs carry a VARIABLE number of rows —
+  content frames only).
+
+Only the ingest GATE differs: near-dup is the ALIGNED-FRAME rule (two
+clips match when enough frame indices agree within DHASH_MAX_HAMMING —
+``multimodal.video_pairs_sql`` semantics), so the verify step groups the
+candidate equi-join's per-frame hammings by ``band DIV DHASH_BANDS`` and
+applies the least(2, min content frames) threshold.  Candidates stay
+equi-join-shaped on (band, bv) — the frame index is IN the band key, so
+per-frame alignment costs nothing extra at probe time.
+
+Scale design (100 TB): identical to the image index — a batch decodes
+only its own clips, probe shuffle ~ batch + colliding index rows, never
+a corpus pass; hash-zero frames never enter the index (the
+uninformative-frame rule doubles as the hot-bucket exclusion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dialect as X
+from .image_index import (
+    _assert_fresh_image_ids,
+    _bband_col,
+    _ingest_bands,
+    build_image_index,
+    image_index_append,
+    image_index_ingest_batch,
+    read_image_index,
+)
+from .multimodal import DHASH_BANDS, DHASH_MAX_HAMMING, extract_video_fp
+
+
+def video_bands(media: DataFrame) -> DataFrame:
+    """(doc_id, band, bv, bband) for a batch of video clips — the
+    decode+hash pass (one Arrow stage), content frames only, the frame
+    axis folded into the band key (band = frame_idx * DHASH_BANDS +
+    band).  Undecodable payloads and hash-zero frames are excluded: both
+    would land meaningless rows in the bv=0 bucket."""
+    return (
+        extract_video_fp(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"),
+            (
+                F.col("frame_idx") * DHASH_BANDS + F.col("band")
+            ).cast("int").alias("band"),
+            "bv",
+            F.lit(None).alias("_placeholder"),
+        )
+        .drop("_placeholder")
+        .withColumn("bband", _bband_col())
+    )
+
+
+def build_video_index(spark, media: DataFrame, path: str) -> None:
+    """Bulk build — the image verb with the video band extractor."""
+    build_image_index(spark, media, path, bands_fn=video_bands)
+
+
+def video_index_append(spark, path: str, media: DataFrame) -> None:
+    """Flat-layout incremental maintenance — the image verb reused."""
+    image_index_append(spark, path, media, bands_fn=video_bands)
+
+
+def video_index_ingest_batch(
+    spark, batch_media: DataFrame, batch_id: int, path: str
+) -> None:
+    """Replay-idempotent streamed landing — the image verb reused."""
+    image_index_ingest_batch(
+        spark, batch_media, batch_id, path, bands_fn=video_bands
+    )
+
+
+# compaction and compliance deletion operate purely on the parquet layout
+# (fold core / staged-commit manifest) — the image verbs apply verbatim:
+from .image_index import compact_image_index as compact_video_index  # noqa: E402,F401
+from .image_index import (  # noqa: E402,F401
+    compact_streamed_image_index as compact_streamed_video_index,
+)
+from .image_index import image_index_delete as video_index_delete  # noqa: E402,F401
+from .image_index import read_image_index as read_video_index  # noqa: E402,F401
+
+
+def incremental_video_dedup(
+    spark, media: DataFrame, index_bands: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a batch of video clips against the persisted frame-augmented
+    band ``index_bands`` (None for the first batch) and within the batch:
+    a clip is dropped iff an ALIGNED-FRAME near-dup (matched frames >=
+    least(2, min content frames), per-frame exact Hamming <=
+    DHASH_MAX_HAMMING — candidates per frame are pigeonhole-complete from
+    the (band, bv) equi-join, the frame index being part of the band key)
+    exists in the index or at a SMALLER doc_id in the same batch (the
+    incremental_image_dedup convention).
+
+    Returns ``(kept_ids, kept_bands)``: ingest ``kept_bands`` (via
+    ``_ingest_bands`` / append) to admit the batch into the index."""
+    from .staging import staged_views
+
+    nb = video_bands(media).localCheckpoint()
+    ham = X.xor(X.SPARK, "a.bv", "b.bv")
+    frame = X.idiv(X.SPARK, "a.band", str(DHASH_BANDS))
+
+    def _dup_ids(views, right, right_cond: str) -> DataFrame:
+        return spark.sql(f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd
+  FROM {views.nb} a JOIN {right} b
+    ON a.band = b.band AND a.bv = b.bv{right_cond}
+),
+fham AS (
+  SELECT c.nd, c.xd, {frame} AS frame,
+    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN {views.nb} a ON a.doc_id = c.nd
+  JOIN {right} b ON b.doc_id = c.xd AND b.band = a.band
+  GROUP BY c.nd, c.xd, {frame}
+),
+ncn AS (
+  SELECT doc_id, COUNT(DISTINCT {X.idiv(X.SPARK, "band", str(DHASH_BANDS))})
+    AS n FROM {views.nb} GROUP BY doc_id
+),
+ncx AS (
+  SELECT doc_id, COUNT(DISTINCT {X.idiv(X.SPARK, "band", str(DHASH_BANDS))})
+    AS n FROM {right} GROUP BY doc_id
+),
+m AS (
+  SELECT nd, xd,
+    CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
+         AS BIGINT) AS matched
+  FROM fham GROUP BY nd, xd
+)
+SELECT DISTINCT m.nd AS doc_id
+FROM m
+JOIN ncn ON ncn.doc_id = m.nd
+JOIN ncx ON ncx.doc_id = m.xd
+WHERE m.matched >= least(2, least(ncn.n, ncx.n))
+""")
+
+    stage = {"nb": nb}
+    if index_bands is not None:
+        stage["idx"] = index_bands.select("doc_id", "band", "bv")
+    with staged_views(spark, checkpoint=False, **stage) as v:
+        # in-batch: a (the dropped side, nd) near-dups a SMALLER b
+        dup_ids = _dup_ids(v, v.nb, " AND a.doc_id > b.doc_id")
+        if index_bands is not None:
+            dup_ids = dup_ids.unionByName(_dup_ids(v, v.idx, "")).distinct()
+        dup_ids = dup_ids.localCheckpoint()
+    kept_bands = nb.join(dup_ids, "doc_id", "left_anti")
+    kept_ids = kept_bands.select("doc_id").distinct()
+    return kept_ids, kept_bands
+
+
+def incremental_video_dedup_sql(
+    d: str, split: int, table: str = "documents"
+) -> str:
+    """DuckDB oracle of the registered two-batch flow: per-frame bands
+    recomputed from text (the video family's standing oracle device),
+    aligned-frame match pairs over ALL docs once, then the s1/dup2/s2
+    pattern of ``incremental_image_dedup_sql`` — batch 2 is dropped
+    against batch 1's SURVIVORS (= the persisted index's content) or a
+    smaller-id batch-2 doc (survivor or not, the engine's convention)."""
+    from .multimodal import _video_match_ctes, video_fp_grid_sql
+
+    return f"""
+WITH {video_fp_grid_sql(d, table).strip()},
+{_video_match_ctes(d, "vbands").strip()},
+nd AS (
+  SELECT m.doc_a, m.doc_b
+  FROM vmatched m
+  JOIN vnc na ON na.doc_id = m.doc_a
+  JOIN vnc nb ON nb.doc_id = m.doc_b
+  WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+),
+dup1 AS (SELECT DISTINCT doc_b AS doc_id FROM nd WHERE doc_b < {split}),
+s1 AS (
+  SELECT DISTINCT doc_id FROM vbands WHERE doc_id < {split}
+  EXCEPT SELECT doc_id FROM dup1
+),
+dup2 AS (
+  SELECT DISTINCT doc_b AS doc_id FROM nd
+  WHERE doc_b >= {split}
+    AND (doc_a IN (SELECT doc_id FROM s1) OR doc_a >= {split})
+),
+s2 AS (
+  SELECT DISTINCT doc_id FROM vbands WHERE doc_id >= {split}
+  EXCEPT SELECT doc_id FROM dup2
+)
+SELECT doc_id, 1 AS batch FROM s1
+UNION ALL
+SELECT doc_id, 2 AS batch FROM s2
+ORDER BY doc_id
+"""

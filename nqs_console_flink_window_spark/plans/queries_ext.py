@@ -605,12 +605,38 @@ from ..operators.multimodal import video_near_dup_sql as _vnd_sql  # noqa: E402
     "SQL.  driver-gated via multimodal_features (the Arrow decode "
     "plumbing) + dedup_clusters (the banded-candidate machinery)",
     tier=2,
+    headline=True,  # the media-decode chain's perf row: 3 JPEG decodes/doc
 )
 def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     register_temp_views(spark, sf_dir, ("documents",))
     return MM.video_near_dup_df(spark)
+
+
+from ..operators.multimodal import video_dup_clusters_sql as _vdc_sql  # noqa: E402
+
+
+@register(
+    "video_dup_clusters",
+    sql=_vdc_sql(X.DUCK),
+    doc="Extension — the CLUSTER form of video near-dup (one row per "
+    "document with its component id — linear output regardless of "
+    "duplicate density, the image family's pairs-vs-clusters trade): "
+    "aligned-frame match pairs feed the shared connected-components core "
+    "over all documents as nodes; clips with no content frames are "
+    "singletons by the uninformative-frame rule, so the zero-hash group "
+    "never reaches the join at all.  Oracle: the same recursive "
+    "min-label CTE over the SQL-recomputed per-frame pairs.  "
+    "driver-gated via dedup_clusters (the components core) + "
+    "multimodal_features (the Arrow decode plumbing)",
+    tier=2,
+)
+def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.video_dup_clusters_df(spark)
 
 
 _IMAGE_INDEX_CACHE: dict[str, str] = {}
@@ -1517,6 +1543,65 @@ def incremental_image_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFra
         )
         # localCheckpoint: the temp index is removed on return — the
         # result must not re-scan it
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+from ..operators import video_index as VI  # noqa: E402
+
+
+@register(
+    "incremental_video_dedup_batches",
+    sql=VI.incremental_video_dedup_sql(X.DUCK, _INC_SPLIT),
+    doc="Extension — ingest-time incremental VIDEO dedup against a "
+    "persisted frame-augmented band index (operators/video_index.py, "
+    "round 10): the video family rides the image index's machinery "
+    "verbatim by folding the frame axis into the band key "
+    "(band = frame_idx * 4 + b), so bucketing, ingest landings, "
+    "compaction and compliance deletion are the SAME verbs; only the "
+    "gate differs — aligned-frame match (per-frame exact Hamming <= 3, "
+    "matched frames >= least(2, min content frames)) instead of the "
+    "single-image rule.  Batch 1's clips decode -> per-frame dHash -> "
+    "within-batch gate, survivors' bands LAND in the bband/batch_id "
+    "index; batch 2 probes the index it reads back from disk plus "
+    "itself; output reads survivors back FROM the landed index.  Oracle "
+    "recomputes per-frame bands from text and mirrors the s1/dup2/s2 "
+    "two-batch rule in one statement.  driver-gated via dedup_clusters + "
+    "multimodal_features; lifecycle verbs shared with (and fuzz-pinned "
+    "through) the image index family",
+    tier=2,
+)
+def incremental_video_dedup_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media1 = MM.documents_as_videos(docs.filter(F.col("doc_id") < _INC_SPLIT))
+    media2 = MM.documents_as_videos(
+        docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    )
+    base = tempfile.mkdtemp(prefix="nqs_video_index_")
+    try:
+        idx = f"{base}/index"
+        _kept1, bands1 = VI.incremental_video_dedup(spark, media1, None)
+        II._ingest_bands(spark, bands1, 0, idx)
+        _kept2, bands2 = VI.incremental_video_dedup(
+            spark, media2, VI.read_video_index(spark, idx)
+        )
+        II._ingest_bands(spark, bands2, 1, idx)
+        out = (
+            VI.read_video_index(spark, idx)
+            .select(
+                "doc_id", (F.col("batch_id") + 1).cast("int").alias("batch")
+            )
+            .distinct()
+            .orderBy("doc_id")
+        )
         return out.localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -146,3 +146,42 @@ def test_extract_video_fp_flags_undecodable_payloads(spark) -> None:
     assert len(by_ok[False]) == MM.DHASH_BANDS  # one flagged frame's worth
     assert all(r["bv"] == 0 and not r["content"] for r in by_ok[False])
     assert {r["media_id"] for r in by_ok[True]} == {1}
+
+
+def test_video_dup_clusters_matches_oracle(spark) -> None:
+    """Cluster form == the recursive min-label oracle on the hostile
+    corpus: exact-dup and near-dup groups merge, hash-zero clips and the
+    NULL-text doc stay singletons, and every document gets exactly one
+    row."""
+    import duckdb
+
+    rows = [
+        (0, "alpha beta\ngamma delta " * 3),
+        (1, "alpha beta\ngamma delta " * 3),
+        (2, "abcdefghij" * 30),
+        (3, "abcdefghij" * 30 + "x"),
+        (4, None),
+        (5, "s" * 50),
+        (6, "completely different filler words that vary a lot here ok"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in MM.video_dup_clusters_df(spark).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(MM.video_dup_clusters_sql(X.DUCK)).fetchall()
+    )
+    assert got == want
+    by_doc = {d: c for d, c, _, _ in got}
+    assert by_doc[0] == by_doc[1]  # exact dups merge
+    assert by_doc[2] == by_doc[3]  # near-dups merge
+    assert len(got) == len(rows)  # one row per document
+    sizes = {d: s for d, _, s, _ in got}
+    assert sizes[4] == 1 and sizes[5] == 1  # NULL text / hash-zero clip
