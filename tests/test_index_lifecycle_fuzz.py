@@ -296,3 +296,105 @@ def test_image_index_lifecycle_interleavings(spark, ops) -> None:
             assert [r["doc_id"] for r in kept.collect()] == [100000]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _video_fuzz_text(i: int) -> str:
+    """The image fuzz text rule (varied, far beyond Hamming-3 across ids),
+    long enough that most clips carry 2-3 content frames."""
+    return " ".join(
+        _VOCAB[(i + j) % len(_VOCAB)] + str(i * 7 + j) for j in range(16)
+    )
+
+
+def _video_media_df(spark, ids):
+    from nqs_console_flink_window_spark.operators import multimodal as MM
+
+    rows = [(int(i), _video_fuzz_text(i)) for i in sorted(ids)]
+    return MM.documents_as_videos(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def _video_rows_of(text: str) -> int:
+    """Expected band rows for one clip — DHASH_BANDS per CONTENT frame
+    (the uniqueness contract under variable rows per doc)."""
+    from nqs_console_flink_window_spark.operators import multimodal as MM
+
+    return sum(
+        MM.DHASH_BANDS
+        for f in range(MM.VIDEO_FRAMES)
+        if any(
+            MM.dhash_bands_from_grid(
+                MM._fixture_grid_at(text, f * MM.VIDEO_FRAME_STRIDE)
+            )
+        )
+    )
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_video_index_lifecycle_interleavings(spark, ops) -> None:
+    """The fourth index family (round 10 — the image verbs over the
+    frame-augmented band space) under the same randomized interleaving
+    gate: band rows track the live set's CONTENT FRAMES exactly after
+    every verb (variable rows per doc), no maintenance leftovers,
+    maintained == fresh-re-ingest parity at the end, and an emptied index
+    stays probe-able through the aligned-frame dedup gate."""
+    from nqs_console_flink_window_spark.operators import video_index as VI
+
+    base = tempfile.mkdtemp(prefix="fuzz_video_idx_")
+    try:
+        idx = f"{base}/index"
+        live: set[int] = set()
+        next_batch = 0
+        next_id = 0
+        for verb, sel in [("ingest", 0), *ops]:
+            if verb == "ingest":
+                new_ids = list(range(next_id, next_id + 4 + sel % 3))
+                next_id = new_ids[-1] + 1
+                VI.video_index_ingest_batch(
+                    spark, _video_media_df(spark, new_ids), next_batch, idx
+                )
+                live |= set(new_ids)
+                next_batch += 1
+            elif verb == "delete":
+                if live:
+                    victims = sorted(live)[:: (sel % 3) + 1][: 1 + sel % 4]
+                    VI.video_index_delete(spark, idx, victims)
+                    live -= set(victims)
+            else:
+                VI.compact_streamed_video_index(spark, idx, next_batch)
+            spark.catalog.refreshByPath(idx)
+            assert VI.read_video_index(spark, idx).count() == sum(
+                _video_rows_of(_video_fuzz_text(i)) for i in live
+            )
+            _no_maintenance_leftovers(base)
+
+        if live:
+            fresh = f"{base}/fresh"
+            VI.video_index_ingest_batch(
+                spark, _video_media_df(spark, live), 0, fresh
+            )
+            got = sorted(
+                (r["doc_id"], r["band"], r["bv"], r["bband"])
+                for r in VI.read_video_index(spark, idx).collect()
+            )
+            want = sorted(
+                (r["doc_id"], r["band"], r["bv"], r["bband"])
+                for r in VI.read_video_index(spark, fresh).collect()
+            )
+            assert got == want
+        else:
+            # emptied index stays probe-able: the gate keeps everything
+            kept, _ = VI.incremental_video_dedup(
+                spark,
+                _video_media_df(spark, [100000]),
+                VI.read_video_index(spark, idx),
+            )
+            assert [r["doc_id"] for r in kept.collect()] == [100000]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
