@@ -563,6 +563,63 @@ def run_image_dedup_stream(
     q.awaitTermination()
 
 
+def ingest_video_dedup_batch(
+    bspark: SparkSession,
+    batch_docs: DataFrame,
+    batch_id: int,
+    kept_dir: str,
+    index_dir: str,
+) -> None:
+    """One micro-batch's VIDEO ingest — ``ingest_image_dedup_batch`` with
+    the frame-augmented band space and the aligned-frame gate
+    (operators/video_index.py); same replay-convergence rule (the index
+    read excludes batch_id >= current, the band landing overwrites
+    exactly its own slices)."""
+    from ..operators.image_index import _ingest_bands
+    from ..operators.multimodal import documents_as_videos
+    from ..operators.video_index import (
+        incremental_video_dedup,
+        read_video_index,
+    )
+
+    media = documents_as_videos(batch_docs)
+    index = read_video_index(bspark, index_dir)
+    if "batch_id" in index.columns:
+        index = index.filter(F.col("batch_id") < int(batch_id))
+    else:
+        index = None  # nothing landed yet (empty frame lacks batch_id)
+    kept, kept_bands = incremental_video_dedup(bspark, media, index)
+    W.idempotent_batch_write(kept, kept_dir, batch_id)
+    _ingest_bands(bspark, kept_bands, batch_id, index_dir)
+
+
+def run_video_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    kept_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming video-corpus ingest gate — the fourth index family's
+    front door, the run_image_dedup_stream shape over the aligned-frame
+    semantics."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        ingest_video_dedup_batch(
+            batch_df.sparkSession, batch_df, batch_id, kept_dir, index_dir
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -130,3 +130,81 @@ def test_incremental_video_dedup_matches_two_batch_oracle(spark) -> None:
     assert 0 in kept_ids and 1 not in kept_ids  # cross-batch exact dup drops
     assert 2 in kept_ids and 3 not in kept_ids  # in-batch near-dup drops
     assert {6, 7, 8} <= kept_ids
+
+
+def test_video_dedup_stream_across_batches_and_replay(spark, tmp_path) -> None:
+    """Streaming video ingest: micro-batches decode and aligned-frame-gate
+    against the persisted frame-augmented band index; no two survivors
+    pair under the aligned-frame rule (the cross-batch guarantee), the
+    landed index is exactly the survivors' bands, and an at-least-once
+    replay of a batch reproduces identical survivors."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.sources.batch import load_table
+    from nqs_console_flink_window_spark.streaming import jobs as J
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.select("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    J.run_video_dedup_stream(
+        spark, stream, kept_dir, index_dir, str(tmp_path / "cp")
+    )
+
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    }
+    landed = VI.read_video_index(spark, index_dir)
+    assert {r["doc_id"] for r in landed.select("doc_id").collect()} == kept_ids
+
+    # no two survivors pair under the aligned-frame rule
+    surv_docs = docs.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    surv_docs.createOrReplaceTempView("documents")
+    n_pairs = MM.video_near_dup_df(spark).count()
+    assert n_pairs == 0
+
+    # replay convergence: re-ingest the last arrival under its own batch id
+    before_kept = sorted(kept_ids)
+    from pathlib import Path
+
+    arrivals = sorted(
+        int(p.name.split("=", 1)[1])
+        for p in Path(kept_dir).glob("batch_id=*")
+    )
+    last = arrivals[-1]
+    replay_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept_dir}/batch_id={last}").collect()
+    }
+    parts = {i % 3 for i in replay_ids}
+    assert len(parts) == 1
+    replay_docs = docs.filter(F.col("doc_id") % 3 == parts.pop())
+    J.ingest_video_dedup_batch(spark, replay_docs, last, kept_dir, index_dir)
+    spark.catalog.refreshByPath(kept_dir)
+    spark.catalog.refreshByPath(index_dir)
+    after_kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    )
+    assert after_kept == before_kept
+    assert {
+        r["doc_id"]
+        for r in VI.read_video_index(spark, index_dir)
+        .select("doc_id")
+        .collect()
+    } == kept_ids
