@@ -1951,6 +1951,7 @@ def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
     use."""
     audio_ok = mime is None or mime.startswith("audio/")
     image_ok = mime is None or mime.startswith("image/")
+    video_ok = mime is None or mime.startswith("video/")
     try:
         if (
             audio_ok
@@ -1959,6 +1960,13 @@ def decode_features(payload: bytes, mime: str | None = None) -> list[float]:
             and payload[8:12] == b"WAVE"
         ):
             return decode_wav_features(payload)
+        if (
+            video_ok
+            and payload
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"AVI "
+        ):
+            return decode_video_features(payload)
         if (
             image_ok
             and payload
@@ -2552,3 +2560,14 @@ SELECT doc_id, cluster_id,
        doc_id = cluster_id AS is_canonical
 FROM comp
 """
+
+
+def decode_video_features(payload: bytes) -> list[float]:
+    """MJPEG AVI -> the shared image feature layout over the FIRST frame
+    (the representative-frame convention) with slot 8 = frame count, the
+    video-specific dimension.  Raises on non-MJPEG/truncated containers —
+    ``decode_features`` catches and falls back to the stub."""
+    frames = _avi_mjpeg_frames(payload)
+    feats = _image_stats(*_jpeg_decode_channels(frames[0]))
+    feats[8] = float(len(frames))
+    return feats

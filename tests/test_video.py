@@ -185,3 +185,26 @@ def test_video_dup_clusters_matches_oracle(spark) -> None:
     assert len(got) == len(rows)  # one row per document
     sizes = {d: s for d, _, s, _ in got}
     assert sizes[4] == 1 and sizes[5] == 1  # NULL text / hash-zero clip
+
+
+def test_decode_features_takes_the_real_video_path() -> None:
+    """decode_features on an MJPEG AVI under a video mime returns real
+    first-frame image stats + the frame count (slot 8); a malformed AVI
+    falls back to the stub, and a video payload under a NON-video mime
+    stays on the stub (the typed-dispatch contract)."""
+    text = "plenty of genuinely varied words across this one clip here"
+    avi = _fixture_avi(text)
+    feats = MM.decode_features(avi, "video/x-msvideo")
+    assert feats[0] == 72 / 1e4 and feats[1] == 64 / 1e4  # frame dims
+    assert feats[8] == float(MM.VIDEO_FRAMES)
+    # first-frame luma mean equals the text grid's mean (exact roundtrip)
+    grid = MM._fixture_grid_at(text, 0)
+    flat = [v for row in grid for v in row]
+    assert abs(feats[6] - sum(flat) / len(flat) / 255.0) < 1e-9
+    # malformed container -> stub (never raises)
+    bad = avi[:40]
+    assert MM.decode_features(bad, "video/x-msvideo") == MM._decode_stub(bad)
+    # non-video mime declaration -> stub
+    assert MM.decode_features(avi, "application/octet-stream") == (
+        MM._decode_stub(avi)
+    )
