@@ -602,9 +602,9 @@ from ..operators.multimodal import video_near_dup_sql as _vnd_sql  # noqa: E402
     "uninformative-frame rule, which is also what keeps the join away "
     "from the zero-hash hot bucket), threshold least(2, min content "
     "frames).  The oracle recomputes every frame hash from text in pure "
-    "SQL.  driver-gated via multimodal_features (the Arrow decode "
-    "plumbing) + dedup_clusters (the banded-candidate machinery)",
-    tier=2,
+    "SQL.  TIER-1 (round 10): the video family's flagship is "
+    "driver-hashed directly — decode, per-frame banding and the "
+    "aligned-frame rule all sit inside the value hash",
     headline=True,  # the media-decode chain's perf row: 3 JPEG decodes/doc
 )
 def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,8 +1037,11 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-integer (17*r*w) DIV (20*W_out) — representative selection "
     "now favors STRONG duplicates.  Same five-step driver loop / "
     "unrolled-CTE oracle as the unweighted form, bit-identical "
-    "cross-engine (tier-1 since round 8: weighted-propagation arithmetic "
-    "driver-hashed alongside the unweighted pagerank_neardup)",
+    "cross-engine (tier-1 rounds 8-9; rotated tier-2 in round 10 to seat "
+    "video_near_dup — the weighted-propagation arithmetic stays "
+    "check_oracle-gated, and the graph family remains driver-visible "
+    "through pagerank_neardup)",
+    tier=2,
 )
 def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
