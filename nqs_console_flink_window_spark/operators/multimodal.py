@@ -75,6 +75,22 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _spread_for_decode(df: DataFrame) -> DataFrame:
+    """Give an Arrow (mapInPandas) kernel enough partitions to use every
+    core: a small corpus arrives as ONE parquet file = one partition,
+    which would serialize the whole Python decode stage on a single
+    worker (measured: the sf0.1 fixture's 15,000 JPEG frame decodes ran
+    on 1 of 32 cores).  Only repartitions when the input has FEWER
+    partitions than the default parallelism — a real 100 TB media corpus
+    already arrives in thousands of file splits and must not pay a
+    payload shuffle here."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter: treat document text bytes as an opaque payload with
     synthesized image-ish metadata (deterministic from content)."""
@@ -1119,8 +1135,8 @@ def extract_dhash(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     column to re-explode).  Undecodable payloads emit DHASH_BANDS
     zero-band rows flagged decode_ok=False so corpus accounting stays
     row-exact."""
-    cols = media.select(
-        "media_id", "payload", F.col("meta.mime").alias("mime")
+    cols = _spread_for_decode(
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1532,7 +1548,9 @@ def documents_as_images(docs: DataFrame) -> DataFrame:
     every format under the SAME cross-engine text oracle.  One Arrow
     mapInPandas pass; NULL-text docs are excluded (no image on either
     side, the dhash_grid_sql contract)."""
-    cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    cols = _spread_for_decode(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -1681,7 +1699,9 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
     AFP_WINDOWS printable-ASCII codes synthesize a REAL mono PCM16 WAV
     (one Arrow mapInPandas pass; NULL-text docs excluded — no clip on
     either side, the image fixture's contract)."""
-    cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    cols = _spread_for_decode(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -1716,8 +1736,8 @@ def extract_audio_fp(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     (media_id, band, bv, decode_ok) — the extract_dhash kernel shape on
     the audio dispatch; undecodable payloads flag, never kill the stage."""
 
-    cols = media.select(
-        "media_id", "payload", F.col("meta.mime").alias("mime")
+    cols = _spread_for_decode(
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2022,8 +2042,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.select(
-        "media_id", "payload", F.col("meta.mime").alias("mime")
+    return _spread_for_decode(
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
     ).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
@@ -2258,7 +2278,9 @@ def documents_as_videos(docs: DataFrame) -> DataFrame:
     each frame the exact-round-trip block-constant JPEG.  One Arrow
     mapInPandas pass; NULL-text docs excluded (no clip on either side,
     the image fixture's contract)."""
-    cols = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    cols = _spread_for_decode(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -2317,8 +2339,8 @@ def extract_video_fp(
     extract_dhash kernel shape with the frame axis added; undecodable
     payloads emit one zero-frame's worth of flagged rows so corpus
     accounting stays row-exact."""
-    cols = media.select(
-        "media_id", "payload", F.col("meta.mime").alias("mime")
+    cols = _spread_for_decode(
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
