@@ -286,7 +286,7 @@ def image_index_delete(spark, path: str, doc_ids) -> None:
 
 
 def incremental_image_dedup(
-    spark, media: DataFrame, index_bands: DataFrame | None
+    spark, media: DataFrame, index_bands: DataFrame | None, bands_fn=None
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a batch of images against the persisted band ``index_bands``
     (None for the first batch) and within the batch — the ingest-time
@@ -302,7 +302,7 @@ def incremental_image_dedup(
     ``_ingest_bands`` / append) to admit the batch into the index."""
     from .staging import staged_views
 
-    nb = image_bands(media).localCheckpoint()
+    nb = (bands_fn or image_bands)(media).localCheckpoint()
     ham = X.xor(X.SPARK, "a.bv", "b.bv")
 
     def _dup_ids(views, right, right_cond: str) -> DataFrame:
@@ -341,7 +341,7 @@ WHERE hamming <= {DHASH_MAX_HAMMING}
 
 
 def incremental_image_dedup_sql(
-    d: str, split: int, table: str = "documents"
+    d: str, split: int, table: str = "documents", grid_sql_fn=None
 ) -> str:
     """DuckDB oracle of the registered two-batch flow: bands recomputed
     from text (the image family's standing oracle device), candidate +
@@ -351,8 +351,9 @@ def incremental_image_dedup_sql(
     batch-2 doc (survivor or not, the engine's convention)."""
     from .multimodal import _dhash_cand_ham_ctes, dhash_grid_sql
 
+    grid = (grid_sql_fn or dhash_grid_sql)(d, table)
     return f"""
-WITH {dhash_grid_sql(d, table).strip()},
+WITH {grid.strip()},
 {_dhash_cand_ham_ctes(d, "bands").strip()},
 nd AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= {DHASH_MAX_HAMMING}),
 dup1 AS (SELECT DISTINCT doc_b AS doc_id FROM nd WHERE doc_b < {split}),

@@ -1610,6 +1610,61 @@ def incremental_video_dedup_batches(
         shutil.rmtree(base, ignore_errors=True)
 
 
+
+from ..operators import audio_index as AI  # noqa: E402
+
+
+@register(
+    "incremental_audio_dedup_batches",
+    sql=AI.incremental_audio_dedup_sql(X.DUCK, _INC_SPLIT),
+    doc="Extension — ingest-time incremental AUDIO dedup against a "
+    "persisted waveform-fingerprint index (operators/audio_index.py, "
+    "round 10): the 1-D fingerprint already packs into the image dHash's "
+    "(doc_id, band, bv) shape, so the index verbs AND the near-dup gate "
+    "are the image family's code verbatim — only the extractor differs "
+    "(stdlib WAV decode -> 64 gain-invariant comparisons).  Completes "
+    "the modality matrix: text/embedding/image/audio/video each have a "
+    "standing index + incremental gate on the shared cores.  Oracle: the "
+    "image s1/dup2/s2 body over the audio grid.  driver-gated via "
+    "dedup_clusters + multimodal_features; lifecycle verbs shared with "
+    "(and fuzz-pinned through) the image index family",
+    tier=2,
+)
+def incremental_audio_dedup_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media1 = MM.documents_as_audio(docs.filter(F.col("doc_id") < _INC_SPLIT))
+    media2 = MM.documents_as_audio(
+        docs.filter(F.col("doc_id") >= _INC_SPLIT)
+    )
+    base = tempfile.mkdtemp(prefix="nqs_audio_index_")
+    try:
+        idx = f"{base}/index"
+        _kept1, bands1 = AI.incremental_audio_dedup(spark, media1, None)
+        II._ingest_bands(spark, bands1, 0, idx)
+        _kept2, bands2 = AI.incremental_audio_dedup(
+            spark, media2, AI.read_audio_index(spark, idx)
+        )
+        II._ingest_bands(spark, bands2, 1, idx)
+        out = (
+            AI.read_audio_index(spark, idx)
+            .select(
+                "doc_id", (F.col("batch_id") + 1).cast("int").alias("batch")
+            )
+            .distinct()
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _EMB_SPLIT = 250
 
 

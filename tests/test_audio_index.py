@@ -1,0 +1,100 @@
+"""The standing audio index (operators/audio_index.py, round 10): the
+image verbs + gate over the waveform fingerprint — streamed==build
+parity, delete + re-ingest, and the two-batch incremental gate against
+the DuckDB oracle (including the silent-clip zero group, which the
+image family's fixtures cannot produce in band space)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nqs_console_flink_window_spark.functions import dialect as X
+from nqs_console_flink_window_spark.operators import audio_index as AI
+from nqs_console_flink_window_spark.operators import multimodal as MM
+
+ROWS = [
+    (0, "alpha beta\ngamma delta " * 3),
+    (1, "alpha beta\ngamma delta " * 3),  # exact dup of 0
+    (2, "abcdefghij" * 30),
+    (3, None),  # NULL text: no clip
+    (4, "s" * 50),  # silent clip (zero fingerprint)
+    (5, "t" * 70),  # another zero-fingerprint clip: true dup of 4
+    (6, "completely different filler words that vary a lot here ok"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def _media(spark, pred: str = "true"):
+    return MM.documents_as_audio(_docs(spark).filter(pred))
+
+
+def _rows(spark, path):
+    return sorted(
+        (r["doc_id"], r["band"], r["bv"])
+        for r in AI.read_audio_index(spark, path).collect()
+    )
+
+
+def test_audio_index_streamed_matches_build_delete_reingest(
+    spark, tmp_path
+) -> None:
+    """Micro-batch ingests hold the same rows as one bulk build (silent
+    clips INCLUDED — their zero bands are real fingerprints); deletion
+    removes every band row and a deleted clip re-enters through the
+    gate."""
+    flat = str(tmp_path / "flat")
+    AI.build_audio_index(spark, _media(spark), flat)
+    streamed = str(tmp_path / "streamed")
+    for b in range(2):
+        AI.audio_index_ingest_batch(
+            spark, _media(spark, f"doc_id % 2 = {b}"), b, streamed
+        )
+    assert _rows(spark, flat) == _rows(spark, streamed)
+    ids = {d for d, _, _ in _rows(spark, flat)}
+    assert 3 not in ids  # NULL text: no clip
+    assert {4, 5} <= ids  # silent clips ARE indexed
+
+    AI.audio_index_delete(spark, streamed, [0, 4])
+    spark.catalog.refreshByPath(streamed)
+    assert {d for d, _, _ in _rows(spark, streamed)} == ids - {0, 4}
+    AI.audio_index_ingest_batch(spark, _media(spark, "doc_id = 4"), 2, streamed)
+    spark.catalog.refreshByPath(streamed)
+    assert {d for d, _, _ in _rows(spark, streamed)} == ids - {0}
+
+
+def test_incremental_audio_dedup_matches_two_batch_oracle(spark) -> None:
+    """Two-batch flow == the DuckDB s1/dup2/s2 oracle over the audio
+    grid: the exact dup drops cross-batch, the second silent clip drops
+    against the first (zero-fingerprint clips are true dups), and
+    distinct clips survive."""
+    import duckdb
+
+    split = 1  # batch 1 = {0}; batch 2 = the rest
+    docs = _docs(spark)
+    m1 = MM.documents_as_audio(docs.filter(F.col("doc_id") < split))
+    m2 = MM.documents_as_audio(docs.filter(F.col("doc_id") >= split))
+    kept1, bands1 = AI.incremental_audio_dedup(spark, m1, None)
+    kept2, _ = AI.incremental_audio_dedup(
+        spark, m2, bands1.select("doc_id", "band", "bv")
+    )
+    got = sorted(
+        [(r["doc_id"], 1) for r in kept1.collect()]
+        + [(r["doc_id"], 2) for r in kept2.collect()]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", ROWS)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            AI.incremental_audio_dedup_sql(X.DUCK, split)
+        ).fetchall()
+    )
+    assert got == want
+    kept_ids = {d for d, _ in got}
+    assert 0 in kept_ids and 1 not in kept_ids  # cross-batch exact dup
+    assert 4 in kept_ids and 5 not in kept_ids  # silent-clip group collapses
+    assert {2, 6} <= kept_ids
