@@ -61,9 +61,7 @@ def video_bands(media: DataFrame) -> DataFrame:
                 F.col("frame_idx") * DHASH_BANDS + F.col("band")
             ).cast("int").alias("band"),
             "bv",
-            F.lit(None).alias("_placeholder"),
         )
-        .drop("_placeholder")
         .withColumn("bband", _bband_col())
     )
 
