@@ -1039,8 +1039,9 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unrolled-CTE oracle as the unweighted form, bit-identical "
     "cross-engine (tier-1 rounds 8-9; rotated tier-2 in round 10 to seat "
     "video_near_dup — the weighted-propagation arithmetic stays "
-    "check_oracle-gated, and the graph family remains driver-visible "
-    "through pagerank_neardup)",
+    "check_oracle-gated, and the graph family is driver-gated via "
+    "pagerank_neardup, which shares the edge stage and the five-step "
+    "propagation loop)",
     tier=2,
 )
 def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
