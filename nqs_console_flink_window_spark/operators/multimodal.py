@@ -520,8 +520,24 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _idct_8x8(coefs: list[int]) -> list[list[float]]:
-    """Separable 2-D inverse DCT over one natural-order 8x8 block."""
+    """Separable 2-D inverse DCT over one natural-order 8x8 block.
+
+    DC-only fast path: with every AC coefficient zero the transform is a
+    constant plane, and every general-path entry reduces to the SAME
+    float expression ((c0*F00)/2 through the row pass, (c0*that)/2
+    through the column pass — all cos(0) factors are exactly 1.0), so
+    computing that expression once is bit-identical to the general path,
+    NOT merely close: the algebraic F00/8 differs in the last ulp and
+    flips pixels at exact .5 rounding boundaries (measured at dc=-1020).
+    Flat regions dominate real MJPEG content and the block-constant
+    fixture is 100% DC-only, so this removes the 4096-multiply IDCT from
+    the decode hot path where nothing varies."""
     import math
+
+    if not any(coefs[1:]):
+        c0 = 1.0 / math.sqrt(2.0)
+        v = (c0 * ((c0 * coefs[0]) / 2.0)) / 2.0
+        return [[v] * 8 for _ in range(8)]
 
     global _IDCT_COS
     if _IDCT_COS is None:
