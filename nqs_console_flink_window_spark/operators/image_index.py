@@ -4,7 +4,13 @@ IVF/IVF-PQ vector indexes already follow: a corpus-scale near-dup gate
 cannot re-decode and re-hash history per ingest batch, so the BAND TABLE
 (doc_id, band, bv) persists as parquet partitioned by ``bband`` (a
 64-way arithmetic bucket of the band value), and every maintenance verb
-reuses the shared machinery verbatim:
+reuses the shared machinery verbatim.
+
+This module also HOSTS the shared verbs for the whole perceptual-hash
+index family: the audio index (audio_index.py — same band shape,
+different extractor) and the video index (video_index.py — frame axis
+folded into the band key) ride ``bands_fn``/``grid_sql_fn`` hooks on
+the verbs and gate below rather than copying them.
 
 - ``image_index_ingest_batch`` — replay-idempotent streamed landings
   under ``bband=<b>/batch_id=<n>`` with dynamic partition overwrite
