@@ -205,3 +205,24 @@ UNION ALL
 SELECT doc_id, 2 AS batch FROM s2
 ORDER BY doc_id
 """
+
+
+def video_pairs_from_index(spark, index_bands: DataFrame) -> DataFrame:
+    """The aligned-frame pairs query over bands read straight off the
+    standing index — ZERO decode at query time (the image family's
+    indexed-pairs production win).  The frame axis unfolds from the band
+    key by integer arithmetic; results are bit-identical to the online
+    video_near_dup form."""
+    from .multimodal import video_pairs_sql
+    from .staging import staged_views
+
+    vb = index_bands.select(
+        "doc_id",
+        F.expr(f"band DIV {DHASH_BANDS}").cast("int").alias("frame_idx"),
+        (F.col("band") % DHASH_BANDS).cast("int").alias("band"),
+        "bv",
+    )
+    with staged_views(spark, vbands=vb) as v:
+        return spark.sql(
+            "WITH " + video_pairs_sql(X.SPARK, v.vbands).lstrip()
+        )

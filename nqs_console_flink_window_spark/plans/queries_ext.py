@@ -639,6 +639,56 @@ def video_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.video_dup_clusters_df(spark)
 
 
+_VIDEO_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_video_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per corpus dir) the persisted
+    frame-augmented band index over the documents-as-videos fixture —
+    the ``_ensure_image_index`` discipline applied to the video family."""
+    path = _VIDEO_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from ..operators import multimodal as MM
+        from ..operators import video_index as VIX
+
+        base = tempfile.mkdtemp(prefix="nqs_video_index_std_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = base + "/index"
+        register_temp_views(spark, sf_dir, ("documents",))
+        VIX.build_video_index(
+            spark, MM.documents_as_videos(spark.table("documents")), path
+        )
+        _VIDEO_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "video_near_dup_indexed",
+    sql=_vnd_sql(X.DUCK),
+    doc="Extension — video_near_dup against the PERSISTED frame-augmented "
+    "band index (round 10): the aligned-frame pairs fragment runs over "
+    "bands read straight off the standing index — ZERO decode at query "
+    "time (the decode chain dominates the online form's 5.4 s bench row; "
+    "a standing corpus hashes once at ingest and every audit after that "
+    "is pure SQL over 8-byte band rows, with the frame axis unfolded "
+    "from the band key by integer arithmetic).  Results bit-identical to "
+    "video_near_dup, so the oracle IS the same text-recomputed SQL.  "
+    "driver-gated via video_near_dup (tier-1, the same fragment) + "
+    "dedup_clusters (the banded-candidate machinery)",
+    tier=2,
+)
+def video_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import video_index as VIX
+
+    idx = _ensure_video_index(spark, sf_dir)
+    bands = VIX.read_video_index(spark, idx).select("doc_id", "band", "bv")
+    return VIX.video_pairs_from_index(spark, bands)
+
+
 _IMAGE_INDEX_CACHE: dict[str, str] = {}
 
 

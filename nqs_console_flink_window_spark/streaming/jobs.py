@@ -620,6 +620,60 @@ def run_video_dedup_stream(
     q.awaitTermination()
 
 
+def ingest_audio_dedup_batch(
+    bspark: SparkSession,
+    batch_docs: DataFrame,
+    batch_id: int,
+    kept_dir: str,
+    index_dir: str,
+) -> None:
+    """One micro-batch's AUDIO ingest — ``ingest_image_dedup_batch`` with
+    the waveform-fingerprint extractor (operators/audio_index.py); same
+    gate, same replay-convergence rule."""
+    from ..operators.audio_index import (
+        incremental_audio_dedup,
+        read_audio_index,
+    )
+    from ..operators.image_index import _ingest_bands
+    from ..operators.multimodal import documents_as_audio
+
+    media = documents_as_audio(batch_docs)
+    index = read_audio_index(bspark, index_dir)
+    if "batch_id" in index.columns:
+        index = index.filter(F.col("batch_id") < int(batch_id))
+    else:
+        index = None  # nothing landed yet (empty frame lacks batch_id)
+    kept, kept_bands = incremental_audio_dedup(bspark, media, index)
+    W.idempotent_batch_write(kept, kept_dir, batch_id)
+    _ingest_bands(bspark, kept_bands, batch_id, index_dir)
+
+
+def run_audio_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    kept_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming audio-corpus ingest gate — the perceptual-hash family's
+    front door over the waveform fingerprint."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        ingest_audio_dedup_batch(
+            batch_df.sparkSession, batch_df, batch_id, kept_dir, index_dir
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -98,3 +98,72 @@ def test_incremental_audio_dedup_matches_two_batch_oracle(spark) -> None:
     assert 0 in kept_ids and 1 not in kept_ids  # cross-batch exact dup
     assert 4 in kept_ids and 5 not in kept_ids  # silent-clip group collapses
     assert {2, 6} <= kept_ids
+
+
+def test_audio_dedup_stream_across_batches_and_replay(spark, tmp_path) -> None:
+    """Streaming audio ingest: micro-batches fingerprint and gate against
+    the persisted band index; no two survivors are within the Hamming
+    threshold, the landed index is exactly the survivors' bands, and a
+    replayed batch reproduces identical survivors."""
+    from nqs_console_flink_window_spark.config import SMOKE_SF_DIR
+    from nqs_console_flink_window_spark.sources.batch import load_table
+    from nqs_console_flink_window_spark.streaming import jobs as J
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.withColumn("part", F.col("doc_id") % 3).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.select("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept_dir = str(tmp_path / "kept")
+    index_dir = str(tmp_path / "index")
+    J.run_audio_dedup_stream(
+        spark, stream, kept_dir, index_dir, str(tmp_path / "cp")
+    )
+
+    kept_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    }
+    landed = AI.read_audio_index(spark, index_dir)
+    assert {r["doc_id"] for r in landed.select("doc_id").collect()} == kept_ids
+    assert landed.count() == MM.DHASH_BANDS * len(kept_ids)
+
+    # no two survivors within the Hamming threshold
+    surv_docs = docs.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    surv_docs.createOrReplaceTempView("documents")
+    assert MM.audio_near_dup_df(spark).count() == 0
+
+    # replay convergence on the last arrival
+    from pathlib import Path
+
+    before_kept = sorted(kept_ids)
+    last = max(
+        int(p.name.split("=", 1)[1]) for p in Path(kept_dir).glob("batch_id=*")
+    )
+    replay_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{kept_dir}/batch_id={last}").collect()
+    }
+    parts = {i % 3 for i in replay_ids}
+    assert len(parts) == 1
+    replay_docs = docs.filter(F.col("doc_id") % 3 == parts.pop())
+    J.ingest_audio_dedup_batch(spark, replay_docs, last, kept_dir, index_dir)
+    spark.catalog.refreshByPath(kept_dir)
+    spark.catalog.refreshByPath(index_dir)
+    after_kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(kept_dir).select("doc_id").collect()
+    )
+    assert after_kept == before_kept
