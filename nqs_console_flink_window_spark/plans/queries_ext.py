@@ -680,6 +680,7 @@ def _ensure_video_index(spark: SparkSession, sf_dir: str) -> str:
     "driver-gated via video_near_dup (tier-1, the same fragment) + "
     "dedup_clusters (the banded-candidate machinery)",
     tier=2,
+    headline=True,  # benched beside the online form: the zero-decode win
 )
 def video_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import video_index as VIX
