@@ -2741,13 +2741,16 @@ def test_decode_features_never_raises_fuzz() -> None:
     magics = [
         b"", b"\xff\xd8", b"\xff\xd8\xff\xe0", b"BM", b"GIF87a", b"GIF89a",
         b"P6 ", b"\x89PNG\r\n\x1a\n", b"RIFF1234WAVE",
+        b"RIFF1234AVI ", b"RIFF\xff\xff\xff\xffAVI ",
     ]
 
     @settings(max_examples=120, deadline=None)
     @given(
         st.sampled_from(magics),
         st.binary(min_size=0, max_size=400),
-        st.sampled_from(["image/jpeg", "image/png", "audio/wav", None]),
+        st.sampled_from(
+            ["image/jpeg", "image/png", "audio/wav", "video/x-msvideo", None]
+        ),
     )
     def fuzz(prefix, tail, mime):
         out = MM.decode_features(prefix + tail, mime)
