@@ -2609,3 +2609,87 @@ def decode_video_features(payload: bytes) -> list[float]:
     feats = _image_stats(*_jpeg_decode_channels(frames[0]))
     feats[8] = float(len(frames))
     return feats
+
+
+VIDEO_MAX_SHIFT = 1  # frame-alignment tolerance of the shifted pair form
+
+
+def video_pairs_shifted_sql(d: str, vb: str) -> str:
+    """CTE-list + final SELECT (no leading WITH): the SHIFT-TOLERANT pair
+    form — a trimmed intro or a dropped leading frame offsets every
+    subsequent frame index, so the strict aligned-frame rule misses an
+    otherwise identical clip.  Here a pair matches at the BEST alignment
+    offset delta in [-VIDEO_MAX_SHIFT, +VIDEO_MAX_SHIFT]: matched(delta)
+    counts frames f where hamming(a[f], b[f+delta]) <= DHASH_MAX_HAMMING,
+    and the pair rule applies to max over delta.  Candidates drop the
+    frame-equality key ((band, bv) only — a matched frame pair at ANY
+    delta still agrees on >= 1 whole band, so capture stays
+    pigeonhole-complete; the wider buckets cost ~(2s+1)x the strict
+    form's candidate volume, the price of shift tolerance)."""
+    ham = X.xor(d, "ba.bv", "bb.bv")
+    deltas = ",".join(
+        f"({s})" for s in range(-VIDEO_MAX_SHIFT, VIDEO_MAX_SHIFT + 1)
+    )
+    return f"""
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {vb} a JOIN {vb} b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+sfham AS (
+  SELECT c.doc_a, c.doc_b, dd.delta, ba.frame_idx,
+    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+  FROM scand c
+  CROSS JOIN (VALUES {deltas}) AS dd(delta)
+  JOIN {vb} ba ON ba.doc_id = c.doc_a
+  JOIN {vb} bb ON bb.doc_id = c.doc_b
+             AND bb.frame_idx = ba.frame_idx + dd.delta
+             AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b, dd.delta, ba.frame_idx
+),
+snc AS (SELECT doc_id, COUNT(DISTINCT frame_idx) AS n FROM {vb} GROUP BY doc_id),
+smatch AS (
+  SELECT doc_a, doc_b, delta,
+    CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
+         AS BIGINT) AS matched
+  FROM sfham GROUP BY doc_a, doc_b, delta
+),
+sbest AS (
+  SELECT doc_a, doc_b, MAX(matched) AS matched_frames
+  FROM smatch GROUP BY doc_a, doc_b
+)
+SELECT m.doc_a, m.doc_b, m.matched_frames
+FROM sbest m
+JOIN snc na ON na.doc_id = m.doc_a
+JOIN snc nb ON nb.doc_id = m.doc_b
+WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+ORDER BY doc_a, doc_b
+"""
+
+
+def video_near_dup_shifted_df(spark, table: str = "documents") -> DataFrame:
+    """Engine side of video_near_dup_shifted: the same decode + per-frame
+    banding stage, the shift-tolerant pairs fragment."""
+    from .staging import staged_views
+
+    media = documents_as_videos(spark.table(table))
+    vb = (
+        extract_video_fp(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"), "frame_idx", "band", "bv"
+        )
+    )
+    with staged_views(spark, vbands=vb) as v:
+        return spark.sql(
+            "WITH " + video_pairs_shifted_sql(X.SPARK, v.vbands).lstrip()
+        )
+
+
+def video_near_dup_shifted_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: text-recomputed per-frame bands + the same shifted
+    fragment."""
+    return (
+        f"WITH {video_fp_grid_sql(d, table).strip()},\n"
+        + video_pairs_shifted_sql(d, "vbands").lstrip()
+    )

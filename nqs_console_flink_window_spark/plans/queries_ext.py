@@ -690,6 +690,35 @@ def video_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VIX.video_pairs_from_index(spark, bands)
 
 
+from ..operators.multimodal import (  # noqa: E402
+    video_near_dup_shifted_sql as _vnds_sql,
+)
+
+
+@register(
+    "video_near_dup_shifted",
+    sql=_vnds_sql(X.DUCK),
+    doc="Extension — SHIFT-TOLERANT video near-dup (round 10): a trimmed "
+    "intro or dropped leading frame offsets every subsequent frame "
+    "index, so the strict aligned-frame rule misses an otherwise "
+    "identical clip; here a pair matches at the BEST alignment offset "
+    "delta in [-1, +1] (matched(delta) counts frames within Hamming 3 "
+    "at that shift; the pair rule applies to the max).  Candidates drop "
+    "the frame-equality key — (band, bv) only, still "
+    "pigeonhole-complete at any delta, ~3x the strict form's candidate "
+    "volume (the price of shift tolerance, documented in the fragment). "
+    "Same decode + per-frame banding stage; oracle recomputes from text "
+    "in pure SQL.  driver-gated via video_near_dup (tier-1, the same "
+    "banding stage) + dedup_clusters (the candidate machinery)",
+    tier=2,
+)
+def video_near_dup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.video_near_dup_shifted_df(spark)
+
+
 _IMAGE_INDEX_CACHE: dict[str, str] = {}
 
 

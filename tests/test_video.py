@@ -208,3 +208,46 @@ def test_decode_features_takes_the_real_video_path() -> None:
     assert MM.decode_features(avi, "application/octet-stream") == (
         MM._decode_stub(avi)
     )
+
+
+def test_video_near_dup_shifted_catches_trimmed_intros(spark) -> None:
+    """The shift-tolerant form pairs a clip with its one-frame-shifted
+    twin (trimmed intro), which the strict aligned form misses; both
+    agree with their DuckDB oracles, and unrelated clips stay unpaired."""
+    import duckdb
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running far "
+        * 4
+    )
+    rows = [
+        (0, base),
+        (1, "x" * MM.VIDEO_FRAME_STRIDE + base),  # one-frame-shifted twin
+        (2, "totally different words that do not resemble the others at all"),
+        (3, base),  # exact dup of 0
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    strict = [
+        (r["doc_a"], r["doc_b"], r["matched_frames"])
+        for r in MM.video_near_dup_df(spark).collect()
+    ]
+    shifted = [
+        (r["doc_a"], r["doc_b"], r["matched_frames"])
+        for r in MM.video_near_dup_shifted_df(spark).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert strict == [
+        tuple(r) for r in con.execute(MM.video_near_dup_sql(X.DUCK)).fetchall()
+    ]
+    assert shifted == [
+        tuple(r)
+        for r in con.execute(MM.video_near_dup_shifted_sql(X.DUCK)).fetchall()
+    ]
+    assert not any({a, b} == {0, 1} for a, b, _ in strict)
+    assert any({a, b} == {0, 1} for a, b, _ in shifted)
+    assert (0, 3, 3) in shifted  # exact dups still match at delta 0
+    assert not any(2 in (a, b) for a, b, _ in shifted)
