@@ -2625,10 +2625,19 @@ def video_pairs_shifted_sql(d: str, vb: str) -> str:
     frame-equality key ((band, bv) only — a matched frame pair at ANY
     delta still agrees on >= 1 whole band, so capture stays
     pigeonhole-complete; the wider buckets cost ~(2s+1)x the strict
-    form's candidate volume, the price of shift tolerance)."""
+    form's candidate volume, the price of shift tolerance).  The shift
+    axis expands GENERATOR-side (explode over [-s, s] on the b relation,
+    aligned frame as a plain column), so the verify stays a pure hash
+    equi-join — a VALUES cross join would plan a BroadcastNestedLoopJoin
+    and trip the fleet plan guard."""
     ham = X.xor(d, "ba.bv", "bb.bv")
-    deltas = ",".join(
-        f"({s})" for s in range(-VIDEO_MAX_SHIFT, VIDEO_MAX_SHIFT + 1)
+    sexp_src = X.explode_range(
+        d,
+        f"(SELECT * FROM {vb})",
+        "doc_id, frame_idx, band, bv",
+        str(-VIDEO_MAX_SHIFT),
+        str(VIDEO_MAX_SHIFT),
+        "delta",
     )
     return f"""
 scand AS (
@@ -2636,16 +2645,19 @@ scand AS (
   FROM {vb} a JOIN {vb} b
     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 ),
+sexp AS (
+  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band, bv
+  FROM {sexp_src} t
+),
 sfham AS (
-  SELECT c.doc_a, c.doc_b, dd.delta, ba.frame_idx,
+  SELECT c.doc_a, c.doc_b, bb.delta, ba.frame_idx,
     CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
   FROM scand c
-  CROSS JOIN (VALUES {deltas}) AS dd(delta)
   JOIN {vb} ba ON ba.doc_id = c.doc_a
-  JOIN {vb} bb ON bb.doc_id = c.doc_b
-             AND bb.frame_idx = ba.frame_idx + dd.delta
+  JOIN sexp bb ON bb.doc_id = c.doc_b
+             AND bb.aframe = ba.frame_idx
              AND bb.band = ba.band
-  GROUP BY c.doc_a, c.doc_b, dd.delta, ba.frame_idx
+  GROUP BY c.doc_a, c.doc_b, bb.delta, ba.frame_idx
 ),
 snc AS (SELECT doc_id, COUNT(DISTINCT frame_idx) AS n FROM {vb} GROUP BY doc_id),
 smatch AS (
