@@ -2631,23 +2631,40 @@ def video_pairs_shifted_sql(d: str, vb: str) -> str:
     equi-join — a VALUES cross join would plan a BroadcastNestedLoopJoin
     and trip the fleet plan guard."""
     ham = X.xor(d, "ba.bv", "bb.bv")
-    sexp_src = X.explode_range(
-        d,
-        f"(SELECT * FROM {vb})",
-        "doc_id, frame_idx, band, bv",
-        str(-VIDEO_MAX_SHIFT),
-        str(VIDEO_MAX_SHIFT),
-        "delta",
-    )
+    if d == X.SPARK:
+        # generator-side shift expansion: LATERAL VIEW explode keeps the
+        # verify a pure hash equi-join (a VALUES cross join would plan a
+        # BroadcastNestedLoopJoin and trip the fleet plan guard)
+        sexp_src = X.explode_range(
+            d,
+            f"(SELECT * FROM {vb})",
+            "doc_id, frame_idx, band, bv",
+            str(-VIDEO_MAX_SHIFT),
+            str(VIDEO_MAX_SHIFT),
+            "delta",
+        )
+        sexp = f"""
+  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band, bv
+  FROM {sexp_src} t"""
+    else:
+        # DuckDB oracle: the 3-row VALUES cross product — the unnest form
+        # defeats DuckDB's CTE materialization and re-runs the whole
+        # text-grid recompute (measured 437 s vs 6 s at sf0.1); plan
+        # shape only matters on the Spark side
+        deltas = ",".join(
+            f"({s})" for s in range(-VIDEO_MAX_SHIFT, VIDEO_MAX_SHIFT + 1)
+        )
+        sexp = f"""
+  SELECT doc_id, frame_idx, (frame_idx - dd.delta) AS aframe,
+         dd.delta AS delta, band, bv
+  FROM {vb} CROSS JOIN (VALUES {deltas}) AS dd(delta)"""
     return f"""
 scand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {vb} a JOIN {vb} b
     ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 ),
-sexp AS (
-  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band, bv
-  FROM {sexp_src} t
+sexp AS ({sexp}
 ),
 sfham AS (
   SELECT c.doc_a, c.doc_b, bb.delta, ba.frame_idx,
