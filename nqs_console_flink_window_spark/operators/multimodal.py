@@ -1911,15 +1911,24 @@ def image_dup_clusters_df(spark, table: str = "documents") -> DataFrame:
     min doc_id), which is component-equivalent but LINEAR in the group
     size, so the cluster form stays linear even on a corpus that is
     mostly near-constant thumbnails (the documented bv=0 hot bucket)."""
-    from .dedup_cluster import dedup_clusters_df
-    from .staging import staged_views
-
     media = documents_as_images(spark.table(table))
     bands = (
         extract_dhash(media)
         .filter(F.col("decode_ok"))
         .select(F.col("media_id").alias("doc_id"), "band", "bv")
     )
+    return dup_clusters_from_bands(spark, bands, table)
+
+
+def dup_clusters_from_bands(spark, bands, table: str) -> DataFrame:
+    """The cluster composition over ANY (doc_id, band, bv) relation —
+    split-routed Hamming pairs (zero clique star-reduced) feeding the
+    shared connected-components core over all documents as nodes.
+    Shared by the image and audio cluster forms (the audio fingerprint
+    has the same band shape AND the same zero hot group: silent clips)."""
+    from .dedup_cluster import dedup_clusters_df
+    from .staging import staged_views
+
     with staged_views(spark, bands=bands) as v:
         edges = spark.sql(f"""
 WITH {_dhash_split_ctes(X.SPARK, v.bands).strip()},
@@ -1940,6 +1949,46 @@ UNION ALL SELECT doc_a, doc_b FROM cross_pairs
             return dedup_clusters_df(
                 spark.table(ev.edges), spark.table(table).select("doc_id")
             )
+
+
+def audio_dup_clusters_df(spark, table: str = "documents") -> DataFrame:
+    """The CLUSTER form of audio near-dup — the shared cluster
+    composition over the waveform fingerprint's bands (silent clips are
+    the zero group the star reduction absorbs)."""
+    media = documents_as_audio(spark.table(table))
+    bands = (
+        extract_audio_fp(media)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("doc_id"), "band", "bv")
+    )
+    return dup_clusters_from_bands(spark, bands, table)
+
+
+def audio_dup_clusters_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the image cluster oracle's recursive min-label body
+    over the audio grid."""
+    return f"""
+WITH RECURSIVE {audio_fp_grid_sql(d, table).strip()},
+{_dhash_cand_ham_ctes(d, "bands").strip()},
+pairs AS (
+  SELECT doc_a, doc_b FROM ham WHERE hamming <= {DHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
 
 
 def image_dup_clusters_sql(d: str, table: str = "documents") -> str:

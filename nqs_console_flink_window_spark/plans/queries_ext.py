@@ -583,6 +583,29 @@ def audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_near_dup_df(spark)
 
 
+from ..operators.multimodal import audio_dup_clusters_sql as _adc_sql  # noqa: E402
+
+
+@register(
+    "audio_dup_clusters",
+    sql=_adc_sql(X.DUCK),
+    doc="Extension — the CLUSTER form of audio near-dup (one row per "
+    "clip with its component id): the waveform fingerprint's bands feed "
+    "the SHARED split-routed cluster composition (dup_clusters_from_"
+    "bands — zero clique star-reduced, so a corpus dominated by silent "
+    "clips stays linear) and the connected-components core; the oracle "
+    "is the image cluster oracle's recursive min-label body over the "
+    "audio grid.  driver-gated via dedup_clusters (the components core) "
+    "+ multimodal_features (the WAV decode plumbing)",
+    tier=2,
+)
+def audio_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.audio_dup_clusters_df(spark)
+
+
 from ..operators.multimodal import video_near_dup_sql as _vnd_sql  # noqa: E402
 
 

@@ -167,3 +167,30 @@ def test_audio_dedup_stream_across_batches_and_replay(spark, tmp_path) -> None:
         for r in spark.read.parquet(kept_dir).select("doc_id").collect()
     )
     assert after_kept == before_kept
+
+
+def test_audio_dup_clusters_matches_oracle(spark) -> None:
+    """Cluster form == the recursive min-label oracle: the silent-clip
+    zero group collapses to ONE cluster via the shared star reduction,
+    exact dups merge, distinct clips stay singletons, one row per doc."""
+    import duckdb
+
+    spark.createDataFrame(
+        ROWS, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in MM.audio_dup_clusters_df(spark).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", ROWS)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(MM.audio_dup_clusters_sql(X.DUCK)).fetchall()
+    )
+    assert got == want
+    by_doc = {d: c for d, c, _, _ in got}
+    assert by_doc[0] == by_doc[1]  # exact dups merge
+    assert by_doc[4] == by_doc[5]  # silent clips: one zero-group cluster
+    assert len(got) == len(ROWS)
