@@ -35,13 +35,10 @@ from pyspark.sql import functions as F
 
 from ..functions import dialect as X
 from .image_index import (
-    _assert_fresh_image_ids,
     _bband_col,
-    _ingest_bands,
     build_image_index,
     image_index_append,
     image_index_ingest_batch,
-    read_image_index,
 )
 from .multimodal import DHASH_BANDS, DHASH_MAX_HAMMING, extract_video_fp
 

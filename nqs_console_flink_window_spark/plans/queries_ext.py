@@ -1714,7 +1714,6 @@ def incremental_video_dedup_batches(
         shutil.rmtree(base, ignore_errors=True)
 
 
-
 from ..operators import audio_index as AI  # noqa: E402
 
 
