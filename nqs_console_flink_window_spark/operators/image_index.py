@@ -175,10 +175,18 @@ def build_image_index(
     prune at the file listing (the build_text_index argument applied to
     the perceptual hash).  ``bands_fn`` swaps the band extractor (the
     video family rides these verbs with its frame-augmented band space —
-    video_index.py)."""
-    (bands_fn or image_bands)(media).write.mode("overwrite").partitionBy(
-        "bband"
-    ).parquet(path)
+    video_index.py).
+
+    The pre-write ``repartition("bband")`` aligns shuffle output with the
+    partition columns so each bucket directory gets ONE file instead of
+    one per upstream task (measured: 1534 tiny files -> 48 on the sf0.1
+    video index, ~1 s of per-read listing/footer overhead gone).  At
+    100 TB a single file per bucket would be oversized — there the knob
+    is adding ``bv`` (or a salt) to the repartition key, which spreads a
+    bucket over many tasks while keeping every file bucket-pure."""
+    (bands_fn or image_bands)(media).repartition("bband").write.mode(
+        "overwrite"
+    ).partitionBy("bband").parquet(path)
 
 
 def image_index_append(
@@ -196,7 +204,9 @@ def image_index_append(
         )
     bands = (bands_fn or image_bands)(media)
     _assert_fresh_image_ids(spark, bands, path, "image_index_append")
-    bands.write.mode("append").partitionBy("bband").parquet(path)
+    bands.repartition("bband").write.mode("append").partitionBy(
+        "bband"
+    ).parquet(path)
 
 
 def _ingest_bands(
@@ -208,6 +218,7 @@ def _ingest_bands(
     has the batch's bands in hand and must not re-decode)."""
     (
         bands.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .repartition("bband")  # one file per (bband, batch) slice
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bband", "batch_id")

@@ -177,11 +177,7 @@ def incremental_video_dedup_sql(
 WITH {video_fp_grid_sql(d, table).strip()},
 {_video_match_ctes(d, "vbands").strip()},
 nd AS (
-  SELECT m.doc_a, m.doc_b
-  FROM vmatched m
-  JOIN vnc na ON na.doc_id = m.doc_a
-  JOIN vnc nb ON nb.doc_id = m.doc_b
-  WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+  SELECT doc_a, doc_b FROM vmatched WHERE matched_frames >= thr
 ),
 dup1 AS (SELECT DISTINCT doc_b AS doc_id FROM nd WHERE doc_b < {split}),
 s1 AS (

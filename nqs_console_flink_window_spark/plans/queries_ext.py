@@ -695,10 +695,15 @@ def _ensure_video_index(spark: SparkSession, sf_dir: str) -> str:
     doc="Extension — video_near_dup against the PERSISTED frame-augmented "
     "band index (round 10): the aligned-frame pairs fragment runs over "
     "bands read straight off the standing index — ZERO decode at query "
-    "time (the decode chain dominates the online form's 5.4 s bench row; "
-    "a standing corpus hashes once at ingest and every audit after that "
-    "is pure SQL over 8-byte band rows, with the frame axis unfolded "
-    "from the band key by integer arithmetic).  Results bit-identical to "
+    "time (a standing corpus hashes once at ingest and every audit after "
+    "that is pure SQL over 8-byte band rows, with the frame axis "
+    "unfolded from the band key by integer arithmetic).  Cost attribution "
+    "(round 11, measured): the numpy decode rewrite cut the online "
+    "form's decode stage to ~0.5 s at sf0.1, so BOTH forms are now "
+    "dominated by the shared pairs fragment — the index's win grows with "
+    "corpus bytes (decode scales with payload size, the fragment with "
+    "candidate count), and the round-11 frame-level-candidate "
+    "restructure cut the fragment itself ~2x.  Results bit-identical to "
     "video_near_dup, so the oracle IS the same text-recomputed SQL.  "
     "driver-gated via video_near_dup (tier-1, the same fragment) + "
     "dedup_clusters (the banded-candidate machinery)",
