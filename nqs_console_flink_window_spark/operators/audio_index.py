@@ -90,7 +90,7 @@ def incremental_audio_dedup(
 
 
 def incremental_audio_dedup_sql(
-    d: str, split: int, table: str = "documents"
+    d: str, split: int | str, table: str = "documents"
 ) -> str:
     """DuckDB oracle of the two-batch flow — the image oracle's
     s1/dup2/s2 body over the audio fingerprint's text-recomputed grid."""

@@ -358,7 +358,7 @@ WHERE hamming <= {DHASH_MAX_HAMMING}
 
 
 def incremental_image_dedup_sql(
-    d: str, split: int, table: str = "documents", grid_sql_fn=None
+    d: str, split: int | str, table: str = "documents", grid_sql_fn=None
 ) -> str:
     """DuckDB oracle of the registered two-batch flow: bands recomputed
     from text (the image family's standing oracle device), candidate +

@@ -1974,6 +1974,194 @@ def audio_near_dup_sql(d: str, table: str = "documents") -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# SPECTRAL audio fingerprint (round 11) — the robustness upgrade the
+# waveform fingerprint lacks: quantized gain changes (volume at 50%)
+# collapse adjacent-sample ties and flip waveform comparison bits, while
+# a band-ENERGY code is stable because energies scale by g^2 in aggregate.
+# Design is the published sign-of-band-energy-difference family
+# (Haitsma & Kalker's robust audio hash; chromaprint's chroma-difference
+# codes), with one deliberate substitution: the filterbank is a
+# WALSH-HADAMARD sequency transform instead of a float DFT, because its
+# +-1 integer weights make every energy EXACTLY computable in int64 on
+# both engines — the float DFT's last-ulp drift across Spark/DuckDB would
+# break the value-hash oracle that every operator here is gated by.
+# Properties (exact, not approximate): DC offset lands only in sequency 0
+# (excluded — Sum(+-1) = 0 for b != 0); UNQUANTIZED gain g > 0 scales
+# every energy by g^2 and preserves all difference signs; the fingerprint
+# packs into the SAME 4 x 16-bit band shape, so the candidate join,
+# Hamming verify, zero split, cluster core and every standing-index verb
+# apply verbatim.
+# ---------------------------------------------------------------------------
+
+AFPS_T = 17  # time windows -> 16 adjacent energy comparisons
+AFPS_K = 16  # sample points per window (one Hadamard block)
+AFPS_BANDS_F = 4  # sequency bands: Hadamard indices 1..4 (0 = DC, excluded)
+
+
+def audio_spectral_bands_from_samples(xs: list[int]) -> list[int]:
+    """Samples -> DHASH_BANDS 16-bit spectral band values: nearest-
+    neighbor resample to AFPS_T*AFPS_K points (the thumbnail rule),
+    per-window Walsh-Hadamard band energies E(t, b) = W(t, b)^2 with
+    W(t, b) = sum_k s[t*K + k] * (-1)^popcount(b & k), bit (t, b) =
+    [E(t+1, b) > E(t, b)] at index 4t + (b-1).  |W| <= 16 * 2^15 so E
+    <= 2^38 — exact in int64 end-to-end."""
+    n = len(xs)
+    if n < 1:
+        raise ValueError("empty audio stream")
+    npts = AFPS_T * AFPS_K
+    idx = (np.arange(npts) * n) // npts
+    s = np.asarray(xs, dtype=np.int64)[idx].reshape(AFPS_T, AFPS_K)
+    k = np.arange(AFPS_K)
+    signs = np.array(
+        [
+            1 - 2 * (int(bit_b & kk).bit_count() % 2)
+            for bit_b in range(1, AFPS_BANDS_F + 1)
+            for kk in k
+        ],
+        dtype=np.int64,
+    ).reshape(AFPS_BANDS_F, AFPS_K)
+    w = s @ signs.T  # (T, BANDS_F)
+    e = w * w
+    bits = (e[1:] > e[:-1]).astype(np.int64)  # (T-1, BANDS_F)
+    i = (4 * np.arange(AFPS_T - 1))[:, None] + np.arange(AFPS_BANDS_F)[None, :]
+    vals = bits << (i % 16)
+    bands = [0] * DHASH_BANDS
+    for t in range(AFPS_T - 1):
+        bands[t // 4] += int(vals[t].sum())
+    return bands
+
+
+def decode_audio_spectral(payload: bytes, mime: str | None = None) -> list[int]:
+    """Typed dispatch to samples -> spectral bands — decode_audio_fp's
+    gating with the spectral extractor."""
+    audio_ok = mime is None or mime.startswith("audio/")
+    if not (
+        audio_ok
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        raise ValueError("not a wav payload")
+    return audio_spectral_bands_from_samples(_wav_samples(payload))
+
+
+def extract_audio_spectral(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """(media_id, payload, meta.mime) -> DHASH_BANDS spectral rows per
+    clip — extract_audio_fp's kernel shape on the spectral dispatch."""
+    cols = _spread_for_decode(
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, bandix, bvs, oks = [], [], [], []
+            for mid, payload, mime in zip(
+                b["media_id"], b["payload"], b["mime"]
+            ):
+                try:
+                    bands = decode_audio_spectral(
+                        bytes(payload) if payload is not None else b"", mime
+                    )
+                    ok = True
+                except Exception:  # noqa: BLE001 - flagged, not fatal
+                    bands, ok = [0] * DHASH_BANDS, False
+                for j, bv in enumerate(bands):
+                    ids.append(int(mid))
+                    bandix.append(j)
+                    bvs.append(int(bv))
+                    oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "band": pd.Series(bandix, dtype="int32"),
+                    "bv": pd.Series(bvs, dtype="int64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return cols.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def audio_spectral_grid_sql(d: str, table: str = "documents") -> str:
+    """CTE-list (no leading WITH, no trailing comma) exposing ``sbands``
+    (doc_id, band, bv): the spectral fingerprint recomputed from text in
+    pure SQL.  The fixture samples are code * 256 — an UNQUANTIZED gain —
+    so the SQL computes the Walsh-Hadamard energies on the codes directly
+    (g^2 scales both sides of every comparison; all arithmetic BIGINT-
+    exact).  Sample j (0..271) reads code position (j*260 DIV 272) DIV 4;
+    window t = j DIV 16, in-window k = j % 16; the Hadamard sign for
+    band b is (-1)^bit_count(b & k)."""
+    npts = AFPS_T * AFPS_K
+    nsamp = AFP_WINDOWS * AFP_SAMPLES_PER_CODE
+    pts_src = X.explode_range(
+        d,
+        f"(SELECT doc_id, {_audio_text_sql(d)} AS itext FROM {table} "
+        "WHERE text IS NOT NULL)",
+        "doc_id, itext",
+        "0",
+        str(npts - 1),
+        "j",
+    )
+    cpos = X.idiv(d, X.idiv(d, f"(j * {nsamp})", str(npts)), "4")
+    v = (
+        f"CASE WHEN {cpos} + 1 <= length(itext) "
+        f"THEN ascii(substr(itext, {cpos} + 1, 1)) ELSE 0 END"
+    )
+    wb = ", ".join(
+        f"CAST(SUM(CASE WHEN bit_count(CAST({b} AS BIGINT) "
+        f"& CAST(j % {AFPS_K} AS BIGINT)) % 2 = 0 THEN v ELSE -v END) "
+        f"AS BIGINT) AS w{b}"
+        for b in range(1, AFPS_BANDS_F + 1)
+    )
+    eb = ", ".join(f"w{b} * w{b} AS e{b}" for b in range(1, AFPS_BANDS_F + 1))
+    lb = ", ".join(
+        f"LEAD(e{b}) OVER (PARTITION BY doc_id ORDER BY t) AS le{b}"
+        for b in range(1, AFPS_BANDS_F + 1)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN le{b} > e{b} THEN 1 ELSE 0 END) "
+        f"* {X.shiftleft(d, '1', f'4 * (t % 4) + {b - 1}')}"
+        for b in range(1, AFPS_BANDS_F + 1)
+    )
+    return f"""
+spts AS (
+  SELECT doc_id, {X.idiv(d, "j", str(AFPS_K))} AS t, j, {v} AS v
+  FROM {pts_src} t
+),
+sw AS (SELECT doc_id, t, {wb} FROM spts GROUP BY doc_id, t),
+se AS (SELECT doc_id, t, {eb} FROM sw),
+sbits AS (SELECT doc_id, t, e1, e2, e3, e4, {lb} FROM se),
+sbands AS (
+  SELECT doc_id, {X.idiv(d, "t", "4")} AS band,
+    CAST(SUM({bitsum}) AS BIGINT) AS bv
+  FROM sbits WHERE t < {AFPS_T - 1}
+  GROUP BY doc_id, {X.idiv(d, "t", "4")}
+)"""
+
+
+def audio_near_dup_spectral_df(spark, table: str = "documents") -> DataFrame:
+    """Engine side of audio_near_dup_spectral: the same REAL WAV fixture
+    and Arrow stage as the waveform form, the spectral extractor, the
+    SHARED banded pairs core."""
+    media = documents_as_audio(spark.table(table))
+    bands = (
+        extract_audio_spectral(media)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("doc_id"), "band", "bv")
+    )
+    return dhash_pairs_from_bands(spark, bands)
+
+
+def audio_near_dup_spectral_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the text-recomputed spectral fingerprint + the same
+    pairs fragment."""
+    return (
+        f"WITH {audio_spectral_grid_sql(d, table).strip()},\n"
+        + dhash_pairs_sql(d, "sbands").lstrip()
+    )
+
+
 def image_near_dup_df(spark, table: str = "documents") -> DataFrame:
     """Engine side of image_near_dup: documents -> REAL mixed-format
     images (PPM / bottom-up BMP / grayscale PNG / LZW GIF / baseline

@@ -1696,7 +1696,7 @@ def incremental_embedding_dedup(
 
 
 def incremental_embedding_dedup_duck_sql(
-    split: int, tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings"
+    split: int | str, tau: float = SEMDEDUP_TAU, vec_table: str = "embeddings"
 ) -> str:
     """DuckDB twin of the 2-batch composition (batch 1 = vec_id < split):
     same SRP buckets, same bounded LAG candidates within each batch, same

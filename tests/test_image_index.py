@@ -333,3 +333,70 @@ def test_audio_near_dup_matches_oracle_and_is_gain_invariant(spark) -> None:
     # and the dispatch refuses a non-audio payload
     with pytest.raises(ValueError):
         MM.decode_audio_fp(MM.encode_ppm_gray(MM._fixture_grid("abc")), "image/ppm")
+
+
+def test_audio_spectral_contrast_and_oracle(spark) -> None:
+    """The SPECTRAL audio fingerprint (round 11): engine pairs over the
+    REAL WAV fixture equal the DuckDB text-recomputed oracle on the same
+    hostile corpus as the waveform test; and the CONTRAST the round-10
+    verdict asked for — a QUANTIZED half-volume twin (x -> x DIV 2, the
+    common re-encode transform) is caught by the spectral code (hamming
+    0: band energies scale ~g^2 in aggregate) but missed by the waveform
+    fingerprint (adjacent-sample ties collapse under integer halving:
+    hamming far beyond the near-dup threshold)."""
+    import duckdb
+
+    from nqs_console_flink_window_spark.functions import dialect as X
+
+    rows = [
+        (0, "alpha beta\ngamma delta " * 3),
+        (1, "alpha beta\ngamma delta " * 3),   # exact dup of 0
+        (2, "café au lait résumé " * 4),       # multi-byte chars
+        (3, None),                              # NULL text: no clip
+        (4, "s" * 50),                          # silent/constant clip
+        (5, "t" * 70),                          # another zero-variance clip
+        (6, "completely different filler words that vary a lot here ok"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in MM.audio_near_dup_spectral_df(spark).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [
+        tuple(r)
+        for r in con.execute(MM.audio_near_dup_spectral_sql(X.DUCK)).fetchall()
+    ]
+    assert got == want
+    assert (0, 1, 0) in got           # the exact dup surfaces
+    assert not any(3 in (a, b) for a, b, _ in got)
+
+    # amplitude contrast: sampled points form a +1 staircase from an even
+    # base (waveform-fragile: integer halving collapses every other
+    # comparison), the rest of the signal carries strong per-window
+    # alternating energy (spectral-robust)
+    npts = MM.AFPS_T * MM.AFPS_K
+    samp_idx = [(i * npts) // MM.AFP_WINDOWS for i in range(MM.AFP_WINDOWS)]
+    xs = []
+    for j in range(npts):
+        t = j // MM.AFPS_K
+        amp = 800 * ((t * 3) % 7 + 1)
+        xs.append(amp * (1 if j % 2 else -1))
+    for r, j in enumerate(samp_idx):
+        xs[j] = 100 + r
+    half = [x // 2 for x in xs]
+
+    def ham(a: list[int], b: list[int]) -> int:
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    wf = ham(MM.audio_fp_from_samples(xs), MM.audio_fp_from_samples(half))
+    sp = ham(
+        MM.audio_spectral_bands_from_samples(xs),
+        MM.audio_spectral_bands_from_samples(half),
+    )
+    assert sp == 0                      # spectral: caught (exact match)
+    assert wf > MM.DHASH_MAX_HAMMING    # waveform: missed (measured 32)

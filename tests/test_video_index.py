@@ -208,3 +208,47 @@ def test_video_dedup_stream_across_batches_and_replay(spark, tmp_path) -> None:
         .select("doc_id")
         .collect()
     } == kept_ids
+
+
+def test_shifted_probe_from_index_catches_trimmed_intro(spark, tmp_path) -> None:
+    """The standing index answers the shift-tolerant question WITHOUT
+    re-decoding (round 11): a one-frame-trimmed twin is invisible to the
+    strict aligned probe but caught by video_pairs_shifted_from_index over
+    the SAME persisted band rows — and the probe runs on bands alone (no
+    payload column exists on its input, so a re-decode is impossible by
+    construction).  Both probes are bit-identical to their online forms."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running far "
+        * 4
+    )
+    rows = [
+        (0, base),
+        (1, "x" * MM.VIDEO_FRAME_STRIDE + base),  # one-frame-shifted twin
+        (2, "totally different words that do not resemble the others at all"),
+        (3, base),  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "vidx")
+    VI.build_video_index(spark, MM.documents_as_videos(docs), idx)
+
+    bands = VI.read_video_index(spark, idx).select("doc_id", "band", "bv")
+    strict = [
+        (r["doc_a"], r["doc_b"])
+        for r in VI.video_pairs_from_index(spark, bands).collect()
+    ]
+    shifted = [
+        (r["doc_a"], r["doc_b"], r["matched_frames"])
+        for r in VI.video_pairs_shifted_from_index(spark, bands).collect()
+    ]
+    assert (0, 1) not in strict  # aligned rule misses the trimmed twin
+    assert any((a, b) == (0, 1) for a, b, _ in shifted)  # index catches it
+    assert (0, 3, 3) in shifted  # exact dup still matches at delta 0
+    assert not any(2 in (a, b) for a, b, _ in shifted)
+
+    # bit-identical to the online shifted form on the same corpus
+    docs.createOrReplaceTempView("documents")
+    online = [
+        (r["doc_a"], r["doc_b"], r["matched_frames"])
+        for r in MM.video_near_dup_shifted_df(spark).collect()
+    ]
+    assert shifted == online
