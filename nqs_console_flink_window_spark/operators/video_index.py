@@ -93,7 +93,8 @@ from .image_index import read_image_index as read_video_index  # noqa: E402,F401
 
 
 def incremental_video_dedup(
-    spark, media: DataFrame, index_bands: DataFrame | None
+    spark, media: DataFrame, index_bands: DataFrame | None,
+    max_shift: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a batch of video clips against the persisted frame-augmented
     band ``index_bands`` (None for the first batch) and within the batch:
@@ -104,6 +105,15 @@ def incremental_video_dedup(
     exists in the index or at a SMALLER doc_id in the same batch (the
     incremental_image_dedup convention).
 
+    ``max_shift`` > 0 (round 11): the gate becomes SHIFT-TOLERANT — the
+    batch clip matches at the BEST alignment offset delta in
+    [-max_shift, +max_shift] (video_pairs_shifted_sql semantics), so a
+    trimmed-intro re-upload of an already-indexed clip is rejected at
+    ingest.  The existing index and folded band key serve it unchanged:
+    the right side expands generator-side over delta (LATERAL VIEW, the
+    plan-guard-safe form) with its folded key re-folded at the shifted
+    frame, so the candidate + verify joins stay pure hash equi-joins.
+
     Returns ``(kept_ids, kept_bands)``: ingest ``kept_bands`` (via
     ``_ingest_bands`` / append) to admit the batch into the index."""
     from .staging import staged_views
@@ -111,38 +121,63 @@ def incremental_video_dedup(
     nb = video_bands(media).localCheckpoint()
     ham = X.xor(X.SPARK, "a.bv", "b.bv")
     frame = X.idiv(X.SPARK, "a.band", str(DHASH_BANDS))
+    nfr = X.idiv(X.SPARK, "band", str(DHASH_BANDS))
+    s = int(max_shift)
 
     def _dup_ids(views, right, right_cond: str) -> DataFrame:
+        if s == 0:
+            cand_src, bjoin, dgrp, dsel = right, "b.band = a.band", "", ""
+        else:
+            # shifted right side: band' = band + delta*DHASH_BANDS folds
+            # the alignment offset into the key; frames shifted out of
+            # range simply never collide (band' matches nothing)
+            shifted = X.explode_range(
+                X.SPARK,
+                f"(SELECT * FROM {right})",
+                "doc_id, band, bv",
+                str(-s),
+                str(s),
+                "delta",
+            )
+            cand_src = (
+                f"(SELECT doc_id, band + delta * {DHASH_BANDS} AS band, "
+                f"bv, delta FROM {shifted} t)"
+            )
+            bjoin = "b.band = a.band"
+            dgrp, dsel = ", b.delta", ", b.delta AS delta"
         return spark.sql(f"""
-WITH cand AS (
-  SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd
-  FROM {views.nb} a JOIN {right} b
+WITH sright AS (SELECT * FROM {cand_src}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd{dsel}
+  FROM {views.nb} a JOIN sright b
     ON a.band = b.band AND a.bv = b.bv{right_cond}
 ),
 fham AS (
-  SELECT c.nd, c.xd, {frame} AS frame,
+  SELECT c.nd, c.xd{dgrp.replace("b.", "c.") if dgrp else ""}, {frame} AS frame,
     CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
   FROM cand c
   JOIN {views.nb} a ON a.doc_id = c.nd
-  JOIN {right} b ON b.doc_id = c.xd AND b.band = a.band
-  GROUP BY c.nd, c.xd, {frame}
+  JOIN sright b ON b.doc_id = c.xd AND {bjoin}
+              {"AND b.delta = c.delta" if s else ""}
+  GROUP BY c.nd, c.xd{dgrp.replace("b.", "c.") if dgrp else ""}, {frame}
 ),
 ncn AS (
-  SELECT doc_id, COUNT(DISTINCT {X.idiv(X.SPARK, "band", str(DHASH_BANDS))})
-    AS n FROM {views.nb} GROUP BY doc_id
+  SELECT doc_id, COUNT(DISTINCT {nfr}) AS n
+  FROM {views.nb} GROUP BY doc_id
 ),
 ncx AS (
-  SELECT doc_id, COUNT(DISTINCT {X.idiv(X.SPARK, "band", str(DHASH_BANDS))})
-    AS n FROM {right} GROUP BY doc_id
+  SELECT doc_id, COUNT(DISTINCT {nfr}) AS n
+  FROM {right} GROUP BY doc_id
 ),
 m AS (
-  SELECT nd, xd,
+  SELECT nd, xd{dgrp.replace("b.", "") if dgrp else ""},
     CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
          AS BIGINT) AS matched
-  FROM fham GROUP BY nd, xd
-)
+  FROM fham GROUP BY nd, xd{dgrp.replace("b.", "") if dgrp else ""}
+),
+mbest AS (SELECT nd, xd, MAX(matched) AS matched FROM m GROUP BY nd, xd)
 SELECT DISTINCT m.nd AS doc_id
-FROM m
+FROM mbest m
 JOIN ncn ON ncn.doc_id = m.nd
 JOIN ncx ON ncx.doc_id = m.xd
 WHERE m.matched >= least(2, least(ncn.n, ncx.n))

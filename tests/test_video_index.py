@@ -252,3 +252,38 @@ def test_shifted_probe_from_index_catches_trimmed_intro(spark, tmp_path) -> None
         for r in MM.video_near_dup_shifted_df(spark).collect()
     ]
     assert shifted == online
+
+
+def test_shifted_ingest_gate_rejects_trimmed_reupload(spark, tmp_path) -> None:
+    """The shift-tolerant ingest-gate mode (round 11): a trimmed-intro
+    re-upload of an already-indexed clip passes the STRICT gate (frame
+    indices offset by one) but is rejected by the max_shift=1 gate over
+    the SAME index rows; unrelated clips pass both, and the strict mode
+    (max_shift=0 default) is unchanged."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running far "
+        * 4
+    )
+    b1 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [
+            (10, "x" * MM.VIDEO_FRAME_STRIDE + base),  # trimmed-intro twin
+            (11, "unrelated words entirely different from everything else"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "vidx")
+    kept1, bands1 = VI.incremental_video_dedup(
+        spark, MM.documents_as_videos(b1), None
+    )
+    II._ingest_bands(spark, bands1, 0, idx)
+    index = VI.read_video_index(spark, idx)
+
+    strict, _ = VI.incremental_video_dedup(
+        spark, MM.documents_as_videos(b2), index
+    )
+    shifted, _ = VI.incremental_video_dedup(
+        spark, MM.documents_as_videos(b2), index, max_shift=1
+    )
+    assert sorted(r["doc_id"] for r in strict.collect()) == [10, 11]
+    assert sorted(r["doc_id"] for r in shifted.collect()) == [11]
