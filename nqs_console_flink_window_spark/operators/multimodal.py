@@ -2301,6 +2301,48 @@ FROM comp
 """
 
 
+def audio_dup_clusters_spectral_df(spark, table: str = "documents") -> DataFrame:
+    """The CLUSTER form over the SPECTRAL fingerprint (round 11) — the
+    linear-output scale path for the spectral family: the 10x soak's
+    48x wall on the spectral PAIR form decomposes into 577x true-pair
+    output growth on the replica-dense fixture (wall sub-linear in
+    work), so a corpus audit should read clusters, not pairs — the same
+    pairs-vs-clusters trade every other modality documents."""
+    media = documents_as_audio(spark.table(table))
+    bands = (
+        extract_audio_spectral(media)
+        .filter(F.col("decode_ok"))
+        .select(F.col("media_id").alias("doc_id"), "band", "bv")
+    )
+    return dup_clusters_from_bands(spark, bands, table)
+
+
+def audio_dup_clusters_spectral_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the recursive min-label body over the spectral grid."""
+    return f"""
+WITH RECURSIVE {audio_spectral_grid_sql(d, table).strip()},
+{_dhash_cand_ham_ctes(d, "sbands").strip()},
+pairs AS (
+  SELECT doc_a, doc_b FROM ham WHERE hamming <= {DHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
 def image_dup_clusters_sql(d: str, table: str = "documents") -> str:
     """Oracle form: the fixture-grid dHash pairs + the same recursive
     min-label component CTE the text dedup_clusters oracle uses."""

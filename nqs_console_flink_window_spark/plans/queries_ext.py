@@ -617,6 +617,33 @@ def audio_near_dup_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_near_dup_spectral_df(spark)
 
 
+from ..operators.multimodal import (  # noqa: E402
+    audio_dup_clusters_spectral_sql as _adcs_sql,
+)
+
+
+@register(
+    "audio_dup_clusters_spectral",
+    sql=_adcs_sql(X.DUCK),
+    doc="Extension — the CLUSTER form of the spectral audio near-dup "
+    "(round 11): the linear-output scale path for the spectral family — "
+    "the 10x soak's 48x wall on the spectral PAIR form decomposes into "
+    "577x true-pair output growth on the replica-dense fixture (wall "
+    "strongly sub-linear in work), the pairs-vs-clusters trade every "
+    "other modality documents; rides the SHARED dup_clusters_from_bands "
+    "core (split-routed candidates, zero clique star-reduced, bounded "
+    "min-label CC).  Oracle: the recursive min-label body over the "
+    "spectral grid.  driver-gated via audio_dup_clusters (tier-1, the "
+    "same cluster core over the waveform grid) + multimodal_features",
+    tier=2,
+)
+def audio_dup_clusters_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.audio_dup_clusters_spectral_df(spark)
+
+
 from ..operators.multimodal import audio_dup_clusters_sql as _adc_sql  # noqa: E402
 
 
