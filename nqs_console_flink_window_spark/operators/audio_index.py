@@ -97,3 +97,72 @@ def incremental_audio_dedup_sql(
     return incremental_image_dedup_sql(
         d, split, table, grid_sql_fn=audio_fp_grid_sql
     )
+
+
+# ---------------------------------------------------------------------------
+# SPECTRAL variant (round 11): the Walsh-Hadamard band-energy fingerprint
+# (multimodal.audio_spectral_bands_from_samples — amplitude-robust where
+# the waveform fingerprint's adjacent-sample ties collapse under
+# quantized gain) packs into the SAME (doc_id, band, bv) shape, so the
+# ENTIRE verb surface below is the image core with one different
+# extractor — the bands_fn/grid_sql_fn hooks doing exactly what they
+# were built for.  A production corpus keeps ONE of the two standing
+# audio indexes (or both, as belt-and-braces recall); the gates are
+# interchangeable by path.
+# ---------------------------------------------------------------------------
+
+from .multimodal import audio_spectral_grid_sql, extract_audio_spectral  # noqa: E402
+
+
+def audio_spectral_bands(media: DataFrame) -> DataFrame:
+    """(doc_id, band, bv, bband) for a batch of clips — the spectral
+    decode+fingerprint pass (one Arrow stage), the audio_bands rule."""
+    return (
+        extract_audio_spectral(media)
+        .filter(F.col("decode_ok"))
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "band",
+            "bv",
+        )
+        .withColumn("bband", _bband_col())
+    )
+
+
+def build_audio_spectral_index(spark, media: DataFrame, path: str) -> None:
+    """Bulk build — the image verb with the spectral extractor."""
+    build_image_index(spark, media, path, bands_fn=audio_spectral_bands)
+
+
+def audio_spectral_index_ingest_batch(
+    spark, batch_media: DataFrame, batch_id: int, path: str
+) -> None:
+    """Replay-idempotent streamed landing — the image verb reused."""
+    image_index_ingest_batch(
+        spark, batch_media, batch_id, path, bands_fn=audio_spectral_bands
+    )
+
+
+def incremental_audio_spectral_dedup(
+    spark, media: DataFrame, index_bands: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """The image gate verbatim over the spectral fingerprint — rejects
+    re-uploads the waveform gate misses (quantized volume changes)."""
+    return incremental_image_dedup(
+        spark, media, index_bands, bands_fn=audio_spectral_bands
+    )
+
+
+def _spectral_grid_as_bands(d: str, table: str = "documents") -> str:
+    """grid_sql_fn hook shape: the spectral grid exposing ``bands``."""
+    return audio_spectral_grid_sql(d, table, rel="bands")
+
+
+def incremental_audio_spectral_dedup_sql(
+    d: str, split: int | str, table: str = "documents"
+) -> str:
+    """DuckDB oracle of the two-batch flow — the image oracle's
+    s1/dup2/s2 body over the spectral text-recomputed grid."""
+    return incremental_image_dedup_sql(
+        d, split, table, grid_sql_fn=_spectral_grid_as_bands
+    )

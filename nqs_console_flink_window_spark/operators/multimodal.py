@@ -2083,8 +2083,11 @@ def extract_audio_spectral(media: DataFrame, batch_hint: int = 1024) -> DataFram
     return cols.mapInPandas(kernel, DHASH_SCHEMA)
 
 
-def audio_spectral_grid_sql(d: str, table: str = "documents") -> str:
-    """CTE-list (no leading WITH, no trailing comma) exposing ``sbands``
+def audio_spectral_grid_sql(
+    d: str, table: str = "documents", rel: str = "sbands"
+) -> str:
+    """CTE-list (no leading WITH, no trailing comma) exposing ``rel``
+    (default ``sbands``; the index-family oracle hooks pass ``bands``)
     (doc_id, band, bv): the spectral fingerprint recomputed from text in
     pure SQL.  The fixture samples are code * 256 — an UNQUANTIZED gain —
     so the SQL computes the Walsh-Hadamard energies on the codes directly
@@ -2132,7 +2135,7 @@ spts AS (
 sw AS (SELECT doc_id, t, {wb} FROM spts GROUP BY doc_id, t),
 se AS (SELECT doc_id, t, {eb} FROM sw),
 sbits AS (SELECT doc_id, t, e1, e2, e3, e4, {lb} FROM se),
-sbands AS (
+{rel} AS (
   SELECT doc_id, {X.idiv(d, "t", "4")} AS band,
     CAST(SUM({bitsum}) AS BIGINT) AS bv
   FROM sbits WHERE t < {AFPS_T - 1}

@@ -1873,6 +1873,59 @@ def incremental_audio_dedup_batches(
         shutil.rmtree(base, ignore_errors=True)
 
 
+@register(
+    "incremental_audio_spectral_dedup_batches",
+    sql=AI.incremental_audio_spectral_dedup_sql(X.DUCK, _INC_SPLIT_SQL),
+    doc="Extension — the ingest-time incremental gate over the SPECTRAL "
+    "audio fingerprint (round 11): with the spectral extractor slotted "
+    "into the image core's bands_fn/grid_sql_fn hooks, the persisted "
+    "index, the two-batch flow, the replay-idempotent landings and the "
+    "s1/dup2/s2 oracle are ALL the shared verbs verbatim — the hook "
+    "architecture's whole point, demonstrated by a second audio "
+    "fingerprint costing ~30 lines.  Production use: this gate rejects "
+    "quantized-volume re-uploads the waveform gate misses "
+    "(test_audio_spectral contrast).  driver-gated via "
+    "audio_dup_clusters (tier-1, the banded audio machinery) + "
+    "dedup_clusters; lifecycle verbs fuzz-pinned through the shared "
+    "image core",
+    tier=2,
+)
+def incremental_audio_spectral_dedup_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = _inc_split_id(docs)
+    media1 = MM.documents_as_audio(docs.filter(F.col("doc_id") < split))
+    media2 = MM.documents_as_audio(docs.filter(F.col("doc_id") >= split))
+    base = tempfile.mkdtemp(prefix="nqs_audio_sidx_")
+    try:
+        idx = f"{base}/index"
+        _kept1, bands1 = AI.incremental_audio_spectral_dedup(
+            spark, media1, None
+        )
+        II._ingest_bands(spark, bands1, 0, idx)
+        _kept2, bands2 = AI.incremental_audio_spectral_dedup(
+            spark, media2, AI.read_audio_index(spark, idx)
+        )
+        II._ingest_bands(spark, bands2, 1, idx)
+        out = (
+            AI.read_audio_index(spark, idx)
+            .select(
+                "doc_id", (F.col("batch_id") + 1).cast("int").alias("batch")
+            )
+            .distinct()
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _EMB_SPLIT_SQL = "(SELECT (MIN(vec_id) + MAX(vec_id) + 1) // 2 FROM embeddings)"
 
 

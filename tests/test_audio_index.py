@@ -194,3 +194,70 @@ def test_audio_dup_clusters_matches_oracle(spark) -> None:
     assert by_doc[0] == by_doc[1]  # exact dups merge
     assert by_doc[4] == by_doc[5]  # silent clips: one zero-group cluster
     assert len(got) == len(ROWS)
+
+
+def test_spectral_gate_rejects_half_volume_reupload(spark, tmp_path) -> None:
+    """The spectral index gate (round 11) catches the quantized
+    half-volume re-upload the waveform gate admits: clip 0 lands in both
+    standing indexes; its x DIV 2 twin then passes the WAVEFORM gate
+    (adjacent-sample ties collapse, fingerprint drifts past Hamming 3)
+    but is rejected by the SPECTRAL gate over the same machinery — the
+    production contrast the fingerprint was added for."""
+    import io
+    import struct
+    import wave
+
+    def wav(samples: list[int]) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(MM.AFP_RATE)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    npts = MM.AFPS_T * MM.AFPS_K
+    samp_idx = [(i * npts) // MM.AFP_WINDOWS for i in range(MM.AFP_WINDOWS)]
+    xs = []
+    for j in range(npts):
+        t = j // MM.AFPS_K
+        amp = 800 * ((t * 3) % 7 + 1)
+        xs.append(amp * (1 if j % 2 else -1))
+    for r, j in enumerate(samp_idx):
+        xs[j] = 100 + r
+    half = [x // 2 for x in xs]
+
+    def media(rows):
+        return spark.createDataFrame(
+            [(i, p) for i, p in rows], "media_id long, payload binary"
+        ).select(
+            "media_id",
+            "payload",
+            F.struct(
+                F.lit("audio/wav").alias("mime"),
+                F.octet_length("payload").cast("long").alias("n_bytes"),
+            ).alias("meta"),
+        )
+
+    b1 = media([(0, wav(xs))])
+    # filler clip decorrelated in BOTH fingerprint spaces (hamming 51
+    # waveform / 28 spectral vs clip 0 — a plain sawtooth is near-all-ones
+    # under the waveform comparisons and would collide with the staircase)
+    b2 = media(
+        [(10, wav(half)),
+         (11, wav([((i * 7919) % 2003) - 1000 for i in range(npts)]))]
+    )
+
+    for gate, build, expect in (
+        (AI.incremental_audio_dedup, AI.build_audio_index, [10, 11]),
+        (
+            AI.incremental_audio_spectral_dedup,
+            AI.build_audio_spectral_index,
+            [11],
+        ),
+    ):
+        idx = str(tmp_path / f"idx_{expect[0]}")
+        build(spark, b1, idx)
+        kept, _ = gate(spark, b2, AI.read_audio_index(spark, idx))
+        assert sorted(r["media_id"] if "media_id" in r else r["doc_id"]
+                      for r in kept.collect()) == expect
