@@ -36,22 +36,29 @@ from . import dedup_text as DD
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_rounds: int = 20
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = 40
 ) -> DataFrame:
     """Min-label propagation with pointer doubling: returns (id, lbl) where
     ``lbl`` is the smallest node id in the component.  ``edges`` must be
     directed both ways (src, dst); ``nodes`` is one column ``id`` covering
     every vertex (isolated vertices become singleton components).
 
-    Each round does (1) one edge-join propagation step and (2) one label
-    self-join shortcut step (lbl := lbl's lbl — path compression), so label
-    distances halve per round and convergence is O(log diameter) instead of
-    O(diameter).  Round-4 measurement at sf0.1: plain propagation needed 18
-    rounds on the chain-shaped LSH near-dup graph; doubling needs 10 (the
-    doubling step compresses label chains, not graph edges, so the gain is
-    bounded by how fast minima spread through the edge joins too).  The
-    shortcut join touches only the |nodes|-row label table — far cheaper
-    than an extra edge join."""
+    Each round does (1) one edge-join propagation step and (2) TWO label
+    self-join shortcut steps (lbl := lbl's lbl — path compression), so
+    label distances shrink ~4x per round and convergence is O(log
+    diameter) instead of O(diameter).  Round-4 measurement at sf0.1:
+    plain propagation needed 18 rounds on the chain-shaped LSH near-dup
+    graph; one compression cut it to 10.  Round-11 measurement on pure
+    chain graphs (worst case — min label at one end): 50,000 nodes need
+    16 rounds with ONE compression but only 9 with two, and the 10x
+    spectral-audio soak found a real corpus graph that exhausted the old
+    20-round cap (low-entropy fingerprints chain across the corpus), so
+    the second pass is load-bearing, not belt-and-braces.  Each shortcut
+    join touches only the |nodes|-row label table — far cheaper than an
+    extra edge join — and the round count DROPS, so net cost falls too.
+    ``max_rounds`` = 40 is the safety valve: with ~4x-per-round label
+    shrinkage it covers graphs astronomically beyond any real corpus
+    diameter; hitting it means a bug, not a big graph."""
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
     for _ in range(max_rounds):
         msgs = (
@@ -66,19 +73,29 @@ def connected_components(
                 F.least("lbl", F.coalesce("msg", "lbl")).alias("lbl"),
             )
         )
-        lookup = propagated.select(
-            F.col("id").alias("l_id"), F.col("lbl").alias("l_lbl")
-        )
-        doubled = (
-            propagated.join(lookup, propagated["lbl"] == lookup["l_id"], "left")
-            .select(
-                propagated["id"],
-                F.least(
-                    propagated["lbl"], F.coalesce("l_lbl", propagated["lbl"])
-                ).alias("lbl"),
+        # each compression pass is checkpointed before the next: a NESTED
+        # self-join on the same uncheckpointed lineage (compress twice in
+        # one plan) sends the analyzer's relation-deduplication into a
+        # pathological path — measured minutes of analysis on a 200-node
+        # graph; one materialization per pass keeps every self-join flat
+        for _c in range(2):
+            lookup = propagated.select(
+                F.col("id").alias("l_id"), F.col("lbl").alias("l_lbl")
             )
-            .localCheckpoint()
-        )
+            propagated = (
+                propagated.join(
+                    lookup, propagated["lbl"] == lookup["l_id"], "left"
+                )
+                .select(
+                    propagated["id"],
+                    F.least(
+                        propagated["lbl"],
+                        F.coalesce("l_lbl", propagated["lbl"]),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+        doubled = propagated
         changed = (
             doubled.alias("n")
             .join(labels.alias("p"), F.col("n.id") == F.col("p.id"))
