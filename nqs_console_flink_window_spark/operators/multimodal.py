@@ -76,7 +76,7 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def _spread_for_decode(df: DataFrame) -> DataFrame:
+def _spread_for_decode(df: DataFrame, parent: DataFrame | None = None) -> DataFrame:
     """Give an Arrow (mapInPandas) kernel enough partitions to use every
     core: a small corpus arrives as ONE parquet file = one partition,
     which would serialize the whole Python decode stage on a single
@@ -92,9 +92,18 @@ def _spread_for_decode(df: DataFrame) -> DataFrame:
     that already spread marks its output and the downstream extract_*
     call skips both probe and shuffle.  The tag is a plain Python
     attribute — it survives only direct object passing, and any
-    intervening transform drops it so the probe honestly resumes."""
-    if getattr(df, "_nqs_spread", False):
-        return df
+    intervening transform drops it so the probe honestly resumes.
+    ``parent`` lets the standard extract_* pattern — a pure projection
+    off a marked adapter output (``_spread_for_decode(media.select(...),
+    parent=media)``) — inherit the tag: ``DataFrame.select`` returns a
+    fresh Python object, so checking only ``df`` would drop the tag on
+    every call site and the short-circuit would be dead code; a
+    projection (and a narrow filter) preserves partitioning, so the
+    inheritance is sound."""
+    if getattr(df, "_nqs_spread", False) or (
+        parent is not None and getattr(parent, "_nqs_spread", False)
+    ):
+        return _mark_spread(df)
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() < n:
@@ -510,6 +519,11 @@ def _jpeg_huff_table(bits: list[int], vals: list[int]) -> _HuffLUT:
     key = (tuple(bits), tuple(vals))
     cached = _HUFF_LUT_CACHE.get(key)
     if cached is not None:
+        # LRU refresh: re-insert on hit so eviction below removes the
+        # least-recently-USED table, never a hot one (the libjpeg standard
+        # tables are inserted first — plain FIFO would evict them first)
+        del _HUFF_LUT_CACHE[key]
+        _HUFF_LUT_CACHE[key] = cached
         return cached
     sym = np.zeros(1 << 16, dtype=np.int32)
     lng = np.zeros(1 << 16, dtype=np.int32)
@@ -527,7 +541,11 @@ def _jpeg_huff_table(bits: list[int], vals: list[int]) -> _HuffLUT:
         code <<= 1
     lut = _HuffLUT(sym.tolist(), lng.tolist())
     if len(_HUFF_LUT_CACHE) > 64:
-        _HUFF_LUT_CACHE.clear()
+        # evict ONE least-recently-used entry, not the whole cache: a
+        # wholesale clear() also drops the hot libjpeg standard tables, so
+        # a corpus with >64 distinct custom tables interleaved would
+        # rebuild the 65536-slot LUT on every frame
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
     _HUFF_LUT_CACHE[key] = lut
     return lut
 
@@ -1274,7 +1292,8 @@ def extract_dhash(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     zero-band rows flagged decode_ok=False so corpus accounting stays
     row-exact."""
     cols = _spread_for_decode(
-        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime")),
+        parent=media,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1875,7 +1894,8 @@ def extract_audio_fp(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     the audio dispatch; undecodable payloads flag, never kill the stage."""
 
     cols = _spread_for_decode(
-        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime")),
+        parent=media,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2050,7 +2070,8 @@ def extract_audio_spectral(media: DataFrame, batch_hint: int = 1024) -> DataFram
     """(media_id, payload, meta.mime) -> DHASH_BANDS spectral rows per
     clip — extract_audio_fp's kernel shape on the spectral dispatch."""
     cols = _spread_for_decode(
-        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime")),
+        parent=media,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2463,7 +2484,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return _spread_for_decode(
-        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime")),
+        parent=media,
     ).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
@@ -2760,7 +2782,8 @@ def extract_video_fp(
     payloads emit one zero-frame's worth of flagged rows so corpus
     accounting stays row-exact."""
     cols = _spread_for_decode(
-        media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime")),
+        parent=media,
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

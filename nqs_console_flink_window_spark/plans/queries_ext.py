@@ -1649,6 +1649,10 @@ def _inc_split_id(df: DataFrame, col: str = "doc_id") -> int:
     """Engine side of the midpoint boundary — one 1-row aggregate collect
     (the audited bounded-collect class), exact twin of _INC_SPLIT_SQL."""
     row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    if row.lo is None:
+        raise ValueError(
+            "empty corpus: no incremental split (MIN/MAX aggregated to NULL)"
+        )
     return int((row.lo + row.hi + 1) // 2)
 
 

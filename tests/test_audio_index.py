@@ -259,5 +259,9 @@ def test_spectral_gate_rejects_half_volume_reupload(spark, tmp_path) -> None:
         idx = str(tmp_path / f"idx_{expect[0]}")
         build(spark, b1, idx)
         kept, _ = gate(spark, b2, AI.read_audio_index(spark, idx))
-        assert sorted(r["media_id"] if "media_id" in r else r["doc_id"]
-                      for r in kept.collect()) == expect
+        # field-name check, not `"media_id" in r` — Row is a tuple subclass,
+        # so `in` tests membership among the VALUES
+        assert sorted(
+            r["media_id"] if "media_id" in r.__fields__ else r["doc_id"]
+            for r in kept.collect()
+        ) == expect

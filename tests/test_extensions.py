@@ -500,6 +500,53 @@ def test_connected_components_random_graph_vs_union_find(spark) -> None:
     assert got == want_label
 
 
+def test_connected_components_stats_stay_bounded_across_rounds(spark) -> None:
+    """Regression guard for the round-11 Catalyst-stats blowup: a
+    ``localCheckpoint`` inside an iterative self-join loop inherits the
+    optimized plan's ESTIMATED ``sizeInBytes``, each join multiplies the two
+    sides' stats, and the checkpoint carries the product forward — so the
+    stat's digit count grows ~4x per round (measured 34 -> 152 -> 623 ->
+    2506 -> 10039 digits), driver-side BigInteger math comes to dominate
+    wall time from ~round 8, and ``java.math.BigInteger`` overflows at
+    ~round 13.  The plan guard can't see this (it inspects single plans,
+    not a loop's stat trajectory), so this test drives the REAL two-pass
+    compression loop shape for 15 rounds — past the old crash horizon —
+    and asserts the round-boundary stat stays flat."""
+    from nqs_console_flink_window_spark.operators.dedup_cluster import (
+        _checkpoint_with_real_stats,
+    )
+
+    labels = (
+        spark.range(500)
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    digit_counts = []
+    for _round in range(15):
+        for _c in range(2):
+            lookup = labels.select(
+                F.col("id").alias("l_id"), F.col("lbl").alias("l_lbl")
+            )
+            joined = labels.join(
+                lookup, labels["lbl"] == lookup["l_id"], "left"
+            ).select(
+                labels["id"],
+                F.least(
+                    labels["lbl"], F.coalesce("l_lbl", labels["lbl"])
+                ).alias("lbl"),
+            )
+            if _c == 0:
+                labels = joined.localCheckpoint()
+            else:
+                labels = _checkpoint_with_real_stats(joined)
+        stat = labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        digit_counts.append(len(str(stat)))
+    # real size of a 500-row (id, lbl) table is ~4-5 digits of bytes; the
+    # defect form reaches >10,000 digits by round 5 — any compounding at
+    # all would blow past this bound within the 15 rounds
+    assert max(digit_counts) < 12, f"sizeInBytes stat compounding: {digit_counts}"
+
+
 def test_dialect_idiv_and_explode_parity(spark) -> None:
     """idiv: Spark DIV == DuckDB // exactly (the / + CAST round-trip they
     replace diverges: Spark truncates the double, DuckDB rounds).  Also

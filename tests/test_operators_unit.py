@@ -204,3 +204,38 @@ def test_qsum_forms_agree_exactly(spark) -> None:
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
     duck = con.execute(f"SELECT {qsum('v', 's')} FROM t").fetchone()[0]
     assert duck == want, (duck, want)
+
+
+def test_spread_tag_survives_projection_via_parent(spark) -> None:
+    """The decode-spread short-circuit must actually fire on the standard
+    extract_* call shape: ``_spread_for_decode(media.select(...),
+    parent=media)`` where ``media`` came from a marked adapter.  ``select``
+    returns a fresh Python object, so without parent inheritance the tag
+    was silently dropped at EVERY call site and each micro-batch paid the
+    15-35 ms plan-to-RDD partition probe the tag exists to skip."""
+    from pyspark.sql import functions as F
+
+    from nqs_console_flink_window_spark.operators.multimodal import (
+        _mark_spread,
+        _spread_for_decode,
+    )
+
+    media = _mark_spread(
+        spark.range(10).select(
+            F.col("id").alias("media_id"),
+            F.lit(b"x").alias("payload"),
+            F.struct(F.lit("image/jpeg").alias("mime")).alias("meta"),
+        )
+    )
+    projected = media.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+    assert not getattr(projected, "_nqs_spread", False)  # select drops the tag
+
+    out = _spread_for_decode(projected, parent=media)
+    assert getattr(out, "_nqs_spread", False)
+    # short-circuit: no repartition was injected on the marked path
+    assert "Repartition" not in out._jdf.queryExecution().logical().toString()
+
+    # unmarked path still spreads a single-partition input
+    single = spark.range(10).coalesce(1).select(F.col("id").alias("media_id"))
+    spread = _spread_for_decode(single)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
