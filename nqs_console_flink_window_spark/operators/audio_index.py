@@ -166,3 +166,115 @@ def incremental_audio_spectral_dedup_sql(
     return incremental_image_dedup_sql(
         d, split, table, grid_sql_fn=_spectral_grid_as_bands
     )
+
+
+# ---------------------------------------------------------------------------
+# WINDOWED variant (round 12): shift/trim-tolerant audio dedup.  The
+# per-window fingerprint (multimodal.audio_windowed_bands_from_samples)
+# is EXACTLY one video frame's band shape per fixed-stride time window,
+# so this family rides the VIDEO index's machinery the way the video
+# family rides the image index's: the window axis folds into the band
+# key (band = win_idx * DHASH_BANDS + b), candidates stay pure hash
+# equi-joins, and the ingest gate's max_shift delta-expansion gives
+# trim tolerance — a clip with up to AUDIO_MAX_SHIFT windows cut off
+# the front is rejected as a re-upload where the whole-clip waveform
+# and spectral gates (fixed resample grids) miss it.
+# ---------------------------------------------------------------------------
+
+from .multimodal import (  # noqa: E402
+    AUDIO_MAX_SHIFT,
+    DHASH_BANDS,
+    audio_windowed_grid_sql,
+    extract_audio_windowed,
+)
+
+
+def audio_windowed_bands(media: DataFrame) -> DataFrame:
+    """(doc_id, band, bv, bband) for a batch of clips — per-window
+    fingerprints with the window axis folded into the band key (the
+    video_bands fold), content windows only (hash-zero windows are
+    uninformative and would pile into the bv=0 bucket)."""
+    return (
+        extract_audio_windowed(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"),
+            (
+                F.col("frame_idx") * DHASH_BANDS + F.col("band")
+            ).cast("int").alias("band"),
+            "bv",
+        )
+        .withColumn("bband", _bband_col())
+    )
+
+
+def build_audio_windowed_index(spark, media: DataFrame, path: str) -> None:
+    """Bulk build — the image verb with the windowed extractor."""
+    build_image_index(spark, media, path, bands_fn=audio_windowed_bands)
+
+
+def audio_windowed_index_ingest_batch(
+    spark, batch_media: DataFrame, batch_id: int, path: str
+) -> None:
+    """Replay-idempotent streamed landing — the image verb reused."""
+    image_index_ingest_batch(
+        spark, batch_media, batch_id, path, bands_fn=audio_windowed_bands
+    )
+
+
+def incremental_audio_shifted_dedup(
+    spark,
+    media: DataFrame,
+    index_bands: DataFrame | None,
+    max_shift: int = AUDIO_MAX_SHIFT,
+) -> tuple[DataFrame, DataFrame]:
+    """Shift-tolerant ingest gate: the VIDEO gate verbatim (aligned-window
+    match at the best delta in [-max_shift, +max_shift], per-window exact
+    Hamming <= DHASH_MAX_HAMMING, matched windows >= least(2, min content
+    windows)) with the windowed-audio extractor — a front-trimmed
+    re-upload of an indexed clip is rejected at ingest."""
+    from .video_index import incremental_video_dedup
+
+    return incremental_video_dedup(
+        spark, media, index_bands,
+        max_shift=max_shift, bands_fn=audio_windowed_bands,
+    )
+
+
+def incremental_audio_shifted_dedup_sql(
+    d: str, split: int | str, table: str = "documents"
+) -> str:
+    """DuckDB oracle of the registered two-batch flow: per-window bands
+    recomputed from text, SHIFTED match pairs over all docs once (the
+    shared _shifted_match_ctes core at AUDIO_MAX_SHIFT — pair rule on the
+    best-delta match count), then the s1/dup2/s2 two-batch body."""
+    from .multimodal import _shifted_match_ctes
+
+    return f"""
+WITH {audio_windowed_grid_sql(d, table).strip()},
+{_shifted_match_ctes(d, "awbands", AUDIO_MAX_SHIFT).strip()},
+nd AS (
+  SELECT m.doc_a, m.doc_b FROM sbest m
+  JOIN snc na ON na.doc_id = m.doc_a
+  JOIN snc nb ON nb.doc_id = m.doc_b
+  WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+),
+dup1 AS (SELECT DISTINCT doc_b AS doc_id FROM nd WHERE doc_b < {split}),
+s1 AS (
+  SELECT DISTINCT doc_id FROM awbands WHERE doc_id < {split}
+  EXCEPT SELECT doc_id FROM dup1
+),
+dup2 AS (
+  SELECT DISTINCT doc_b AS doc_id FROM nd
+  WHERE doc_b >= {split}
+    AND (doc_a IN (SELECT doc_id FROM s1) OR doc_a >= {split})
+),
+s2 AS (
+  SELECT DISTINCT doc_id FROM awbands WHERE doc_id >= {split}
+  EXCEPT SELECT doc_id FROM dup2
+)
+SELECT doc_id, 1 AS batch FROM s1
+UNION ALL
+SELECT doc_id, 2 AS batch FROM s2
+ORDER BY doc_id
+"""

@@ -1817,14 +1817,12 @@ def decode_audio_fp(payload: bytes, mime: str | None = None) -> list[int]:
     return audio_fp_from_samples(_wav_samples(payload))
 
 
-def _audio_codes(text: str | None) -> list[int]:
-    """Python twin of the SQL projection: first AFP_WINDOWS chars,
+def _audio_codes(text: str | None, n: int = AFP_WINDOWS) -> list[int]:
+    """Python twin of the SQL projection: first ``n`` chars,
     non-printable-ASCII mapped to space, 0-padded."""
     t = text or ""
-    codes = [
-        ord(c) if " " <= c <= "~" else 0x20 for c in t[: AFP_WINDOWS]
-    ]
-    return codes + [0] * (AFP_WINDOWS - len(codes))
+    codes = [ord(c) if " " <= c <= "~" else 0x20 for c in t[:n]]
+    return codes + [0] * (n - len(codes))
 
 
 def encode_wav_codes(codes: list[int]) -> bytes:
@@ -3058,6 +3056,103 @@ def decode_video_features(payload: bytes) -> list[float]:
 VIDEO_MAX_SHIFT = 1  # frame-alignment tolerance of the shifted pair form
 
 
+def _shifted_match_ctes(d: str, vb: str, max_shift: int) -> str:
+    """scand/sexp/sfham/snc/smatch/sbest CTE-list (no leading WITH, no
+    trailing comma) — the SHIFT-TOLERANT match core over any frame- or
+    window-augmented band relation ``vb`` (doc_id, frame_idx, band, bv;
+    content frames only).  Shared by the video shifted pair form, the
+    windowed-audio shifted pair form (round 12 — the same trimmed-intro
+    physics on the audio window axis) and the shifted incremental
+    oracles.  A pair's match count is evaluated at the BEST alignment
+    offset delta in [-max_shift, +max_shift].
+
+    Candidates are FRAME-level and PER-DELTA (round 12 — the round-11
+    strict-form restructure applied to the shifted axis): a frame pair
+    within Hamming <= DHASH_MAX_HAMMING (< DHASH_BANDS) at offset delta
+    agrees on >= 1 whole band at the aligned position, so it surfaces
+    from the (aframe, band, bv) equi-join WITH that delta; frame/delta
+    combinations absent from the join have hamming >= DHASH_BANDS and
+    would contribute 0 matched frames — verifying only collided
+    (pair, delta, frame) groups is bit-identical and replaces the old
+    doc-level (band, bv)-only candidate's cross-frame blowup (measured
+    162 s -> the strict form's neighborhood on the sf0.1 DuckDB oracle)."""
+    ham = X.xor(d, "ba.bv", "bb.bv")
+    if d == X.SPARK:
+        # generator-side shift expansion: LATERAL VIEW explode keeps the
+        # verify a pure hash equi-join (a VALUES cross join would plan a
+        # BroadcastNestedLoopJoin and trip the fleet plan guard)
+        sexp_src = X.explode_range(
+            d,
+            f"(SELECT * FROM {vb})",
+            "doc_id, frame_idx, band, bv",
+            str(-max_shift),
+            str(max_shift),
+            "delta",
+        )
+        sexp = f"""
+  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band, bv
+  FROM {sexp_src} t"""
+    else:
+        # DuckDB oracle: the (2s+1)-row VALUES cross product — the unnest
+        # form defeats DuckDB's CTE materialization and re-runs the whole
+        # text-grid recompute (measured 437 s vs 6 s at sf0.1); plan
+        # shape only matters on the Spark side
+        deltas = ",".join(
+            f"({s})" for s in range(-max_shift, max_shift + 1)
+        )
+        sexp = f"""
+  SELECT doc_id, frame_idx, (frame_idx - dd.delta) AS aframe,
+         dd.delta AS delta, band, bv
+  FROM {vb} CROSS JOIN (VALUES {deltas}) AS dd(delta)"""
+    return f"""
+sexp AS ({sexp}
+),
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, b.delta,
+                  a.frame_idx
+  FROM {vb} a JOIN sexp b
+    ON b.aframe = a.frame_idx AND b.band = a.band AND b.bv = a.bv
+   AND a.doc_id < b.doc_id
+),
+sfham AS (
+  SELECT c.doc_a, c.doc_b, c.delta, c.frame_idx,
+    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+  FROM scand c
+  JOIN {vb} ba ON ba.doc_id = c.doc_a AND ba.frame_idx = c.frame_idx
+  JOIN sexp bb ON bb.doc_id = c.doc_b AND bb.delta = c.delta
+             AND bb.aframe = c.frame_idx
+             AND bb.band = ba.band
+  GROUP BY c.doc_a, c.doc_b, c.delta, c.frame_idx
+),
+snc AS (SELECT doc_id, COUNT(DISTINCT frame_idx) AS n FROM {vb} GROUP BY doc_id),
+smatch AS (
+  SELECT doc_a, doc_b, delta,
+    CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
+         AS BIGINT) AS matched
+  FROM sfham GROUP BY doc_a, doc_b, delta
+),
+sbest AS (
+  SELECT doc_a, doc_b, MAX(matched) AS matched_frames
+  FROM smatch GROUP BY doc_a, doc_b
+)"""
+
+
+def shifted_pairs_sql(d: str, vb: str, max_shift: int) -> str:
+    """CTE-list + final SELECT (no leading WITH): the generic
+    shift-tolerant pair form over a frame/window-augmented band relation
+    — ``_shifted_match_ctes`` plus the least(2, min content frames) pair
+    rule applied to the best-delta match count."""
+    return f"""
+{_shifted_match_ctes(d, vb, max_shift).strip()}
+SELECT m.doc_a, m.doc_b, m.matched_frames
+FROM sbest m
+JOIN snc na ON na.doc_id = m.doc_a
+JOIN snc nb ON nb.doc_id = m.doc_b
+WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+ORDER BY doc_a, doc_b
+"""
+
+
 def video_pairs_shifted_sql(d: str, vb: str) -> str:
     """CTE-list + final SELECT (no leading WITH): the SHIFT-TOLERANT pair
     form — a trimmed intro or a dropped leading frame offsets every
@@ -3074,70 +3169,7 @@ def video_pairs_shifted_sql(d: str, vb: str) -> str:
     aligned frame as a plain column), so the verify stays a pure hash
     equi-join — a VALUES cross join would plan a BroadcastNestedLoopJoin
     and trip the fleet plan guard."""
-    ham = X.xor(d, "ba.bv", "bb.bv")
-    if d == X.SPARK:
-        # generator-side shift expansion: LATERAL VIEW explode keeps the
-        # verify a pure hash equi-join (a VALUES cross join would plan a
-        # BroadcastNestedLoopJoin and trip the fleet plan guard)
-        sexp_src = X.explode_range(
-            d,
-            f"(SELECT * FROM {vb})",
-            "doc_id, frame_idx, band, bv",
-            str(-VIDEO_MAX_SHIFT),
-            str(VIDEO_MAX_SHIFT),
-            "delta",
-        )
-        sexp = f"""
-  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band, bv
-  FROM {sexp_src} t"""
-    else:
-        # DuckDB oracle: the 3-row VALUES cross product — the unnest form
-        # defeats DuckDB's CTE materialization and re-runs the whole
-        # text-grid recompute (measured 437 s vs 6 s at sf0.1); plan
-        # shape only matters on the Spark side
-        deltas = ",".join(
-            f"({s})" for s in range(-VIDEO_MAX_SHIFT, VIDEO_MAX_SHIFT + 1)
-        )
-        sexp = f"""
-  SELECT doc_id, frame_idx, (frame_idx - dd.delta) AS aframe,
-         dd.delta AS delta, band, bv
-  FROM {vb} CROSS JOIN (VALUES {deltas}) AS dd(delta)"""
-    return f"""
-scand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM {vb} a JOIN {vb} b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-),
-sexp AS ({sexp}
-),
-sfham AS (
-  SELECT c.doc_a, c.doc_b, bb.delta, ba.frame_idx,
-    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
-  FROM scand c
-  JOIN {vb} ba ON ba.doc_id = c.doc_a
-  JOIN sexp bb ON bb.doc_id = c.doc_b
-             AND bb.aframe = ba.frame_idx
-             AND bb.band = ba.band
-  GROUP BY c.doc_a, c.doc_b, bb.delta, ba.frame_idx
-),
-snc AS (SELECT doc_id, COUNT(DISTINCT frame_idx) AS n FROM {vb} GROUP BY doc_id),
-smatch AS (
-  SELECT doc_a, doc_b, delta,
-    CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
-         AS BIGINT) AS matched
-  FROM sfham GROUP BY doc_a, doc_b, delta
-),
-sbest AS (
-  SELECT doc_a, doc_b, MAX(matched) AS matched_frames
-  FROM smatch GROUP BY doc_a, doc_b
-)
-SELECT m.doc_a, m.doc_b, m.matched_frames
-FROM sbest m
-JOIN snc na ON na.doc_id = m.doc_a
-JOIN snc nb ON nb.doc_id = m.doc_b
-WHERE m.matched_frames >= least(2, least(na.n, nb.n))
-ORDER BY doc_a, doc_b
-"""
+    return shifted_pairs_sql(d, vb, VIDEO_MAX_SHIFT)
 
 
 def video_near_dup_shifted_df(spark, table: str = "documents") -> DataFrame:
@@ -3165,4 +3197,328 @@ def video_near_dup_shifted_sql(d: str, table: str = "documents") -> str:
     return (
         f"WITH {video_fp_grid_sql(d, table).strip()},\n"
         + video_pairs_shifted_sql(d, "vbands").lstrip()
+    )
+
+
+def video_dup_clusters_shifted_df(spark, table: str = "documents") -> DataFrame:
+    """The CLUSTER form of SHIFT-TOLERANT video near-dup (round 12 — the
+    linear-output escape the round-11 verdict named): a corpus-scale
+    trimmed-intro audit previously had only the quadratic-output pair
+    forms (``video_near_dup_shifted{,_indexed}``, soaked output-bound at
+    49x on the dup-dense fixture); here the shifted match pairs feed the
+    shared connected-components core, so the output stays one row per
+    document regardless of duplicate density.  Same edge semantics as
+    the pair form: a pair is an edge iff its best-delta aligned match
+    count passes least(2, min content frames)."""
+    from .dedup_cluster import dedup_clusters_df
+    from .staging import staged_views
+
+    media = documents_as_videos(spark.table(table))
+    vb = (
+        extract_video_fp(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"), "frame_idx", "band", "bv"
+        )
+    )
+    with staged_views(spark, vbands=vb) as v:
+        pairs = spark.sql(
+            "WITH "
+            + shifted_pairs_sql(X.SPARK, v.vbands, VIDEO_MAX_SHIFT).lstrip()
+        ).select("doc_a", "doc_b")
+        # the components core iterates over the edges — materialize once
+        # so each CC step does not re-run the decode stage
+        with staged_views(spark, edges=pairs) as ev:
+            return dedup_clusters_df(
+                spark.table(ev.edges), spark.table(table).select("doc_id")
+            )
+
+
+def video_dup_clusters_shifted_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the per-frame grid + the shared shifted match CTEs +
+    the recursive min-label component CTE."""
+    return f"""
+WITH RECURSIVE {video_fp_grid_sql(d, table).strip()},
+{_shifted_match_ctes(d, "vbands", VIDEO_MAX_SHIFT).strip()},
+spairs AS (
+  SELECT m.doc_a, m.doc_b
+  FROM sbest m
+  JOIN snc na ON na.doc_id = m.doc_a
+  JOIN snc nb ON nb.doc_id = m.doc_b
+  WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM spairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM spairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWED audio fingerprint (round 12) — shift/trim tolerance for audio.
+# The standing waveform and spectral fingerprints resample the WHOLE clip
+# to a fixed grid, so a few seconds trimmed off the front moves every
+# sample point and changes every band — the most common true-dup
+# transformation after volume change (which the spectral family fixed).
+# The video family already solved the identical physics on the frame
+# axis: fingerprint fixed-position units, fold the unit index into the
+# band key, and let the probe side expand generator-side over an
+# alignment delta.  Here the unit is a fixed-STRIDE time window over the
+# raw samples: window w takes AFP_WINDOWS sample points at stride
+# AFP_SAMPLES_PER_CODE from offset w*AFW_WIN_STRIDE, adjacent-point
+# comparisons give the same 4 x 16-bit bands as one video frame — so the
+# rows are EXACTLY the video band shape (doc_id, frame_idx, band, bv)
+# and the entire shifted machinery (_shifted_match_ctes, the folded-key
+# index, the delta-expanded ingest gate) applies verbatim.  A front trim
+# of k*AFW_WIN_STRIDE samples shifts every window index by exactly k and
+# changes no window's bands; the shifted pair rule recovers the match at
+# delta = k (|k| <= AUDIO_MAX_SHIFT).
+#
+# Production scaling note: the fixture-scaled constants put one window
+# at 64 samples (8 ms at 8 kHz) because the synthetic clips are 161
+# text codes long; a real corpus would scale AFW_WIN_STRIDE and the
+# point stride to O(100 ms) windows — the plan shape (one Arrow decode
+# pass, (frame_idx, band, bv) equi-joins, bounded delta expansion) is
+# stride-independent.
+# ---------------------------------------------------------------------------
+
+AFW_WIN_STRIDE = 64  # samples between window starts (16 fixture codes)
+AFW_CODES = 161  # fixture clip length in codes -> exactly AFW_WINDOWS windows
+AFW_WINDOWS = 7  # (AFW_CODES*4 - 1 - 256) DIV AFW_WIN_STRIDE + 1
+AUDIO_MAX_SHIFT = 2  # window-alignment tolerance (trim up to 2*64 samples)
+
+
+def audio_windowed_bands_from_samples(xs: list[int]) -> list[tuple[int, list[int]]]:
+    """Samples -> [(win_idx, [4 x 16-bit bands])]: window w reads
+    AFP_WINDOWS points v_i = xs[w*AFW_WIN_STRIDE + i*AFP_SAMPLES_PER_CODE]
+    (pure integer indexing at FIXED absolute offsets — never relative to
+    clip length, which is what makes the fingerprint trim-stable), bit
+    i = (v_i < v_{i+1}) packed at band i DIV 16, position i % 16."""
+    n = len(xs)
+    span = (AFP_WINDOWS - 1) * AFP_SAMPLES_PER_CODE
+    out = []
+    w = 0
+    while w * AFW_WIN_STRIDE + span < n:
+        base = w * AFW_WIN_STRIDE
+        v = [xs[base + i * AFP_SAMPLES_PER_CODE] for i in range(AFP_WINDOWS)]
+        bands = [0] * DHASH_BANDS
+        for i in range(AFP_WINDOWS - 1):
+            if v[i] < v[i + 1]:
+                bands[i // 16] |= 1 << (i % 16)
+        out.append((w, bands))
+        w += 1
+    return out
+
+
+def decode_audio_windowed(
+    payload: bytes, mime: str | None = None
+) -> list[tuple[int, list[int], bool]]:
+    """Typed dispatch to per-window fingerprints — the decode_video_fp
+    return shape [(win_idx, bands, content)] so the video kernel/verb
+    surface consumes it unchanged; content = any band bit set (hash-zero
+    windows are uninformative and double as the hot-bucket exclusion)."""
+    audio_ok = mime is None or mime.startswith("audio/")
+    if not (
+        audio_ok
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        raise ValueError("not a wav payload")
+    wins = audio_windowed_bands_from_samples(_wav_samples(payload))
+    if not wins:
+        raise ValueError("clip shorter than one fingerprint window")
+    return [(w, bands, any(bands)) for w, bands in wins]
+
+
+def documents_as_audio_windowed(docs: DataFrame) -> DataFrame:
+    """Fixture adapter for the WINDOWED audio family: each document's
+    first AFW_CODES printable-ASCII codes synthesize a REAL mono PCM16
+    WAV (the documents_as_audio writer with a longer slice — long enough
+    for AFW_WINDOWS overlapping windows, so trim/shift behavior is
+    exercisable).  NULL-text docs excluded, the fixture contract."""
+    cols = _spread_for_decode(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, text in zip(b["doc_id"], b["text"]):
+                ids.append(int(did))
+                payloads.append(
+                    encode_wav_codes(_audio_codes(text, AFW_CODES))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    flat = cols.mapInPandas(kernel, "media_id long, payload binary")
+    return _mark_spread(flat.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(AFP_RATE).cast("int").alias("sample_rate"),
+            F.lit(AFW_CODES * AFP_SAMPLES_PER_CODE)
+            .cast("long")
+            .alias("n_frames"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    ))
+
+
+def extract_audio_windowed(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """(media_id, payload, meta.mime) -> DHASH_BANDS rows per WINDOW
+    (media_id, frame_idx, band, bv, content, decode_ok) — the
+    extract_video_fp kernel shape on the windowed-audio dispatch, so the
+    video index fold, gate and pair fragments consume it verbatim."""
+    cols = _spread_for_decode(
+        media.select("media_id", "payload", F.col("meta.mime").alias("mime")),
+        parent=media,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, fidx, bandix, bvs, cts, oks = [], [], [], [], [], []
+            for mid, payload, mime in zip(
+                b["media_id"], b["payload"], b["mime"]
+            ):
+                try:
+                    fps = decode_audio_windowed(
+                        bytes(payload) if payload is not None else b"", mime
+                    )
+                    ok = True
+                except Exception:  # noqa: BLE001 - flagged, not fatal
+                    fps, ok = [(0, [0] * DHASH_BANDS, False)], False
+                for idx, bands, content in fps:
+                    for j, bv in enumerate(bands):
+                        ids.append(int(mid))
+                        fidx.append(int(idx))
+                        bandix.append(j)
+                        bvs.append(int(bv))
+                        cts.append(bool(content))
+                        oks.append(ok)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "band": pd.Series(bandix, dtype="int32"),
+                    "bv": pd.Series(bvs, dtype="int64"),
+                    "content": pd.Series(cts, dtype="bool"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return cols.mapInPandas(kernel, VDHASH_SCHEMA)
+
+
+def audio_windowed_grid_sql(d: str, table: str = "documents") -> str:
+    """CTE-list (no leading WITH, no trailing comma) exposing ``awbands``
+    (doc_id, frame_idx, band, bv) — the per-window audio fingerprint
+    recomputed from text in pure SQL, content windows only.  Window w's
+    sample points are the 65 codes at char offset w*16 (the synthesized
+    samples are code*256, block-constant at block length 4 = the point
+    stride, so nearest-point reads recover the codes exactly and the
+    comparisons run on the codes directly — the audio_fp_grid_sql
+    device, per window)."""
+    wdocs = X.explode_range(
+        d,
+        f"(SELECT doc_id, text FROM {table} WHERE text IS NOT NULL)",
+        "doc_id, text",
+        "0",
+        str(AFW_WINDOWS - 1),
+        "w",
+    )
+    witext = X.regex_replace_all(
+        d,
+        f"substr(text, w * {AFW_WIN_STRIDE // AFP_SAMPLES_PER_CODE} + 1, "
+        f"{AFP_WINDOWS})",
+        "[^ -~]",
+        " ",
+    )
+    wpx_src = X.explode_range(
+        d,
+        "(SELECT * FROM awframes)",
+        "doc_id, frame_idx, itext",
+        "0",
+        str(AFP_WINDOWS - 1),
+        "p",
+    )
+    v = (
+        "CASE WHEN p + 1 <= length(itext) "
+        "THEN ascii(substr(itext, p + 1, 1)) ELSE 0 END"
+    )
+    band = X.idiv(d, "l.p", "16")
+    return f"""
+awframes AS (
+  SELECT doc_id, w AS frame_idx, {witext} AS itext FROM {wdocs} t
+),
+awpx AS (SELECT doc_id, frame_idx, p, {v} AS v FROM {wpx_src} t),
+awbits AS (
+  SELECT l.doc_id, l.frame_idx, {band} AS band, (l.p % 16) AS c,
+         CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS bit
+  FROM awpx l
+  JOIN awpx rr ON rr.doc_id = l.doc_id AND rr.frame_idx = l.frame_idx
+             AND rr.p = l.p + 1
+  WHERE l.p < {AFP_WINDOWS - 1}
+),
+awball AS (
+  SELECT doc_id, frame_idx, band,
+    CAST(SUM(bit * {X.shiftleft(d, "1", "c")}) AS BIGINT) AS bv
+  FROM awbits GROUP BY doc_id, frame_idx, band
+),
+awinfo AS (
+  SELECT doc_id, frame_idx FROM awball
+  GROUP BY doc_id, frame_idx HAVING SUM(bv) > 0
+),
+awbands AS (
+  SELECT b.doc_id, b.frame_idx, b.band, b.bv
+  FROM awball b
+  JOIN awinfo i ON i.doc_id = b.doc_id AND i.frame_idx = b.frame_idx
+)"""
+
+
+def audio_near_dup_shifted_df(spark, table: str = "documents") -> DataFrame:
+    """Engine side of audio_near_dup_shifted: documents -> REAL WAVs ->
+    per-window fingerprints through the Arrow stage -> staged content
+    windows -> the shared shift-tolerant pairs fragment at
+    AUDIO_MAX_SHIFT."""
+    from .staging import staged_views
+
+    media = documents_as_audio_windowed(spark.table(table))
+    ab = (
+        extract_audio_windowed(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"), "frame_idx", "band", "bv"
+        )
+    )
+    with staged_views(spark, awbands=ab) as v:
+        return spark.sql(
+            "WITH "
+            + shifted_pairs_sql(X.SPARK, v.awbands, AUDIO_MAX_SHIFT).lstrip()
+        )
+
+
+def audio_near_dup_shifted_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: text-recomputed per-window bands + the same shifted
+    fragment."""
+    return (
+        f"WITH {audio_windowed_grid_sql(d, table).strip()},\n"
+        + shifted_pairs_sql(d, "awbands", AUDIO_MAX_SHIFT).lstrip()
     )

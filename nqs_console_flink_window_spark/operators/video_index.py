@@ -94,7 +94,7 @@ from .image_index import read_image_index as read_video_index  # noqa: E402,F401
 
 def incremental_video_dedup(
     spark, media: DataFrame, index_bands: DataFrame | None,
-    max_shift: int = 0,
+    max_shift: int = 0, bands_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a batch of video clips against the persisted frame-augmented
     band ``index_bands`` (None for the first batch) and within the batch:
@@ -115,10 +115,16 @@ def incremental_video_dedup(
     frame, so the candidate + verify joins stay pure hash equi-joins.
 
     Returns ``(kept_ids, kept_bands)``: ingest ``kept_bands`` (via
-    ``_ingest_bands`` / append) to admit the batch into the index."""
+    ``_ingest_bands`` / append) to admit the batch into the index.
+
+    ``bands_fn`` (round 12): any extractor producing the folded band
+    shape (doc_id, band = unit_idx * DHASH_BANDS + b, bv) slots in —
+    the windowed-audio family passes ``audio_index.audio_windowed_bands``
+    and gets the whole aligned/shifted gate for free (the image index's
+    bands_fn hook, applied one layer up)."""
     from .staging import staged_views
 
-    nb = video_bands(media).localCheckpoint()
+    nb = (bands_fn or video_bands)(media).localCheckpoint()
     ham = X.xor(X.SPARK, "a.bv", "b.bv")
     frame = X.idiv(X.SPARK, "a.band", str(DHASH_BANDS))
     nfr = X.idiv(X.SPARK, "band", str(DHASH_BANDS))
@@ -126,40 +132,45 @@ def incremental_video_dedup(
 
     def _dup_ids(views, right, right_cond: str) -> DataFrame:
         if s == 0:
-            cand_src, bjoin, dgrp, dsel = right, "b.band = a.band", "", ""
+            left_src, dgrp, dsel, dcond = views.nb, "", "", ""
         else:
-            # shifted right side: band' = band + delta*DHASH_BANDS folds
-            # the alignment offset into the key; frames shifted out of
-            # range simply never collide (band' matches nothing)
+            # shifted LEFT (batch) side: band' = band + delta*DHASH_BANDS
+            # folds the alignment offset into the key; frames shifted out
+            # of range simply never collide (band' matches nothing).
+            # Expanding the BATCH, not the index, is the 100 TB choice:
+            # the (2s+1)x row blowup lands on O(batch) rows instead of
+            # O(index) — the delta range is symmetric, so probing the
+            # index at batch-band+delta finds exactly the matches that
+            # expanding the index at index-band+delta would (mbest takes
+            # the max over delta either way).
             shifted = X.explode_range(
                 X.SPARK,
-                f"(SELECT * FROM {right})",
+                f"(SELECT * FROM {views.nb})",
                 "doc_id, band, bv",
                 str(-s),
                 str(s),
                 "delta",
             )
-            cand_src = (
+            left_src = (
                 f"(SELECT doc_id, band + delta * {DHASH_BANDS} AS band, "
                 f"bv, delta FROM {shifted} t)"
             )
-            bjoin = "b.band = a.band"
-            dgrp, dsel = ", b.delta", ", b.delta AS delta"
+            dgrp, dsel, dcond = ", c.delta", ", a.delta AS delta", \
+                " AND a.delta = c.delta"
         return spark.sql(f"""
-WITH sright AS (SELECT * FROM {cand_src}),
+WITH sleft AS (SELECT * FROM {left_src}),
 cand AS (
   SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd{dsel}
-  FROM {views.nb} a JOIN sright b
+  FROM sleft a JOIN {right} b
     ON a.band = b.band AND a.bv = b.bv{right_cond}
 ),
 fham AS (
-  SELECT c.nd, c.xd{dgrp.replace("b.", "c.") if dgrp else ""}, {frame} AS frame,
+  SELECT c.nd, c.xd{dgrp}, {frame} AS frame,
     CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
   FROM cand c
-  JOIN {views.nb} a ON a.doc_id = c.nd
-  JOIN sright b ON b.doc_id = c.xd AND {bjoin}
-              {"AND b.delta = c.delta" if s else ""}
-  GROUP BY c.nd, c.xd{dgrp.replace("b.", "c.") if dgrp else ""}, {frame}
+  JOIN sleft a ON a.doc_id = c.nd{dcond}
+  JOIN {right} b ON b.doc_id = c.xd AND b.band = a.band
+  GROUP BY c.nd, c.xd{dgrp}, {frame}
 ),
 ncn AS (
   SELECT doc_id, COUNT(DISTINCT {nfr}) AS n
@@ -170,10 +181,10 @@ ncx AS (
   FROM {right} GROUP BY doc_id
 ),
 m AS (
-  SELECT nd, xd{dgrp.replace("b.", "") if dgrp else ""},
+  SELECT nd, xd{dgrp.replace("c.", "")},
     CAST(SUM(CASE WHEN hamming <= {DHASH_MAX_HAMMING} THEN 1 ELSE 0 END)
          AS BIGINT) AS matched
-  FROM fham GROUP BY nd, xd{dgrp.replace("b.", "") if dgrp else ""}
+  FROM fham GROUP BY nd, xd{dgrp.replace("c.", "")}
 ),
 mbest AS (SELECT nd, xd, MAX(matched) AS matched FROM m GROUP BY nd, xd)
 SELECT DISTINCT m.nd AS doc_id

@@ -835,6 +835,33 @@ def video_near_dup_shifted_indexed(
     return VIX.video_pairs_shifted_from_index(spark, bands)
 
 
+from ..operators.multimodal import (  # noqa: E402
+    video_dup_clusters_shifted_sql as _vdcs_sql,
+)
+
+
+@register(
+    "video_dup_clusters_shifted",
+    sql=_vdcs_sql(X.DUCK),
+    doc="Extension — the CLUSTER form of shift-tolerant video near-dup "
+    "(round 12, the round-11 verdict's linear-output escape): a "
+    "corpus-scale trimmed-intro audit previously had only the "
+    "quadratic-output shifted PAIR forms (soaked output-bound at ~49x "
+    "on the dup-dense fixture); here the best-delta match pairs feed "
+    "the shared connected-components core, so output stays one row per "
+    "document regardless of duplicate density.  Same shifted fragment "
+    "(_shifted_match_ctes), same recursive min-label oracle body as "
+    "every other cluster form.  driver-gated via video_near_dup "
+    "(tier-1, the banding stage) + dedup_clusters (tier-1, the CC core)",
+    tier=2,
+)
+def video_dup_clusters_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.video_dup_clusters_shifted_df(spark)
+
+
 _IMAGE_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1914,6 +1941,97 @@ def incremental_audio_spectral_dedup_batches(
         )
         II._ingest_bands(spark, bands1, 0, idx)
         _kept2, bands2 = AI.incremental_audio_spectral_dedup(
+            spark, media2, AI.read_audio_index(spark, idx)
+        )
+        II._ingest_bands(spark, bands2, 1, idx)
+        out = (
+            AI.read_audio_index(spark, idx)
+            .select(
+                "doc_id", (F.col("batch_id") + 1).cast("int").alias("batch")
+            )
+            .distinct()
+            .orderBy("doc_id")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+from ..operators.multimodal import (  # noqa: E402
+    audio_near_dup_shifted_sql as _ansh_sql,
+)
+
+
+@register(
+    "audio_near_dup_shifted",
+    sql=_ansh_sql(X.DUCK),
+    doc="Extension — SHIFT/TRIM-TOLERANT audio near-dup (round 12, the "
+    "round-11 verdict's top missing capability): the standing waveform "
+    "and spectral fingerprints resample the WHOLE clip to a fixed grid, "
+    "so a few seconds trimmed off the front changes every band — the "
+    "most common true-dup transformation after volume change.  Here the "
+    "fingerprint is PER fixed-stride time WINDOW (65 sample points per "
+    "window -> the same 4 x 16-bit bands as one video frame), so a front "
+    "trim shifts window indices without changing any window's bands, and "
+    "the pair matches at the best alignment delta in [-2, +2] — the "
+    "video family's shifted fragment (_shifted_match_ctes) applied "
+    "verbatim to the audio window axis.  Candidates are (band, bv)-only "
+    "equi-joins (pigeonhole-complete at any delta, ~5x the strict "
+    "candidate volume — the price of shift tolerance); the delta axis "
+    "expands generator-side so the verify stays a pure hash equi-join.  "
+    "Oracle recomputes per-window bands from text in pure SQL.  "
+    "driver-gated via audio_dup_clusters (tier-1, the same WAV decode + "
+    "banded-candidate machinery) + video_near_dup (the shared shifted "
+    "fragment's strict sibling stage)",
+    tier=2,
+)
+def audio_near_dup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.audio_near_dup_shifted_df(spark)
+
+
+@register(
+    "incremental_audio_shifted_dedup_batches",
+    sql=AI.incremental_audio_shifted_dedup_sql(X.DUCK, _INC_SPLIT_SQL),
+    doc="Extension — ingest-time incremental audio dedup with SHIFT "
+    "TOLERANCE (round 12): the windowed fingerprint's window axis folds "
+    "into the band key (band = win_idx * 4 + b, the video fold), so the "
+    "standing-index verbs apply verbatim and the gate is the VIDEO "
+    "gate's delta-expansion at max_shift=2 — a re-upload with up to 2 "
+    "windows trimmed off the front probes the index at every alignment "
+    "offset via pure hash equi-joins and is rejected where the "
+    "whole-clip waveform/spectral gates miss it (contrast-tested in "
+    "test_audio_index).  Batch 1 gates within itself, survivors land in "
+    "the bband/batch_id index; batch 2 probes the read-back index plus "
+    "itself; output reads survivors from the landed index.  Oracle: "
+    "shifted match pairs over the text-recomputed window grid + the "
+    "s1/dup2/s2 two-batch body.  driver-gated via dedup_clusters + "
+    "multimodal_features; lifecycle verbs shared with the image index "
+    "family",
+    tier=2,
+)
+def incremental_audio_shifted_dedup_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = _inc_split_id(docs)
+    media1 = MM.documents_as_audio_windowed(docs.filter(F.col("doc_id") < split))
+    media2 = MM.documents_as_audio_windowed(docs.filter(F.col("doc_id") >= split))
+    base = tempfile.mkdtemp(prefix="nqs_audio_widx_")
+    try:
+        idx = f"{base}/index"
+        _kept1, bands1 = AI.incremental_audio_shifted_dedup(
+            spark, media1, None
+        )
+        II._ingest_bands(spark, bands1, 0, idx)
+        _kept2, bands2 = AI.incremental_audio_shifted_dedup(
             spark, media2, AI.read_audio_index(spark, idx)
         )
         II._ingest_bands(spark, bands2, 1, idx)
