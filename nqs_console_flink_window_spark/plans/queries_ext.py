@@ -606,9 +606,11 @@ from ..operators.multimodal import (  # noqa: E402
     "(test_audio_spectral contrast: hamming 0 vs 32 on the same "
     "half-volume twin).  Same 4 x 16-bit band shape, so the candidate "
     "join, Hamming verify, zero split and every standing-index verb "
-    "apply verbatim.  driver-gated via multimodal_features (the WAV "
-    "decode plumbing) + dedup_clusters (the banded-candidate machinery)",
-    tier=2,
+    "apply verbatim.  Promoted tier-1 in round 12 (the round-11 "
+    "verdict's rotation item: the Walsh-Hadamard grid is now "
+    "driver-hashed end-to-end; hybrid_rrf_indexed rotated out in "
+    "exchange, its postings leg and fusion fragment both still tier-1 "
+    "through bm25_indexed + hybrid_dense_sparse_indexed)",
 )
 def audio_near_dup_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM

@@ -207,8 +207,13 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ctf = per-term SUM(tf) over pruned postings, N/T inlined from the "
     "stats sidecar.  The compute-once-then-query production shape for "
     "hard-negative mining; results bit-identical to the online form, so "
-    "the oracle IS hybrid_rrf_multi's SQL (tier-1 since round 8 close: "
-    "the standing-index fusion path is driver-hashed directly)",
+    "the oracle IS hybrid_rrf_multi's SQL.  Tier-1 rounds 8-11; rotated "
+    "out round 12 for audio_near_dup_spectral — driver-gated via "
+    "bm25_indexed (tier-1, the same pruned-postings sparse leg off the "
+    "same standing index) + hybrid_dense_sparse_indexed (tier-1, the "
+    "same exact-integer RRF fusion fragment over the same index with a "
+    "dense leg added); still benched as a headline row",
+    tier=2,
 )
 def hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
