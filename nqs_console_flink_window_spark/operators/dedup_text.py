@@ -309,7 +309,14 @@ def incremental_dedup(spark, new_docs, index):
         .distinct()
     )
     dup_ids = in_batch if dup_ids is None else dup_ids.unionByName(in_batch).distinct()
-    kept = new_docs.join(dup_ids, "doc_id", "left_anti")
+    # materialize the survivors ONCE before fanning out: ``kept``'s plan
+    # carries the caller's whole upstream chain (web_curate passes the
+    # un-checkpointed DSIR + quality + LM scoring output as new_docs),
+    # and every caller consumes BOTH returns — without this the survivor
+    # landing, the band semi-join and any downstream reuse each re-run
+    # that chain (measured 19 -> 28 s on the web_curate row when the
+    # round-12 read-back fold exposed it)
+    kept = new_docs.join(dup_ids, "doc_id", "left_anti").localCheckpoint()
     kept_bands = nb.join(kept.select("doc_id"), "doc_id", "left_semi")
     return kept, kept_bands
 

@@ -487,16 +487,24 @@ def ingest_dedup_batch(
     batch_id: int,
     kept_dir: str,
     index_dir: str,
-) -> None:
+) -> DataFrame:
     """One micro-batch's ingest: dedup against the index, land survivors +
     bands under the batch_id subpath.  Replay-convergent: re-running the
-    same (batch, batch_id) reproduces the identical subpaths."""
+    same (batch, batch_id) reproduces the identical subpaths.  Returns
+    the survivors frame it landed (a deterministic plan over the gate's
+    checkpointed intermediates — equal to the landed subpath by
+    construction), so a composing caller can ingest the SAME batch scan
+    downstream without a parquet read-back (the round-12 web_curate
+    fold)."""
     from ..operators.dedup_text import incremental_dedup
 
     index = _read_prior_batches(bspark, index_dir, batch_id)
+    # kept is checkpointed inside incremental_dedup, so the two landings
+    # and the returned frame all read the one materialization
     kept, kept_bands = incremental_dedup(bspark, batch_df, index)
     W.idempotent_batch_write(kept, kept_dir, batch_id)
     W.idempotent_batch_write(kept_bands, index_dir, batch_id)
+    return kept
 
 
 def ingest_image_dedup_batch(
@@ -859,7 +867,7 @@ def curate_batch(
     min_logw: float = -10.0,
     lm_model: tuple[list[tuple[str, int]], int] | None = None,
     max_nll_micro_per_tok: int | None = None,
-) -> None:
+) -> DataFrame:
     """One micro-batch's curation: DSIR-score against the fixed model,
     quality-score, optionally LM-perplexity-score (round 6 — the CCNet
     gate beside the DSIR gate), filter on all, then index-backed dedup.
@@ -911,7 +919,7 @@ def curate_batch(
             .drop("n_tok", "nll_micro")
         )
         extra_cols = ["avg_nll_nats"]
-    ingest_dedup_batch(
+    return ingest_dedup_batch(
         bspark,
         passed.select(*batch_df.columns, "quality", "log_weight", *extra_cols),
         batch_id,
@@ -936,14 +944,18 @@ def curate_index_batch(
     composition's per-batch step (round 9): score/filter/dedup the batch,
     then feed THIS batch's survivors into ``text_index_ingest_batch`` so
     the standing retrieval index grows with the curated corpus in the
-    same micro-batch.  The survivors are read back from the batch's own
-    idempotent ``batch_id`` landing subpath (not re-derived), so a replay
-    re-ingests exactly what it re-landed — both landings are keyed by
-    the same batch_id and the text index's fresh-doc_id probe exempts a
-    batch's own replay."""
+    same micro-batch.  The survivors frame ``curate_batch`` returns is a
+    deterministic plan over the dedup gate's checkpointed intermediates
+    — equal to the batch's idempotent ``batch_id`` landing subpath by
+    construction — so the index ingest shares the batch scan instead of
+    reading the landing back from parquet (the round-11-profiled
+    per-batch job-count fold: one read + filter + its scheduling per
+    batch saved); a replay recomputes the identical survivors (both
+    landings are keyed by the same batch_id and the text index's
+    fresh-doc_id probe exempts a batch's own replay)."""
     from ..operators.retrieval import text_index_ingest_batch
 
-    curate_batch(
+    kept = curate_batch(
         bspark,
         batch_df,
         batch_id,
@@ -954,11 +966,7 @@ def curate_index_batch(
         min_logw,
         lm_model,
     )
-    survivors = (
-        bspark.read.parquet(kept_dir)
-        .filter(F.col("batch_id") == int(batch_id))
-        .select("doc_id", "text")
-    )
+    survivors = kept.select("doc_id", "text")
     if survivors.limit(1).count() > 0:
         text_index_ingest_batch(bspark, survivors, batch_id, text_index_dir)
 
