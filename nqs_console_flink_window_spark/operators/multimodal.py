@@ -3522,3 +3522,68 @@ def audio_near_dup_shifted_sql(d: str, table: str = "documents") -> str:
         f"WITH {audio_windowed_grid_sql(d, table).strip()},\n"
         + shifted_pairs_sql(d, "awbands", AUDIO_MAX_SHIFT).lstrip()
     )
+
+
+def audio_dup_clusters_shifted_df(spark, table: str = "documents") -> DataFrame:
+    """The CLUSTER form of SHIFT-TOLERANT audio near-dup (round 12 —
+    the video_dup_clusters_shifted escape applied to the windowed audio
+    family, completing the symmetry): a corpus-scale trimmed-clip audit
+    over audio otherwise has only the quadratic-output shifted pair
+    form; here the best-delta match pairs feed the shared
+    connected-components core, so output stays one row per clip
+    regardless of duplicate density.  Same edge semantics as the pair
+    form: a pair is an edge iff its best-delta aligned window match
+    count passes least(2, min content windows)."""
+    from .dedup_cluster import dedup_clusters_df
+    from .staging import staged_views
+
+    media = documents_as_audio_windowed(spark.table(table))
+    ab = (
+        extract_audio_windowed(media)
+        .filter(F.col("decode_ok") & F.col("content"))
+        .select(
+            F.col("media_id").alias("doc_id"), "frame_idx", "band", "bv"
+        )
+    )
+    with staged_views(spark, awbands=ab) as v:
+        pairs = spark.sql(
+            "WITH "
+            + shifted_pairs_sql(X.SPARK, v.awbands, AUDIO_MAX_SHIFT).lstrip()
+        ).select("doc_a", "doc_b")
+        # the components core iterates over the edges — materialize once
+        # so each CC step does not re-run the decode stage
+        with staged_views(spark, edges=pairs) as ev:
+            return dedup_clusters_df(
+                spark.table(ev.edges), spark.table(table).select("doc_id")
+            )
+
+
+def audio_dup_clusters_shifted_sql(d: str, table: str = "documents") -> str:
+    """Oracle form: the per-window grid + the shared shifted match CTEs +
+    the recursive min-label component CTE."""
+    return f"""
+WITH RECURSIVE {audio_windowed_grid_sql(d, table).strip()},
+{_shifted_match_ctes(d, "awbands", AUDIO_MAX_SHIFT).strip()},
+spairs AS (
+  SELECT m.doc_a, m.doc_b
+  FROM sbest m
+  JOIN snc na ON na.doc_id = m.doc_a
+  JOIN snc nb ON nb.doc_id = m.doc_b
+  WHERE m.matched_frames >= least(2, least(na.n, nb.n))
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM spairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM spairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""

@@ -2050,6 +2050,35 @@ def incremental_audio_shifted_dedup_batches(
         shutil.rmtree(base, ignore_errors=True)
 
 
+from ..operators.multimodal import (  # noqa: E402
+    audio_dup_clusters_shifted_sql as _adcs_sql,
+)
+
+
+@register(
+    "audio_dup_clusters_shifted",
+    sql=_adcs_sql(X.DUCK),
+    doc="Extension — the CLUSTER form of shift-tolerant audio near-dup "
+    "(round 12): completes the video_dup_clusters_shifted symmetry on "
+    "the windowed audio family — a corpus-scale trimmed-clip audio "
+    "audit otherwise has only the quadratic-output shifted pair form "
+    "(audio_near_dup_shifted, output-bound on dup-dense corpora like "
+    "every pair form); here the best-delta window match pairs feed the "
+    "shared connected-components core, so output stays one row per clip "
+    "regardless of duplicate density.  Same shifted fragment "
+    "(_shifted_match_ctes at AUDIO_MAX_SHIFT), same recursive min-label "
+    "oracle body as every other cluster form.  driver-gated via "
+    "audio_dup_clusters (tier-1, WAV decode + CC core) + "
+    "audio_near_dup_spectral (tier-1, the second audio grid)",
+    tier=2,
+)
+def audio_dup_clusters_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    register_temp_views(spark, sf_dir, ("documents",))
+    return MM.audio_dup_clusters_shifted_df(spark)
+
+
 _EMB_SPLIT_SQL = "(SELECT (MIN(vec_id) + MAX(vec_id) + 1) // 2 FROM embeddings)"
 
 

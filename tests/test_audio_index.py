@@ -335,3 +335,40 @@ def test_shifted_gate_catches_front_trim_strict_gate_misses(
         spark, sm2, AI.read_audio_index(spark, sidx)
     )
     assert sorted(r["doc_id"] for r in skept2.collect()) == [11, 12]
+
+
+def test_shifted_cluster_form_groups_trimmed_twin(spark) -> None:
+    """audio_dup_clusters_shifted (round 12 — the linear-output escape
+    for corpus-scale trimmed-clip audits): a front-trimmed twin lands in
+    the SAME cluster under the shifted cluster form, stays a singleton
+    under the strict whole-clip cluster form, and the unrelated clip is
+    a singleton under both (no false merge from the wider shifted
+    candidates)."""
+    import random
+
+    rng = random.Random(11)
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    base_text = "".join(rng.choice(chars) for _ in range(220))
+    docs = [
+        (20, base_text),
+        (21, base_text[16:]),  # one AFW window stride trimmed
+        (22, "".join(rng.choice(chars) for _ in range(220))),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    try:
+        shifted = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in MM.audio_dup_clusters_shifted_df(spark).collect()
+        }
+        assert shifted[20] == (20, 2) and shifted[21] == (20, 2)
+        assert shifted[22] == (22, 1)
+
+        strict = {
+            r["doc_id"]: r["cluster_size"]
+            for r in MM.audio_dup_clusters_df(spark).collect()
+        }
+        assert strict == {20: 1, 21: 1, 22: 1}
+    finally:
+        spark.catalog.dropTempView("documents")
