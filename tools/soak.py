@@ -9,7 +9,11 @@ shuffle shape lands near Kx (or below, where fixed Spark overhead dominates
 at sf0.1); a super-linear ratio flags an accidental quadratic/broadcast-miss.
 
 Usage: python tools/soak.py [K] [--keep] [--queries=a,b,c]
-(default K=10, full SOAK_QUERIES list)
+                            [--scaled-dir=PATH] [--isolate]
+(default K=10, full SOAK_QUERIES list; --scaled-dir reuses a kept build;
+--isolate runs one subprocess per query so each query's shuffle spill is
+reclaimed before the next — required for 30x pair-form soaks, whose
+accumulated spill otherwise fills the disk)
 """
 
 from __future__ import annotations
@@ -195,19 +199,80 @@ def run_suite(spark, sf_dir: str, queries: list[str]) -> dict[str, float]:
     return timings
 
 
+def _run_isolated(
+    k: int, out: str, queries: list[str], mutate: bool
+) -> None:
+    """One subprocess per query (``--isolate``): a 30x pair-form soak can
+    spill >80 GB of shuffle; inside one long-lived app those files are
+    freed only as the ContextCleaner GCs old shuffle dependencies, so
+    consecutive heavy queries accumulate spill until the disk fills
+    (observed: ENOSPC 45 min into the round-12 scaled suite).  A process
+    per query hard-bounds the footprint at one query's own spill — the
+    per-query timing protocol (sf0.001 warmup, base, scaled in one
+    session) is unchanged, so ratios stay comparable with the in-process
+    mode."""
+    import subprocess
+
+    merged: dict[str, dict] = {}
+    for name in queries:
+        r = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                str(k),
+                f"--scaled-dir={out}",
+                f"--queries={name}",
+            ]
+            + (["--mutate"] if mutate else []),
+            capture_output=True,
+            text=True,
+        )
+        line = (r.stdout or "").strip().splitlines()
+        if r.returncode == 0 and line:
+            merged[name] = json.loads(line[-1])["queries"][name]
+        else:
+            tail = (r.stderr or "").strip().splitlines()[-3:]
+            merged[name] = {"error": " | ".join(tail)[-500:]}
+            print(f"isolated soak FAILED for {name}", file=sys.stderr)
+    report = {
+        "k": k,
+        "mutate": mutate,
+        "isolate": True,
+        "queries": merged,
+    }
+    print(json.dumps(report))
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     keep = "--keep" in sys.argv
     mutate = "--mutate" in sys.argv
     queries = SOAK_QUERIES
+    scaled_dir = None
     for a in sys.argv[1:]:
         if a.startswith("--queries="):
             queries = a.split("=", 1)[1].split(",")
+        if a.startswith("--scaled-dir="):
+            scaled_dir = a.split("=", 1)[1]
+    if "--isolate" in sys.argv:
+        if scaled_dir is None:
+            spark = get_spark("nqs-soak-build")
+            scaled_dir = tempfile.mkdtemp(prefix="nqs_soak_")
+            build_scaled_dir(spark, k, scaled_dir, mutate=mutate)
+            spark.stop()
+        _run_isolated(k, scaled_dir, queries, mutate)
+        if not keep:
+            shutil.rmtree(scaled_dir, ignore_errors=True)
+        return
     spark = get_spark("nqs-soak")
-    out = tempfile.mkdtemp(prefix="nqs_soak_")
-    t0 = time.time()
-    build_scaled_dir(spark, k, out, mutate=mutate)
-    build_s = round(time.time() - t0, 1)
+    if scaled_dir is not None:
+        out = scaled_dir
+        build_s = 0.0
+    else:
+        out = tempfile.mkdtemp(prefix="nqs_soak_")
+        t0 = time.time()
+        build_scaled_dir(spark, k, out, mutate=mutate)
+        build_s = round(time.time() - t0, 1)
 
     # warmup (codegen/JIT) at the small smoke dir, mirroring bench.py
     for name in queries:
@@ -236,7 +301,9 @@ def main() -> None:
         },
     }
     print(json.dumps(report))
-    if keep:
+    if keep or scaled_dir is not None:
+        # never delete a caller-provided --scaled-dir (the isolate parent
+        # or the user owns its lifecycle)
         print(f"scaled dir kept: {out}", file=sys.stderr)
     else:
         shutil.rmtree(out, ignore_errors=True)
