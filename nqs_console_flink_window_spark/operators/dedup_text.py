@@ -86,6 +86,36 @@ def minhash_band_selects(d: str) -> list[str]:
     return out
 
 
+def minhash_bands_from_sig_spark(sig: str = "sig") -> str:
+    """ONE-PASS (doc_id, band_id, band_key) over relation ``sig`` — Spark
+    engine side only.  The UNION ALL form (``minhash_band_selects``)
+    references ``sig`` once per band, and Spark INLINES repeated CTEs, so
+    a 4-band UNION re-runs the whole upstream pipeline (shingles -> md5 ->
+    signature GROUP BY, plus whatever produced the input docs) 4x inside
+    one job — measured 4.9 s vs 1.2 s on the sf0.1 web-curate batch.  A
+    LATERAL VIEW ``inline`` over an array of per-band structs emits the
+    same 4 rows per signature from a single ``sig`` subtree.  Row-set
+    identical to the UNION ALL form by construction (same band_id
+    literals, same md5 key expression); the ORACLES keep the UNION ALL —
+    DuckDB materializes multiply-referenced CTEs, so it never had the
+    problem."""
+    n_bands = NUM_PERM // BAND_ROWS
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', md5({cols}))".format(
+            b=b,
+            cols=" || '_' || ".join(
+                f"CAST(m{b * BAND_ROWS + r} AS STRING)"
+                for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return (
+        f"SELECT doc_id, band_id, band_key FROM {sig} "
+        f"LATERAL VIEW inline(array({structs})) t AS band_id, band_key"
+    )
+
+
 def minhash_lsh_pairs_sql(d: str, table: str = "documents") -> str:
     """Candidate near-dup pairs: docs sharing at least one LSH band."""
     bands = "\nUNION ALL\n".join(minhash_band_selects(d))
@@ -271,9 +301,11 @@ def band_table(spark, docs, view_name: str | None = None):
 
         view_name = f"__inc_dedup_{uuid.uuid4().hex[:12]}"
     docs.createOrReplaceTempView(view_name)
-    bands = "\nUNION ALL\n".join(minhash_band_selects(X.SPARK))
+    # one-pass band generation: the UNION ALL form inlined the signature
+    # pipeline (and the caller's whole upstream plan) once per band
     out = spark.sql(
-        f"WITH sig AS ({minhash_signatures_sql(X.SPARK, view_name)})\n{bands}"
+        f"WITH sig AS ({minhash_signatures_sql(X.SPARK, view_name)})\n"
+        + minhash_bands_from_sig_spark("sig")
     )
     if drop_after:
         out = out.localCheckpoint()
@@ -423,18 +455,28 @@ JOIN sizes nb ON e.doc_b = nb.doc_id
 """
 
 
-def _staged_minhash_parts(spark, table: str = "documents"):
+def _staged_minhash_parts(spark, table: str = "documents", light: bool = False):
     """Checkpointed shared stages of the MinHash pipeline — (sh, sig, cand,
     sizes).  Spark INLINES repeated CTEs, so any SQL that references the
     shingle/signature/candidate CTEs more than once re-runs the whole
     pipeline per reference (the 10x soak measured the estimator's 4
     references at 20x wall — SOAK.md round-4 batch 2); DuckDB
     auto-materializes multiply-referenced CTEs, so the ORACLES keep the
-    plain SQL.  Engine-side queries assemble from these instead."""
+    plain SQL.  Engine-side queries assemble from these instead.
+
+    ``light=True`` is for the callers that consume only ``sig``/``cand``
+    (candidate pairs, the graph family): the shingle table is NOT
+    checkpointed — the signature aggregation runs directly over the lazy
+    shingle chain in ONE job, skipping the materialization of the
+    |corpus|-scale shingle rows whose only consumers would have been the
+    ``sh``/``sizes`` returns (returned as None in this mode).  Same sig
+    and cand rows by construction."""
     from pyspark.sql import functions as F
 
     d = X.SPARK
-    sh = spark.sql(shingles_cte(d, table)).localCheckpoint()
+    sh = spark.sql(shingles_cte(d, table))
+    if not light:
+        sh = sh.localCheckpoint()
     hv = sh.select("doc_id", F.expr(X.md5_int(d, "sh")).alias("hv"))
     sig = hv.groupBy("doc_id").agg(
         *[F.expr(e.replace(f" AS m{k}", "")).alias(f"m{k}")
@@ -464,6 +506,8 @@ def _staged_minhash_parts(spark, table: str = "documents"):
         .distinct()
         .localCheckpoint()
     )
+    if light:
+        return None, sig, cand, None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return sh, sig, cand, sizes
 

@@ -123,8 +123,16 @@ def pagerank_df(
 
     d = X.SPARK
     if edges is None:
-        cand = spark.sql(minhash_lsh_pairs_sql(d, table))
-        with staged_views(spark, cand=cand) as v0:
+        # staged candidate pairs, not the plain SQL: under Spark's CTE
+        # inlining the bands self-join re-ran the signature pipeline 8x
+        # (bands referenced twice, sig inlined once per band branch)
+        # inside the one candidate-materialization job
+        from .dedup_text import _staged_minhash_parts
+
+        _sh, _sig, cand, _sizes = _staged_minhash_parts(
+            spark, table, light=True
+        )
+        with staged_views(spark, cand=cand, checkpoint=False) as v0:
             edges = spark.sql(pr_edges_sql(v0.cand)).localCheckpoint()
         edges_staged = True
     with staged_views(spark, edges=edges, checkpoint=not edges_staged) as v1:
@@ -251,7 +259,7 @@ def pagerank_weighted_df(spark, table: str = "documents", iters: int = PR_ITERS)
     from .staging import staged_views
 
     d = X.SPARK
-    _sh, sig, cand, _sizes = _staged_minhash_parts(spark, table)
+    _sh, sig, cand, _sizes = _staged_minhash_parts(spark, table, light=True)
     with staged_views(spark, sig=sig, cand=cand, checkpoint=False) as v0:
         wp = spark.sql(prw_weights_sql(v0.cand, v0.sig))
         with staged_views(spark, wp=wp) as vw:
@@ -336,7 +344,7 @@ def cluster_representatives_df(spark, table: str = "documents"):
     from . import dedup_text as DD
     from .staging import staged_views
 
-    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark, table)
+    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark, table, light=True)
     docs = spark.table(table)
     # the symmetrized edge set is built and checkpointed ONCE and shared by
     # both halves (components join it every propagation round, PageRank

@@ -1926,12 +1926,21 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
         tok_df = bspark.sql(tok_cte(X.SPARK, view))
     finally:
         bspark.catalog.dropTempView(view)
-    with staged_views(bspark, tok=tok_df) as v:
+    # Stage the POSTINGS (one tokenize + one (doc, token) shuffle), not the
+    # raw token stream: doclen is derivable from postings (dl = SUM(tf) ==
+    # COUNT(*) of tokens per doc), so staging after the aggregation writes
+    # both sidecars from the small aggregated frame instead of re-scanning
+    # the full token stream for the doclen pass — one fewer token-stream
+    # pass per micro-batch, identical landed bytes.
+    postings_base = tok_df.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    with staged_views(bspark, p=postings_base) as v:
         postings = bspark.sql(
-            f"SELECT doc_id, token, COUNT(*) AS tf, "
+            f"SELECT doc_id, token, tf, "
             f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket, "
             f"CAST({int(batch_id)} AS BIGINT) AS batch_id "
-            f"FROM {v.tok} GROUP BY doc_id, token"
+            f"FROM {v.p}"
         )
         (
             postings.write.mode("overwrite")
@@ -1939,9 +1948,10 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
             .partitionBy("tbucket", "batch_id")
             .parquet(path)
         )
-        dl = bspark.sql(bm25_dl_sql(v.tok)).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
-        )
+        dl = bspark.sql(
+            f"SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl "
+            f"FROM {v.p} GROUP BY doc_id"
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         (
             dl.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -190,8 +190,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     # staged: the bands self-join over the sig CTE re-ran the signature
-    # pipeline up to 8x under Spark's CTE inlining
-    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
+    # pipeline up to 8x under Spark's CTE inlining; light mode — only the
+    # candidate pairs are consumed, so the shingle rows are never
+    # materialized
+    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark, light=True)
     return cand
 
 
@@ -1225,8 +1227,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
     # staged candidate pairs: the plain SQL's 8 sig references re-ran the
-    # signature pipeline 8x within one evaluation under CTE inlining
-    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark)
+    # signature pipeline 8x within one evaluation under CTE inlining;
+    # light mode — only the pairs are consumed downstream
+    _sh, _sig, pairs, _sizes = DD._staged_minhash_parts(spark, light=True)
     docs = load_table(spark, sf_dir, "documents")
     return DC.dedup_clusters_df(pairs, docs)
 
@@ -2659,7 +2662,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = X.SPARK
     from ..operators.staging import staged_views
 
-    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark)
+    _sh, _sig, cand, _sizes = DD._staged_minhash_parts(spark, light=True)
     # splits staged too: the SQL references it on BOTH join sides, and the
     # split hash reads the full text — unstaged, the corpus text would scan
     # (and md5) twice; checkpointed it is a 2-column (doc_id, split) table

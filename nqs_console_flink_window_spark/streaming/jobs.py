@@ -919,9 +919,17 @@ def curate_batch(
             .drop("n_tok", "nll_micro")
         )
         extra_cols = ["avg_nll_nats"]
+    # materialize the scored batch ONCE before the dedup gate: the gate
+    # consumes its input twice (the band table and the survivor anti-join),
+    # and without this each consumption re-runs the whole DSIR + quality +
+    # LM scoring chain above (measured 2.4 s/batch of pure recomputation
+    # on the sf0.1 web_curate row)
+    scored_batch = passed.select(
+        *batch_df.columns, "quality", "log_weight", *extra_cols
+    ).localCheckpoint()
     return ingest_dedup_batch(
         bspark,
-        passed.select(*batch_df.columns, "quality", "log_weight", *extra_cols),
+        scored_batch,
         batch_id,
         kept_dir,
         index_dir,
