@@ -73,6 +73,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from ..functions import dialect as X
 from .selection import qln_micro
 
@@ -168,13 +170,18 @@ def lm_perplexity_sql(d: str, table: str = "documents") -> str:
 
 
 def lm_perplexity_df(spark, table: str = "documents"):
-    """Engine side: tok feeds the fit AND the scoring join, tgt feeds the
-    konst scalar AND the join — both staged once.  konst rides a scalar
-    subquery (1 row, no BNLJ)."""
+    """Engine side: only the vocab-sized model table is staged (tgt feeds
+    the konst scalar AND the join).  ``tok`` rides as a LAZY view — the
+    fit statement and the scoring statement each reference it exactly
+    once, so staging it would materialize the corpus-scale token stream
+    to save zero recomputation; the two explode passes cost one extra
+    parquet scan (the fit pass filters to the 1-in-7 slice before the
+    explode) and nothing corpus-wide ever hits local disk.  konst rides
+    a scalar subquery (1 row, no BNLJ)."""
     from .staging import staged_views
 
     tok_df = spark.sql(tok_cte(X.SPARK, table))
-    with staged_views(spark, tok=tok_df) as v1:
+    with staged_views(spark, tok=tok_df, checkpoint=False) as v1:
         tgt_df = spark.sql(lm_fit_sql(v1.tok))
         with staged_views(spark, tgt=tgt_df) as v2:
             return spark.sql(lm_score_sql(v1.tok, v2.tgt))
@@ -203,6 +210,56 @@ def bm25_tf_sql(tok: str, query: tuple[str, ...] = BM25_QUERY) -> str:
 
 def bm25_dl_sql(tok: str) -> str:
     return f"SELECT doc_id, COUNT(*) AS dl FROM {tok} GROUP BY doc_id"
+
+
+@contextmanager
+def _staged_tf_dl(spark, table: str, terms: tuple[str, ...]):
+    """Stage the sparse-leg inputs — ``tf`` (doc_id, token, tf; query
+    terms only) and ``dl`` (doc_id, dl) — from ONE corpus pass.
+
+    The original staging materialized the full (doc_id, token) exploded
+    stream (localCheckpoint of |corpus tokens| rows) and then ran two
+    more aggregation jobs over it.  At corpus scale that checkpoint IS
+    the cost: the token stream is an order of magnitude wider than the
+    documents themselves.  Instead, one aggregation pass over the lazy
+    token explode computes, per doc, the doc length AND one conditional
+    count per query term (|terms| is query-sized, never corpus-sized) —
+    map-side partial aggregation shrinks the shuffle to |docs| narrow
+    rows and the only checkpointed frame is that per-doc table.  ``tf``
+    and ``dl`` are then pure projections of the staged leaf: ``tf``
+    un-pivots the term-count columns via ``stack`` and keeps tf > 0 rows
+    (exactly the groups ``bm25_tf_sql`` emits), ``dl`` selects (doc_id,
+    dl).  Both are registered un-checkpointed — every downstream
+    reference re-reads the in-memory leaf, never the corpus.  Contents
+    are identical to the bm25_tf_sql/bm25_dl_sql forms by construction
+    (COUNT(*) per (doc, term) == COUNT_IF(token = term) per doc; docs
+    with zero tokens appear in neither), so every consumer's result is
+    bit-identical."""
+    from .staging import staged_views
+
+    terms = tuple(dict.fromkeys(terms))  # stack would duplicate repeats
+    if not terms:
+        raise ValueError("_staged_tf_dl: empty query term set")
+    tf_cols = ", ".join(
+        f"COUNT_IF(token = {_sql_str(t)}) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    g_df = spark.sql(
+        f"SELECT doc_id, COUNT(*) AS dl, {tf_cols} "
+        f"FROM ({tok_cte(X.SPARK, table)}) GROUP BY doc_id"
+    )
+    with staged_views(spark, g=g_df) as v1:
+        stack_args = ", ".join(
+            f"{_sql_str(t)}, tf_{i}" for i, t in enumerate(terms)
+        )
+        tf_df = spark.sql(
+            f"SELECT doc_id, token, tf FROM ("
+            f"SELECT doc_id, stack({len(terms)}, {stack_args}) AS (token, tf) "
+            f"FROM {v1.g}) WHERE tf > 0"
+        )
+        dl_df = spark.sql(f"SELECT doc_id, dl FROM {v1.g}")
+        with staged_views(spark, tf=tf_df, dl=dl_df, checkpoint=False) as v2:
+            yield v2
 
 
 def _bm25_contrib_expr() -> str:
@@ -286,17 +343,11 @@ def bm25_topk_df(
     query: tuple[str, ...] = BM25_QUERY,
     k: int = BM25_K,
 ):
-    """Engine side: tok feeds dl AND tf (staged once); tf feeds df AND
-    scored, dl feeds the T scalar AND scored (both staged).  Final cut is
-    ORDER BY + LIMIT = TakeOrdered."""
-    from .staging import staged_views
-
-    tok_df = spark.sql(tok_cte(X.SPARK, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, query))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
-            return spark.sql(bm25_score_sql(v2.tf, v2.dl, table, k))
+    """Engine side: one corpus pass stages the per-doc (dl, term-tf)
+    table (``_staged_tf_dl``); tf/dl ride as projections of that leaf.
+    Final cut is ORDER BY + LIMIT = TakeOrdered."""
+    with _staged_tf_dl(spark, table, query) as v2:
+        return spark.sql(bm25_score_sql(v2.tf, v2.dl, table, k))
 
 
 # ---------------------------------------------------------------------------
@@ -464,21 +515,16 @@ def hybrid_rrf_df(
     table: str = "documents",
     query: tuple[str, ...] = BM25_QUERY,
 ):
-    """Engine side: tok staged once (feeds tf AND dl); tf/dl staged (tf
+    """Engine side: one corpus pass stages the per-doc (dl, term-tf)
+    table (``_staged_tf_dl``); tf/dl ride as projections of that leaf (tf
     feeds df, the BM25 scorer, ctf, the candidate set and the QL left
     join; dl feeds the T scalar and both scorers).  Both leg cuts are
     TakeOrdered; both rank windows cover <= HYBRID_LEG_K rows."""
-    from .staging import staged_views
-
     d = X.SPARK
-    tok_df = spark.sql(tok_cte(d, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, query))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
-            return spark.sql(
-                "WITH " + _hybrid_rrf_ctes(d, v2.tf, v2.dl, table)
-            )
+    with _staged_tf_dl(spark, table, query) as v2:
+        return spark.sql(
+            "WITH " + _hybrid_rrf_ctes(d, v2.tf, v2.dl, table)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -591,21 +637,16 @@ def bm25_multi_df(
     queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
     k: int = BM25_MULTI_K,
 ):
-    """Engine side: tok feeds dl AND tf (staged once); tf feeds df AND
-    scored, dl feeds the T scalar AND scored (both staged); qt is a
-    constant-folded literal relation the optimizer broadcasts.  Per-query
-    cut = rank window partitioned by query_id over the candidate agg."""
-    from .staging import staged_views
-
-    tok_df = spark.sql(tok_cte(X.SPARK, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
-            return spark.sql(
-                f"WITH qt AS ({bm25_queryset_sql(queries)}), "
-                + _bm25_multi_ctes(v2.tf, v2.dl, "qt", table, k)
-            )
+    """Engine side: one corpus pass stages the per-doc (dl, term-tf)
+    table (``_staged_tf_dl``); tf/dl ride as projections of that leaf; qt
+    is a constant-folded literal relation the optimizer broadcasts.
+    Per-query cut = rank window partitioned by query_id over the
+    candidate agg."""
+    with _staged_tf_dl(spark, table, bm25_queryset_terms(queries)) as v2:
+        return spark.sql(
+            f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+            + _bm25_multi_ctes(v2.tf, v2.dl, "qt", table, k)
+        )
 
 
 def _bm25_multi_leg_ctes(
@@ -744,22 +785,17 @@ def hybrid_rrf_multi_df(
     table: str = "documents",
     queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
 ):
-    """Engine side: same staging as bm25_multi_df (tok once; tf/dl once —
-    tf feeds df/scored/ctf/candq/the QL left join, dl feeds T and both
-    scorers); qt is the constant-folded broadcast relation.  Every rank
-    window partitions by query_id over per-query candidates."""
-    from .staging import staged_views
-
+    """Engine side: same staging as bm25_multi_df (one corpus pass via
+    ``_staged_tf_dl``; tf feeds df/scored/ctf/candq/the QL left join, dl
+    feeds T and both scorers); qt is the constant-folded broadcast
+    relation.  Every rank window partitions by query_id over per-query
+    candidates."""
     d = X.SPARK
-    tok_df = spark.sql(tok_cte(d, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
-            return spark.sql(
-                f"WITH qt AS ({bm25_queryset_sql(queries)}), "
-                + _hybrid_rrf_multi_ctes(d, v2.tf, v2.dl, "qt", table)
-            )
+    with _staged_tf_dl(spark, table, bm25_queryset_terms(queries)) as v2:
+        return spark.sql(
+            f"WITH qt AS ({bm25_queryset_sql(queries)}), "
+            + _hybrid_rrf_multi_ctes(d, v2.tf, v2.dl, "qt", table)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -899,22 +935,17 @@ def hybrid_dense_sparse_df(
     leg_k: int = HYBRID_LEG_K,
     k: int = HYBRID_K,
 ):
-    """Engine side: same tok/tf/dl staging as the lexical fusion; the
-    dense CTE is referenced once (dtop), so it rides inline — the 1-row
-    query subquery broadcasts, scores project to THIN (vec_id, cosine)
-    rows, and the leg cut is ORDER BY + LIMIT = TakeOrdered."""
-    from .staging import staged_views
-
+    """Engine side: same single-pass tf/dl staging as the lexical fusion
+    (``_staged_tf_dl``); the dense CTE is referenced once (dtop), so it
+    rides inline — the 1-row query subquery broadcasts, scores project to
+    THIN (vec_id, cosine) rows, and the leg cut is ORDER BY + LIMIT =
+    TakeOrdered."""
     d = X.SPARK
-    tok_df = spark.sql(tok_cte(d, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, query))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df) as v2:
-            return spark.sql(
-                f"WITH dcos AS ({_dense_scored_sql(d, vec_table, query_vec)}), "
-                + _dense_sparse_ctes(d, v2.tf, v2.dl, "dcos", table, leg_k, k)
-            )
+    with _staged_tf_dl(spark, table, query) as v2:
+        return spark.sql(
+            f"WITH dcos AS ({_dense_scored_sql(d, vec_table, query_vec)}), "
+            + _dense_sparse_ctes(d, v2.tf, v2.dl, "dcos", table, leg_k, k)
+        )
 
 
 def _dense_multi_scored_sql(
@@ -1072,15 +1103,12 @@ def hybrid_dense_sparse_multi_df(
 
     d = X.SPARK
     dr = _dense_multi_leg_df(spark, vec_table, sorted(queries), leg_k)
-    tok_df = spark.sql(tok_cte(d, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df, drm=dr) as v2:
+    with _staged_tf_dl(spark, table, bm25_queryset_terms(queries)) as v2:
+        with staged_views(spark, drm=dr) as v3:
             return spark.sql(
                 f"WITH qt AS ({bm25_queryset_sql(queries)}), "
                 + _dense_sparse_multi_ctes(
-                    d, v2.tf, v2.dl, "qt", v2.drm, table, leg_k, k
+                    d, v2.tf, v2.dl, "qt", v3.drm, table, leg_k, k
                 )
             )
 
@@ -1220,15 +1248,12 @@ def hybrid_weighted_df(
 
     d = X.SPARK
     dr = _dense_multi_leg_df(spark, vec_table, sorted(queries), leg_k)
-    tok_df = spark.sql(tok_cte(d, table))
-    with staged_views(spark, tok=tok_df) as v1:
-        tf_df = spark.sql(bm25_tf_sql(v1.tok, bm25_queryset_terms(queries)))
-        dl_df = spark.sql(bm25_dl_sql(v1.tok))
-        with staged_views(spark, tf=tf_df, dl=dl_df, drm=dr) as v2:
+    with _staged_tf_dl(spark, table, bm25_queryset_terms(queries)) as v2:
+        with staged_views(spark, drm=dr) as v3:
             return spark.sql(
                 f"WITH qt AS ({bm25_queryset_sql(queries)}), "
                 + _dense_sparse_weighted_ctes(
-                    d, v2.tf, v2.dl, "qt", v2.drm, table, leg_k, k
+                    d, v2.tf, v2.dl, "qt", v3.drm, table, leg_k, k
                 )
             )
 
@@ -1680,7 +1705,7 @@ def build_text_index(spark, docs_df, path: str) -> None:
     reads, or schedules the other buckets' files — and tf/dl/N/T are all
     precomputed, so query cost is |Q| bucket scans + one small join, with
     no pass over the corpus text at all."""
-    from .staging import staged_views
+    from pyspark.sql import functions as F
 
     view = "__text_index_docs"
     docs_df.createOrReplaceTempView(view)
@@ -1688,52 +1713,65 @@ def build_text_index(spark, docs_df, path: str) -> None:
         tok_df = spark.sql(tok_cte(X.SPARK, view))
     finally:
         spark.catalog.dropTempView(view)
-    with staged_views(spark, tok=tok_df) as v:
-        postings = spark.sql(
-            f"SELECT doc_id, token, COUNT(*) AS tf, "
-            f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket "
-            f"FROM {v.tok} GROUP BY doc_id, token"
+    # ONE corpus pass: tokenize -> (doc, token) aggregation -> partitioned
+    # write.  The overwrite-mode postings write doubles as free staging —
+    # dl derives from the WRITTEN postings (dl = SUM(tf) == token count
+    # per doc) and t_tok from the written doclen (t_tok = SUM(dl)), so
+    # the raw token stream is never materialized (the old form
+    # localCheckpointed |corpus tokens| rows to local disk) and never
+    # re-derived.  Landed bytes are identical.
+    postings = (
+        tok_df.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "tbucket",
+            F.expr(f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS}"),
         )
-        postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
-        dl = spark.sql(bm25_dl_sql(v.tok))
-        dl.write.mode("overwrite").parquet(f"{path}.doclen")
-        # n_docs counts the DOCS TABLE (the same N the online form's
-        # scalar subquery reads) — a distinct-doc count over the token
-        # stream would undercount by every zero-token document and shift
-        # the idf of every query term away from bm25_topk's
-        n_docs = docs_df.count()
-        # NULL-text contract, enforced for free: every non-NULL-text doc
-        # lands exactly one doclen row (whitespace split yields >= 1
-        # token), so doclen rows != docs count proves NULL-text docs —
-        # whose absent dl rows would drift N on the next append's stats
-        # rebuild.  One footer-metadata count, no second corpus scan.
-        n_dl = spark.read.parquet(f"{path}.doclen").count()
-        if n_dl != n_docs:
-            # Two causes produce n_dl < n_docs: NULL-text docs (no tokens,
-            # no doclen row) and duplicate doc_ids (doclen groups by
-            # doc_id, so k copies collapse to one row).  One cheap
-            # distinct-count probe tells them apart so the error names
-            # the actual defect instead of mis-diagnosing.
-            n_distinct = docs_df.select("doc_id").distinct().count()
-            if n_distinct != n_docs:
-                raise ValueError(
-                    f"build_text_index: docs table repeats "
-                    f"{n_docs - n_distinct} doc_id(s) — duplicate doc_ids "
-                    "are outside the text-index contract (their postings "
-                    "merge under one doclen row, inflating tf while N "
-                    "counts every copy); dedup and rebuild"
-                )
+    )
+    postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
+    dl = (
+        spark.read.parquet(path)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(f"{path}.doclen")
+    # n_docs counts the DOCS TABLE (the same N the online form's
+    # scalar subquery reads) — a distinct-doc count over the token
+    # stream would undercount by every zero-token document and shift
+    # the idf of every query term away from bm25_topk's
+    n_docs = docs_df.count()
+    # NULL-text contract, enforced for free: every non-NULL-text doc
+    # lands exactly one doclen row (whitespace split yields >= 1
+    # token), so doclen rows != docs count proves NULL-text docs —
+    # whose absent dl rows would drift N on the next append's stats
+    # rebuild.  One footer-metadata count, no second corpus scan.
+    dl_back = spark.read.parquet(f"{path}.doclen")
+    n_dl = dl_back.count()
+    if n_dl != n_docs:
+        # Two causes produce n_dl < n_docs: NULL-text docs (no tokens,
+        # no doclen row) and duplicate doc_ids (doclen groups by
+        # doc_id, so k copies collapse to one row).  One cheap
+        # distinct-count probe tells them apart so the error names
+        # the actual defect instead of mis-diagnosing.
+        n_distinct = docs_df.select("doc_id").distinct().count()
+        if n_distinct != n_docs:
             raise ValueError(
-                f"build_text_index: {n_docs - n_dl} NULL-text docs are "
-                "outside the text-index contract (no tokens, no doclen "
-                "row — the append-time stats rebuild would drift N); "
-                "filter them out and rebuild"
+                f"build_text_index: docs table repeats "
+                f"{n_docs - n_distinct} doc_id(s) — duplicate doc_ids "
+                "are outside the text-index contract (their postings "
+                "merge under one doclen row, inflating tf while N "
+                "counts every copy); dedup and rebuild"
             )
-        stats = spark.sql(
-            f"SELECT CAST({int(n_docs)} AS BIGINT) AS n_docs, "
-            f"CAST(COUNT(*) AS BIGINT) AS t_tok FROM {v.tok}"
+        raise ValueError(
+            f"build_text_index: {n_docs - n_dl} NULL-text docs are "
+            "outside the text-index contract (no tokens, no doclen "
+            "row — the append-time stats rebuild would drift N); "
+            "filter them out and rebuild"
         )
-        stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
+    stats = dl_back.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t_tok")
+    ).select(F.lit(int(n_docs)).cast("long").alias("n_docs"), "t_tok")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}.stats")
 
 
 def _indexed_inputs(spark, path: str, terms: tuple[str, ...]):
@@ -2088,11 +2126,14 @@ def lm_ppl_terciles_df(spark, table: str = "documents"):
     """Engine side: scores / stats / vals are each staged (every one is
     multiply referenced — scores by stats+hist+band, stats by the bin/cut
     scalar subqueries, vals by the three band references; un-staged, CTE
-    inlining would re-run the whole LM chain per reference)."""
+    inlining would re-run the whole LM chain per reference).  ``tok`` is
+    a LAZY view (one reference per statement — same reasoning as
+    ``lm_perplexity_df``: staging it would materialize the corpus-scale
+    token stream for zero saved recomputation)."""
     from .staging import staged_views
 
     tok_df = spark.sql(tok_cte(X.SPARK, table))
-    with staged_views(spark, tok=tok_df) as v1:
+    with staged_views(spark, tok=tok_df, checkpoint=False) as v1:
         tgt_df = spark.sql(lm_fit_sql(v1.tok))
         with staged_views(spark, tgt=tgt_df) as v2:
             scores_df = spark.sql(
@@ -2153,16 +2194,25 @@ def text_index_append(spark, path: str, new_docs) -> None:
         tok_df = spark.sql(tok_cte(X.SPARK, view))
     finally:
         spark.catalog.dropTempView(view)
-    with staged_views(spark, tok=tok_df) as v:
+    # Stage the POSTINGS aggregation, not the raw token stream (same
+    # one-token-pass discipline as text_index_ingest_batch): dl derives
+    # from the staged postings (dl = SUM(tf) == token count per doc), so
+    # the batch is tokenized exactly once and the only materialized frame
+    # is the aggregated (doc, token, tf) table.  Landed bytes identical.
+    postings_base = tok_df.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    with staged_views(spark, p=postings_base) as v:
         postings = spark.sql(
-            f"SELECT doc_id, token, COUNT(*) AS tf, "
+            f"SELECT doc_id, token, tf, "
             f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket "
-            f"FROM {v.tok} GROUP BY doc_id, token"
+            f"FROM {v.p}"
         )
         postings.write.mode("append").partitionBy("tbucket").parquet(path)
-        spark.sql(bm25_dl_sql(v.tok)).write.mode("append").parquet(
-            f"{path}.doclen"
-        )
+        spark.sql(
+            f"SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl "
+            f"FROM {v.p} GROUP BY doc_id"
+        ).write.mode("append").parquet(f"{path}.doclen")
     _rebuild_stats(spark, path)
 
 
