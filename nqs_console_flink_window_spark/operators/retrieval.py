@@ -1624,8 +1624,13 @@ def _rebuild_stats(spark, path: str) -> None:
 
 
 def _assert_fresh_doc_ids(
-    spark, new_docs, path: str, where: str, exclude_batch_id: int | None = None
-) -> None:
+    spark,
+    new_docs,
+    path: str,
+    where: str,
+    exclude_batch_id: int | None = None,
+    check_null_text: bool = False,
+) -> int | None:
     """Enforce the index's doc_id-uniqueness contract on an APPEND/INGEST
     batch: a re-ingested doc_id would land a SECOND doclen row and a
     second postings row per term, silently inflating N/T and
@@ -1644,18 +1649,43 @@ def _assert_fresh_doc_ids(
       ``exclude_batch_id`` exempts rows the caller is about to OVERWRITE
       (the replay-idempotent ingest path re-lands its own (bucket, batch)
       slices — those rows are replaced, not duplicated, so a replay must
-      pass)."""
+      pass).
+
+    Returns the batch row count when bounded, else None — a streaming
+    caller uses 0 to skip an empty landing without scheduling its own
+    emptiness-probe job.  With ``check_null_text=True`` the SAME collected
+    head also enforces the NULL-text contract for bounded batches
+    (oversized batches run the distributed ``_assert_no_null_text``
+    probe), so the per-micro-batch contract costs ONE driver collect
+    instead of three jobs."""
     from pyspark.sql import functions as F
 
     ids = new_docs.select("doc_id")
-    # one collect serves BOTH probes for bounded batches: the ids come to
-    # the driver anyway for the IN-list freshness filter, so the intra-batch
-    # duplicate check is a Python set test (saves the distributed
-    # groupBy+count job — measured ~0.3-0.4 s of the ~1 s per-micro-batch
-    # assert cost); oversized batches keep the distributed probes
-    head = ids.limit(_FRESH_PROBE_INLIST + 1).collect()
+    # one collect serves EVERY probe for bounded batches: the ids come to
+    # the driver anyway for the IN-list freshness filter, so the
+    # intra-batch duplicate check is a Python set test and the NULL-text
+    # check a flag scan (saves the distributed groupBy+count and IsNull
+    # jobs — measured ~0.3-0.4 s each of the per-micro-batch assert
+    # cost); oversized batches keep the distributed probes
+    cols = ["doc_id"] + (
+        [F.isnull("text").alias("_tnull")] if check_null_text else []
+    )
+    head = new_docs.select(*cols).limit(_FRESH_PROBE_INLIST + 1).collect()
     head_ids = [r["doc_id"] for r in head]
-    if len(head) <= _FRESH_PROBE_INLIST:
+    bounded = len(head) <= _FRESH_PROBE_INLIST
+    if check_null_text:
+        # same raise order as the standalone probe: NULL-text before dup
+        if bounded:
+            if any(r["_tnull"] for r in head):
+                raise ValueError(
+                    f"{where}: NULL-text docs are outside the text-index "
+                    "contract (they produce no tokens and no doclen row, "
+                    "so the append-time stats rebuild would drift N) — "
+                    "filter them out before indexing"
+                )
+        else:
+            _assert_no_null_text(new_docs, where)
+    if bounded:
         has_dup = len(set(head_ids)) < len(head_ids)
     else:
         dup = ids.groupBy("doc_id").count().filter("count > 1").limit(1)
@@ -1679,8 +1709,16 @@ def _assert_fresh_doc_ids(
     )
     if exclude_batch_id is not None and "batch_id" in existing.columns:
         existing = existing.filter(F.col("batch_id") != int(exclude_batch_id))
-    if len(head) <= _FRESH_PROBE_INLIST:
-        clash = existing.filter(F.col("doc_id").isin(head_ids)).limit(1)
+    if bounded:
+        if not head_ids:
+            return 0  # empty batch — nothing to clash
+        # one SQL string, not Column.isin(list): isin builds one py4j
+        # literal expression per id (measured 2.2 s vs 0.3 s at 2500 ids
+        # for the IDENTICAL pushed-down In plan); doc_id is BIGINT by
+        # contract, int() keeps the interpolation literal-safe
+        clash = existing.filter(
+            f"doc_id IN ({', '.join(str(int(i)) for i in head_ids)})"
+        ).limit(1)
     else:
         clash = ids.join(existing.select("doc_id"), "doc_id", "left_semi").limit(1)
     if clash.count() > 0:
@@ -1691,6 +1729,7 @@ def _assert_fresh_doc_ids(
             "double-count tf in every score); anti-join the batch "
             "against the doclen sidecar before indexing"
         )
+    return len(head) if bounded else None
 
 
 def build_text_index(spark, docs_df, path: str) -> None:
@@ -1958,14 +1997,19 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
             "from the landings), or keep maintaining the flat index via "
             "text_index_append"
         )
-    _assert_no_null_text(batch_df, "text_index_ingest_batch")
-    _assert_fresh_doc_ids(
+    # one driver collect enforces NULL-text + intra-batch dup + freshness
+    # AND reports emptiness (bounded batches) — three contract probes and
+    # the caller's would-be emptiness job folded into a single job
+    n_batch = _assert_fresh_doc_ids(
         bspark,
         batch_df,
         path,
         "text_index_ingest_batch",
         exclude_batch_id=batch_id,
+        check_null_text=True,
     )
+    if n_batch == 0:
+        return  # empty batch: nothing to land, stats unchanged
     view = f"__text_index_batch_{batch_id}"
     batch_df.createOrReplaceTempView(view)
     try:
@@ -2186,8 +2230,10 @@ def text_index_append(spark, path: str, new_docs) -> None:
             "would mix partition depths — route new docs through "
             "text_index_ingest_batch instead"
         )
-    _assert_no_null_text(new_docs, "text_index_append")
-    _assert_fresh_doc_ids(spark, new_docs, path, "text_index_append")
+    # one contract collect: NULL-text + dup + freshness (bounded batches)
+    _assert_fresh_doc_ids(
+        spark, new_docs, path, "text_index_append", check_null_text=True
+    )
     view = "__text_index_append_docs"
     new_docs.createOrReplaceTempView(view)
     try:

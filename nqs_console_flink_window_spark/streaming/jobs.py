@@ -974,9 +974,10 @@ def curate_index_batch(
         min_logw,
         lm_model,
     )
+    # no emptiness-probe job here: text_index_ingest_batch's contract
+    # collect detects the empty batch itself and skips the landing
     survivors = kept.select("doc_id", "text")
-    if survivors.limit(1).count() > 0:
-        text_index_ingest_batch(bspark, survivors, batch_id, text_index_dir)
+    text_index_ingest_batch(bspark, survivors, batch_id, text_index_dir)
 
 
 def run_web_curation_stream(
