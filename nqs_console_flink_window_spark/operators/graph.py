@@ -111,17 +111,32 @@ def pagerank_df(
     edges=None,
     edges_staged: bool = False,
 ):
-    """Engine side: candidate pairs, edges, degrees and the node list are
-    staged once (each is referenced every iteration); the rank vector is
-    checkpointed per step by the staging wrapper, so lineage stays flat and
-    the returned plan is one real iteration step (inspectable — never a
-    bare Scan ExistingRDD).  ``edges`` lets a composed caller
-    (cluster_representatives) pass the symmetrized edge set it already
-    built; ``edges_staged=True`` marks it as checkpointed so it is not
-    re-materialized."""
+    """Engine side — round-12 active-set restructure (guide §2: iterate
+    over the GRAPH, project to the corpus once).  The rank vector the
+    loop carries covers only graph-ACTIVE nodes (nodes with edges): in
+    the symmetrized graph a node is active iff it has both in- and
+    out-edges, every inactive node's rank is exactly the teleport
+    constant from iteration 1 on (it receives no contributions and sends
+    none), and every active node receives >= 1 contribution row each
+    step — so the per-step plan is ONE join (rank onto the
+    outdeg-carrying edge relation) + ONE groupBy(dst), with no
+    corpus-wide node pass inside the loop; the full node list enters
+    once, in the final LEFT JOIN + COALESCE(teleport) projection.
+    Output-identical to the unrolled oracle (requires iters >= 1 — at
+    iters = 0 inactive nodes would still hold the r0 value).
+
+    The edge relation is checkpointed ONCE with outdeg attached
+    (src, dst, outdeg — folds the old separate deg stage and drops the
+    per-iteration deg join), and N rides as a literal from one bounded
+    1-row count (the indexed-path stats-inlining convention).  ``edges``
+    lets a composed caller (cluster_representatives) pass the symmetrized
+    edge set it already built; ``edges_staged=True`` marks it as
+    checkpointed so it is re-read, not re-materialized."""
     from .staging import staged_views
 
     d = X.SPARK
+    if iters < 1:
+        raise ValueError("pagerank_df: iters must be >= 1")
     if edges is None:
         # staged candidate pairs, not the plain SQL: under Spark's CTE
         # inlining the bands self-join re-ran the signature pipeline 8x
@@ -133,20 +148,38 @@ def pagerank_df(
             spark, table, light=True
         )
         with staged_views(spark, cand=cand, checkpoint=False) as v0:
-            edges = spark.sql(pr_edges_sql(v0.cand)).localCheckpoint()
-        edges_staged = True
-    with staged_views(spark, edges=edges, checkpoint=not edges_staged) as v1:
-        deg = spark.sql(pr_deg_sql(v1.edges))
-        nodes = spark.sql(f"SELECT doc_id FROM {table}")
-        with staged_views(spark, deg=deg, nodes=nodes) as v2:
-            r = spark.sql(pr_init_sql(d, v2.nodes))
+            edges = spark.sql(pr_edges_sql(v0.cand))
+    n_docs = spark.sql(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}"
+    ).collect()[0]["n"]
+    r0_val = PR_SCALE // n_docs if n_docs else 0
+    tel = PR_TELEPORT // n_docs if n_docs else 0
+    share = X.idiv(d, "17 * r.r", "20 * e.outdeg")
+    with staged_views(spark, e=edges, checkpoint=False) as ve:
+        e2 = spark.sql(
+            f"SELECT e.src, e.dst, g.outdeg FROM {ve.e} e JOIN "
+            f"(SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg "
+            f"FROM {ve.e} GROUP BY src) g ON g.src = e.src"
+        )
+        with staged_views(spark, e2=e2) as v1:
+            r = spark.sql(
+                f"SELECT DISTINCT src AS doc_id, "
+                f"CAST({r0_val} AS BIGINT) AS r FROM {v1.e2}"
+            )
             for _ in range(iters):
                 with staged_views(spark, r=r) as v3:
-                    r = spark.sql(
-                        pr_iter_sql(d, v2.nodes, v1.edges, v2.deg, v3.r)
-                    )
+                    r = spark.sql(f"""
+SELECT e.dst AS doc_id,
+  CAST({tel} AS BIGINT) + CAST(SUM({share}) AS BIGINT) AS r
+FROM {v1.e2} e JOIN {v3.r} r ON r.doc_id = e.src
+GROUP BY e.dst
+""")
             with staged_views(spark, r=r, checkpoint=False) as v4:
-                return spark.sql(pr_final_sql(v4.r))
+                return spark.sql(pr_final_sql(
+                    f"(SELECT n.doc_id, COALESCE(r.r, CAST({tel} AS BIGINT)) AS r "
+                    f"FROM (SELECT doc_id FROM {table}) n "
+                    f"LEFT JOIN {v4.r} r ON r.doc_id = n.doc_id) t"
+                ))
 
 
 # ---------------------------------------------------------------------------
@@ -253,29 +286,53 @@ def pagerank_weighted_sql(
 def pagerank_weighted_df(spark, table: str = "documents", iters: int = PR_ITERS):
     """Engine side: the staged MinHash parts already carry signatures AND
     candidates (checkpointed once — the same shared-stage discipline as
-    cluster_representatives); weights/edges/out-weights staged, rank
-    checkpointed per step."""
+    cluster_representatives); the round-12 active-set loop (see
+    ``pagerank_df``) with the out-weight total folded into the ONE
+    checkpointed edge relation (src, dst, w, wout) — each step is one
+    join + one groupBy over graph-active nodes only."""
     from .dedup_text import _staged_minhash_parts
     from .staging import staged_views
 
     d = X.SPARK
+    if iters < 1:
+        raise ValueError("pagerank_weighted_df: iters must be >= 1")
     _sh, sig, cand, _sizes = _staged_minhash_parts(spark, table, light=True)
     with staged_views(spark, sig=sig, cand=cand, checkpoint=False) as v0:
         wp = spark.sql(prw_weights_sql(v0.cand, v0.sig))
         with staged_views(spark, wp=wp) as vw:
-            edges = spark.sql(prw_edges_sql(vw.wp)).localCheckpoint()
-    with staged_views(spark, edges=edges, checkpoint=False) as v1:
-        wout = spark.sql(prw_wout_sql(v1.edges))
-        nodes = spark.sql(f"SELECT doc_id FROM {table}")
-        with staged_views(spark, wout=wout, nodes=nodes) as v2:
-            r = spark.sql(pr_init_sql(d, v2.nodes))
-            for _ in range(iters):
-                with staged_views(spark, r=r) as v3:
+            edges = spark.sql(prw_edges_sql(vw.wp))
+            n_docs = spark.sql(
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}"
+            ).collect()[0]["n"]
+            r0_val = PR_SCALE // n_docs if n_docs else 0
+            tel = PR_TELEPORT // n_docs if n_docs else 0
+            share = X.idiv(d, "17 * r.r * e.w", "20 * e.wout")
+            with staged_views(spark, e=edges, checkpoint=False) as ve:
+                e2 = spark.sql(
+                    f"SELECT e.src, e.dst, e.w, g.wout FROM {ve.e} e JOIN "
+                    f"(SELECT src, CAST(SUM(w) AS BIGINT) AS wout "
+                    f"FROM {ve.e} GROUP BY src) g ON g.src = e.src"
+                )
+                with staged_views(spark, e2=e2) as v1:
                     r = spark.sql(
-                        prw_iter_sql(d, v2.nodes, v1.edges, v2.wout, v3.r)
+                        f"SELECT DISTINCT src AS doc_id, "
+                        f"CAST({r0_val} AS BIGINT) AS r FROM {v1.e2}"
                     )
-            with staged_views(spark, r=r, checkpoint=False) as v4:
-                return spark.sql(pr_final_sql(v4.r))
+                    for _ in range(iters):
+                        with staged_views(spark, r=r) as v3:
+                            r = spark.sql(f"""
+SELECT e.dst AS doc_id,
+  CAST({tel} AS BIGINT) + CAST(SUM({share}) AS BIGINT) AS r
+FROM {v1.e2} e JOIN {v3.r} r ON r.doc_id = e.src
+GROUP BY e.dst
+""")
+                    with staged_views(spark, r=r, checkpoint=False) as v4:
+                        return spark.sql(pr_final_sql(
+                            f"(SELECT n.doc_id, "
+                            f"COALESCE(r.r, CAST({tel} AS BIGINT)) AS r "
+                            f"FROM (SELECT doc_id FROM {table}) n "
+                            f"LEFT JOIN {v4.r} r ON r.doc_id = n.doc_id) t"
+                        ))
 
 
 def cr_reach_cte(edges: str, table: str = "documents") -> str:

@@ -325,21 +325,47 @@ def incremental_image_dedup(
     from .staging import staged_views
 
     nb = (bands_fn or image_bands)(media).localCheckpoint()
-    ham = X.xor(X.SPARK, "a.bv", "b.bv")
+    # round-12 asymmetric fusion: the BATCH side's full fingerprint rides
+    # along as DHASH_BANDS window-sum columns (fp0..fp3 — a window over
+    # the batch-scale nb only; a window over the INDEX side would force
+    # an index-wide shuffle per micro-batch), carried through the
+    # candidate join, so the verify needs ONE targeted re-join (gather
+    # the collided index doc's bands inside the per-pair group) instead
+    # of two.  Identical: the input contract gives every doc exactly
+    # DHASH_BANDS rows, so the conditional SUMs rebuild the index doc's
+    # bands exactly.
+    fp_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN band = {j} THEN bv END) "
+        f"OVER (PARTITION BY doc_id) AS BIGINT) AS fp{j}"
+        for j in range(DHASH_BANDS)
+    )
+    nfp_sel = ", ".join(f"a.fp{j} AS nfp{j}" for j in range(DHASH_BANDS))
+    ham = " + ".join(
+        "bit_count(%s)"
+        % X.xor(
+            X.SPARK,
+            f"MIN(c.nfp{j})",
+            f"SUM(CASE WHEN b.band = {j} THEN b.bv END)",
+        )
+        for j in range(DHASH_BANDS)
+    )
 
     def _dup_ids(views, right, right_cond: str) -> DataFrame:
         return spark.sql(f"""
-WITH cand AS (
-  SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd
-  FROM {views.nb} a JOIN {right} b
+WITH nfp AS (
+  SELECT doc_id, band, bv, {fp_cols}
+  FROM {views.nb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS nd, {nfp_sel}, b.doc_id AS xd
+  FROM nfp a JOIN {right} b
     ON a.band = b.band AND a.bv = b.bv{right_cond}
 ),
 hams AS (
   SELECT c.nd, c.xd,
-    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+    CAST({ham} AS BIGINT) AS hamming
   FROM cand c
-  JOIN {views.nb} a ON a.doc_id = c.nd
-  JOIN {right} b ON b.doc_id = c.xd AND b.band = a.band
+  JOIN {right} b ON b.doc_id = c.xd
   GROUP BY c.nd, c.xd
 )
 SELECT DISTINCT nd AS doc_id FROM hams

@@ -1402,23 +1402,41 @@ ORDER BY doc_a, doc_b
 
 
 def _dhash_cand_ham_ctes(d: str, bands: str) -> str:
-    """cand/ham CTE-list (no leading WITH, no trailing comma) — the
+    """bfp/ham CTE-list (no leading WITH, no trailing comma) — the
     candidate + verify core shared by the pairs query and the cluster
-    form."""
-    ham = X.xor(d, "ba.bv", "bb.bv")
+    form, for EVERY 4x16-bit band family (image dHash, waveform audio,
+    spectral audio).
+
+    Round-12 fusion: each doc's full fingerprint rides along as
+    DHASH_BANDS window-sum columns (fp0..fp3 — one per band, computed
+    over the doc's band rows; packing into ONE shifted BIGINT overflows
+    int64 at band 3, which DuckDB rejects), so each collision row of the
+    candidate equi-join computes the pair's FULL Hamming directly — the
+    DISTINCT-candidates exchange and the two verify re-joins collapse
+    into one aggregation over the collision rows.  Identical by
+    construction: the input contract gives every doc exactly DHASH_BANDS
+    rows, and the fingerprint repeats on every collision row of a
+    (doc_a, doc_b) group, so MIN() reads it off."""
+    ham = " + ".join(
+        f"bit_count({X.xor(d, f'MIN(a.fp{j})', f'MIN(b.fp{j})')})"
+        for j in range(DHASH_BANDS)
+    )
+    fp_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN band = {j} THEN bv END) "
+        f"OVER (PARTITION BY doc_id) AS BIGINT) AS fp{j}"
+        for j in range(DHASH_BANDS)
+    )
     return f"""
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM {bands} a JOIN {bands} b
-    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+bfp AS (
+  SELECT doc_id, band, bv, {fp_cols}
+  FROM {bands}
 ),
 ham AS (
-  SELECT c.doc_a, c.doc_b,
-    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
-  FROM cand c
-  JOIN {bands} ba ON ba.doc_id = c.doc_a
-  JOIN {bands} bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
-  GROUP BY c.doc_a, c.doc_b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST({ham} AS BIGINT) AS hamming
+  FROM bfp a JOIN bfp b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )"""
 
 
@@ -2881,7 +2899,7 @@ vbands AS (
 
 
 def _video_match_ctes(d: str, vb: str) -> str:
-    """vnc2/vfcand/vfham/vmatched CTE-list (no leading WITH, no trailing
+    """vnc2/vfham/vmatched CTE-list (no leading WITH, no trailing
     comma) — the per-frame candidate + verify + aligned-match core shared
     by the pairs query, the cluster form, and the incremental oracle.
 
@@ -2896,33 +2914,46 @@ def _video_match_ctes(d: str, vb: str) -> str:
     The per-doc content-frame count rides along as a window column
     (least(2, n) is all the pair rule needs), replacing the old vnc
     aggregate + two end joins; the count exploits the fragment's input
-    contract — every content frame carries exactly DHASH_BANDS rows."""
-    ham = X.xor(d, "ba.bv", "bb.bv")
+    contract — every content frame carries exactly DHASH_BANDS rows.
+
+    Round-12 fusion (candidate + verify in ONE join): each frame's full
+    fingerprint rides along as DHASH_BANDS window-sum columns (fp0..fp3,
+    one per band, sharing the nc2 window's exchange; packing into ONE
+    shifted BIGINT overflows int64 at band 3, which DuckDB rejects), so
+    the frame pair's FULL Hamming distance is computable directly on
+    each collision row of the candidate equi-join.  Identical by
+    construction: the value is the same on every collision row of a
+    (doc_a, doc_b, frame_idx) group, so MIN() reads it off.  This
+    replaces the old DISTINCT-candidates exchange + two verify re-joins +
+    verify aggregation with one aggregation over the collision rows
+    (measured plan: band-leaf re-scans 8 -> 4, Exchanges 12 -> 8)."""
+    ham = " + ".join(
+        f"bit_count({X.xor(d, f'MIN(a.fp{j})', f'MIN(b.fp{j})')})"
+        for j in range(DHASH_BANDS)
+    )
     n_frames = X.idiv(
         d, "COUNT(*) OVER (PARTITION BY doc_id)", str(DHASH_BANDS)
+    )
+    fp_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN band = {j} THEN bv END) "
+        f"OVER (PARTITION BY doc_id, frame_idx) AS BIGINT) AS fp{j}"
+        for j in range(DHASH_BANDS)
     )
     return f"""
 vnc2 AS (
   SELECT doc_id, frame_idx, band, bv,
-         least(2, CAST({n_frames} AS BIGINT)) AS nc2
+         least(2, CAST({n_frames} AS BIGINT)) AS nc2,
+         {fp_cols}
   FROM {vb}
 ),
-vfcand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
-                  a.nc2 AS nca, b.nc2 AS ncb
+vfham AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
+    MIN(a.nc2) AS nca, MIN(b.nc2) AS ncb,
+    CAST({ham} AS BIGINT) AS hamming
   FROM vnc2 a JOIN vnc2 b
     ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.bv = b.bv
    AND a.doc_id < b.doc_id
-),
-vfham AS (
-  SELECT c.doc_a, c.doc_b, c.frame_idx,
-    MIN(c.nca) AS nca, MIN(c.ncb) AS ncb,
-    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
-  FROM vfcand c
-  JOIN {vb} ba ON ba.doc_id = c.doc_a AND ba.frame_idx = c.frame_idx
-  JOIN {vb} bb ON bb.doc_id = c.doc_b AND bb.frame_idx = c.frame_idx
-              AND bb.band = ba.band
-  GROUP BY c.doc_a, c.doc_b, c.frame_idx
+  GROUP BY a.doc_id, b.doc_id, a.frame_idx
 ),
 vmatched AS (
   SELECT doc_a, doc_b,
@@ -3075,22 +3106,42 @@ def _shifted_match_ctes(d: str, vb: str, max_shift: int) -> str:
     would contribute 0 matched frames — verifying only collided
     (pair, delta, frame) groups is bit-identical and replaces the old
     doc-level (band, bv)-only candidate's cross-frame blowup (measured
-    162 s -> the strict form's neighborhood on the sf0.1 DuckDB oracle)."""
-    ham = X.xor(d, "ba.bv", "bb.bv")
+    162 s -> the strict form's neighborhood on the sf0.1 DuckDB oracle).
+
+    Round-12 fusion (the strict fragment's ride-along-fingerprint trick):
+    each frame's full fingerprint rides along as DHASH_BANDS window-sum
+    columns (fp0..fp3, one per band), carried through the shift
+    expansion, so each collision row of the candidate equi-join computes
+    the pair's FULL Hamming directly — the DISTINCT-candidates exchange
+    and the two verify re-joins collapse into one aggregation over the
+    collision rows.  Identical by construction (the fingerprint repeats
+    on every collision row of a (pair, delta, frame) group, so MIN()
+    reads it off)."""
+    ham = " + ".join(
+        f"bit_count({X.xor(d, f'MIN(a.fp{j})', f'MIN(b.fp{j})')})"
+        for j in range(DHASH_BANDS)
+    )
+    fp_win = ", ".join(
+        f"CAST(SUM(CASE WHEN band = {j} THEN bv END) "
+        f"OVER (PARTITION BY doc_id, frame_idx) AS BIGINT) AS fp{j}"
+        for j in range(DHASH_BANDS)
+    )
+    fp_names = ", ".join(f"fp{j}" for j in range(DHASH_BANDS))
     if d == X.SPARK:
         # generator-side shift expansion: LATERAL VIEW explode keeps the
         # verify a pure hash equi-join (a VALUES cross join would plan a
         # BroadcastNestedLoopJoin and trip the fleet plan guard)
         sexp_src = X.explode_range(
             d,
-            f"(SELECT * FROM {vb})",
-            "doc_id, frame_idx, band, bv",
+            "(SELECT * FROM svb)",
+            f"doc_id, frame_idx, band, bv, {fp_names}",
             str(-max_shift),
             str(max_shift),
             "delta",
         )
         sexp = f"""
-  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band, bv
+  SELECT doc_id, frame_idx, (frame_idx - delta) AS aframe, delta, band,
+         bv, {fp_names}
   FROM {sexp_src} t"""
     else:
         # DuckDB oracle: the (2s+1)-row VALUES cross product — the unnest
@@ -3102,27 +3153,22 @@ def _shifted_match_ctes(d: str, vb: str, max_shift: int) -> str:
         )
         sexp = f"""
   SELECT doc_id, frame_idx, (frame_idx - dd.delta) AS aframe,
-         dd.delta AS delta, band, bv
-  FROM {vb} CROSS JOIN (VALUES {deltas}) AS dd(delta)"""
+         dd.delta AS delta, band, bv, {fp_names}
+  FROM svb CROSS JOIN (VALUES {deltas}) AS dd(delta)"""
     return f"""
+svb AS (
+  SELECT doc_id, frame_idx, band, bv, {fp_win}
+  FROM {vb}
+),
 sexp AS ({sexp}
 ),
-scand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, b.delta,
-                  a.frame_idx
-  FROM {vb} a JOIN sexp b
+sfham AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.delta, a.frame_idx,
+    CAST({ham} AS BIGINT) AS hamming
+  FROM svb a JOIN sexp b
     ON b.aframe = a.frame_idx AND b.band = a.band AND b.bv = a.bv
    AND a.doc_id < b.doc_id
-),
-sfham AS (
-  SELECT c.doc_a, c.doc_b, c.delta, c.frame_idx,
-    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
-  FROM scand c
-  JOIN {vb} ba ON ba.doc_id = c.doc_a AND ba.frame_idx = c.frame_idx
-  JOIN sexp bb ON bb.doc_id = c.doc_b AND bb.delta = c.delta
-             AND bb.aframe = c.frame_idx
-             AND bb.band = ba.band
-  GROUP BY c.doc_a, c.doc_b, c.delta, c.frame_idx
+  GROUP BY a.doc_id, b.doc_id, b.delta, a.frame_idx
 ),
 snc AS (SELECT doc_id, COUNT(DISTINCT frame_idx) AS n FROM {vb} GROUP BY doc_id),
 smatch AS (

@@ -125,14 +125,46 @@ def incremental_video_dedup(
     from .staging import staged_views
 
     nb = (bands_fn or video_bands)(media).localCheckpoint()
-    ham = X.xor(X.SPARK, "a.bv", "b.bv")
+    # round-12 asymmetric fusion (the image gate's trick on the folded
+    # band space): the BATCH side carries each frame's full fingerprint
+    # as DHASH_BANDS window-sum columns (fp0..fp3 — a window over
+    # batch-scale rows only; a window over the INDEX side would force an
+    # index-wide shuffle per micro-batch), carried through the shift
+    # expansion, so the verify needs ONE targeted re-join (gather the
+    # collided index frame's bands inside the per-group SUMs) instead of
+    # re-joining BOTH sides.  Identical: the content-frame contract gives
+    # every frame exactly DHASH_BANDS rows, and the fingerprint is
+    # constant within a (nd, xd, delta, frame) group (one original frame
+    # per shifted key), so MIN() reads it off.
+    fp_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN band % {DHASH_BANDS} = {j} THEN bv END) "
+        f"OVER (PARTITION BY doc_id, band DIV {DHASH_BANDS}) "
+        f"AS BIGINT) AS fp{j}"
+        for j in range(DHASH_BANDS)
+    )
+    fp_names = ", ".join(f"fp{j}" for j in range(DHASH_BANDS))
+    nfp_sel = ", ".join(f"a.fp{j} AS nfp{j}" for j in range(DHASH_BANDS))
+    ham = " + ".join(
+        "bit_count(%s)"
+        % X.xor(
+            X.SPARK,
+            f"MIN(c.nfp{j})",
+            f"SUM(CASE WHEN b.band % {DHASH_BANDS} = {j} "
+            f"THEN b.bv END)",
+        )
+        for j in range(DHASH_BANDS)
+    )
     frame = X.idiv(X.SPARK, "a.band", str(DHASH_BANDS))
+    bframe = X.idiv(X.SPARK, "b.band", str(DHASH_BANDS))
     nfr = X.idiv(X.SPARK, "band", str(DHASH_BANDS))
     s = int(max_shift)
 
     def _dup_ids(views, right, right_cond: str) -> DataFrame:
+        nfp_src = (
+            f"(SELECT doc_id, band, bv, {fp_cols} FROM {views.nb})"
+        )
         if s == 0:
-            left_src, dgrp, dsel, dcond = views.nb, "", "", ""
+            left_src, dgrp, dsel = nfp_src, "", ""
         else:
             # shifted LEFT (batch) side: band' = band + delta*DHASH_BANDS
             # folds the alignment offset into the key; frames shifted out
@@ -145,32 +177,31 @@ def incremental_video_dedup(
             # the max over delta either way).
             shifted = X.explode_range(
                 X.SPARK,
-                f"(SELECT * FROM {views.nb})",
-                "doc_id, band, bv",
+                f"(SELECT * FROM {nfp_src} t0)",
+                f"doc_id, band, bv, {fp_names}",
                 str(-s),
                 str(s),
                 "delta",
             )
             left_src = (
                 f"(SELECT doc_id, band + delta * {DHASH_BANDS} AS band, "
-                f"bv, delta FROM {shifted} t)"
+                f"bv, {fp_names}, delta FROM {shifted} t)"
             )
-            dgrp, dsel, dcond = ", c.delta", ", a.delta AS delta", \
-                " AND a.delta = c.delta"
+            dgrp, dsel = ", c.delta", ", a.delta AS delta"
         return spark.sql(f"""
 WITH sleft AS (SELECT * FROM {left_src}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS nd, b.doc_id AS xd{dsel}
+  SELECT DISTINCT a.doc_id AS nd, {nfp_sel}{dsel}, b.doc_id AS xd,
+                  {frame} AS frame
   FROM sleft a JOIN {right} b
     ON a.band = b.band AND a.bv = b.bv{right_cond}
 ),
 fham AS (
-  SELECT c.nd, c.xd{dgrp}, {frame} AS frame,
-    CAST(SUM(bit_count({ham})) AS BIGINT) AS hamming
+  SELECT c.nd, c.xd{dgrp}, c.frame,
+    CAST({ham} AS BIGINT) AS hamming
   FROM cand c
-  JOIN sleft a ON a.doc_id = c.nd{dcond}
-  JOIN {right} b ON b.doc_id = c.xd AND b.band = a.band
-  GROUP BY c.nd, c.xd{dgrp}, {frame}
+  JOIN {right} b ON b.doc_id = c.xd AND {bframe} = c.frame
+  GROUP BY c.nd, c.xd{dgrp}, c.frame
 ),
 ncn AS (
   SELECT doc_id, COUNT(DISTINCT {nfr}) AS n
