@@ -455,7 +455,9 @@ JOIN sizes nb ON e.doc_b = nb.doc_id
 """
 
 
-def _staged_minhash_parts(spark, table: str = "documents", light: bool = False):
+def _staged_minhash_parts(
+    spark, table: str = "documents", light: bool | str = False
+):
     """Checkpointed shared stages of the MinHash pipeline — (sh, sig, cand,
     sizes).  Spark INLINES repeated CTEs, so any SQL that references the
     shingle/signature/candidate CTEs more than once re-runs the whole
@@ -470,18 +472,34 @@ def _staged_minhash_parts(spark, table: str = "documents", light: bool = False):
     shingle chain in ONE job, skipping the materialization of the
     |corpus|-scale shingle rows whose only consumers would have been the
     ``sh``/``sizes`` returns (returned as None in this mode).  Same sig
-    and cand rows by construction."""
+    and cand rows by construction.
+
+    ``light="sizes"`` (round 12) additionally folds the per-doc shingle
+    COUNT into the SAME signature aggregation (both are groupBy(doc_id)
+    over the identical shingle rows), so a caller that needs sig + cand
+    + sizes but never the raw shingles (containment_estimate_fast) gets
+    all three from ONE corpus pass with nothing shingle-scale ever
+    materialized; ``sh`` returns None.  Exact-audit callers (the
+    intersection joins) keep the full mode."""
     from pyspark.sql import functions as F
 
     d = X.SPARK
+    sized = light == "sizes"
     sh = spark.sql(shingles_cte(d, table))
     if not light:
         sh = sh.localCheckpoint()
     hv = sh.select("doc_id", F.expr(X.md5_int(d, "sh")).alias("hv"))
-    sig = hv.groupBy("doc_id").agg(
-        *[F.expr(e.replace(f" AS m{k}", "")).alias(f"m{k}")
-          for k, e in enumerate(minhash_min_exprs())]
-    ).localCheckpoint()
+    aggs = [
+        F.expr(e.replace(f" AS m{k}", "")).alias(f"m{k}")
+        for k, e in enumerate(minhash_min_exprs())
+    ]
+    if sized:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    sig = hv.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    sizes = None
+    if sized:
+        sizes = sig.select("doc_id", "n")
+        sig = sig.select("doc_id", *[f"m{k}" for k in range(NUM_PERM)])
 
     n_bands = NUM_PERM // BAND_ROWS
     bands = None
@@ -506,6 +524,8 @@ def _staged_minhash_parts(spark, table: str = "documents", light: bool = False):
         .distinct()
         .localCheckpoint()
     )
+    if sized:
+        return None, sig, cand, sizes
     if light:
         return None, sig, cand, None
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1027,12 +1047,14 @@ JOIN sizes nb ON e.doc_b = nb.doc_id
 
 def containment_estimate_fast_df(spark, table: str = "documents"):
     """Staged engine form — signatures/candidates/sizes from the shared
-    checkpointed parts; no shingle re-join anywhere."""
+    checkpointed parts (the one-pass ``light="sizes"`` mode: the per-doc
+    shingle count rides the signature aggregation, so nothing
+    shingle-scale is ever materialized); no shingle re-join anywhere."""
     from pyspark.sql import functions as F
 
     from ..functions.dialect import fround
 
-    _sh, sig, cand, sizes = _staged_minhash_parts(spark, table)
+    _sh, sig, cand, sizes = _staged_minhash_parts(spark, table, light="sizes")
     matches = sum(
         F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
         for k in range(NUM_PERM)
