@@ -1767,7 +1767,13 @@ def build_text_index(spark, docs_df, path: str) -> None:
             F.expr(f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS}"),
         )
     )
-    postings.write.mode("overwrite").partitionBy("tbucket").parquet(path)
+    # bucket-aligned write (the image index's r11 fix): unaligned, every
+    # shuffle task writes a sliver into every tbucket dir (tasks x 64
+    # files); aligned, each bucket is one file and every pruned read
+    # lists |Q| files
+    postings.repartition("tbucket").write.mode("overwrite").partitionBy(
+        "tbucket"
+    ).parquet(path)
     dl = (
         spark.read.parquet(path)
         .groupBy("doc_id")
@@ -2033,7 +2039,15 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
             f"FROM {v.p}"
         )
         (
-            postings.write.mode("overwrite")
+            # bucket-aligned landing (the image index's r11 fix applied
+            # to the text index): without the repartition every shuffle
+            # task writes a sliver into EVERY tbucket dir — up to
+            # tasks x 64 tiny files per batch; aligned, each (bucket,
+            # batch) slice is one file, so every later pruned read,
+            # freshness probe and stats rebuild lists B files per
+            # bucket, not tasks x B
+            postings.repartition("tbucket")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("tbucket", "batch_id")
             .parquet(path)
@@ -2043,7 +2057,11 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
             f"FROM {v.p} GROUP BY doc_id"
         ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         (
-            dl.write.mode("overwrite")
+            # one file per batch landing: the doclen sidecar is read back
+            # every micro-batch (stats rebuild + freshness probe) — a
+            # batch-scale coalesce keeps that listing at B files total
+            dl.coalesce(1)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(f"{path}.doclen")
@@ -2254,7 +2272,11 @@ def text_index_append(spark, path: str, new_docs) -> None:
             f"{X.md5_int(X.SPARK, 'token')} % {TEXT_INDEX_BUCKETS} AS tbucket "
             f"FROM {v.p}"
         )
-        postings.write.mode("append").partitionBy("tbucket").parquet(path)
+        # bucket-aligned append: one file per touched bucket per append
+        # (unaligned, tasks x buckets slivers — see build_text_index)
+        postings.repartition("tbucket").write.mode("append").partitionBy(
+            "tbucket"
+        ).parquet(path)
         spark.sql(
             f"SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl "
             f"FROM {v.p} GROUP BY doc_id"

@@ -464,7 +464,13 @@ def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding") -> Non
     partition pruning at the file-listing level — Spark never opens, reads,
     or schedules the other cells' files at all."""
     assigned, centers = ivf_assignments(df, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # cell-aligned write (the image index's r11 discipline): unaligned,
+    # every task writes a sliver into every cell dir (tasks x cells tiny
+    # files at scale); aligned, each cell is one file per build and a
+    # probe's nprobe listing stays nprobe files
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     _write_centroids(df.sparkSession, centers, path)
 
 
@@ -522,7 +528,9 @@ def ivf_index_append(
     centers = _read_centroids(spark, path)
     new_vecs.withColumn(
         "cell", assign_cells_udf(centers)(F.col(vec_col))
-    ).write.mode("append").partitionBy("cell").parquet(path)
+    ).repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        path
+    )
 
 
 def ivf_index_ingest_batch(
@@ -554,6 +562,7 @@ def ivf_index_ingest_batch(
     (
         batch_df.withColumn("cell", assign_cells_udf(centers)(F.col(vec_col)))
         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .repartition("cell")  # one file per (cell, batch) slice
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "batch_id")
@@ -1461,7 +1470,9 @@ def build_ivfpq_index(df: DataFrame, path: str, vec_col: str = "embedding") -> N
     coded = pq_encode_residual(assigned, books, centers, vec_col).select(
         "vec_id", "pq_code", "cell"
     )
-    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    coded.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     _write_centroids(df.sparkSession, centers, path)
     _write_codebooks(df.sparkSession, books, path)
 
@@ -1495,6 +1506,7 @@ def ivfpq_index_ingest_batch(
     ).select("vec_id", "pq_code", "cell")
     (
         coded.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .repartition("cell")  # one file per (cell, batch) slice
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "batch_id")
