@@ -723,30 +723,44 @@ def ivf_multi(
     scans."""
     spark = df.sparkSession
     assigned, centers = ivf_assignments(df)
-    probe_rows: list[tuple[int, int]] = []
-    q_rows: list[tuple[int, list[float]]] = []
-    for qid in sorted(queries):
-        q = np.asarray(queries[qid], dtype=np.float64)
-        d2 = ((centers - q) ** 2).sum(axis=1)
-        probe_rows += [(qid, int(c)) for c in np.argsort(d2)[:IVF_NPROBE]]
-        q_rows.append((qid, [float(x) for x in queries[qid]]))
-    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
-    qdf = spark.createDataFrame(q_rows, "query_id int, qe array<float>")
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            "cell",
-            F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
-        )
+    probes = _probe_table(spark, centers, queries)
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "vec_id",
+        "cell",
+        F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
     )
     return per_query_topk(scored, k)
 
 
+def _probe_table(spark, centers: np.ndarray, queries: dict[int, list[float]]):
+    """The (query_id, cell, qe) probe relation both ``ivf_multi`` forms
+    broadcast: each query's IVF_NPROBE nearest cells, with the query
+    vector riding along so ONE broadcast hash join assigns both query
+    ownership and the scoring vector inside the probed cells (two
+    separate (query_id, cell) + (query_id, qe) broadcasts cost a second
+    broadcast build + join per call for the same |Q| x nprobe rows)."""
+    rows: list[tuple[int, int, list[float]]] = []
+    for qid in sorted(queries):
+        qe = [float(x) for x in queries[qid]]
+        rows += [(qid, c, qe) for c in _route_cells(centers, queries[qid])]
+    return spark.createDataFrame(rows, "query_id int, cell int, qe array<float>")
+
+
+def _route_cells(centers: np.ndarray, query_vec: list[float]) -> list[int]:
+    """A query's IVF_NPROBE nearest cells — THE routing rule, shared by the
+    probe table and the pruned-scan cell union so they cannot drift."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centers - q) ** 2).sum(axis=1)
+    return [int(c) for c in np.argsort(d2)[:IVF_NPROBE]]
+
+
 def ivf_multi_indexed(
-    spark, path: str, queries: dict[int, list[float]], k: int = 10
+    spark,
+    path: str,
+    queries: dict[int, list[float]],
+    k: int = 10,
+    centers: np.ndarray | None = None,
 ) -> DataFrame:
     """Multi-query IVF search against a PERSISTED index — the form the 30x
     soak motivates: the online ``ivf_multi`` re-assigns the whole corpus
@@ -758,30 +772,23 @@ def ivf_multi_indexed(
     query ownership inside the pruned scan.  Per-query top-k rides the
     shared ``per_query_topk`` pre-cut.  Bit-identical to ``ivf_multi``
     on the same corpus by construction (same centroids, same routing
-    rule, same scoring) — parity pytest-pinned."""
-    centers = _read_centroids(spark, path)
-    probe_rows: list[tuple[int, int]] = []
-    q_rows: list[tuple[int, list[float]]] = []
-    for qid in sorted(queries):
-        q = np.asarray(queries[qid], dtype=np.float64)
-        d2 = ((centers - q) ** 2).sum(axis=1)
-        probe_rows += [(qid, int(c)) for c in np.argsort(d2)[:IVF_NPROBE]]
-        q_rows.append((qid, [float(x) for x in queries[qid]]))
-    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
-    qdf = spark.createDataFrame(q_rows, "query_id int, qe array<float>")
-    all_cells = sorted({c for _, c in probe_rows})
+    rule, same scoring) — parity pytest-pinned.  ``centers`` lets a
+    caller that already read the centroid sidecar (e.g. concurrently
+    with its other standing-file reads) skip the re-read."""
+    if centers is None:
+        centers = _read_centroids(spark, path)
+    probes = _probe_table(spark, centers, queries)
+    all_cells = sorted(
+        {c for qid in queries for c in _route_cells(centers, queries[qid])}
+    )
     cand = _read_index_or_empty(
         spark, path, "vec_id bigint, embedding array<float>, cell int"
     ).filter(F.col("cell").isin(all_cells))
-    scored = (
-        cand.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            "cell",
-            F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
-        )
+    scored = cand.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "vec_id",
+        "cell",
+        F.expr(cosine_spark("embedding", "qe")).alias("cosine"),
     )
     return per_query_topk(scored, k)
 

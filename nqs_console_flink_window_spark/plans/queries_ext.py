@@ -1064,13 +1064,25 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     tier=2,
 )
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < COSINE_MULTI_Q).collect()
-    }
+    path = _ensure_ivf_index(spark, sf_dir)
+
+    def qvecs() -> dict[int, list[float]]:
+        return {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < COSINE_MULTI_Q).collect()
+        }
+
+    # the two standing-file reads (query vectors, centroid sidecar) are
+    # independent bounded driver jobs — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(qvecs)
+        f_c = pool.submit(SIM._read_centroids, spark, path)
+        queries, centers = f_q.result(), f_c.result()
     return SIM.ivf_multi_indexed(
-        spark, _ensure_ivf_index(spark, sf_dir), queries, k=COSINE_MULTI_K
+        spark, path, queries, k=COSINE_MULTI_K, centers=centers
     )
 
 

@@ -1,11 +1,12 @@
-"""Dump `.explain("formatted")` for named queries into plans/r12/<q>_<tag>.txt.
+"""Dump `.explain("formatted")` for named queries into plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/plan_dump.py <tag> [query ...]
   tag   = "before" | "after" (file suffix)
   query = registry names; default = every headline query.
 
 The optimization-round evidence artifact: the judge checks plan claims in
-OPTIMIZATION_r12.md against these files.
+OPTIMIZATION_r<NN>.md against these files.  ROUND below names the current
+optimization round's dir; earlier rounds' dumps stay committed untouched.
 """
 
 from __future__ import annotations
@@ -21,11 +22,14 @@ from nqs_console_flink_window_spark.plans.registry import REGISTRY  # noqa: E402
 from nqs_console_flink_window_spark.session import get_spark  # noqa: E402
 
 
+ROUND = "r13"
+
+
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or [n for n, q in REGISTRY.items() if q.headline]
     sf_dir = "/root/testdata/sf0.01"
-    out_dir = _REPO / "plans" / "r12"
+    out_dir = _REPO / "plans" / ROUND
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("nqs-plan-dump")
     for name in names:
