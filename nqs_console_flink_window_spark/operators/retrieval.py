@@ -73,6 +73,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from contextlib import contextmanager
 
 from ..functions import dialect as X
@@ -1262,7 +1263,7 @@ def hybrid_dense_sparse_ann_indexed(
     spark,
     text_path: str,
     ivf_path: str,
-    query_vecs: dict[int, list[float]],
+    query_vecs: dict[int, list[float]] | Callable[[], dict[int, list[float]]],
     queries: dict[int, tuple[str, ...]] = BM25_QUERYSET,
     leg_k: int = HYBRID_LEG_K,
     k: int = HYBRID_K,
@@ -1278,46 +1279,81 @@ def hybrid_dense_sparse_ann_indexed(
     simply contributes no dense-leg term, exactly like a doc outside a
     leg's top-leg_k.  This is the production query path at 100 TB: per
     query set, |Q| postings buckets + nprobe cell partitions, zero
-    corpus passes."""
+    corpus passes.
+
+    The four standing-file reads this query needs on the driver before
+    any leg runs — the query vectors (``query_vecs`` may be a zero-arg
+    callable so the caller's collect joins the pool), the clash probe,
+    the centroid sidecar and the text stats/doclen sidecars — are
+    mutually independent bounded jobs, so they run CONCURRENTLY from a
+    small thread pool (guide §2.6: actions are only sequential because
+    driver code calls them sequentially); serialized they cost their sum
+    in scheduling round-trips per query."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
-    from .similarity import _read_index_or_empty, ivf_multi_indexed
+    from .similarity import (
+        _read_centroids,
+        _read_index_or_empty,
+        ivf_multi_indexed,
+    )
     from .staging import staged_views
 
-    if set(query_vecs) != set(queries):
-        raise ValueError(
-            "hybrid_dense_sparse_ann_indexed: query_vecs and queries must "
-            f"share one query_id set (got dense {sorted(query_vecs)} vs "
-            f"sparse {sorted(queries)}) — a mismatch would silently emit "
-            "single-leg fusions"
-        )
     # the exact dense legs exclude each query's own vector from the
     # corpus; the ANN leg's ranks come from the standing index, so the
     # same semantics require the index to NOT contain the query vectors.
     # Make that dependency loud with a bounded pushed-down probe (vec_id
-    # IN-list + limit 1 — row-group min/max pruned).
-    qids = [int(i) for i in query_vecs]
-    clash = (
-        _read_index_or_empty(
-            spark, ivf_path, "vec_id bigint, embedding array<float>, cell int"
+    # IN-list + limit 1 — row-group min/max pruned).  qids come from the
+    # sparse queryset; the dense/sparse id-set equality is re-checked
+    # below once the (possibly lazily collected) query_vecs resolve.
+    qids = [int(i) for i in queries]
+
+    def _clash_count() -> int:
+        return (
+            _read_index_or_empty(
+                spark, ivf_path, "vec_id bigint, embedding array<float>, cell int"
+            )
+            .filter(F.col("vec_id").isin(qids))
+            .limit(1)
+            .count()
         )
-        .filter(F.col("vec_id").isin(qids))
-        .limit(1)
-    )
-    if clash.count() > 0:
-        raise ValueError(
-            "hybrid_dense_sparse_ann_indexed: the dense index contains a "
-            "query vector — build it on the corpus slice excluding the "
-            "query ids (the exact forms' self-exclusion convention), or "
-            "the query's own doc takes dense rank 1 for its own query"
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_qv = pool.submit(query_vecs) if callable(query_vecs) else None
+        f_clash = pool.submit(_clash_count)
+        f_cent = pool.submit(_read_centroids, spark, ivf_path)
+        f_inputs = pool.submit(
+            _indexed_inputs, spark, text_path, bm25_queryset_terms(queries)
         )
-    dr = ivf_multi_indexed(spark, ivf_path, query_vecs, k=leg_k).select(
+        qvecs = f_qv.result() if f_qv is not None else query_vecs
+        # the id-set contract raises BEFORE any other future is consumed,
+        # so a mismatched call surfaces the contract ValueError, never a
+        # concurrent read's incidental failure
+        if set(qvecs) != set(queries):
+            raise ValueError(
+                "hybrid_dense_sparse_ann_indexed: query_vecs and queries "
+                f"must share one query_id set (got dense {sorted(qvecs)} vs "
+                f"sparse {sorted(queries)}) — a mismatch would silently "
+                "emit single-leg fusions"
+            )
+        # likewise the clash contract outranks the other reads' failures
+        if f_clash.result() > 0:
+            raise ValueError(
+                "hybrid_dense_sparse_ann_indexed: the dense index contains "
+                "a query vector — build it on the corpus slice excluding "
+                "the query ids (the exact forms' self-exclusion "
+                "convention), or the query's own doc takes dense rank 1 "
+                "for its own query"
+            )
+        centers = f_cent.result()
+        post, dl, n_body, t_body = f_inputs.result()
+    dr = ivf_multi_indexed(
+        spark, ivf_path, qvecs, k=leg_k, centers=centers
+    ).select(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.col("rank").alias("rn"),
-    )
-    post, dl, n_body, t_body = _indexed_inputs(
-        spark, text_path, bm25_queryset_terms(queries)
     )
     with staged_views(spark, tf=post, dl=dl, drm=dr, checkpoint=False) as v:
         return spark.sql(
@@ -1715,7 +1751,17 @@ def _assert_fresh_doc_ids(
         # one SQL string, not Column.isin(list): isin builds one py4j
         # literal expression per id (measured 2.2 s vs 0.3 s at 2500 ids
         # for the IDENTICAL pushed-down In plan); doc_id is BIGINT by
-        # contract, int() keeps the interpolation literal-safe
+        # contract, int() keeps the interpolation literal-safe — and a
+        # NULL/non-integer id raises the contract error HERE, not an
+        # opaque TypeError from the interpolation (a NULL doc_id can
+        # never be probed for freshness and would silently never clash)
+        if any(i is None or not isinstance(i, int) for i in head_ids):
+            raise ValueError(
+                f"{where}: batch carries a NULL or non-integer doc_id — "
+                "doc_id is the index's BIGINT key by contract (a NULL id "
+                "cannot be freshness-probed and would land an unmatchable "
+                "doclen/postings row)"
+            )
         clash = existing.filter(
             f"doc_id IN ({', '.join(str(int(i)) for i in head_ids)})"
         ).limit(1)
@@ -1989,8 +2035,9 @@ def text_index_ingest_batch(bspark, batch_df, batch_id: int, path: str) -> None:
     top-level partition, the extra ``batch_id`` level only subdivides
     files inside a bucket.  The stats sidecar is rebuilt from doclen
     after every landing — a pure function of it, so a torn overwrite is
-    repaired by any later batch (same convergence rule as the append
-    path)."""
+    repaired by any later NON-EMPTY batch (same convergence rule as the
+    append path; an empty batch returns before landing anything, so it
+    neither tears nor repairs the sidecars)."""
     from pyspark.sql import functions as F
 
     from .staging import staged_views

@@ -208,12 +208,14 @@ def bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats sidecar.  The compute-once-then-query production shape for "
     "hard-negative mining; results bit-identical to the online form, so "
     "the oracle IS hybrid_rrf_multi's SQL.  Tier-1 rounds 8-11; rotated "
-    "out round 12 for audio_near_dup_spectral — driver-gated via "
-    "bm25_indexed (tier-1, the same pruned-postings sparse leg off the "
-    "same standing index) + hybrid_dense_sparse_indexed (tier-1, the "
-    "same exact-integer RRF fusion fragment over the same index with a "
-    "dense leg added); still benched as a headline row",
-    tier=2,
+    "out round 12 for audio_near_dup_spectral; RESTORED tier-1 in round "
+    "13 per the round-12 verdict (a driver-verified query must stay "
+    "driver-verified) — stream_fact_pipeline rotated out in exchange "
+    "(its oracle SQL and output are identical to tier-1 "
+    "nqs_fact_pipeline's, so the driver's check was duplicated; the "
+    "streaming execution path stays pytest- and check_oracle-gated).  "
+    "The tier-1 set is FROZEN as of this round: every rotation at the "
+    "50-entry cap reads as a dropped query to the driver's gate",
 )
 def hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents",))
@@ -318,10 +320,15 @@ def hybrid_dense_sparse_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, ("documents", "embeddings"))
     emb = load_table(spark, sf_dir, "embeddings")
     qids = [int(q) for q in sorted(RT.BM25_QUERYSET)]
-    qvecs = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
-    }
+
+    def qvecs() -> dict[int, list[float]]:
+        # passed as a callable so the collect runs inside the operator's
+        # driver-read pool, concurrent with the clash/centroid/stats reads
+        return {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+        }
+
     return RT.hybrid_dense_sparse_ann_indexed(
         spark,
         _ensure_text_index(spark, sf_dir),

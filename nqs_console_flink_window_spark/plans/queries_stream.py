@@ -117,7 +117,15 @@ def fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=_FACT_ORACLE,
     doc="W1-W3/S2 — the §3.1 topology executed through Structured Streaming "
     "(availableNow, foreachBatch, day-partitioned parquet sink), landed "
-    "output checked against the batch oracle (unified-API parity)",
+    "output checked against the batch oracle (unified-API parity).  "
+    "Rotated tier-2 in round 13 to restore hybrid_rrf_indexed to the "
+    "driver surface at the 50-entry DRIVER_QUERY_CAP: driver-gated via "
+    "nqs_fact_pipeline — the oracle SQL here IS nqs_fact_pipeline's "
+    "_FACT_ORACLE and the landed output is row/hash-identical to it, so "
+    "the driver's two checks were one check run twice; the streaming "
+    "execution machinery stays gated by the stream/batch parity pytest "
+    "and this tier-2 check_oracle row",
+    tier=2,
 )
 def stream_fact_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="nqs_stream_")
