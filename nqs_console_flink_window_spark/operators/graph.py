@@ -131,12 +131,25 @@ def pagerank_df(
     1-row count (the indexed-path stats-inlining convention).  ``edges``
     lets a composed caller (cluster_representatives) pass the symmetrized
     edge set it already built; ``edges_staged=True`` marks it as
-    checkpointed so it is re-read, not re-materialized."""
+    checkpointed so it is re-read, not re-materialized.
+
+    CONTRACT: a caller-supplied ``edges`` relation must be SYMMETRIZED
+    (every (a, b) paired with (b, a) — the shape ``pr_edges_sql`` emits).
+    The active-set equivalence argument above relies on it: in an
+    asymmetric digraph a pure-source node leaves the carried rank vector
+    after one step and its outgoing contributions are lost from step 2
+    on.  ``iters=0`` returns the init-vector projection over the full
+    node list (the unrolled oracle's r0 — the pre-restructure API)."""
     from .staging import staged_views
 
     d = X.SPARK
-    if iters < 1:
-        raise ValueError("pagerank_df: iters must be >= 1")
+    if iters < 0:
+        raise ValueError("pagerank_df: iters must be >= 0")
+    if iters == 0:
+        nodes = f"(SELECT doc_id FROM {table})"
+        return spark.sql(
+            f"WITH r0 AS ({pr_init_sql(d, nodes)}) {pr_final_sql('r0')}"
+        )
     if edges is None:
         # staged candidate pairs, not the plain SQL: under Spark's CTE
         # inlining the bands self-join re-ran the signature pipeline 8x
@@ -149,6 +162,12 @@ def pagerank_df(
         )
         with staged_views(spark, cand=cand, checkpoint=False) as v0:
             edges = spark.sql(pr_edges_sql(v0.cand))
+    elif not edges_staged:
+        # caller-supplied lazy edges: e2 below references the relation
+        # twice (base + outdeg subquery) — materialize once so the
+        # caller's upstream plan does not run twice (the internal path
+        # reads the already-checkpointed cand, so it skips this)
+        edges = edges.localCheckpoint()
     n_docs = spark.sql(
         f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}"
     ).collect()[0]["n"]
@@ -294,8 +313,14 @@ def pagerank_weighted_df(spark, table: str = "documents", iters: int = PR_ITERS)
     from .staging import staged_views
 
     d = X.SPARK
-    if iters < 1:
-        raise ValueError("pagerank_weighted_df: iters must be >= 1")
+    if iters < 0:
+        raise ValueError("pagerank_weighted_df: iters must be >= 0")
+    if iters == 0:
+        # the unrolled oracle's r0 projection (pre-restructure API)
+        nodes = f"(SELECT doc_id FROM {table})"
+        return spark.sql(
+            f"WITH r0 AS ({pr_init_sql(d, nodes)}) {pr_final_sql('r0')}"
+        )
     _sh, sig, cand, _sizes = _staged_minhash_parts(spark, table, light=True)
     with staged_views(spark, sig=sig, cand=cand, checkpoint=False) as v0:
         wp = spark.sql(prw_weights_sql(v0.cand, v0.sig))

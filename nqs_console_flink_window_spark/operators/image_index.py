@@ -157,7 +157,16 @@ def _assert_fresh_image_ids(
             return  # empty batch — nothing to clash
         # one SQL string, not Column.isin(list) — isin builds one py4j
         # literal per id (~2 s at 2500 ids for the identical In plan);
-        # doc_id is BIGINT by contract
+        # doc_id is BIGINT by contract, enforced loudly (a NULL id can
+        # never be probed and would raise an opaque TypeError below)
+        if any(
+            r["doc_id"] is None or not isinstance(r["doc_id"], int)
+            for r in head
+        ):
+            raise ValueError(
+                f"{where}: batch carries a NULL or non-integer doc_id — "
+                "doc_id is the index's BIGINT key by contract"
+            )
         clash = existing.filter(
             f"doc_id IN ({', '.join(str(int(r['doc_id'])) for r in head)})"
         ).limit(1)
