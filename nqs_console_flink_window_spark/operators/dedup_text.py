@@ -323,8 +323,22 @@ def incremental_dedup(spark, new_docs, index):
     nb = band_table(spark, new_docs)  # checkpointed inside; bands used 3x below
     dup_ids = None
     if index is not None:
+        # join DIRECTION matters at scale: the old nb-left-semi-index form
+        # builds/shuffles on the INDEX side (left-semi can only broadcast
+        # its right side, and the standing band index is corpus-scale), so
+        # every micro-batch paid an index-wide shuffle.  Broadcasting the
+        # BATCH bands and streaming the index scan through one broadcast
+        # hash join yields the identical id set — a batch doc_id appears
+        # iff >= 1 of its band keys matches >= 1 index row; DISTINCT
+        # collapses the per-collision multiplicity the semi-join never
+        # emitted — with the index side never shuffled or built into a
+        # hash table (guide §3.1).
         vs_index = (
-            nb.join(index, ["band_id", "band_key"], "left_semi")
+            index.select("band_id", "band_key")
+            .join(
+                F.broadcast(nb.select("band_id", "band_key", "doc_id")),
+                ["band_id", "band_key"],
+            )
             .select("doc_id")
             .distinct()
         )

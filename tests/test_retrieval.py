@@ -941,6 +941,45 @@ def test_query_terms_with_quotes_are_escaped(spark) -> None:
     } == set(spiky)
 
 
+def test_ingest_stats_slice_certificate(spark, tmp_path) -> None:
+    """The O(batch) stats fast path (r13): the 1-row sidecar carries a
+    slice-set certificate; after every maintenance event — new batch
+    (fast path), replay (certificate mismatch -> full rebuild), delete
+    (legacy 2-col row -> full rebuild next batch) — the landed stats row
+    equals the full doclen aggregate (the lifecycle-fuzz invariant,
+    asserted here at each step)."""
+    import pyspark.sql.functions as SF
+
+    def stats_equals_doclen(path):
+        srow = spark.read.parquet(f"{path}.stats").collect()
+        assert len(srow) == 1
+        dl = spark.read.parquet(f"{path}.doclen")
+        n, t = dl.count(), (dl.agg(SF.sum("dl")).first()[0] or 0)
+        assert (srow[0]["n_docs"], srow[0]["t_tok"]) == (n, t)
+        return srow[0]
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "cert_idx")
+    RT.text_index_ingest_batch(spark, mk([(1, "a b c"), (2, "b d")]), 0, idx)
+    r0 = stats_equals_doclen(idx)
+    assert r0["slices_sig"] is not None  # certified after batch 0
+    RT.text_index_ingest_batch(spark, mk([(3, "c c e")]), 1, idx)
+    r1 = stats_equals_doclen(idx)  # fast-path increment
+    assert (r1["n_docs"], r1["t_tok"]) == (3, 8)
+    # replay of batch 1: certificate mismatch -> full rebuild, same row
+    RT.text_index_ingest_batch(spark, mk([(3, "c c e")]), 1, idx)
+    assert tuple(stats_equals_doclen(idx)) == tuple(r1)
+    # delete writes the legacy 2-col row (fast path invalidated)...
+    RT.text_index_delete(spark, idx, [2])
+    srow = spark.read.parquet(f"{idx}.stats").collect()[0]
+    assert "slices_sig" not in srow.asDict()
+    # ...and the next batch re-certifies via the full rebuild
+    RT.text_index_ingest_batch(spark, mk([(4, "f")]), 2, idx)
+    r2 = stats_equals_doclen(idx)
+    assert r2["slices_sig"] is not None
+    assert (r2["n_docs"], r2["t_tok"]) == (3, 7)
+
+
 def test_text_index_delete_all_docs_streamed_converges(spark, tmp_path) -> None:
     """r8-advice regression (_rebuild_stats): on the STREAMED layout a
     delete of every doc removes all batch_id=* doclen partition dirs —
